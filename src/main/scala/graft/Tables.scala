@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core._
+import graft.expr._
+import graft.expr.E._
+
+/** Deterministic composition tables derived from the driver's TPC-H-ish
+  * parquet (TESTDATA.md). The reference's domain needs oxide wt.%
+  * compositions + (T,P) conditions; we derive them from integer key columns
+  * with exact integer-modulo arithmetic so the Spark engine and the DuckDB
+  * oracle compute bit-identical doubles. Value ranges mimic natural basaltic
+  * melts / mineral compositions (FIXTURES.md §1-2).
+  */
+object Tables {
+
+  def read(spark: SparkSession, dir: String, table: String): DataFrame =
+    spark.read.parquet(s"$dir/$table.parquet")
+
+  // ---- melts: one composition per lineitem row --------------------------
+  val meltElements: Vector[String] =
+    Vector("SiO2", "TiO2", "Al2O3", "FeO", "MnO", "MgO", "CaO", "Na2O", "K2O",
+      "P2O5", "H2O", "CO2")
+  val meltPass: Vector[String] = Vector("sample_id", "T_K", "P_bar")
+
+  val meltSource: Stage = Stage(Seq(
+    "sample_id" -> (C("l_orderkey") * ILit(10) + C("l_linenumber")),
+    "T_K" -> (Lit(1350.0) + C("l_orderkey") % ILit(250)),
+    "P_bar" -> (Lit(1.0) + C("l_partkey") % ILit(10000)),
+    "SiO2" -> (Lit(45.0) + (C("l_partkey") % ILit(1000)) * Lit(0.01)),
+    "TiO2" -> (Lit(0.5) + (C("l_suppkey") % ILit(200)) * Lit(0.01)),
+    "Al2O3" -> (Lit(12.0) + (C("l_partkey") % ILit(600)) * Lit(0.01)),
+    "FeO" -> (Lit(7.0) + (C("l_orderkey") % ILit(400)) * Lit(0.01)),
+    "MnO" -> (Lit(0.05) + (C("l_suppkey") % ILit(20)) * Lit(0.005)),
+    "MgO" -> (Lit(5.0) + (C("l_partkey") % ILit(700)) * Lit(0.01)),
+    "CaO" -> (Lit(8.0) + (C("l_orderkey") % ILit(500)) * Lit(0.01)),
+    "Na2O" -> (Lit(2.0) + (C("l_suppkey") % ILit(250)) * Lit(0.01)),
+    "K2O" -> (Lit(0.2) + (C("l_partkey") % ILit(180)) * Lit(0.01)),
+    "P2O5" -> (Lit(0.1) + (C("l_orderkey") % ILit(60)) * Lit(0.01)),
+    "H2O" -> ((C("l_partkey") % ILit(450)) * Lit(0.01)),
+    "CO2" -> ((C("l_suppkey") % ILit(100)) * Lit(0.001))
+  ))
+
+  /** Staged pipeline rooted at the melts table. */
+  def melts: Staged =
+    Staged(MagmaSchema(meltElements, meltPass, CUnit.WtPc, CType.Oxide),
+      Vector(meltSource))
+
+  def meltsDF(spark: SparkSession, dir: String): DataFrame =
+    Pipeline.applySpark(read(spark, dir, "lineitem"), Vector(meltSource))
+
+  // ---- olivines: one composition per orders row (join partner J1) -------
+  val olivineElements: Vector[String] =
+    Vector("SiO2", "FeO", "MnO", "MgO", "CaO", "NiO")
+  val olivinePass: Vector[String] = Vector("sample_id")
+
+  val olivineSource: Stage = Stage(Seq(
+    "sample_id" -> (C("o_orderkey"): E),
+    "SiO2" -> (Lit(39.0) + (C("o_custkey") % ILit(150)) * Lit(0.01)),
+    "FeO" -> (Lit(12.0) + (C("o_orderkey") % ILit(800)) * Lit(0.01)),
+    "MnO" -> (Lit(0.1) + (C("o_custkey") % ILit(30)) * Lit(0.005)),
+    "MgO" -> (Lit(42.0) + (C("o_orderkey") % ILit(600)) * Lit(0.01)),
+    "CaO" -> (Lit(0.2) + (C("o_custkey") % ILit(20)) * Lit(0.005)),
+    "NiO" -> (Lit(0.3) + (C("o_orderkey") % ILit(15)) * Lit(0.005))
+  ))
+
+  def olivines: Staged =
+    Staged(MagmaSchema(olivineElements, olivinePass, CUnit.WtPc, CType.Oxide),
+      Vector(olivineSource))
+
+  def olivinesDF(spark: SparkSession, dir: String): DataFrame =
+    Pipeline.applySpark(read(spark, dir, "orders"), Vector(olivineSource))
+
+  // ---- plagioclase: from customer -------------------------------------
+  val plagElements: Vector[String] =
+    Vector("SiO2", "Al2O3", "CaO", "Na2O", "K2O", "FeO")
+  val plagSource: Stage = Stage(Seq(
+    "sample_id" -> (C("c_custkey"): E),
+    "SiO2" -> (Lit(50.0) + (C("c_custkey") % ILit(800)) * Lit(0.01)),
+    "Al2O3" -> (Lit(26.0) + (C("c_nationkey") % ILit(25)) * Lit(0.1)),
+    "CaO" -> (Lit(10.0) + (C("c_custkey") % ILit(400)) * Lit(0.01)),
+    "Na2O" -> (Lit(3.0) + (C("c_nationkey") % ILit(20)) * Lit(0.1)),
+    "K2O" -> (Lit(0.1) + (C("c_custkey") % ILit(50)) * Lit(0.01)),
+    "FeO" -> (Lit(0.3) + (C("c_nationkey") % ILit(10)) * Lit(0.02))
+  ))
+  def plag: Staged =
+    Staged(MagmaSchema(plagElements, Vector("sample_id"), CUnit.WtPc, CType.Oxide),
+      Vector(plagSource))
+  def plagDF(spark: SparkSession, dir: String): DataFrame =
+    Pipeline.applySpark(read(spark, dir, "customer"), Vector(plagSource))
+
+  // ---- magnetite / ilmenite: from part --------------------------------
+  val magnetiteElements: Vector[String] =
+    Vector("TiO2", "Al2O3", "FeO", "MnO", "MgO", "Cr2O3")
+  val magnetiteSource: Stage = Stage(Seq(
+    "sample_id" -> (C("p_partkey"): E),
+    "TiO2" -> (Lit(8.0) + (C("p_partkey") % ILit(1500)) * Lit(0.01)),
+    "Al2O3" -> (Lit(1.5) + (C("p_size") % ILit(30)) * Lit(0.05)),
+    "FeO" -> (Lit(75.0) + (C("p_partkey") % ILit(700)) * Lit(0.01)),
+    "MnO" -> (Lit(0.3) + (C("p_size") % ILit(15)) * Lit(0.02)),
+    "MgO" -> (Lit(1.0) + (C("p_partkey") % ILit(300)) * Lit(0.01)),
+    "Cr2O3" -> (Lit(0.05) + (C("p_size") % ILit(10)) * Lit(0.01))
+  ))
+  def magnetite: Staged =
+    Staged(MagmaSchema(magnetiteElements, Vector("sample_id"), CUnit.WtPc, CType.Oxide),
+      Vector(magnetiteSource))
+  def magnetiteDF(spark: SparkSession, dir: String): DataFrame =
+    Pipeline.applySpark(read(spark, dir, "part"), Vector(magnetiteSource))
+
+  val ilmeniteElements: Vector[String] =
+    Vector("TiO2", "Al2O3", "FeO", "MnO", "MgO")
+  val ilmeniteSource: Stage = Stage(Seq(
+    "sample_id" -> (C("p_partkey"): E),
+    "TiO2" -> (Lit(44.0) + (C("p_partkey") % ILit(900)) * Lit(0.01)),
+    "Al2O3" -> (Lit(0.1) + (C("p_size") % ILit(20)) * Lit(0.01)),
+    "FeO" -> (Lit(45.0) + (C("p_partkey") % ILit(600)) * Lit(0.01)),
+    "MnO" -> (Lit(0.4) + (C("p_size") % ILit(25)) * Lit(0.02)),
+    "MgO" -> (Lit(2.0) + (C("p_partkey") % ILit(400)) * Lit(0.01))
+  ))
+  def ilmenite: Staged =
+    Staged(MagmaSchema(ilmeniteElements, Vector("sample_id"), CUnit.WtPc, CType.Oxide),
+      Vector(ilmeniteSource))
+  def ilmeniteDF(spark: SparkSession, dir: String): DataFrame =
+    Pipeline.applySpark(read(spark, dir, "part"), Vector(ilmeniteSource))
+}

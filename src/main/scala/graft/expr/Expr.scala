@@ -1,0 +1,162 @@
+package graft.expr
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+/** Tiny scalar-expression AST: the engine's expression compiler.
+  *
+  * All closed-form model math in the reference (unit conversions,
+  * thermometers, Fe3+/Fe2+ models, fO2 buffers, rheology — SURVEY.md §2.6/2.7)
+  * is pure per-row arithmetic. We express it once in this AST and compile it
+  * to Catalyst `Column`s (codegen'd, no UDFs). A secondary renderer emits the
+  * same expression tree as ANSI SQL for the DuckDB correctness oracle, which
+  * guarantees the oracle computes the *same arithmetic in the same order* —
+  * IEEE 754 ops are then bit-identical across engines (transcendentals are
+  * rounded at query edges).
+  */
+sealed trait E {
+  def +(o: E): E = Bin("+", this, o)
+  def -(o: E): E = Bin("-", this, o)
+  def *(o: E): E = Bin("*", this, o)
+  def /(o: E): E = Bin("/", this, o)
+  def %(o: E): E = Bin("%", this, o)
+  def unary_- : E = Bin("-", Lit(0.0), this)
+  def <(o: E): Cond = Cmp("<", this, o)
+  def <=(o: E): Cond = Cmp("<=", this, o)
+  def >(o: E): Cond = Cmp(">", this, o)
+  def >=(o: E): Cond = Cmp(">=", this, o)
+  def ===(o: E): Cond = Cmp("=", this, o)
+}
+final case class C(name: String) extends E                       // column ref
+final case class Lit(v: Double) extends E                        // double literal
+final case class ILit(v: Long) extends E                         // integer literal
+final case class Bin(op: String, l: E, r: E) extends E           // + - * / %
+final case class Fn(fn: String, args: List[E]) extends E         // exp ln log10 sqrt abs pow least greatest round floor
+final case class If(cond: Cond, t: E, f: E) extends E            // CASE WHEN
+final case class CastD(a: E) extends E                           // cast to double
+final case class Raw(column: Column, sql: String) extends E      // escape hatch
+
+sealed trait Cond {
+  def &&(o: Cond): Cond = AndOr("AND", this, o)
+  def ||(o: Cond): Cond = AndOr("OR", this, o)
+}
+final case class Cmp(op: String, l: E, r: E) extends Cond
+final case class AndOr(op: String, l: Cond, r: Cond) extends Cond
+final case class NotC(c: Cond) extends Cond
+
+object E {
+  implicit def fromDouble(v: Double): E = Lit(v)
+  implicit def fromInt(v: Int): E = ILit(v.toLong)
+
+  def exp(a: E): E = Fn("exp", List(a))
+  def ln(a: E): E = Fn("ln", List(a))
+  def log10(a: E): E = Fn("log10", List(a))
+  def sqrt(a: E): E = Fn("sqrt", List(a))
+  def abs(a: E): E = Fn("abs", List(a))
+  def pow(a: E, b: E): E = Fn("pow", List(a, b))
+  def least(xs: E*): E = Fn("least", xs.toList)
+  def greatest(xs: E*): E = Fn("greatest", xs.toList)
+  def round(a: E, d: Int): E = Fn("round", List(a, ILit(d.toLong)))
+  def floor(a: E): E = Fn("floor", List(a))
+  def when(c: Cond, t: E, f: E): E = If(c, t, f)
+
+  /** Compile to a Catalyst Column (the engine execution path). */
+  def toColumn(e: E): Column = e match {
+    case C(n)    => F.col(n)
+    case Lit(v)  => F.lit(v)
+    case ILit(v) => F.lit(v)
+    case Bin("+", l, r) => toColumn(l) + toColumn(r)
+    case Bin("-", l, r) => toColumn(l) - toColumn(r)
+    case Bin("*", l, r) => toColumn(l) * toColumn(r)
+    case Bin("/", l, r) => toColumn(l) / toColumn(r)
+    case Bin("%", l, r) => toColumn(l) % toColumn(r)
+    case Bin(op, _, _)  => throw new IllegalArgumentException(s"op $op")
+    case Fn("exp", List(a))      => F.exp(toColumn(a))
+    case Fn("ln", List(a))       => F.log(toColumn(a))
+    case Fn("log10", List(a))    => F.log10(toColumn(a))
+    case Fn("sqrt", List(a))     => F.sqrt(toColumn(a))
+    case Fn("abs", List(a))      => F.abs(toColumn(a))
+    case Fn("pow", List(a, b))   => F.pow(toColumn(a), toColumn(b))
+    case Fn("least", xs)         => F.least(xs.map(toColumn): _*)
+    case Fn("greatest", xs)      => F.greatest(xs.map(toColumn): _*)
+    case Fn("round", List(a, ILit(d))) => F.round(toColumn(a), d.toInt)
+    case Fn("floor", List(a))    => F.floor(toColumn(a))
+    case Fn(fn, _)               => throw new IllegalArgumentException(s"fn $fn")
+    case If(c, t, f) => F.when(toCond(c), toColumn(t)).otherwise(toColumn(f))
+    case CastD(a)    => toColumn(a).cast("double")
+    case Raw(c, _)   => c
+  }
+
+  def toCond(c: Cond): Column = c match {
+    case Cmp("<", l, r)  => toColumn(l) < toColumn(r)
+    case Cmp("<=", l, r) => toColumn(l) <= toColumn(r)
+    case Cmp(">", l, r)  => toColumn(l) > toColumn(r)
+    case Cmp(">=", l, r) => toColumn(l) >= toColumn(r)
+    case Cmp("=", l, r)  => toColumn(l) === toColumn(r)
+    case Cmp(op, _, _)   => throw new IllegalArgumentException(s"cmp $op")
+    case AndOr("AND", l, r) => toCond(l) && toCond(r)
+    case AndOr("OR", l, r)  => toCond(l) || toCond(r)
+    case AndOr(op, _, _)    => throw new IllegalArgumentException(s"bool $op")
+    case NotC(x) => !toCond(x)
+  }
+
+  /** Render as DuckDB-compatible ANSI SQL (the oracle path). */
+  def toSql(e: E): String = e match {
+    case C(n)    => "\"" + n + "\""
+    case Lit(v)  => formatDouble(v)
+    case ILit(v) => v.toString
+    case Bin(op, l, r) => s"(${toSql(l)} $op ${toSql(r)})"
+    case Fn("round", List(a, ILit(d))) => s"round(${toSql(a)}, $d)"
+    case Fn(fn, xs) => s"$fn(${xs.map(toSql).mkString(", ")})"
+    case If(c, t, f) => s"(CASE WHEN ${condSql(c)} THEN ${toSql(t)} ELSE ${toSql(f)} END)"
+    case CastD(a)    => s"CAST(${toSql(a)} AS DOUBLE)"
+    case Raw(_, s)   => s
+  }
+
+  def condSql(c: Cond): String = c match {
+    case Cmp(op, l, r)  => s"(${toSql(l)} $op ${toSql(r)})"
+    case AndOr(op, l, r) => s"(${condSql(l)} $op ${condSql(r)})"
+    case NotC(x)         => s"(NOT ${condSql(x)})"
+  }
+
+  /** Shortest decimal repr that round-trips (Java Double.toString) — DuckDB
+    * parses it back to the identical IEEE double. Always rendered in
+    * exponent notation: DuckDB types plain decimal literals as DECIMAL
+    * (exact arithmetic), but e-notation literals as DOUBLE, which is what
+    * Spark computes with. */
+  def formatDouble(v: Double): String = {
+    require(!v.isNaN && !v.isInfinite, s"non-finite literal $v")
+    val s = v.toString
+    if (s.contains("E")) s.replace("E", "e") else s + "e0"
+  }
+
+  /** Left-assoc sum matching `cols.reduce(_ + _)` evaluation order. */
+  def sumAll(xs: Seq[E]): E = xs.reduce(_ + _)
+}
+
+/** One SELECT stage: output column name -> expression over the previous
+  * stage. Pipelines of stages compile to chained `df.select`s, or to a SQL
+  * WITH-chain for the oracle. */
+final case class Stage(cols: Seq[(String, E)])
+
+object Pipeline {
+  import E._
+
+  def applySpark(df: DataFrame, stages: Seq[Stage]): DataFrame =
+    stages.foldLeft(df) { (d, st) =>
+      d.select(st.cols.map { case (n, e) => toColumn(e).as(n) }: _*)
+    }
+
+  /** Render stages as `WITH s0 AS (SELECT ... FROM <source>), s1 AS ...`
+    * and a final SELECT with optional ORDER BY. `source` may itself be a
+    * subquery: `(SELECT ... FROM lineitem)`. */
+  def toSql(source: String, stages: Seq[Stage], orderBy: Seq[String]): String = {
+    val ctes = stages.zipWithIndex.map { case (st, i) =>
+      val from = if (i == 0) source else s"s${i - 1}"
+      val sel = st.cols.map { case (n, e) => s"${E.toSql(e)} AS \"$n\"" }.mkString(", ")
+      s"s$i AS (SELECT $sel FROM $from)"
+    }
+    val ob = if (orderBy.isEmpty) "" else orderBy.map(c => "\"" + c + "\"").mkString(" ORDER BY ", ", ", "")
+    s"WITH ${ctes.mkString(", ")} SELECT * FROM s${stages.size - 1}$ob"
+  }
+}

@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run Verify output against
+the DuckDB oracle SQL and compare per-query (schema, rows, values).
+
+Usage: python3 tools/check.py /tmp/verify_out /root/testdata/sf0.001
+"""
+import json
+import math
+import sys
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def main(outdir: str, sfdir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')"
+        )
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = pq.read_table(f"{outdir}/{name}")
+        except Exception as exc:
+            print(f"FAIL {name}: no spark output ({exc})")
+            n_fail += 1
+            continue
+        try:
+            want = con.execute(sql).fetch_arrow_table()
+        except Exception as exc:
+            print(f"FAIL {name}: oracle sql error: {exc}")
+            n_fail += 1
+            continue
+        g_cols = sorted(got.column_names)
+        w_cols = sorted(want.column_names)
+        if g_cols != w_cols:
+            print(f"FAIL {name}: columns {g_cols} != {w_cols}")
+            n_fail += 1
+            continue
+        if got.num_rows != want.num_rows:
+            print(f"FAIL {name}: rows {got.num_rows} != {want.num_rows}")
+            n_fail += 1
+            continue
+        bad = None
+        for c in g_cols:
+            gv = got.column(c).to_pylist()
+            wv = want.column(c).to_pylist()
+            for i, (a, b) in enumerate(zip(gv, wv)):
+                if a == b:
+                    continue
+                if (
+                    isinstance(a, float)
+                    and isinstance(b, float)
+                    and math.isnan(a)
+                    and math.isnan(b)
+                ):
+                    continue
+                bad = (c, i, a, b)
+                break
+            if bad:
+                break
+        if bad:
+            c, i, a, b = bad
+            rel = abs(a - b) / max(abs(a), abs(b), 1e-300) if isinstance(a, float) and isinstance(b, float) else None
+            print(f"FAIL {name}: col {c} row {i}: spark={a!r} duck={b!r} rel={rel}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({got.num_rows} rows, {len(g_cols)} cols)")
+            n_pass += 1
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
