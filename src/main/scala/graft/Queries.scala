@@ -89,7 +89,111 @@ object Queries {
     thermoQ("shea2022", Thermometers.shea2022(_), transcendental = false),
     thermoQ("sugawara2000_3", Thermometers.sugawara2000_3(_), transcendental = false),
     thermoQ("sugawara2000_6a", Thermometers.sugawara2000_6a(_), transcendental = false)
-  )
+  ) ++ fo2Queries ++ fe3fe2Queries ++ rheologyKdQueries
+
+  /** fO2 buffers: output log10(fO2) (absolute fO2 spans ~1e-12..1e-5 — a
+    * fixed-decimal round would zero it), rounded for libm-vs-Java ulp drift. */
+  private def fo2Queries: Seq[Q] = {
+    val tK: E = C("T_K"); val pBar: E = C("P_bar")
+    def q(name: String, e: E): Q = meltQ(s"q_fo2_$name") {
+      _.derive("log10_fO2", round(log10(e), 6)).select("sample_id", "log10_fO2")
+    }
+    Seq(
+      q("qfm_1bar", Fo2Buffers.qfm1bar(tK)),
+      q("nno", Fo2Buffers.nno(tK, pBar)),
+      q("nno_1bar", Fo2Buffers.nno1bar(tK)),
+      q("nno_frost", Fo2Buffers.nnoFrost(tK, pBar)),
+      q("ruruo2", Fo2Buffers.ruRuO2(tK, pBar)),
+      q("iw_campbell", Fo2Buffers.iwCampbell(tK, pBar)),
+      q("fefeo_oneill_huebner", Fo2Buffers.feFeO94OneillHuebner(tK, pBar)),
+      q("iw_zhang", Fo2Buffers.iwZhang(tK, pBar)),
+      q("iw_oneill1993", Fo2Buffers.iwOneill1993(tK)))
+  }
+
+  /** Closed-form Fe3+/Fe2+ models, fO2 from the QFM 1-bar buffer. */
+  private def fe3fe2Queries: Seq[Q] = {
+    val tK: E = C("T_K"); val pBar: E = C("P_bar")
+    val fO2 = Fo2Buffers.qfm1bar(tK)
+    Fe3Fe2.closedForm.toSeq.sortBy(_._1).map { case (name, f) =>
+      meltQ(s"q_fe3fe2_$name") {
+        _.derive("Fe3Fe2", round(f(mctx, tK, fO2, pBar), 6))
+          .select("sample_id", "Fe3Fe2")
+      }
+    }
+  }
+
+  private def rheologyKdQueries: Seq[Q] = {
+    val tK: E = C("T_K"); val pBar: E = C("P_bar")
+    Seq(
+      meltQ("q_viscosity")(_.derive("viscosity",
+        round(Rheology.viscosity(mctx, tK), 6)).select("sample_id", "viscosity")),
+      meltQ("q_density")(_.derive("density",
+        Rheology.density(mctx, tK, pBar)).select("sample_id", "density")),
+      meltQ("q_kd_putirka2016_8a")(_.derive("Kd", Kd.putirka2016_8a)
+        .select("sample_id", "Kd")),
+      meltQ("q_kd_putirka2016_8b")(_.derive("Kd", Kd.putirka2016_8b(mctx, pBar))
+        .select("sample_id", "Kd")),
+      meltQ("q_kd_putirka2016_8c")(_.derive("Kd", Kd.putirka2016_8c(mctx))
+        .select("sample_id", "Kd")),
+      meltQ("q_kd_putirka2016_8d")(_.derive("Kd",
+        round(Kd.putirka2016_8d(mctx, pBar), 6)).select("sample_id", "Kd")),
+      meltQ("q_kd_sun2020")(_.derive("Kd",
+        round(Kd.sun2020(mctx, Lit(0.2)), 6)).select("sample_id", "Kd")),
+      meltQ("q_kd_toplis2005_fixedfo")(_.derive("Kd",
+        round(Kd.toplis2005Fixed(mctx, Lit(0.85), tK, pBar), 6))
+        .select("sample_id", "Kd")),
+      // Iterative toplis2005 (Kd<->Fo fixed point in a UDF): rows-only check,
+      // the convergent loop is not expressible as plain SQL.
+      Q("q_kd_toplis2005_iterative", (s, dir) => {
+        import org.apache.spark.sql.functions.{col, round => sround}
+        val base = Tables.meltsDF(s, dir)
+        def mp(ox: String) =
+          E.toColumn(mctx.molNorm(ox)) * 100.0
+        base.select(col("sample_id"),
+          sround(Kd.toplis2005(mp("SiO2"), mp("Na2O"), mp("K2O"), mp("H2O"),
+            E.toColumn(mctx.molNorm("FeO")), E.toColumn(mctx.molNorm("MgO")),
+            org.apache.spark.sql.functions.lit(0.2), col("T_K"), col("P_bar")), 6)
+            .as("Kd"))
+          .orderBy("sample_id")
+      }, None),
+      // J1 join: observed Kd from melt (lineitem) x olivine (orders) pair.
+      observedKdJoinQ)
+  }
+
+  /** The reference's canonical implicit join J1 — olivine and melt paired by
+    * sample key (`olivine.py:60-95`) — as an explicit equi-join. The olivine
+    * side (one row per order) is broadcast-eligible; Catalyst/AQE picks the
+    * strategy. */
+  private def observedKdJoinQ: Q = {
+    val fe3fe2 = 0.2
+    val meltSide = Tables.meltsWithOrder
+      .derive("melt_fe", mctx.molNorm("FeO"))
+      .derive("melt_mg", mctx.molNorm("MgO"))
+      .select("sample_id", "order_id", "melt_fe", "melt_mg")
+    val olCtx = CompCtx(Tables.olivineElements)
+    val olSide = Tables.olivines
+      .derive("ol_fe", olCtx.molNorm("FeO"))
+      .derive("ol_mg", olCtx.molNorm("MgO"))
+      .select("sample_id", "ol_fe", "ol_mg")
+    val kdExpr = Kd.observed(C("melt_fe"), C("melt_mg"), C("ol_fe"), C("ol_mg"),
+      Lit(fe3fe2))
+    val sql =
+      s"""WITH melt AS (${meltSide.sql("lineitem", Seq.empty)}),
+         | ol AS (${olSide.sql("orders", Seq.empty)})
+         | SELECT melt."sample_id" AS "sample_id",
+         |   ${E.toSql(kdExpr)} AS "Kd_observed"
+         | FROM melt JOIN ol ON melt."order_id" = ol."sample_id"
+         | ORDER BY "sample_id"""".stripMargin.replace("\n", " ")
+    Q("q_kd_observed_join", (s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val m = Pipeline.applySpark(Tables.read(s, dir, "lineitem"), meltSide.stages)
+      val o = Pipeline.applySpark(Tables.read(s, dir, "orders"), olSide.stages)
+        .withColumnRenamed("sample_id", "ol_sample_id")
+      m.join(o, m("order_id") === o("ol_sample_id"))
+        .select(col("sample_id"), E.toColumn(kdExpr).as("Kd_observed"))
+        .orderBy("sample_id")
+    }, Some(sql))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

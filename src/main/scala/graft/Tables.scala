@@ -46,6 +46,11 @@ object Tables {
     Staged(MagmaSchema(meltElements, meltPass, CUnit.WtPc, CType.Oxide),
       Vector(meltSource))
 
+  /** Melts with the parent order key kept as a join column (J1 queries). */
+  def meltsWithOrder: Staged =
+    Staged(MagmaSchema(meltElements, meltPass :+ "order_id", CUnit.WtPc, CType.Oxide),
+      Vector(Stage(meltSource.cols :+ ("order_id" -> (C("l_orderkey"): E)))))
+
   def meltsDF(spark: SparkSession, dir: String): DataFrame =
     Pipeline.applySpark(read(spark, dir, "lineitem"), Vector(meltSource))
 

@@ -249,9 +249,12 @@ final case class Staged(schema: MagmaSchema, stages: Vector[Stage]) {
     * upstream stages automatically). */
   def select(cols: String*): Staged = withStage(cols.map(c => c -> (C(c): E)))
 
-  /** Add a derived column from an expression over the current stage. */
-  def derive(name: String, e: E): Staged =
-    withStage(pass ++ ids :+ (name -> e))
+  /** Add a derived column from an expression over the current stage; the new
+    * column becomes passthrough for later stages (so derives chain). */
+  def derive(name: String, e: E): Staged = {
+    val st = withStage(pass ++ ids :+ (name -> e))
+    st.copy(schema = st.schema.copy(passthrough = st.schema.passthrough :+ name))
+  }
 
   /** Compile to a Spark DataFrame. */
   def spark(df: DataFrame): DataFrame = Pipeline.applySpark(df, stages)

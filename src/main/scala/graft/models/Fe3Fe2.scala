@@ -1,0 +1,104 @@
+package graft.models
+
+import graft.expr._
+import graft.expr.E._
+
+/** Melt Fe3+/Fe2+ redox models, closed-form subset
+  * (reference `Fe_redox/Fe3Fe2_models.py`). Inputs: a [[CompCtx]] whose
+  * `molNorm` gives oxide mol fractions, plus T_K and absolute fO2
+  * expressions. Missing components read as 0 (check_components zero-fill).
+  * The iterative models (deng2020, oneill2006, armstrong2019) are per-row
+  * solver UDFs implemented separately.
+  */
+object Fe3Fe2 {
+
+  /** "fixed": constant ratio from config (`Fe3Fe2_models.py:33-74`). */
+  def fixed(ratio: Double): E = Lit(ratio)
+
+  /** Borisov et al. (2018) eq. 4 (`Fe3Fe2_models.py:77-141`). */
+  def borisov2018(m: CompCtx, tK: E, fO2: E): E = {
+    def x(ox: String): E = m.molNorm(ox)
+    val part1 = Lit(0.207) * log10(fO2) + Lit(4633.3) / tK -
+      Lit(0.445) * x("SiO2") - Lit(0.900) * x("TiO2") + Lit(1.532) * x("MgO")
+    val part2 = Lit(0.314) * x("CaO") + Lit(2.030) * x("Na2O") +
+      Lit(3.355) * x("K2O") - Lit(4.851) * x("P2O5")
+    val part3 = Lit(-3.081) * x("SiO2") * x("Al2O3") -
+      Lit(4.370) * x("SiO2") * x("MgO") - Lit(1.852)
+    pow(Lit(10.0), part1 + part2 + part3)
+  }
+
+  /** Kress & Carmichael (1991) eq. 7 (`Fe3Fe2_models.py:144-223`). */
+  def kressCarmichael1991(m: CompCtx, tK: E, fO2: E, pBar: E): E = {
+    val d = Seq("Al2O3" -> -2.243, "FeO" -> -1.828, "CaO" -> 3.201,
+      "Na2O" -> 5.854, "K2O" -> 6.215)
+    val pPa = pBar * Lit(1e5)
+    val t0 = Lit(1673.0)
+    val sumComponents = sumAll(d.map { case (ox, c) => m.molNorm(ox) * Lit(c): E })
+    val part1 = Lit(0.196) * ln(fO2) + Lit(1.1492e4) / tK + Lit(-6.675) + sumComponents
+    val part2 = Lit(-3.36) * (Lit(1.0) - t0 / tK - ln(tK / t0))
+    val part3 = Lit(-7.01e-7) * pPa / tK +
+      Lit(-1.54e-10) * ((tK - t0) * pPa) / tK +
+      Lit(3.85e-17) * pPa * pPa / tK
+    Lit(2.0) * exp(part1 + part2 + part3)
+  }
+
+  /** Jayasuriya et al. (2004) eq. 12 (`Fe3Fe2_models.py:226-276`). */
+  def jayasuriya2004(m: CompCtx, tK: E, fO2: E): E = {
+    val d = Seq("MgO" -> -0.487, "CaO" -> 2.201, "Na2O" -> 6.610,
+      "K2O" -> 8.214, "Al2O3" -> -3.781, "P2O5" -> -62.79, "FeO" -> 1.377)
+    val sumComponents = sumAll(d.map { case (ox, c) => m.molNorm(ox) * Lit(c): E })
+    Lit(2.0) * exp(Lit(0.1967) * ln(fO2) + Lit(12420.0) / tK - Lit(7.054) +
+      sumComponents)
+  }
+
+  /** Putirka (2016) eq. 6b (`Fe3Fe2_models.py:279-323`). */
+  def putirka2016_6b(m: CompCtx, tK: E, fO2: E): E = {
+    def x(ox: String): E = m.molNorm(ox)
+    val part1 = Lit(-6.53) + Lit(10813.8) / tK
+    val part2 = Lit(0.19) * ln(fO2) + Lit(12.4) * (x("Na2O") + x("K2O"))
+    val part3 = Lit(-3.44) * (x("Al2O3") / (x("Al2O3") + x("SiO2"))) +
+      Lit(4.15) * x("CaO")
+    Lit(2.0) * exp(part1 + part2 + part3)
+  }
+
+  /** Putirka (2016) eq. 6c with its own NBO/T variant
+    * (Al_IV = min(Al, Na+K+2(Ca+Mg))) (`Fe3Fe2_models.py:326-416`).
+    * The reference computes this via slow row-wise `df.apply`; here it is a
+    * single vectorised expression. */
+  def putirka2016_6c(m: CompCtx, tK: E, fO2: E): E = {
+    def x(ox: String): E = m.molNorm(ox)
+    def cat(c: String): E = m.cat(c)
+    val alIV = least(cat("Al"), cat("Na") + cat("K") +
+      Lit(2.0) * (cat("Ca") + cat("Mg")))
+    val tet = cat("Si") + cat("Ti") + alIV
+    val o = Lit(2.0) * (cat("Si") + cat("Ti")) +
+      Lit(1.5) * (cat("Al") + cat("Cr")) +
+      (cat("Fe") + cat("Mn") + cat("Mg") + cat("Ca")) +
+      Lit(0.5) * (cat("Na") + cat("K")) + Lit(2.5) * cat("P")
+    val nboT = (Lit(2.0) * o - Lit(4.0) * tet) / tet
+    val part1 = Lit(-6.75) + Lit(10634.9) / tK + Lit(0.195) * ln(fO2)
+    val part2 = Lit(7.9) * (x("Na2O") + x("K2O")) + Lit(-4.6) * x("MgO")
+    val part3 = Lit(0.54) * (x("MgO") / (x("MgO") + x("FeO"))) +
+      Lit(-53.4) * x("P2O5") + Lit(1.07) * nboT
+    Lit(2.0) * exp(part1 + part2 + part3)
+  }
+
+  /** O'Neill et al. (2018) eq. 9a (`Fe3Fe2_models.py:880-934`):
+    * 10^(0.25 dQFM - 1.36 + cation terms), with dQFM vs the simplified
+    * log10 QFM = 8.58 - 25050/T. */
+  def oneill2018(m: CompCtx, tK: E, fO2: E): E = {
+    val deltaQFM = log10(fO2) - (Lit(8.58) - Lit(25050.0) / tK)
+    pow(Lit(10.0),
+      Lit(0.25) * deltaQFM - Lit(1.36) + Lit(2.4) * m.cat("Ca") +
+        Lit(2.0) * m.cat("Na") + Lit(3.7) * m.cat("K") - Lit(2.4) * m.cat("P"))
+  }
+
+  /** Registry of the closed-form models: name -> (ctx, T_K, fO2, P_bar) => E. */
+  val closedForm: Map[String, (CompCtx, E, E, E) => E] = Map(
+    "borisov2018" -> ((m, t, f, _) => borisov2018(m, t, f)),
+    "kress_carmichael1991" -> ((m, t, f, p) => kressCarmichael1991(m, t, f, p)),
+    "jayasuriya2004" -> ((m, t, f, _) => jayasuriya2004(m, t, f)),
+    "putirka2016_6b" -> ((m, t, f, _) => putirka2016_6b(m, t, f)),
+    "putirka2016_6c" -> ((m, t, f, _) => putirka2016_6c(m, t, f)),
+    "oneill2018" -> ((m, t, f, _) => oneill2018(m, t, f)))
+}
