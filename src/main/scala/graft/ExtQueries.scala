@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.expr.{E, Pipeline, Stage, C, Lit, SLit, CastD, If, ILit}
+import graft.expr.E._
+import graft.ext.{Dedup, Similarity, TextAnalysis => TA}
+import graft.Queries.Q
+
+/** Beyond-reference operators for large-scale training-data pipelines
+  * (dedup, similarity search, text analysis, event windows) wired as
+  * driver-contract queries over the `documents` / `embeddings` / `events`
+  * testdata tables.
+  */
+object ExtQueries {
+
+  /** Per-document scalar pipeline: one projection stage over `documents`. */
+  private def docQ(name: String, cols: (String, E)*): Q = {
+    val stages = Vector(Stage(Seq[(String, E)]("doc_id" -> C("doc_id")) ++ cols))
+    Q(name,
+      (s, dir) => Pipeline.applySpark(Tables.read(s, dir, "documents"), stages)
+        .orderBy("doc_id"),
+      Some(Pipeline.toSql("documents", stages, Seq("doc_id"))))
+  }
+
+  private val text: E = C("text")
+
+  def all: Seq[Q] = Seq(
+    // ---- text analysis (oracle-checked expressions) ---------------------
+    docQ("q_text_quality",
+      "n_chars" -> TA.charCount(text),
+      "n_tokens" -> TA.tokenCount(text),
+      "avg_token_len" -> TA.avgTokenLength(text),
+      "stopword_ratio" -> TA.stopwordRatio(text),
+      "quality" -> TA.qualityScore(text)),
+    docQ("q_token_count", "n_tokens" -> TA.tokenCount(text)),
+    docQ("q_lang_id", "lang_pred" -> TA.langId(text),
+      "score_en" -> TA.langScore(text, "en"),
+      "score_de" -> TA.langScore(text, "de")),
+    docQ("q_doc_fingerprint",
+      "fp" -> TA.fingerprint(text),
+      "fp_norm" -> TA.normalizedFingerprint(text)),
+    // ---- multimodal plumbing: opaque binary payload + typed metadata ----
+    docQ("q_multimodal_meta",
+      "payload_bytes" -> graft.expr.Raw(
+        octet_length(col("text").cast("binary")).cast("double"),
+        "CAST(octet_length(CAST(\"text\" AS BLOB)) AS DOUBLE)"),
+      "payload_md5" -> md5S(text)),
+    // ---- dedup ----------------------------------------------------------
+    Q("q_dedup_exact",
+      (s, dir) => Dedup.exact(Tables.read(s, dir, "documents")).orderBy("fp"),
+      Some("""SELECT md5("text") AS "fp", min("doc_id") AS "keep_doc_id",
+             | CAST(count(*) AS DOUBLE) AS "dup_count"
+             | FROM documents GROUP BY 1 ORDER BY "fp"""".stripMargin
+        .replace("\n", " "))),
+    Q("q_dedup_minhash_sig", (s, dir) =>
+      Dedup.minhashLsh(Tables.read(s, dir, "documents"))
+        .select(col("doc_id"), col("sig").getItem(0).as("sig0"),
+          xxhash64(concat_ws(",", col("sig"))).as("sig_hash"))
+        .orderBy("doc_id"), None),
+    Q("q_dedup_minhash_pairs", (s, dir) =>
+      Dedup.minhashCandidates(Tables.read(s, dir, "documents"), k = 16, rowsPerBand = 2)
+        .orderBy("doc_a", "doc_b"), None),
+    Q("q_dedup_simhash", (s, dir) =>
+      Tables.read(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash(split(col("text"), " ")).as("simhash"))
+        .orderBy("doc_id"), None),
+    Q("q_dedup_ngram_jaccard", (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.read(s, dir, "documents"),
+        threshold = 0.0, k = 16, rowsPerBand = 2)
+        .select(col("doc_a"), col("doc_b"), org.apache.spark.sql.functions.round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b"), None),
+    // ---- similarity search ----------------------------------------------
+    Q("q_knn_cosine_topk",
+      (s, dir) => Similarity.bruteForceTopK(Tables.read(s, dir, "embeddings"), 5)
+        .orderBy("qid", "nid"),
+      Some("""WITH e AS (SELECT "vec_id", CAST("embedding" AS DOUBLE[]) AS v FROM embeddings),
+             | n AS (SELECT "vec_id", v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+             | p AS (SELECT a."vec_id" AS qid, b."vec_id" AS nid,
+             |   round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
+             |   FROM n a JOIN n b ON a."vec_id" <> b."vec_id"),
+             | r AS (SELECT qid, nid, sim,
+             |   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM p)
+             | SELECT qid AS "qid", nid AS "nid", sim AS "sim" FROM r WHERE rk <= 5
+             | ORDER BY qid, nid""".stripMargin.replace("\n", " "))),
+    Q("q_knn_lsh", (s, dir) =>
+      Similarity.lshTopK(Tables.read(s, dir, "embeddings"), 5).orderBy("qid", "nid"),
+      None),
+    // ---- event-stream batch equivalents ---------------------------------
+    Q("q_events_hourly",
+      (s, dir) => Tables.eventsWithMs(s, dir)
+        .groupBy(expr("ms div 3600000").as("hour_bucket"), col("event_type"))
+        .agg(count("*").as("n"), min("value").as("min_value"),
+          max("value").as("max_value"))
+        .orderBy("hour_bucket", "event_type"),
+      Some("""SELECT CAST(epoch_ms("ts") // 3600000 AS BIGINT) AS "hour_bucket",
+             | "event_type", count(*) AS "n", min("value") AS "min_value",
+             | max("value") AS "max_value"
+             | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        .replace("\n", " "))),
+    Q("q_events_sessionize",
+      (s, dir) => {
+        val ems = Tables.eventsWithMs(s, dir)
+          .select(col("user_id"), col("event_id"), col("ms"))
+        val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+        ems.withColumn("new_session",
+            org.apache.spark.sql.functions.when(col("ms") - lag("ms", 1).over(w) > lit(1800000L), 1L)
+              .otherwise(lit(0L)))
+          .groupBy("user_id")
+          .agg((sum("new_session") + lit(1L)).as("n_sessions"),
+            count("*").as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("""WITH t AS (SELECT "user_id", "event_id", epoch_ms("ts") AS ms FROM events),
+             | s AS (SELECT "user_id", CASE WHEN ms - lag(ms) OVER
+             |   (PARTITION BY "user_id" ORDER BY ms, "event_id") > 1800000
+             |   THEN 1 ELSE 0 END AS new_session FROM t)
+             | SELECT "user_id", CAST(sum(new_session) + 1 AS BIGINT) AS "n_sessions",
+             |   count(*) AS "n_events"
+             | FROM s GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "))),
+    // ---- scan/agg efficiency showcase -----------------------------------
+    Q("q_agg_lineitem",
+      (s, dir) => Tables.read(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count("*").as("n"),
+          countDistinct("l_partkey").as("n_parts"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT "l_returnflag", "l_linestatus", sum("l_quantity") AS "sum_qty",
+             | count(*) AS "n", count(DISTINCT "l_partkey") AS "n_parts"
+             | FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        .replace("\n", " ")))
+  )
+}

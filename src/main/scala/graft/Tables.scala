@@ -17,6 +17,22 @@ object Tables {
   def read(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
 
+  /** events with an epoch-millisecond column. The driver's events table has
+    * nanosecond timestamps, which Spark 4 only reads with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/Bench) —
+    * handle both the long-nanos and timestamp read paths. */
+  def eventsWithMs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, unix_millis}
+    import org.apache.spark.sql.types.LongType
+    val ev = read(spark, dir, "events")
+    val ms = ev.schema("ts").dataType match {
+      // integer division: ns values exceed double's exact-integer range
+      case LongType => expr("ts div 1000000")
+      case _        => unix_millis(col("ts").cast("timestamp"))
+    }
+    ev.withColumn("ms", ms.cast("long"))
+  }
+
   // ---- melts: one composition per lineitem row --------------------------
   val meltElements: Vector[String] =
     Vector("SiO2", "TiO2", "Al2O3", "FeO", "MnO", "MgO", "CaO", "Na2O", "K2O",

@@ -30,6 +30,7 @@ sealed trait E {
 final case class C(name: String) extends E                       // column ref
 final case class Lit(v: Double) extends E                        // double literal
 final case class ILit(v: Long) extends E                         // integer literal
+final case class SLit(v: String) extends E                       // string literal
 final case class Bin(op: String, l: E, r: E) extends E           // + - * / %
 final case class Fn(fn: String, args: List[E]) extends E         // exp ln log10 sqrt abs pow least greatest round floor
 final case class If(cond: Cond, t: E, f: E) extends E            // CASE WHEN
@@ -61,10 +62,23 @@ object E {
   def when(c: Cond, t: E, f: E): E = If(c, t, f)
 
   /** Compile to a Catalyst Column (the engine execution path). */
+  // String helpers with identical Spark/DuckDB semantics (ASCII data):
+  def length(a: E): E = Fn("length", List(a))
+  def replace(s: E, find: E, repl: E): E = Fn("replace", List(s, find, repl))
+  def lower(a: E): E = Fn("lower", List(a))
+  def concatS(xs: E*): E = Fn("concat", xs.toList)
+  def md5S(a: E): E = Fn("md5_str", List(a))
+  /** Occurrences of `marker` in `padded` via length/replace arithmetic —
+    * deterministic in both engines, no regex dialect issues. */
+  def countOccurrences(padded: E, marker: String): E =
+    CastD(length(padded) - length(replace(padded, SLit(marker), SLit("")))) /
+      Lit(marker.length.toDouble)
+
   def toColumn(e: E): Column = e match {
     case C(n)    => F.col(n)
     case Lit(v)  => F.lit(v)
     case ILit(v) => F.lit(v)
+    case SLit(v) => F.lit(v)
     case Bin("+", l, r) => toColumn(l) + toColumn(r)
     case Bin("-", l, r) => toColumn(l) - toColumn(r)
     case Bin("*", l, r) => toColumn(l) * toColumn(r)
@@ -81,6 +95,11 @@ object E {
     case Fn("greatest", xs)      => F.greatest(xs.map(toColumn): _*)
     case Fn("round", List(a, ILit(d))) => F.round(toColumn(a), d.toInt)
     case Fn("floor", List(a))    => F.floor(toColumn(a))
+    case Fn("length", List(a))   => F.length(toColumn(a))
+    case Fn("replace", xs)       => F.call_function("replace", xs.map(toColumn): _*)
+    case Fn("lower", List(a))    => F.lower(toColumn(a))
+    case Fn("concat", xs)        => F.concat(xs.map(toColumn): _*)
+    case Fn("md5_str", List(a))  => F.md5(toColumn(a).cast("binary"))
     case Fn(fn, _)               => throw new IllegalArgumentException(s"fn $fn")
     case If(c, t, f) => F.when(toCond(c), toColumn(t)).otherwise(toColumn(f))
     case CastD(a)    => toColumn(a).cast("double")
@@ -105,8 +124,10 @@ object E {
     case C(n)    => "\"" + n + "\""
     case Lit(v)  => formatDouble(v)
     case ILit(v) => v.toString
+    case SLit(v) => "'" + v.replace("'", "''") + "'"
     case Bin(op, l, r) => s"(${toSql(l)} $op ${toSql(r)})"
     case Fn("round", List(a, ILit(d))) => s"round(${toSql(a)}, $d)"
+    case Fn("md5_str", List(a)) => s"md5(${toSql(a)})"
     case Fn(fn, xs) => s"$fn(${xs.map(toSql).mkString(", ")})"
     case If(c, t, f) => s"(CASE WHEN ${condSql(c)} THEN ${toSql(t)} ELSE ${toSql(f)} END)"
     case CastD(a)    => s"CAST(${toSql(a)} AS DOUBLE)"

@@ -1,0 +1,82 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbour search over an embedding column.
+  *
+  *  - Brute-force cosine top-k: the exactness baseline. O(n^2) pair space —
+  *    fine for verification scale; at 100 TB this is the per-bucket kernel,
+  *    not the global plan.
+  *  - Random-hyperplane LSH: deterministic hyperplanes (seeded PRNG baked
+  *    into the plan as literals), sign-bit bucket key, neighbours searched
+  *    within-bucket only. The shuffle carries (bucket, id, vec) and each
+  *    bucket's pair space is tiny — this is the 100 TB path.
+  */
+object Similarity {
+
+  /** Elementwise dot product of two array<double> columns (higher-order
+    * functions — codegen, no UDF). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private def prepared(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+
+  /** Exact cosine top-k neighbours for every vector (brute force).
+    * Ranking uses the 6-decimal-rounded similarity with id tiebreak so
+    * results are reproducible across engines. */
+  def bruteForceTopK(embeddings: DataFrame, k: Int): DataFrame = {
+    val e = prepared(embeddings)
+    val a = e.select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("nid"), col("v").as("vb"), col("nrm").as("nb"))
+    val sim = round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    a.crossJoin(b).filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), sim.as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("sim"))
+  }
+
+  /** Deterministic random hyperplanes: dim x planes doubles from a seeded
+    * PRNG, baked into the plan as array literals. */
+  def hyperplanes(dim: Int, planes: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(planes, dim)(rnd.nextGaussian())
+  }
+
+  /** LSH bucket key: sign bits of projections onto the hyperplanes. */
+  def lshBucket(v: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val proj = dot(v, array(p.map(lit): _*))
+      when(proj >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Approximate top-k: neighbours restricted to the same LSH bucket.
+    * Returns (qid, nid, sim) — a subset of brute force's pairs. */
+  def lshTopK(embeddings: DataFrame, k: Int, planes: Int = 8,
+              seed: Long = 42L): DataFrame = {
+    val e = prepared(embeddings)
+    val hp = hyperplanes(64, planes, seed)
+    val withBucket = e.withColumn("bucket", lshBucket(col("v"), hp))
+    val a = withBucket.select(col("bucket"), col("vec_id").as("qid"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = withBucket.select(col("bucket"), col("vec_id").as("nid"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val sim = round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    a.join(b, Seq("bucket")).filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), sim.as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("sim"))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.ext
+
+import graft.expr._
+import graft.expr.E._
+
+/** Scalar text-analysis operators for large-scale corpus pipelines:
+  * quality scoring, token counting, language-ID heuristic, fingerprinting.
+  * All closed-form expressions over the `documents` table (driver testdata),
+  * fully codegen'd, shuffle-free, with DuckDB oracles.
+  *
+  * String primitives are restricted to length/replace/lower/concat/md5 whose
+  * semantics are identical across engines — occurrence counts use the
+  * length-difference trick instead of regex (dialects differ).
+  */
+object TextAnalysis {
+
+  /** Text padded with single spaces so word-boundary markers match at the
+    * edges. */
+  private def padded(text: E): E = concatS(SLit(" "), text, SLit(" "))
+
+  /** Character count. */
+  def charCount(text: E): E = CastD(length(text))
+
+  /** Whitespace token count: spaces + 1 (documents are single-space
+    * separated). */
+  def tokenCount(text: E): E =
+    CastD(length(text) - length(replace(text, SLit(" "), SLit("")))) + Lit(1.0)
+
+  /** Mean token length. */
+  def avgTokenLength(text: E): E =
+    CastD(length(replace(text, SLit(" "), SLit("")))) / tokenCount(text)
+
+  /** English stopword occurrences per token — a quality signal
+    * (real-corpus heuristics: too-low stopword density flags non-prose). */
+  val stopwords: Seq[String] = Seq(" the ", " a ", " and ", " of ", " to ", " in ")
+
+  def stopwordCount(text: E): E =
+    sumAll(stopwords.map(m => countOccurrences(padded(text), m)))
+
+  def stopwordRatio(text: E): E = stopwordCount(text) / tokenCount(text)
+
+  /** Composite quality score in [0,1]-ish: length saturation x stopword
+    * density x mean-token-length window. */
+  def qualityScore(text: E): E = {
+    val lenScore = least(charCount(text) / Lit(200.0), Lit(1.0))
+    val stopScore = least(stopwordRatio(text) * Lit(5.0), Lit(1.0))
+    val tokLen = avgTokenLength(text)
+    val tokScore = If((tokLen >= Lit(3.0)) && (tokLen <= Lit(10.0)), Lit(1.0), Lit(0.5))
+    lenScore * stopScore * tokScore
+  }
+
+  /** Language-ID: marker-word densities per language, argmax with a fixed
+    * precedence order for ties. N-gram/stopword heuristic — deterministic
+    * and cheap at 100 TB (no model inference). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "fr" -> Seq(" le ", " et ", " les "),
+    "es" -> Seq(" el ", " y ", " los "),
+    "zh" -> Seq("的", "是"))
+
+  def langScore(text: E, lang: String): E = {
+    val ms = langMarkers.find(_._1 == lang).get._2
+    sumAll(ms.map(m => countOccurrences(padded(text), m)))
+  }
+
+  /** Winning language as a code string; "und" (undetermined) when all
+    * scores are zero. Ties resolve in `langMarkers` order. */
+  def langId(text: E): E = {
+    val scored = langMarkers.map { case (lang, _) => lang -> langScore(text, lang) }
+    // best = fold over langs: keep lang with strictly greater score
+    def pick(rest: List[(String, E)], bestLang: E, bestScore: E): E = rest match {
+      case Nil => If(bestScore > Lit(0.0), bestLang, SLit("und"))
+      case (lang, s) :: tail =>
+        pick(tail,
+          If(s > bestScore, SLit(lang), bestLang),
+          If(s > bestScore, s, bestScore))
+    }
+    pick(scored.toList.tail, SLit(scored.head._1), scored.head._2)
+  }
+
+  /** Content fingerprint: md5 of the raw text — the exact-dedup key. */
+  def fingerprint(text: E): E = md5S(text)
+
+  /** Normalised fingerprint: md5 of lowercased text with collapsed spacing
+    * removed — catches case/spacing-only near-dups. */
+  def normalizedFingerprint(text: E): E =
+    md5S(replace(lower(text), SLit(" "), SLit("")))
+}
