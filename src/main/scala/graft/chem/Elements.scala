@@ -148,7 +148,8 @@ object Elements {
         if (state % 2 == 0) {
           val nO = state / 2
           if (nO == 1) s"${el}O" else s"${el}O$nO"
-        } else s"${el}2O$state"
+        } else if (state == 1) s"${el}2O"
+        else s"${el}2O$state"
     }
   }
 

@@ -151,7 +151,11 @@ final case class Staged(schema: MagmaSchema, stages: Vector[Stage]) {
   def oxides(normalise: Boolean = true,
              oxidationState: Map[String, Int] = Map.empty): Staged = {
     val origUnits = schema.units
-    val cs = if (schema.datatype == CType.Cation) this else cations(normalise = false)
+    val cs =
+      if (schema.datatype == CType.Cation) {
+        // cation wt.% input still needs the mole conversion first
+        if (schema.units == CUnit.MolFrac) this else moles(normalise = false)
+      } else cations(normalise = false)
     val renamed = cs.schema.elements.map { cat =>
       val el = cat.replaceAll("\\d+", "")
       val ox = oxidationState.get(el)

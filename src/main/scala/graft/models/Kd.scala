@@ -87,7 +87,7 @@ object Kd {
   /** Scala port of the per-row iteration (`Kd_iterate.py:31-100`):
     * Kd from Fo, equilibrium Fo from Kd (1/(1+Kd*Fe2Mg_liq)), repeat until
     * rel. dFo < 0.001. */
-  private[models] def toplisIterate(
+  private[graft] def toplisIterate(
       siO2mp: Double, na2Omp: Double, k2Omp: Double, h2Omp: Double,
       feOmol: Double, mgOmol: Double,
       fe3fe2: Double, tK: Double, pBar: Double): Double = {

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Similarity}
+
+/** Behavioural tests for dedup + similarity on constructed corpora. */
+class ExtOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank tomorrow"), // near dup
+    (4L, "completely different text about spark query engines and columnar storage"),
+    (5L, "another unrelated document mentioning joins aggregates and shuffles only")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts and keeps the min id") {
+    val out = Dedup.exact(docs).collect()
+    assert(out.length == 4) // 5 docs, one exact dup pair
+    val dup = out.find(_.getAs[Double]("dup_count") == 2.0).get
+    assert(dup.getAs[Long]("keep_doc_id") == 1L)
+  }
+
+  test("minhash LSH surfaces exact and near dup candidates, not unrelated") {
+    val pairs = Dedup.minhashCandidates(docs, k = 16, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"exact dup missed: $pairs")
+    // near-dup 1-3 differs in 1 of 13 tokens: high jaccard, should bucket
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)), pairs.toString)
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), pairs.toString)
+  }
+
+  test("ngram jaccard: exact dup = 1.0, near dup high, verified pairs only") {
+    val out = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(math.abs(out((1L, 2L)) - 1.0) < 1e-12)
+    out.get((1L, 3L)).foreach(j => assert(j > 0.5 && j < 1.0))
+  }
+
+  test("simhash: identical texts share signatures, different texts do not") {
+    val sigs = docs.select($"doc_id", Dedup.simhash(split($"text", " ")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(4L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(1L), sigs(3L)) < hamming(sigs(1L), sigs(4L)))
+  }
+
+  test("brute-force cosine top-k finds the aligned vector first") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val top1 = Similarity.bruteForceTopK(vecs, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top1(1L) == 2L && top1(2L) == 1L)
+  }
+
+  test("LSH top-k similarities agree with brute force on shared pairs") {
+    val vecs = (0 until 40).map { i =>
+      val v = Array.tabulate(64)(j =>
+        (math.sin(i * 64 + j) + (if (i % 4 == j % 4) 2.0 else 0.0)).toFloat)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val bf = Similarity.bruteForceTopK(vecs, 5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = Similarity.lshTopK(vecs, 5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(lsh.nonEmpty)
+    for ((pair, sim) <- lsh if bf.contains(pair))
+      assert(math.abs(bf(pair) - sim) < 1e-9, pair.toString)
+  }
+
+  test("text quality expressions evaluate on constructed docs") {
+    import graft.expr.{E, C}
+    import graft.ext.{TextAnalysis => TA}
+    val out = docs.select($"doc_id",
+      E.toColumn(TA.tokenCount(C("text"))).as("n"),
+      E.toColumn(TA.stopwordCount(C("text"))).as("sw"),
+      E.toColumn(TA.langId(C("text"))).as("lang")).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getString(3))))
+      .toMap
+    assert(out(1L)._1 == 14.0) // 14 tokens
+    assert(out(1L)._2 == 3.0) // 'the' x3
+    assert(out(1L)._3 == "en")
+  }
+}
