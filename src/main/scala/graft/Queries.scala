@@ -89,7 +89,8 @@ object Queries {
     thermoQ("shea2022", Thermometers.shea2022(_), transcendental = false),
     thermoQ("sugawara2000_3", Thermometers.sugawara2000_3(_), transcendental = false),
     thermoQ("sugawara2000_6a", Thermometers.sugawara2000_6a(_), transcendental = false)
-  ) ++ fo2Queries ++ fe3fe2Queries ++ rheologyKdQueries ++ ExtQueries.all
+  ) ++ fo2Queries ++ fe3fe2Queries ++ rheologyKdQueries ++ ExtQueries.all ++
+    SolverQueries.all
 
   /** fO2 buffers: output log10(fO2) (absolute fO2 spans ~1e-12..1e-5 — a
     * fixed-decimal round would zero it), rounded for libm-vs-Java ulp drift. */

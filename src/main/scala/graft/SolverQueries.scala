@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{IaconoMarziano, QfmFull}
+import graft.Queries.Q
+
+/** Solver-backed operators (no SQL oracle — convergent loops aren't plain
+  * SQL; the driver records rows-only checks, ScalaTest covers values).
+  */
+object SolverQueries {
+
+  private val meltEls = Tables.meltElements.toArray
+
+  private def compUdf(f: (IaconoMarziano.Comp, Double) => Double) =
+    udf((wt: Seq[Double], tK: Double) =>
+      f(IaconoMarziano.Comp(meltEls, wt.toArray), tK))
+
+  private val wtArray = array(Tables.meltElements.map(col): _*)
+
+  def all: Seq[Q] = Seq(
+    // EP2 flagship: volatile saturation pressure (mixed H2O-CO2 fluid).
+    Q("q_saturation_mixed", (s, dir) => {
+      val sat = udf((wt: Seq[Double], tK: Double) => {
+        val (p, x) = IaconoMarziano
+          .mixedSaturation(IaconoMarziano.Comp(meltEls, wt.toArray), tK)
+        (p, x)
+      })
+      Tables.meltsDF(s, dir)
+        .withColumn("sat", sat(wtArray, col("T_K")))
+        .select(col("sample_id"), round(col("sat._1"), 4).as("P_sat_bar"),
+          round(col("sat._2"), 6).as("X_fluid"))
+        .orderBy("sample_id")
+    }, None),
+    Q("q_saturation_h2o", (s, dir) => {
+      val sat = compUdf((c, t) => IaconoMarziano.h2oSaturation(c, t))
+      Tables.meltsDF(s, dir)
+        .select(col("sample_id"),
+          round(sat(wtArray, col("T_K")), 4).as("P_sat_bar"))
+        .orderBy("sample_id")
+    }, None),
+    Q("q_saturation_co2", (s, dir) => {
+      val sat = compUdf((c, t) => IaconoMarziano.co2Saturation(c, t))
+      Tables.meltsDF(s, dir)
+        .select(col("sample_id"),
+          round(sat(wtArray, col("T_K")), 4).as("P_sat_bar"))
+        .orderBy("sample_id")
+    }, None),
+    // Dissolved volatiles at in-table (P, T), x_fluid = 0.5.
+    Q("q_solubility_mixed", (s, dir) => {
+      val sol = udf((wt: Seq[Double], p: Double, tK: Double) => {
+        val c = IaconoMarziano.Comp(meltEls, wt.toArray)
+        val h = IaconoMarziano.h2oSolubility(c, 0.5, p, tK)
+        val co = IaconoMarziano.co2Solubility(c, 0.5, p, tK)
+        (h, co)
+      })
+      Tables.meltsDF(s, dir)
+        .withColumn("sol", sol(wtArray, col("P_bar"), col("T_K")))
+        .select(col("sample_id"), round(col("sol._1"), 6).as("H2O_dissolved"),
+          round(col("sol._2"), 6).as("CO2_dissolved"))
+        .orderBy("sample_id")
+    }, None),
+    // Full QFM with EOS pressure terms: distinct (T,P) + broadcast join.
+    Q("q_fo2_qfm_full", (s, dir) => {
+      QfmFull.withQfm(Tables.meltsDF(s, dir), "T_K", "P_bar", logshift = 0.0)
+        .select(col("sample_id"), round(log10(col("fO2")), 6).as("log10_fO2"))
+        .orderBy("sample_id")
+    }, None),
+    // Isobar grid (J2 cross-join pattern): a few compositions x P x x_fluid.
+    Q("q_isobars", (s, dir) => {
+      val comps = Tables.meltsDF(s, dir).filter(col("sample_id") % 997 === 3)
+      val pGrid = explode(array((1 to 5).map(i => lit(i * 1000.0)): _*)).as("P_grid")
+      val xGrid = explode(array((0 to 4).map(i => lit(i * 0.25)): _*)).as("x_fluid")
+      val sol = udf((wt: Seq[Double], p: Double, tK: Double, xfl: Double) => {
+        val c = IaconoMarziano.Comp(meltEls, wt.toArray)
+        (IaconoMarziano.h2oSolubility(c, xfl, p, tK),
+          IaconoMarziano.co2Solubility(c, xfl, p, tK))
+      })
+      comps.select(col("sample_id"), wtArray.as("wt"), col("T_K"), pGrid)
+        .select(col("sample_id"), col("wt"), col("T_K"), col("P_grid"), xGrid)
+        .withColumn("sol", sol(col("wt"), col("P_grid"), col("T_K"), col("x_fluid")))
+        .select(col("sample_id"), col("P_grid"), col("x_fluid"),
+          round(col("sol._1"), 6).as("H2O"), round(col("sol._2"), 6).as("CO2"))
+        .orderBy("sample_id", "P_grid", "x_fluid")
+    }, None)
+  )
+}

@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{broadcast, col, lit, udf}
+
+/** Full QFM oxygen-fugacity buffer with EOS pressure terms
+  * (reference `fO2/QFM.py:187-239`): O'Neill (1987) 1-bar polynomial +
+  * Tait-EOS VdP of quartz/magnetite/fayalite with Landau excess energy and
+  * phase transitions (qtz->coe->stish, fay->ring) solved per temperature.
+  *
+  * Scale design: fO2 depends only on (T, P). `withQfm` computes the UDF over
+  * `distinct(T_K, P_bar)` and broadcast-joins the result back — per-row
+  * solver cost collapses to per-distinct-condition cost (SURVEY.md §4.2),
+  * which at 100 TB is the difference between billions and thousands of
+  * Brent solves. */
+object QfmFull {
+
+  val R = 8.31446261815324
+
+  private def muO2OneBar(tK: Double): Double =
+    -587474.0 + 1584.427 * tK - 203.3164 * tK * math.log(tK) +
+      0.092710 * tK * tK
+
+  /** VdP of the three phases WITHOUT transitions (used to subtract the
+    * 1-bar EOS contribution, `fO2/QFM.py:12-30`). */
+  private def vdpNoTransitions(tK: Double, pBar: Double): (Double, Double, Double) = {
+    val pkbar = pBar / 1e3
+    val qtz = Eos.taitVdP("quartz", pkbar, tK) +
+      Eos.landauPDependent("quartz", pkbar, tK)
+    val fay = Eos.taitVdP("fayalite", pkbar, tK)
+    val mt = Eos.taitVdP("magnetite", pkbar, tK)
+    (qtz, mt, fay)
+  }
+
+  /** Phase-transition pressures (kbar) at T — depend on temperature only,
+    * solved with bracketed Brent (reference uses fsolve from a guess of
+    * 8 kbar, `fO2/QFM.py:45-63`). */
+  def transitionPressures(tK: Double): (Double, Double, Double) = {
+    def solve(p1: String, p2: String): Double =
+      Solver.brentWithExpansion(
+        p => Eos.phaseTransition(p, tK, p1, p2), guess = 8.0,
+        lo = 1e-3, hi = 500.0)
+    (solve("quartz", "coesite"), solve("coesite", "stishovite"),
+      solve("fayalite", "ringwoodite"))
+  }
+
+  /** VdP of the three buffer phases WITH polymorph transitions
+    * (`fO2/QFM.py:33-102`). */
+  def vdpWithTransitions(tK: Double, pBar: Double): (Double, Double, Double) = {
+    val pkbar = pBar / 1e3
+    val (pQtzCoe, pCoeStish, pFayRing) = transitionPressures(tK)
+
+    var vdpSiO2 = Eos.taitVdP("quartz", math.min(pkbar, pQtzCoe), tK) +
+      Eos.landauPDependent("quartz", math.min(pkbar, pQtzCoe), tK)
+    if (pkbar > pQtzCoe) {
+      vdpSiO2 += Eos.taitVdP("coesite", math.min(pkbar, pCoeStish), tK) -
+        Eos.taitVdP("coesite", pQtzCoe, tK)
+      if (pkbar > pCoeStish)
+        vdpSiO2 += Eos.taitVdP("stishovite", pkbar, tK) -
+          Eos.taitVdP("stishovite", pCoeStish, tK)
+    }
+    var vdpFe2SiO4 = Eos.taitVdP("fayalite", math.min(pkbar, pFayRing), tK)
+    if (pkbar > pFayRing)
+      vdpFe2SiO4 += Eos.taitVdP("ringwoodite", pkbar, tK) -
+        Eos.taitVdP("ringwoodite", pFayRing, tK)
+    val vdpMt = Eos.taitVdP("magnetite", pkbar, tK)
+    (vdpSiO2, vdpMt, vdpFe2SiO4)
+  }
+
+  /** Absolute fO2 (bar) at QFM + logshift, T (K), P (bar)
+    * (`fO2/QFM.py:187-239`). */
+  def fO2(tK: Double, pBar: Double, logshift: Double = 0.0): Double = {
+    val (q, m, f) = vdpWithTransitions(tK, pBar)
+    val muP = 1e3 * (3.0 * q + 2.0 * m - 3.0 * f)
+    val (q1, m1, f1) = vdpNoTransitions(tK, 1.0)
+    val mu1barEos = 1e3 * (3.0 * q1 + 2.0 * m1 - 3.0 * f1)
+    val mu = muO2OneBar(tK) + (muP - mu1barEos)
+    math.exp(mu / (R * tK)) * math.pow(10.0, logshift)
+  }
+
+  val fO2Udf = udf((tK: Double, pBar: Double, shift: Double) =>
+    fO2(tK, pBar, shift))
+
+  /** Attach an `fO2` column: dedup (T,P), solve once per condition,
+    * broadcast back. */
+  def withQfm(df: DataFrame, tCol: String, pCol: String,
+              logshift: Double = 0.0, as: String = "fO2"): DataFrame = {
+    val conditions = df.select(col(tCol), col(pCol)).distinct()
+      .withColumn(as, fO2Udf(col(tCol), col(pCol), lit(logshift)))
+    df.join(broadcast(conditions), Seq(tCol, pCol))
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions._
+
+/** Numerical-layer tests: root finders, EOS, full QFM, saturation solves. */
+class SolverSpec extends AnyFunSuite {
+
+  test("brent finds roots of standard functions") {
+    assert(math.abs(Solver.brent(x => x * x - 2.0, 0.0, 2.0) -
+      math.sqrt(2.0)) < 1e-10)
+    assert(math.abs(Solver.brent(math.cos, 1.0, 2.0) - math.Pi / 2) < 1e-10)
+  }
+
+  test("secant converges from nearby guesses") {
+    assert(math.abs(Solver.secant(x => x * x * x - 8.0, 1.0, 2.5) - 2.0) < 1e-8)
+  }
+
+  test("newton2d solves a coupled system") {
+    // x + y = 3, x * y = 2 -> (2, 1) from a start biased toward x
+    val (x, y) = Solver.newton2d((a, b) => (a + b - 3.0, a * b - 2.0), 2.5, 0.5)
+    assert(math.abs(x + y - 3.0) < 1e-7 && math.abs(x * y - 2.0) < 1e-7)
+  }
+
+  test("QFM full equals the O'Neill 1-bar polynomial at P = 1 bar") {
+    for (t <- Seq(1200.0, 1400.0, 1600.0)) {
+      val full = QfmFull.fO2(t, 1.0)
+      val mu = -587474.0 + 1584.427 * t - 203.3164 * t * math.log(t) +
+        0.092710 * t * t
+      val oneBar = math.exp(mu / (QfmFull.R * t))
+      assert(math.abs(full / oneBar - 1.0) < 1e-9, s"T=$t")
+    }
+  }
+
+  test("QFM pressure term raises fO2 and transitions are ordered") {
+    val t = 1400.0
+    val f1 = math.log10(QfmFull.fO2(t, 1.0))
+    val f10k = math.log10(QfmFull.fO2(t, 1e4)) // 1 GPa
+    val f50k = math.log10(QfmFull.fO2(t, 5e4)) // 5 GPa
+    assert(f10k > f1 && f50k > f10k, s"$f1 $f10k $f50k")
+    // ~0.5-0.7 log units per GPa is the published QFM slope
+    assert(f10k - f1 > 0.3 && f10k - f1 < 1.2, s"slope ${f10k - f1}")
+    val (qtzCoe, coeStish, fayRing) = QfmFull.transitionPressures(t)
+    assert(qtzCoe > 20 && qtzCoe < 45, s"qtz-coe $qtzCoe kbar") // ~30 kbar
+    assert(coeStish > qtzCoe, s"coe-stish $coeStish")
+    assert(fayRing > 30 && fayRing < 100, s"fay-ring $fayRing")
+  }
+
+  val basalt = IaconoMarziano.Comp(
+    Array("SiO2", "TiO2", "Al2O3", "FeO", "MnO", "MgO", "CaO", "Na2O", "K2O",
+      "P2O5", "H2O", "CO2"),
+    Array(48.5, 1.2, 15.3, 9.0, 0.17, 7.8, 11.0, 2.6, 0.7, 0.25, 2.0, 0.05))
+
+  test("H2O solubility increases with pressure") {
+    val t = 1473.15
+    val sols = Seq(200.0, 1000.0, 3000.0).map(p =>
+      IaconoMarziano.h2oSolubility(basalt, 1.0, p, t))
+    assert(sols == sols.sorted && sols.head > 0, sols.toString)
+    // basaltic melts hold a few wt.% H2O at kbar pressures
+    assert(sols(1) > 1.0 && sols(1) < 10.0, sols.toString)
+  }
+
+  test("saturation pressure is the inverse of solubility (self-consistency)") {
+    val t = 1473.15
+    val pSat = IaconoMarziano.h2oSaturation(basalt, t)
+    assert(pSat > 0 && pSat.isFinite, pSat.toString)
+    val back = IaconoMarziano.h2oSolubility(basalt, 1.0, pSat, t)
+    assert(math.abs(back - basalt("H2O")) < 1e-6, s"$back vs 2.0")
+    val pSatC = IaconoMarziano.co2Saturation(basalt, t)
+    val backC = IaconoMarziano.co2Solubility(basalt, 0.0, pSatC, t)
+    assert(math.abs(backC - basalt("CO2")) < 1e-6, s"$backC vs 0.05")
+  }
+
+  test("mixed saturation reproduces both volatiles at (P_sat, x_fluid)") {
+    val t = 1473.15
+    val (p, xfl) = IaconoMarziano.mixedSaturation(basalt, t)
+    assert(p.isFinite && p > 0 && xfl > 0 && xfl < 1, s"P=$p X=$xfl")
+    // mixed-fluid saturation must sit above each pure-species pressure
+    assert(p > IaconoMarziano.h2oSaturation(basalt, t), "P > P_h2o")
+    assert(p > IaconoMarziano.co2Saturation(basalt, t), "P > P_co2")
+    val h = IaconoMarziano.h2oSolubility(basalt, xfl, p, t)
+    val co = IaconoMarziano.co2Solubility(basalt, xfl, p, t)
+    assert(math.abs(h - basalt("H2O")) < 1e-5, s"H2O $h")
+    assert(math.abs(co - basalt("CO2")) < 1e-5, s"CO2 $co")
+  }
+
+  test("zero-volatile edge cases") {
+    val dry = basalt.updated("H2O", 0.0)
+    assert(IaconoMarziano.h2oSaturation(dry, 1473.15) == 0.0)
+    val noC = basalt.updated("CO2", 0.0)
+    val (p, xfl) = IaconoMarziano.mixedSaturation(noC, 1473.15)
+    assert(xfl == 1.0 && math.abs(p -
+      IaconoMarziano.h2oSaturation(noC, 1473.15)) < 1e-9)
+  }
+}
