@@ -70,6 +70,26 @@ object Queries {
       _.withMgNumber("Fo").select("sample_id", "Fo")),
     stagedQ("q_plag_endmembers", "customer", Tables.plag,
       _.plagEndmembers.select("sample_id", "anorthite", "albite", "orthoclase")),
+    stagedQ("q_magnetite_endmembers", "part", Tables.magnetite,
+      _.magnetiteEndmembers.select("sample_id", "magnetite", "ulvospinel")),
+    stagedQ("q_magnetite_fe_speciation", "part", Tables.magnetite,
+      _.magnetiteFeSpeciation.select("sample_id", "Fe", "Fe3")),
+    stagedQ("q_ilmenite_endmembers", "part", Tables.ilmenite,
+      _.ilmeniteEndmembers
+        .select("sample_id", "hematite", "ilmenite", "geikielite", "pyrophanite")),
+    // EP3 vertical slice (SURVEY §3/§7): thermometer -> fO2 -> Fe3Fe2
+    // (sun2024, parameterised Gamma) -> Fe split -> density, one plan.
+    meltQ("q_ep3_chain") { m =>
+      val tCalc: E = C("T_K_calc")
+      val fe3fe2 = Fe3Fe2.sun2024(mctx, tCalc, Fo2Buffers.qfm1bar(tCalc), C("P_bar"))
+      val split = m
+        .derive("T_K_calc", Thermometers.putirka2008_15(mctx))
+        .derive("Fe3Fe2", round(fe3fe2, 6))
+        .feSplit(C("Fe3Fe2"))
+      val ctx2 = CompCtx(split.schema.elements)
+      split.derive("density", Rheology.density(ctx2, tCalc, C("P_bar")))
+        .select("sample_id", "T_K_calc", "Fe3Fe2", "FeO", "Fe2O3", "density")
+    },
     // --- P11: calibration-range predicate (putirka2008_14/15 window) -----
     meltQ("q_calibration_range") { m =>
       val inRange =

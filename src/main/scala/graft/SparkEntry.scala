@@ -5,7 +5,7 @@ object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the EP3 chain — melt compositions -> thermometer -> Fe split. */
   def entry(spark: SparkSession): DataFrame =
-    Queries.queries("q_fe_split")(spark, "/root/testdata/sf0.001")
+    Queries.queries("q_ep3_chain")(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.queries

@@ -239,6 +239,49 @@ final case class Staged(schema: MagmaSchema, stages: Vector[Stage]) {
     m.withStage(m.pass ++ m.ids :+ (as -> (C(mg) / (C(fe) + C(mg)): E)))
   }
 
+  /** C19: magnetite-ulvospinel endmembers, Lindsley/QUILF
+    * (`core/MagmaFrames/magnetite.py:17-43`): cations normalised to 3. */
+  def magnetiteEndmembers: Staged = {
+    val cs = cations(normTo = 3.0)
+    def c(n: String): E = C(n)
+    val mt0 = ((c("Mg") + c("Mn") + c("Fe")) - Lit(2.0) * c("Ti") -
+      c("Al") / Lit(2.0)) / Lit(3.0)
+    val usp0 = c("Ti") - c("Mn") / Lit(2.0) - c("Mg") / Lit(2.0)
+    val total = mt0 + usp0 + c("Mg") / Lit(2.0)
+    val usp = (usp0 + c("Mg") / Lit(2.0)) / total
+    cs.withStage(cs.pass ++ Seq(
+      "magnetite" -> (Lit(1.0) - usp: E), "ulvospinel" -> (usp: E)))
+  }
+
+  /** C19b: magnetite Fe speciation (Fe3 = 2 x magnetite fraction at 3
+    * cations; `magnetite.py:45-117`), returned as cation fractions. */
+  def magnetiteFeSpeciation: Staged = {
+    val cs = cations(normTo = 3.0)
+    def c(n: String): E = C(n)
+    val mt = ((c("Mg") + c("Mn") + c("Fe")) - Lit(2.0) * c("Ti") -
+      c("Al") / Lit(2.0)) / Lit(3.0)
+    val fe3 = Lit(2.0) * mt
+    val fe2 = mt + Lit(2.0) * c("Ti") + c("Al") / Lit(2.0) - c("Mg") - c("Mn")
+    val others = cs.schema.elements.filterNot(_ == "Fe")
+    val out = cs.withStage(cs.pass ++ others.map(e => e -> (C(e): E)) ++
+      Seq("Fe" -> (fe2: E), "Fe3" -> (fe3: E)))
+    out.copy(schema = out.schema.copy(elements = others :+ "Fe" :+ "Fe3"))
+  }
+
+  /** C20: ilmenite endmembers, Andersen/QUILF (`ilmenite.py:17-50`):
+    * cations normalised to 2. */
+  def ilmeniteEndmembers: Staged = {
+    val cs = cations(normTo = 2.0)
+    def c(n: String): E = C(n)
+    val hemM = ((c("Fe") + c("Mg") + c("Mn")) - c("Ti")) / Lit(2.0)
+    val fe2 = c("Ti") - c("Mg") - c("Mn")
+    val ilmM = fe2 + c("Al") / Lit(2.0)
+    val tot = hemM + ilmM + c("Mn") + c("Mg")
+    cs.withStage(cs.pass ++ Seq(
+      "hematite" -> (hemM / tot: E), "ilmenite" -> (ilmM / tot: E),
+      "geikielite" -> (c("Mg") / tot: E), "pyrophanite" -> (c("Mn") / tot: E)))
+  }
+
   /** C18: plagioclase An/Ab/Or endmembers (`plagioclase.py:40-52`). */
   def plagEndmembers: Staged = {
     val cs = cations()

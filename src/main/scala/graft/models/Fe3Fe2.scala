@@ -93,8 +93,50 @@ object Fe3Fe2 {
         Lit(2.0) * m.cat("Na") + Lit(3.7) * m.cat("K") - Lit(2.4) * m.cat("P"))
   }
 
+  /** Sun (2024) eq. 9, the reference's DEFAULT Fe3Fe2 model, with the
+    * closed-form parameterised Gamma(T,P) instead of the deng2020 EOS
+    * integral (`Fe3Fe2_models.py:1360-1544`, `_Gamma_parameterised`
+    * `:1467-1490`). */
+  def sun2024(m: CompCtx, tK: E, fO2: E, pBar: E): E = {
+    val a0 = 2.1479; val a1 = -230.2593; val a2 = -1.8557e-4; val a3 = 34.3293
+    val a4 = 1.4138; val a5 = -17.3040; val a6 = -10.1820; val a7 = -6.7463
+    val a8 = -7.3886; val a9 = -14.5430; val a10 = -9.9776; val a11 = -16.1506
+    val a12 = -37.5572; val h = 2.1410
+    // Gamma parameter table rows b0..b4, c1..c4 per t0/t1/t2
+    val gammaParams: Map[String, Seq[Double]] = Map(
+      "t0" -> Seq(-1.75528e-01, 3.48174e00, 3.06370e00, 1.36134e-02,
+        1.52660e-05, -4.68802e-01, -3.58957e00, -1.09496e-01, -7.28938e-04),
+      "t1" -> Seq(1.82549e-03, -1.06395e-02, -2.36645e-02, -1.56206e-08,
+        -1.66849e-08, 1.44394e-03, 1.48791e-02, -3.32256e-04, 5.45464e-07),
+      "t2" -> Seq(-2.14783e-04, 1.19184e-03, 2.76222e-03, -3.92864e-07,
+        1.56116e-09, -1.60439e-04, -1.69242e-03, 4.31406e-05, -4.43921e-08))
+    val pGPa = pBar / Lit(1e4)
+    val p0 = 1e-4
+    def t(number: Int): E = {
+      val ps = gammaParams(s"t$number") // b0 b1 b2 b3 b4 c1 c2 c3 c4
+      val part1 = Lit(ps(0)) * pGPa * pGPa * ln(pGPa / Lit(p0))
+      val part2 = sumAll((1 to 4).map { n =>
+        Lit(ps(n)) * pow(pGPa - Lit(p0), Lit(n.toDouble)) +
+          Lit(ps(4 + n)) * pow(pGPa - Lit(p0), Lit(n - 0.5)): E
+      })
+      part1 + part2
+    }
+    val gamma = t(0) + t(1) * tK + t(2) * tK * ln(tK)
+    val omega = Lit(a1) + Lit(a2) * pow(tK, Lit(1.5)) + Lit(a3) * ln(tK)
+    def cat(c: String): E = m.cat(c)
+    val phi = Lit(a4) * ln(cat("Fe")) + Lit(a5) * pow(cat("Fe"), Lit(0.5)) +
+      Lit(a6) * pow(cat("Si"), Lit(3.0)) +
+      Lit(a7) * cat("Al") + Lit(a8) * cat("Ti") + Lit(a9) * cat("Ca") +
+      Lit(a10) * cat("Mg") +
+      (Lit(a11) + Lit(a12) * cat("Fe")) * (cat("Na") + cat("K"))
+    pow(Lit(10.0),
+      (log10(fO2) - omega - phi - Lit(h) * gamma) /
+        (Lit(4.0) + Lit(a0) * pow(cat("Fe"), Lit(0.5))))
+  }
+
   /** Registry of the closed-form models: name -> (ctx, T_K, fO2, P_bar) => E. */
   val closedForm: Map[String, (CompCtx, E, E, E) => E] = Map(
+    "sun2024" -> ((m, t, f, p) => sun2024(m, t, f, p)),
     "borisov2018" -> ((m, t, f, _) => borisov2018(m, t, f)),
     "kress_carmichael1991" -> ((m, t, f, p) => kressCarmichael1991(m, t, f, p)),
     "jayasuriya2004" -> ((m, t, f, _) => jayasuriya2004(m, t, f)),
