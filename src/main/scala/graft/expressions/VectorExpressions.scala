@@ -1,0 +1,144 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot loops of similarity search and
+  * MinHash dedup. Higher-order-function formulations re-evaluate their
+  * input lambda trees per element (and projection collapse can inline an
+  * expensive child into every use site — observed 16x shingle recomputation
+  * in the LSH pipeline); a dedicated expression walks the arrays once.
+  */
+
+/** Elementwise dot product of two array<double> columns, whole-stage
+  * codegen'd: the kernel of brute-force and LSH cosine search. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var sum = 0.0
+    var i = 0
+    while (i < n) { sum += x.getDouble(i) * y.getDouble(i); i += 1 }
+    sum
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** One-pass MinHash signature: word `shingleSize`-shingles of the token
+  * array hashed with `k` xxhash64 seed families, min per family. Single
+  * traversal of the shingles regardless of k. */
+case class MinHashSig(child: Expression, k: Int, shingleSize: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(tokensRaw: Any): Any = {
+    val tokens = tokensRaw.asInstanceOf[ArrayData]
+    val n = tokens.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    val nShingles = math.max(n - shingleSize + 1, 1)
+    val sb = new java.lang.StringBuilder()
+    var s = 0
+    while (s < nShingles) {
+      sb.setLength(0)
+      var j = 0
+      while (j < shingleSize && s + j < n) {
+        if (j > 0) sb.append(' ')
+        val t = tokens.getUTF8String(s + j)
+        if (t != null) sb.append(t.toString)
+        j += 1
+      }
+      val utf8 = UTF8String.fromString(sb.toString)
+      var seed = 0
+      while (seed < k) {
+        val h = XXH64.hashUnsafeBytes(utf8.getBaseObject, utf8.getBaseOffset,
+          utf8.numBytes(), seed.toLong)
+        if (h < mins(seed)) mins(seed) = h
+        seed += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** Distinct word-shingle hash set (sorted array<long>), one pass: the
+  * verification payload for n-gram Jaccard — set ops on longs instead of
+  * repeated string shingle construction. */
+case class ShingleHashes(child: Expression, shingleSize: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(tokensRaw: Any): Any = {
+    val tokens = tokensRaw.asInstanceOf[ArrayData]
+    val n = tokens.numElements()
+    val nShingles = math.max(n - shingleSize + 1, 1)
+    val set = new java.util.TreeSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder()
+    var s = 0
+    while (s < nShingles) {
+      sb.setLength(0)
+      var j = 0
+      while (j < shingleSize && s + j < n) {
+        if (j > 0) sb.append(' ')
+        val t = tokens.getUTF8String(s + j)
+        if (t != null) sb.append(t.toString)
+        j += 1
+      }
+      val utf8 = UTF8String.fromString(sb.toString)
+      set.add(XXH64.hashUnsafeBytes(utf8.getBaseObject, utf8.getBaseOffset,
+        utf8.numBytes(), 0L))
+      s += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object VectorExpressions {
+  import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+  def dot(a: Column, b: Column): Column =
+    column(DotProduct(expression(a), expression(b)))
+  def minhashSig(tokens: Column, k: Int, shingleSize: Int): Column =
+    column(MinHashSig(expression(tokens), k, shingleSize))
+  def shingleHashes(tokens: Column, shingleSize: Int): Column =
+    column(ShingleHashes(expression(tokens), shingleSize))
+}

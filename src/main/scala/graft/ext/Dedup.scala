@@ -31,21 +31,19 @@ object Dedup {
     transform(idx, i => concat_ws(" ", slice(tokens, i + lit(1), lit(n))))
   }
 
-  /** MinHash signature: for each of k seeds, min over shingle hashes.
-    * xxhash64(seed, shingle) gives k independent hash families. */
-  def minhashSignature(shingleCol: Column, k: Int): Column =
-    array((0 until k).map { seed =>
-      array_min(transform(shingleCol, s => xxhash64(lit(seed), s)))
-    }: _*)
+  /** MinHash signature: one-pass native expression (k seed families over
+    * word 3-shingles; see [[graft.expressions.MinHashSig]] — the
+    * higher-order-function formulation re-inlined the shingle pipeline into
+    * every hash family). */
+  def minhashSignature(tokens: Column, k: Int, shingleSize: Int = 3): Column =
+    graft.expressions.VectorExpressions.minhashSig(tokens, k, shingleSize)
 
   /** doc_id + minhash signature (k hashes) + LSH band keys (k/rows bands of
     * `rowsPerBand` hashes, each hashed to one bucket key). */
   def minhashLsh(docs: DataFrame, k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val nBands = k / rowsPerBand
-    val sig = docs
-      .select(col("doc_id"),
-        shingles(split(col("text"), " "), 3).as("sh"))
-      .select(col("doc_id"), minhashSignature(col("sh"), k).as("sig"))
+    val sig = docs.select(col("doc_id"),
+      minhashSignature(split(col("text"), " "), k).as("sig"))
     val bands = array((0 until nBands).map { b =>
       xxhash64(lit(b) +: (0 until rowsPerBand).map(r =>
         col("sig").getItem(b * rowsPerBand + r)): _*)
@@ -54,14 +52,23 @@ object Dedup {
   }
 
   /** Candidate near-dup pairs: documents sharing at least one LSH bucket.
-    * Shuffle payload is (band, bucket, doc_id) only. */
+    * One shuffle of (band, bucket, doc_id); pairs generated per bucket from
+    * the grouped id list (no self-join — bucket sizes are bounded, and at
+    * 100 TB an oversized bucket means a degenerate band, not a bigger
+    * join). */
   def minhashCandidates(docs: DataFrame, k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val lsh = minhashLsh(docs, k, rowsPerBand)
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bucket")))
-    lsh.as("a").join(lsh.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val buckets = lsh.groupBy("band", "bucket")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    // all i<j pairs from each bucket's sorted id list
+    val pairs = flatten(transform(col("ids"), (a, i) =>
+      transform(slice(col("ids"), i + lit(2),
+        greatest(size(col("ids")) - i - lit(1), lit(0))),
+        b => struct(a.as("a"), b.as("b")))))
+    buckets.select(explode(pairs).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
   }
 
@@ -91,7 +98,8 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
                         k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val sets = docs.select(col("doc_id"),
-      array_distinct(shingles(split(col("text"), " "), 3)).as("sh"))
+      graft.expressions.VectorExpressions
+        .shingleHashes(split(col("text"), " "), 3).as("sh"))
     val cands = minhashCandidates(docs, k, rowsPerBand)
     cands
       .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")

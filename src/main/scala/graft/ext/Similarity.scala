@@ -16,10 +16,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Elementwise dot product of two array<double> columns (higher-order
-    * functions — codegen, no UDF). */
+  /** Elementwise dot product of two array<double> columns — a native
+    * codegen'd Catalyst expression ([[graft.expressions.DotProduct]]); the
+    * zip_with/aggregate higher-order form costs ~30x in lambda dispatch on
+    * the all-pairs kernel. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+    graft.expressions.VectorExpressions.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -34,14 +34,23 @@ object QfmFull {
 
   /** Phase-transition pressures (kbar) at T — depend on temperature only,
     * solved with bracketed Brent (reference uses fsolve from a guess of
-    * 8 kbar, `fO2/QFM.py:45-63`). */
+    * 8 kbar, `fO2/QFM.py:45-63`). Memoised per executor: distinct (T,P)
+    * cardinality can be row-scale, but distinct T rarely is. */
+  private val transitionCache =
+    new java.util.concurrent.ConcurrentHashMap[Double, (Double, Double, Double)]()
+
   def transitionPressures(tK: Double): (Double, Double, Double) = {
+    val cached = transitionCache.get(tK)
+    if (cached != null) return cached
     def solve(p1: String, p2: String): Double =
       Solver.brentWithExpansion(
         p => Eos.phaseTransition(p, tK, p1, p2), guess = 8.0,
         lo = 1e-3, hi = 500.0)
-    (solve("quartz", "coesite"), solve("coesite", "stishovite"),
+    val result = (solve("quartz", "coesite"), solve("coesite", "stishovite"),
       solve("fayalite", "ringwoodite"))
+    if (transitionCache.size() > 100000) transitionCache.clear()
+    transitionCache.put(tK, result)
+    result
   }
 
   /** VdP of the three buffer phases WITH polymorph transitions
