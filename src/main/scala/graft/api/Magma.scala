@@ -1,0 +1,180 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, lit}
+import graft.core._
+import graft.expr._
+import graft.expr.E._
+import graft.models._
+import graft.functions.{IaconoMarziano, QfmFull}
+
+/** Global model configuration (reference `configuration.py:88-239`).
+  * Immutable snapshot semantics: `MagmaConfig.get` is captured into the
+  * plan at call time — never read from a mutable singleton on executors
+  * (SURVEY.md §7 "what's genuinely hard" #3). */
+final case class MagmaConfig(
+    fe3fe2Model: String = "sun2024",
+    kdModel: String = "toplis2005",
+    meltThermometer: String = "putirka2008_15",
+    fO2Buffer: String = "qfm",
+    dfO2: Double = 1.0, // log-unit shift above the buffer
+    volatileSolubility: String = "iaconomarziano2012")
+
+object MagmaConfig {
+  @volatile private var current = MagmaConfig()
+  def get: MagmaConfig = current
+  def set(c: MagmaConfig): Unit = {
+    require(Fe3Fe2.closedForm.contains(c.fe3fe2Model) ||
+      c.fe3fe2Model == "fixed", s"unknown Fe3Fe2 model ${c.fe3fe2Model}")
+    require(Thermometers.all.contains(c.meltThermometer),
+      s"unknown thermometer ${c.meltThermometer}")
+    current = c
+  }
+  def reset(): Unit = current = MagmaConfig()
+}
+
+/** CSV ingestion (reference `parse_io/readers.py:18-72`): header CSV ->
+  * classify columns as chemistry vs passthrough by formula parsing, cast
+  * chemistry to double, keep requested extra columns, derive `total`. */
+object MagmaIO {
+
+  def readFile(spark: SparkSession, path: String,
+               units: CUnit = CUnit.WtPc, datatype: CType = CType.Oxide,
+               indexCol: Option[String] = None,
+               keepColumns: Seq[String] = Seq.empty): MagmaDF = {
+    val raw = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(path)
+    val idCol = indexCol.getOrElse(raw.columns.head)
+    val renamed = if (idCol == "sample_id") raw
+      else raw.withColumnRenamed(idCol, "sample_id")
+    // total column regex-normalisation (`magmaFrame.py:57-62`)
+    val totalNorm = renamed.columns.find(_.toLowerCase.contains("total"))
+      .map(c => renamed.drop(c)).getOrElse(renamed)
+    val chem = totalNorm.columns.filter(graft.chem.Elements.isChemical)
+    val keep = Seq("sample_id") ++ keepColumns.filter(totalNorm.columns.contains)
+    val projected = totalNorm.select((keep ++ chem).distinct.map(col): _*)
+    val casted = chem.foldLeft(projected)((d, c) =>
+      d.withColumn(c, col(c).cast("double")))
+    MagmaDF.wrap(casted, units, datatype, keep)
+  }
+
+  def readMelt(spark: SparkSession, path: String,
+               keepColumns: Seq[String] = Seq.empty): Melt =
+    new Melt(readFile(spark, path, keepColumns = keepColumns))
+  def readOlivine(spark: SparkSession, path: String): Olivine =
+    new Olivine(readFile(spark, path))
+  def readClinopyroxene(spark: SparkSession, path: String): MagmaDF =
+    readFile(spark, path)
+  def readPlagioclase(spark: SparkSession, path: String): MagmaDF =
+    readFile(spark, path)
+}
+
+/** Melt-phase operations (reference `core/MagmaFrames/melt.py`): the
+  * chained model pipelines a MagmaPandas user calls, compiled into single
+  * Spark plans. All methods require the named condition columns to be
+  * present on the wrapped DataFrame. */
+final class Melt(val mdf: MagmaDF, config: MagmaConfig = MagmaConfig.get) {
+  private def ctx = CompCtx(mdf.staged.schema.elements)
+  def df: DataFrame = mdf.df
+
+  /** withColumn + register the new column as passthrough so later
+    * conversions carry it. */
+  private def addCol(as: String, c: Column): Melt = {
+    val sch = mdf.staged.schema
+    val st = mdf.staged.copy(schema =
+      sch.copy(passthrough = sch.passthrough :+ as))
+    new Melt(MagmaDF(df.withColumn(as, c), st), config)
+  }
+
+  /** Liquidus temperature via the configured thermometer. */
+  def temperature(as: String = "T_K_calc", offset: Double = 0.0): Melt = {
+    val t = Thermometers.all(config.meltThermometer)(ctx)
+    addCol(as, E.toColumn(t))
+  }
+
+  /** fO2 at the configured buffer + dfO2 shift. QFM uses the full
+    * EOS-pressure UDF over distinct (T,P). */
+  def withFO2(tCol: String = "T_K", pCol: String = "P_bar",
+              as: String = "fO2"): Melt = {
+    val out = config.fO2Buffer match {
+      case "qfm" => QfmFull.withQfm(df, tCol, pCol, config.dfO2, as)
+      case "iw" => df.withColumn(as,
+        E.toColumn(Fo2Buffers.iwZhang(C(tCol), C(pCol), config.dfO2)))
+      case "nno" => df.withColumn(as,
+        E.toColumn(Fo2Buffers.nno(C(tCol), C(pCol), config.dfO2)))
+      case other => throw new IllegalArgumentException(s"buffer $other")
+    }
+    val sch = mdf.staged.schema
+    val st = mdf.staged.copy(schema =
+      sch.copy(passthrough = sch.passthrough :+ as))
+    new Melt(MagmaDF(out, st), config)
+  }
+
+  /** Melt Fe3+/Fe2+ via the configured model (`melt.py:162-223`). */
+  def fe3Fe2(tCol: String = "T_K", pCol: String = "P_bar",
+             fO2Col: String = "fO2", as: String = "Fe3Fe2"): Melt = {
+    val e = Fe3Fe2.closedForm(config.fe3fe2Model)(ctx, C(tCol), C(fO2Col), C(pCol))
+    addCol(as, E.toColumn(e))
+  }
+
+  /** Split total Fe into FeO/Fe2O3 from a ratio column (`melt.py:225-274`). */
+  def feSpeciation(fe3fe2Col: String = "Fe3Fe2"): Melt =
+    new Melt(mdf.feSplit(C(fe3fe2Col)), config)
+
+  def density(tCol: String = "T_K", pCol: String = "P_bar",
+              as: String = "density"): Melt = {
+    val e = Rheology.density(ctx, C(tCol), C(pCol))
+    addCol(as, E.toColumn(e))
+  }
+
+  def viscosity(tCol: String = "T_K", as: String = "viscosity"): Melt = {
+    val e = Rheology.viscosity(ctx, C(tCol))
+    addCol(as, E.toColumn(e))
+  }
+
+  /** EP2 flagship: volatile saturation pressure (mixed H2O-CO2). */
+  def volatileSaturationPressure(tCol: String = "T_K"): DataFrame = {
+    val els = mdf.staged.schema.elements.toArray
+    val sat = org.apache.spark.sql.functions.udf(
+      (wt: Seq[Double], tK: Double) => {
+        val (p, x) = IaconoMarziano.mixedSaturation(
+          IaconoMarziano.Comp(els, wt.toArray), tK)
+        (p, x)
+      })
+    df.withColumn("sat",
+        sat(org.apache.spark.sql.functions.array(els.map(col): _*), col(tCol)))
+      .withColumn("P_sat_bar", col("sat._1"))
+      .withColumn("X_fluid", col("sat._2")).drop("sat")
+  }
+
+  def moles: MagmaDF = mdf.moles()
+  def cations: MagmaDF = mdf.cations()
+}
+
+/** Olivine-phase operations (`core/MagmaFrames/olivine.py`). */
+final class Olivine(val mdf: MagmaDF) {
+  def df: DataFrame = mdf.df
+  def forsterite(as: String = "Fo"): DataFrame = {
+    val st = graft.core.Staged(mdf.staged.schema, Vector.empty)
+      .withMgNumber(as)
+    Pipeline.applySpark(df, st.stages)
+  }
+  def formula: DataFrame = {
+    val st = graft.core.Staged(mdf.staged.schema, Vector.empty).mineralFormula(4.0)
+    Pipeline.applySpark(df, st.stages)
+  }
+
+  /** Observed Fe-Mg Kd against paired melts (J1 join, `olivine.py:60-95`).
+    * Olivine side is typically the smaller dimension — broadcast it. */
+  def observedFeMgKd(melt: Melt, fe3fe2Col: String = "Fe3Fe2"): DataFrame = {
+    val olMol = mdf.moles().df.select(col("sample_id"),
+      col("FeO").as("ol_fe"), col("MgO").as("ol_mg"))
+    val meltMol = melt.moles.df
+    val kd = Kd.observed(C("melt_fe"), C("melt_mg"), C("ol_fe"), C("ol_mg"),
+      C(fe3fe2Col))
+    meltMol.select(col("sample_id"), col("FeO").as("melt_fe"),
+        col("MgO").as("melt_mg"), col(fe3fe2Col))
+      .join(broadcast(olMol), Seq("sample_id"))
+      .select(col("sample_id"), E.toColumn(kd).as("Kd"))
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.Files
+import graft.api._
+
+/** End-to-end library surface test: the EP3 user journey of the reference
+  * (read CSV -> thermometer -> fO2 -> Fe3Fe2 -> Fe split -> density) plus
+  * the olivine join, through the public API. */
+class ApiSpec extends SparkSpec {
+
+  private def writeCsv(name: String, content: String): String = {
+    val dir = Files.createTempDirectory("graft-api")
+    val f = dir.resolve(name)
+    Files.writeString(f, content)
+    f.toString
+  }
+
+  lazy val meltCsv = writeCsv("melts.csv",
+    """name,SiO2,TiO2,Al2O3,FeO,MnO,MgO,CaO,Na2O,K2O,P2O5,H2O,CO2,Total,notes
+      |s1,48.5,1.2,15.3,9.0,0.17,7.8,11.0,2.6,0.7,0.25,1.5,0.04,98.06,abc
+      |s2,51.0,0.9,14.1,9.8,0.18,6.2,9.9,3.0,1.1,0.35,3.1,0.08,99.71,def
+      |s3,45.9,2.2,12.9,11.2,0.2,9.5,11.6,2.2,0.5,0.3,0.4,0.02,96.92,ghi
+      |""".stripMargin)
+
+  lazy val olivineCsv = writeCsv("olivines.csv",
+    """name,SiO2,FeO,MnO,MgO,CaO,NiO,total
+      |s1,39.8,13.5,0.2,45.6,0.25,0.35,99.7
+      |s2,39.2,16.0,0.25,43.5,0.3,0.3,99.55
+      |s3,40.1,11.9,0.18,46.9,0.2,0.4,99.68
+      |""".stripMargin)
+
+  test("readFile classifies chemistry, drops junk and total, keeps requested") {
+    val m = MagmaIO.readFile(spark, meltCsv, keepColumns = Seq("notes"))
+    assert(m.elements.toSet == Set("SiO2", "TiO2", "Al2O3", "FeO", "MnO",
+      "MgO", "CaO", "Na2O", "K2O", "P2O5", "H2O", "CO2"))
+    assert(m.df.columns.contains("notes") && !m.df.columns.exists(
+      _.toLowerCase == "total"))
+    assert(m.df.count() == 3)
+  }
+
+  test("EP3 chain through the public API") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val melt0 = MagmaIO.readMelt(spark, meltCsv)
+    val withPT = new Melt(MagmaDFWithCols(melt0))
+    val result = withPT
+      .temperature()
+      .withFO2(tCol = "T_K_calc", pCol = "P_bar")
+      .fe3Fe2(tCol = "T_K_calc", pCol = "P_bar")
+      .feSpeciation()
+      .density(tCol = "T_K_calc", pCol = "P_bar")
+      .df.collect()
+    assert(result.length == 3)
+    for (r <- result) {
+      val t = r.getAs[Double]("T_K_calc")
+      val ratio = r.getAs[Double]("Fe3Fe2")
+      val rho = r.getAs[Double]("density")
+      val feo = r.getAs[Double]("FeO")
+      val fe2o3 = r.getAs[Double]("Fe2O3")
+      assert(t > 1300 && t < 1700, s"T=$t")
+      assert(ratio > 0.05 && ratio < 1.0, s"Fe3Fe2=$ratio")
+      assert(rho > 2300 && rho < 2900, s"rho=$rho")
+      assert(feo > 0 && fe2o3 > 0)
+    }
+  }
+
+  // helper: attach P_bar condition column and keep it as passthrough
+  private def MagmaDFWithCols(m: Melt): graft.core.MagmaDF = {
+    import org.apache.spark.sql.functions.lit
+    val sch = m.mdf.staged.schema
+    graft.core.MagmaDF(m.df.withColumn("P_bar", lit(2000.0)),
+      m.mdf.staged.copy(schema = sch.copy(passthrough = sch.passthrough :+ "P_bar")))
+  }
+
+  test("olivine forsterite and the broadcast Kd join") {
+    val ol = MagmaIO.readOlivine(spark, olivineCsv)
+    val fo = ol.forsterite().collect()
+      .map(r => r.getAs[String]("sample_id") -> r.getAs[Double]("Fo")).toMap
+    assert(fo.values.forall(f => f > 0.8 && f < 0.92), fo.toString)
+
+    val melt = new Melt(MagmaDFWithCols(MagmaIO.readMelt(spark, meltCsv)))
+      .temperature()
+      .withFO2(tCol = "T_K_calc", pCol = "P_bar")
+      .fe3Fe2(tCol = "T_K_calc", pCol = "P_bar")
+    val kd = ol.observedFeMgKd(melt).collect()
+      .map(r => r.getAs[String]("sample_id") -> r.getAs[Double]("Kd")).toMap
+    assert(kd.size == 3)
+    assert(kd.values.forall(k => k > 0.1 && k < 0.7), kd.toString)
+  }
+
+  test("saturation pressure through the API") {
+    val melt = new Melt(MagmaDFWithCols(MagmaIO.readMelt(spark, meltCsv)))
+      .temperature()
+    val sat = melt.volatileSaturationPressure(tCol = "T_K_calc").collect()
+    assert(sat.forall(r => r.getAs[Double]("P_sat_bar") > 0))
+  }
+
+  test("config switches the dispatched model") {
+    MagmaConfig.set(MagmaConfig(fe3fe2Model = "borisov2018",
+      meltThermometer = "putirka2008_13", fO2Buffer = "nno"))
+    try {
+      val melt = new Melt(MagmaDFWithCols(MagmaIO.readMelt(spark, meltCsv)))
+        .temperature()
+        .withFO2(tCol = "T_K_calc", pCol = "P_bar")
+        .fe3Fe2(tCol = "T_K_calc", pCol = "P_bar")
+      val rows = melt.df.collect()
+      assert(rows.forall(_.getAs[Double]("Fe3Fe2") > 0))
+      intercept[IllegalArgumentException] {
+        MagmaConfig.set(MagmaConfig(fe3fe2Model = "nope"))
+      }
+    } finally MagmaConfig.reset()
+  }
+}
