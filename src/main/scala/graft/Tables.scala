@@ -39,8 +39,17 @@ object Tables {
       "P2O5", "H2O", "CO2")
   val meltPass: Vector[String] = Vector("sample_id", "T_K", "P_bar")
 
+  // sample_id must be a UNIQUE total-order key: the oracle compare sorts
+  // rows by it, and (orderkey, linenumber) alone collides between rows with
+  // different part/supp keys (different derived compositions). Encode all
+  // four source keys with non-overlapping place values (partkey < 1e6,
+  // suppkey < 1e5, linenumber < 10 up to sf1; max id ~1.5e18 < 2^63).
+  private val sampleId: E =
+    ((C("l_orderkey") * ILit(1000000) + C("l_partkey")) * ILit(100000) +
+      C("l_suppkey")) * ILit(10) + C("l_linenumber")
+
   val meltSource: Stage = Stage(Seq(
-    "sample_id" -> (C("l_orderkey") * ILit(10) + C("l_linenumber")),
+    "sample_id" -> sampleId,
     "T_K" -> (Lit(1350.0) + C("l_orderkey") % ILit(250)),
     "P_bar" -> (Lit(1.0) + C("l_partkey") % ILit(10000)),
     "SiO2" -> (Lit(45.0) + (C("l_partkey") % ILit(1000)) * Lit(0.01)),

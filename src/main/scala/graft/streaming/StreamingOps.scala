@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming lift of the engine's operators.
+  *
+  * All reference operators are stateless per-row maps after joins
+  * (SURVEY.md §2.8), so the scalar expression library applies to streaming
+  * DataFrames unchanged — `select` with the same Columns. This module adds
+  * the genuinely streaming pieces: windowed aggregation with watermarks,
+  * streaming exact-dedup, and custom sessionization state.
+  */
+object StreamingOps {
+
+  /** Read the events table as a file-source stream (one-file-per-trigger
+    * emulation for tests; on a cluster this is a Kafka/file drop source). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
+        "value DOUBLE, props STRING")
+      .parquet(s"$dir/events.parquet")
+
+  /** Hourly tumbling-window counts per event type with a 2-hour watermark:
+    * late rows beyond the watermark are dropped, state is bounded. */
+  def hourlyCounts(events: DataFrame): DataFrame = {
+    val withTs = events.withColumn("event_time",
+      timestamp_micros(expr("ts div 1000")))
+    withTs
+      .withWatermark("event_time", "2 hours")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count("*").as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
+  /** Streaming exact dedup on a content fingerprint with watermarked state:
+    * the streaming counterpart of [[graft.ext.Dedup.exact]].
+    * `dropDuplicatesWithinWatermark` keeps only in-horizon fingerprints. */
+  def streamingDedup(docs: DataFrame, eventTimeCol: String,
+                     watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", md5(col("text").cast("binary")))
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("fp"))
+
+  /** Per-user session aggregation with explicit state
+    * (flatMapGroupsWithState): emits (user_id, session_start_ms,
+    * session_end_ms, n_events) when a session closes after `gapMs` of
+    * inactivity (processing-time timeout for simplicity). */
+  final case class SessionState(startMs: Long, lastMs: Long, n: Long)
+  final case class SessionOut(user_id: Long, session_start_ms: Long,
+                              session_end_ms: Long, n_events: Long)
+
+  def sessionize(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    import events.sparkSession.implicits._
+    val typed = events.select(col("user_id").cast("long"),
+      expr("ts div 1000000").cast("long").as("ms")).as[(Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        case (user, rows, state: GroupState[SessionState]) =>
+          val sorted = rows.map(_._2).toSeq.sorted
+          var st = state.getOption.getOrElse(
+            SessionState(Long.MaxValue, Long.MinValue, 0L))
+          val closed = Seq.newBuilder[SessionOut]
+          for (ms <- sorted) {
+            if (st.n > 0 && ms - st.lastMs > gapMs) {
+              closed += SessionOut(user, st.startMs, st.lastMs, st.n)
+              st = SessionState(ms, ms, 1L)
+            } else {
+              st = SessionState(math.min(st.startMs, ms), math.max(st.lastMs, ms),
+                st.n + 1)
+            }
+          }
+          if (state.hasTimedOut && st.n > 0) {
+            closed += SessionOut(user, st.startMs, st.lastMs, st.n)
+            state.remove()
+          } else {
+            state.update(st)
+            state.setTimeoutDuration(gapMs)
+          }
+          closed.result().iterator
+      }.toDF()
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.StreamingOps
+
+/** Structured Streaming lift: windowed counts with watermark, streaming
+  * dedup, and the scalar expression library applied to a stream. */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("hourly windowed counts with watermark over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Double)]
+    val events = mem.toDF()
+      .toDF("event_id", "ts", "event_type", "value")
+    val out = StreamingOps.hourlyCounts(events)
+    val hour = 3600L * 1000000000L // ns
+    mem.addData(
+      (1L, 0L * hour + 1000L, "click", 1.0),
+      (2L, 0L * hour + 2000L, "click", 2.0),
+      (3L, 0L * hour + 3000L, "view", 1.0))
+    val q = out.writeStream.format("memory").queryName("hourly")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    mem.addData((4L, 5L * hour, "click", 4.0)) // advances watermark past hour 0
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("hourly").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"))).toSet
+    assert(rows.contains(("click", 2L)) && rows.contains(("view", 1L)),
+      rows.toString)
+  }
+
+  test("streaming exact dedup drops in-watermark duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val docs = mem.toDF().toDF("doc_id", "text", "ts_ms")
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+    val out = StreamingOps.streamingDedup(docs, "event_time")
+    mem.addData((1L, "hello world", 1000L), (2L, "hello world", 2000L),
+      (3L, "different", 3000L))
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup").collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.size == 2 && ids.contains(3L), ids.toString)
+  }
+
+  test("scalar model expressions lift to streams unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.models.{CompCtx, Thermometers}
+    import graft.expr.E
+    val mem = MemoryStream[(Long, Double)]
+    val stream = mem.toDF().toDF("sample_id", "MgO")
+    val ctx = CompCtx(Vector("MgO"))
+    val out = stream.withColumn("T_K",
+      E.toColumn(Thermometers.putirka2008_13(ctx)))
+    mem.addData((1L, 8.0))
+    val q = out.writeStream.format("memory").queryName("thermo")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    q.stop()
+    val t = spark.table("thermo").collect()(0).getAs[Double]("T_K")
+    assert(math.abs(t - (26.3 * 8.0 + 994.4 + 273.15)) < 1e-9)
+  }
+}
