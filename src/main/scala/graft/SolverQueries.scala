@@ -65,6 +65,44 @@ object SolverQueries {
         .select(col("sample_id"), round(log10(col("fO2")), 6).as("log10_fO2"))
         .orderBy("sample_id")
     }, None),
+    // Second solubility model family (config-dispatchable alternative).
+    Q("q_saturation_shishkina", (s, dir) => {
+      val sat = udf((wt: Seq[Double]) => {
+        val (p, x) = graft.functions.Shishkina
+          .mixedSaturation(IaconoMarziano.Comp(meltEls, wt.toArray))
+        (p, x)
+      })
+      Tables.meltsDF(s, dir)
+        .withColumn("sat", sat(wtArray))
+        .select(col("sample_id"), round(col("sat._1"), 4).as("P_sat_bar"),
+          round(col("sat._2"), 6).as("X_fluid"))
+        .orderBy("sample_id")
+    }, None),
+    // Iterative Fe3Fe2 models: per-row fixed point (activities depend on
+    // speciation), fO2 from QFM 1-bar. Rows-only checks; ScalaTest covers
+    // the fixed-point invariant.
+    Q("q_fe3fe2_oneill2006_iterative", (s, dir) => {
+      val f = udf((wt: Seq[Double], tK: Double, pBar: Double, fO2: Double) =>
+        graft.functions.Fe3Fe2Iterative.oneill2006(
+          IaconoMarziano.Comp(meltEls, wt.toArray).molNorm, tK, pBar, fO2))
+      val fO2 = graft.expr.E.toColumn(
+        graft.models.Fo2Buffers.qfm1bar(graft.expr.C("T_K")))
+      Tables.meltsDF(s, dir)
+        .select(col("sample_id"),
+          round(f(wtArray, col("T_K"), col("P_bar"), fO2), 6).as("Fe3Fe2"))
+        .orderBy("sample_id")
+    }, None),
+    Q("q_fe3fe2_armstrong2019_iterative", (s, dir) => {
+      val f = udf((wt: Seq[Double], tK: Double, pBar: Double, fO2: Double) =>
+        graft.functions.Fe3Fe2Iterative.armstrong2019(
+          IaconoMarziano.Comp(meltEls, wt.toArray).molNorm, tK, pBar, fO2))
+      val fO2 = graft.expr.E.toColumn(
+        graft.models.Fo2Buffers.qfm1bar(graft.expr.C("T_K")))
+      Tables.meltsDF(s, dir)
+        .select(col("sample_id"),
+          round(f(wtArray, col("T_K"), col("P_bar"), fO2), 6).as("Fe3Fe2"))
+        .orderBy("sample_id")
+    }, None),
     // C10 Monte-Carlo error propagation: per-row Gaussian perturbation with
     // a fixed seed (deterministic per plan; no SQL oracle — randn streams
     // are engine-specific), k draws via explode, then per-sample mean/sd.

@@ -1,0 +1,99 @@
+package graft.functions
+
+import graft.chem.Elements
+
+/** Iterative Fe3+/Fe2+ models (reference `Fe_redox/Fe3Fe2_models.py`):
+  * activities depend on the Fe speciation itself, so each row solves a
+  * fixed point Fe3Fe2 = f(Fe3Fe2) (the reference calls per-row
+  * `scipy.optimize.fsolve` from 0.3; here damped secant with a bracketed
+  * fallback). Row-local — no cross-row state, one narrow stage.
+  */
+object Fe3Fe2Iterative {
+
+  val R = 8.31446261815324
+
+  /** Cation fractions after splitting total Fe (as FeO) into FeO + Fe2O3
+    * at ratio r (`melt.py:225-274` with wtpc=False, then `cations()`). */
+  private[functions] def cationsWithFeSplit(
+      mol: Map[String, Double], r: Double): Map[String, Double] = {
+    val ft = 1.0 / (1.0 + r)
+    val feo = mol.getOrElse("FeO", 0.0)
+    val updated = mol + ("FeO" -> feo * ft) + ("Fe2O3" -> feo * (1.0 - ft) / 2.0)
+    val terms = updated.toSeq.map { case (ox, x) =>
+      Elements.cationName(ox) -> x * Elements.cationAmount(ox)
+    }
+    val tot = terms.iterator.map(_._2).sum
+    terms.groupBy(_._1).map { case (c, vs) => c -> vs.iterator.map(_._2).sum / tot }
+  }
+
+  /** O'Neill et al. (2006) eq. 10, one evaluation at a trial ratio
+    * (`Fe3Fe2_models.py:840-871`). */
+  private def oneill2006Once(mol: Map[String, Double], tK: Double,
+                             pBar: Double, fO2: Double, r: Double): Double = {
+    val c = cationsWithFeSplit(mol, r)
+    def cat(n: String): Double = c.getOrElse(n, 0.0)
+    val pGPa = pBar / 1e4
+    val part1 = (-28144.0 + 3905.0 * cat("Mg") - 13359.0 * cat("Ca") -
+      14858.0 * cat("Na") - 9805.0 * cat("K") + 10906.0 * cat("Al") +
+      110971.0 * cat("P") - 11952.0 * (cat("Fe") - cat("Fe3"))) / tK
+    val part2 = 13.95 +
+      (33122.0 / tK - 5.24) * (math.pow(1.0 + 0.241 * pGPa, 0.75) - 1.0) -
+      (39156.0 / tK - 6.17) * (math.pow(1.0 + 0.132 * pGPa, 0.75) - 1.0)
+    math.pow(10.0, (math.log10(fO2) - part1 - part2) / 4.0)
+  }
+
+  /** Armstrong et al. (2019) Supplementary eq. S12, one evaluation
+    * (`Fe3Fe2_models.py:1030-1155`): Gibbs0 + Tait-like VdP of the FeO/
+    * FeO1.5 partial molar volumes + Jayasuriya Margules activities. */
+  private def armstrong2019Once(mol: Map[String, Double], tK: Double,
+                                pBar: Double, fO2: Double, r: Double): Double = {
+    val c = cationsWithFeSplit(mol, r)
+    def cat(n: String): Double = c.getOrElse(n, 0.0)
+    val gibbs0 = -(16201.0 / tK - 8.031) * (R * tK)
+
+    def vdp(phase: String): Double = {
+      val (k0, kp0) = phase match {
+        case "Fe2" => (37.0, 8.0)
+        case "Fe3" => (12.6, 1.3)
+      }
+      val kpp0 = -kp0 / k0
+      val v0 = phase match {
+        case "Fe2" => 13650.0 + 2.92 * (tK - 1673.0)
+        case "Fe3" => 21070.0 + 4.54 * (tK - 1673.0)
+      }
+      val pGPa = pBar / 1e4
+      val a = (1.0 + kp0) / (1.0 + kp0 + k0 * kpp0)
+      val b = kp0 / k0 - kpp0 / (1.0 + kp0)
+      val cc = (1.0 + kp0 + k0 * kpp0) / (kp0 * kp0 + kp0 - k0 * kpp0)
+      val part1 = a * (1.0 - math.pow(1.0 + b * pGPa, 1.0 - cc))
+      val part2 = b * (cc - 1.0) * pGPa
+      pGPa * v0 * (1.0 - a + part1 / part2)
+    }
+    val dVdP = vdp("Fe3") - vdp("Fe2")
+
+    val margules = Map("Mg" -> -2248.0, "Ca" -> 7690.0, "Na" -> 8553.0,
+      "K" -> 5644.0, "Al" -> -6278.0)
+    val sumMargules = margules.map { case (n, m) => cat(n) * m }.sum
+    val lnAFe3AFe2 = sumMargules / tK + 6880.0 * ((cat("Fe") - cat("Fe3")) / tK)
+
+    math.exp(math.log(fO2) / 4.0 - (gibbs0 + dVdP) / (R * tK) + lnAFe3AFe2)
+  }
+
+  private def fixedPoint(f: Double => Double): Double = {
+    def g(r: Double): Double = f(r) - r
+    val s = Solver.secant(g, 0.3, 0.31, tol = 1e-10)
+    if (s.isFinite && s > 0.0 && math.abs(g(s)) < 1e-8) s
+    else try Solver.brent(g, 1e-8, 100.0) catch { case _: Throwable => Double.NaN }
+  }
+
+  /** Solve the oneill2006 fixed point for one row. `mol` are NORMALISED
+    * oxide mol fractions (total Fe as FeO). P=0 in the S12 pressure term at
+    * 1 bar is handled by the formula itself. */
+  def oneill2006(mol: Map[String, Double], tK: Double, pBar: Double,
+                 fO2: Double): Double =
+    fixedPoint(r => oneill2006Once(mol, tK, pBar, fO2, r))
+
+  def armstrong2019(mol: Map[String, Double], tK: Double, pBar: Double,
+                    fO2: Double): Double =
+    fixedPoint(r => armstrong2019Once(mol, tK, pBar, fO2, r))
+}

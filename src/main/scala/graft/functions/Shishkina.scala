@@ -1,0 +1,87 @@
+package graft.functions
+
+import graft.chem.Elements
+
+/** H2O-CO2 solubility model of Shishkina et al. (2014) (reference
+  * `volatile_solubility/volatile_solubility_models/shishkina2014.py`),
+  * "pi_star" CO2 parameterisation. Simpler than Iacono-Marziano: H2O
+  * solubility is closed-form in anhydrous cation fractions (no inner fixed
+  * point); saturation still needs the bracketed per-species solve and the
+  * mixed-fluid 2-D solve.
+  */
+object Shishkina {
+
+  import IaconoMarziano.Comp
+
+  /** Cation mol fractions on an anhydrous (H2O/CO2-free) basis. */
+  private def anhydrousCations(c: Comp): Map[String, Double] = {
+    val keep = c.names.zip(c.wt).filter { case (n, _) => n != "H2O" && n != "CO2" }
+    val terms = keep.map { case (ox, w) =>
+      Elements.cationName(ox) ->
+        w / Elements.chemicalWeight(ox).get * Elements.cationAmount(ox)
+    }
+    val tot = terms.map(_._2).sum
+    terms.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum / tot }
+  }
+
+  /** H2O solubility (wt.%), eq. 9 (`shishkina2014.py:117-166`). */
+  def h2oSolubility(c: Comp, xFluid: Double, pBar: Double): Double = {
+    val cat = anhydrousCations(c)
+    val fH2O = xFluid * pBar / 10.0 // MPa partial pressure
+    val a = 3.36e-7 * math.pow(fH2O, 3) - 2.33e-4 * fH2O * fH2O +
+      0.0711 * fH2O - 1.1309
+    val b = cat.getOrElse("Na", 0.0) + cat.getOrElse("K", 0.0)
+    val cc = -1.2e-5 * fH2O * fH2O + 0.0196 * fH2O + 1.1297
+    a * b + cc
+  }
+
+  /** CO2 solubility (wt.%), eq. 13 with the pi* compositional parameter
+    * (`shishkina2014.py:221-292`). */
+  def co2Solubility(c: Comp, xFluid: Double, pBar: Double): Double = {
+    if (xFluid == 1.0) return 0.0
+    val cat = anhydrousCations(c)
+    def x(n: String): Double = cat.getOrElse(n, 0.0)
+    val piStar = (x("Ca") + 0.8 * x("K") + 0.7 * x("Na") +
+      0.4 * x("Mg") + 0.4 * x("Fe")) / (x("Si") + x("Al"))
+    val fCO2 = (1.0 - xFluid) * pBar / 10.0
+    math.exp(1.150 * math.log(fCO2) + 6.71 * piStar + (-1.345)) / 1e4
+  }
+
+  def h2oSaturation(c: Comp, xFluid: Double = 1.0): Double = {
+    val h2o = c("H2O")
+    if (h2o == 0.0) return 0.0
+    if (h2o < h2oSolubility(c, xFluid, 0.0)) return Double.NaN
+    try Solver.brent(p => h2o - h2oSolubility(c, xFluid, p), 1e-15, 1.5e4)
+    catch { case _: Throwable => Double.NaN }
+  }
+
+  def co2Saturation(c: Comp, xFluid: Double = 0.0): Double = {
+    val co2 = c("CO2")
+    if (co2 == 0.0) return 0.0
+    try Solver.brent(p => co2 - co2Solubility(c, xFluid, p), 1e-15, 1.5e4)
+    catch { case _: Throwable => Double.NaN }
+  }
+
+  /** Mixed-fluid saturation (P_sat, x_fluid), seeded at the sum of the
+    * pure-species pressures (`shishkina2014.py:300-420`). */
+  def mixedSaturation(c: Comp): (Double, Double) = {
+    val pH2O = h2oSaturation(c)
+    val pCO2 = co2Saturation(c)
+    if (c("H2O") <= 0.0) return (pCO2, 0.0)
+    if (c("CO2") <= 0.0) return (pH2O, 1.0)
+    val pGuess = (if (pH2O.isFinite) pH2O else 0.0) +
+      (if (pCO2.isFinite) pCO2 else 0.0)
+    def objective(p: Double, xfl: Double): (Double, Double) = {
+      val pc = math.max(p, 1e-15)
+      val xc = math.min(1.0, math.max(0.0, xfl))
+      (h2oSolubility(c, xc, pc) - c("H2O"), co2Solubility(c, xc, pc) - c("CO2"))
+    }
+    val (p, xflRaw) = Solver.newton2d(objective, pGuess, 0.01,
+      clampX = x => math.max(x, 1e-15),
+      clampY = y => math.min(1.0, math.max(0.0, y)))
+    val xfl = math.min(1.0, math.max(0.0, xflRaw))
+    if (xflRaw <= 0.0) (pCO2, xfl)
+    else if (xflRaw >= 1.0) (pH2O, xfl)
+    else (p, xfl)
+  }
+}

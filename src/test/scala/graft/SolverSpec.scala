@@ -84,6 +84,27 @@ class SolverSpec extends AnyFunSuite {
     assert(math.abs(co - basalt("CO2")) < 1e-5, s"CO2 $co")
   }
 
+  test("iterative Fe3Fe2 models satisfy their fixed point and fO2 trend") {
+    val mol = Map("SiO2" -> 0.52, "TiO2" -> 0.012, "Al2O3" -> 0.095,
+      "FeO" -> 0.082, "MnO" -> 0.0015, "MgO" -> 0.13, "CaO" -> 0.125,
+      "Na2O" -> 0.027, "K2O" -> 0.005, "P2O5" -> 0.0012, "H2O" -> 0.07,
+      "CO2" -> 0.0008)
+    val t = 1473.15; val p = 2000.0
+    val fO2 = { // QFM
+      val mu = -587474.0 + 1584.427 * t - 203.3164 * t * math.log(t) +
+        0.092710 * t * t
+      math.exp(mu / (8.31446261815324 * t))
+    }
+    for ((name, f) <- Seq(
+      "oneill2006" -> (Fe3Fe2Iterative.oneill2006 _),
+      "armstrong2019" -> (Fe3Fe2Iterative.armstrong2019 _))) {
+      val r = f(mol, t, p, fO2)
+      assert(r > 0.02 && r < 1.0, s"$name: $r")
+      val rOxidised = f(mol, t, p, fO2 * 100.0)
+      assert(rOxidised > r, s"$name oxidised $rOxidised !> $r")
+    }
+  }
+
   test("zero-volatile edge cases") {
     val dry = basalt.updated("H2O", 0.0)
     assert(IaconoMarziano.h2oSaturation(dry, 1473.15) == 0.0)
