@@ -163,6 +163,28 @@ object Queries {
       meltQ("q_kd_toplis2005_fixedfo")(_.derive("Kd",
         round(Kd.toplis2005Fixed(mctx, Lit(0.85), tK, pBar), 6))
         .select("sample_id", "Kd")),
+      // blundy2020: Fe3Fe2 forced to borisov2018, then the Fo iteration.
+      Q("q_kd_blundy2020", (s, dir) => {
+        import org.apache.spark.sql.functions.{col, round => sround}
+        val fO2 = Fo2Buffers.qfm1bar(C("T_K"))
+        val fe3fe2 = Fe3Fe2.borisov2018(mctx, C("T_K"), fO2)
+        Tables.meltsDF(s, dir).select(col("sample_id"),
+          sround(Kd.blundy2020(E.toColumn(mctx.molNorm("FeO")),
+            E.toColumn(mctx.molNorm("MgO")), E.toColumn(fe3fe2), col("T_K")), 6)
+            .as("Kd"))
+          .orderBy("sample_id")
+      }, None),
+      // saper2022: cation-fraction interaction terms + Fo iteration.
+      Q("q_kd_saper2022", (s, dir) => {
+        import org.apache.spark.sql.functions.{col, round => sround}
+        Tables.meltsDF(s, dir).select(col("sample_id"),
+          sround(Kd.saper2022(E.toColumn(mctx.molNorm("FeO")),
+            E.toColumn(mctx.molNorm("MgO")), E.toColumn(mctx.cat("Si")),
+            E.toColumn(mctx.cat("Ti")),
+            E.toColumn(mctx.cat("Na") + mctx.cat("K")),
+            org.apache.spark.sql.functions.lit(0.2), col("T_K")), 6).as("Kd"))
+          .orderBy("sample_id")
+      }, None),
       // Iterative toplis2005 (Kd<->Fo fixed point in a UDF): rows-only check,
       // the convergent loop is not expressible as plain SQL.
       Q("q_kd_toplis2005_iterative", (s, dir) => {

@@ -103,6 +103,17 @@ object SolverQueries {
           round(f(wtArray, col("T_K"), col("P_bar"), fO2), 6).as("Fe3Fe2"))
         .orderBy("sample_id")
     }, None),
+    Q("q_fe3fe2_deng2020", (s, dir) => {
+      val f = udf((wt: Seq[Double], tK: Double, pBar: Double, fO2: Double) =>
+        graft.functions.Deng2020.fe3Fe2(
+          IaconoMarziano.Comp(meltEls, wt.toArray).molNorm, tK, pBar, fO2))
+      val fO2 = graft.expr.E.toColumn(
+        graft.models.Fo2Buffers.qfm1bar(graft.expr.C("T_K")))
+      Tables.meltsDF(s, dir)
+        .select(col("sample_id"),
+          round(f(wtArray, col("T_K"), col("P_bar"), fO2), 6).as("Fe3Fe2"))
+        .orderBy("sample_id")
+    }, None),
     // C10 Monte-Carlo error propagation: per-row Gaussian perturbation with
     // a fixed seed (deterministic per plan; no SQL oracle — randn streams
     // are engine-specific), k draws via explode, then per-sample mean/sd.

@@ -1,0 +1,118 @@
+package graft.functions
+
+/** Deng et al. (2020) Fe3+/Fe2+ model (reference
+  * `Fe_redox/Fe3Fe2_models.py:419-761`): Gibbs polynomial + a 4th-order
+  * Birch-Murnaghan EOS volume solve per pressure-grid point, thermal
+  * pressure coefficient, trapezoid integral of dV over P, Margules
+  * activities, and the outer per-row Fe3Fe2 fixed point. Parameters are the
+  * "12.5molpc" fit from Deng's published code.
+  *
+  * dVdP depends only on (T, P): memoised per executor so the EOS work
+  * collapses to distinct-condition cardinality.
+  */
+object Deng2020 {
+
+  val R = 8.31446261815324
+  val Avogadro = 6.02214076e23
+  private val tRef = 3000.0
+  private val formulaUnits = 2.0 // 12.5molpc: Mg14Fe2Si16Oxx
+  private val a3ToCm3 = 1e-24
+
+  // eos_params["12.5molpc"]: V_0, K_0, Kprime_0, Kprime_prime_0
+  private val eosFe2 = (1180.114014, 26.94713861, 2.802531871, 0.012313472)
+  private val eosFe3 = (1204.763652, 23.19530062, 3.216089358, 0.009340183)
+  // thermal_pressure_params["12.5molpc"]: a, b, c
+  private val thermFe2 = (35.79397483, 71.10313668, 36.59545225)
+  private val thermFe3 = (34.52616394, 68.64429623, 35.27069116)
+
+  /** Birch-Murnaghan 4th order, Katsura & Tange (2019) eq. 27
+    * (`EOSs/birch_murnaghan.py:6-42`); returns pressure in K_0's units. */
+  def birchMurnaghan4(v: Double, p: (Double, Double, Double, Double)): Double = {
+    val (v0, k0, kp, kpp) = p
+    val x = v0 / v
+    val part1 = 1.5 * k0 * (math.pow(x, 7.0 / 3.0) - math.pow(x, 5.0 / 3.0))
+    val part2 = 1.0 + 0.75 * (kp - 4.0) * (math.pow(x, 2.0 / 3.0) - 1.0)
+    val part3 = (9.0 * kp * kp - 63.0 * kp + 9.0 * k0 * kpp + 143.0) / 24.0
+    val part4 = math.pow(math.pow(x, 2.0 / 3.0) - 1.0, 2.0)
+    part1 * (part2 + part3 * part4)
+  }
+
+  private def thermalPressureCoeff(v: Double, v0: Double,
+                                   t: (Double, Double, Double)): Double = {
+    val (a, b, c) = t
+    (a - b * (v / v0) + c * math.pow(v / v0, 2.0)) / 1000.0
+  }
+
+  /** Volume (cm3 per mole Fe) at (T, P) for the Fe2/Fe3 endmember: EOS +
+    * thermal-pressure term solved for V (`Fe3Fe2_models.py:624-671`). */
+  def volume(tK: Double, pBar: Double, fe3: Boolean): Double = {
+    val eos = if (fe3) eosFe3 else eosFe2
+    val therm = if (fe3) thermFe3 else thermFe2
+    val pGPa = pBar / 1e4
+    def f(v: Double): Double =
+      birchMurnaghan4(v, eos) +
+        thermalPressureCoeff(v, eos._1, therm) * (tK - tRef) - pGPa
+    val vInit = eos._1 - 6.0 * pGPa
+    val s = Solver.secant(f, vInit, vInit * 1.01, tol = 1e-10)
+    val vSol =
+      if (s.isFinite && s > 0 && math.abs(f(s)) < 1e-8) s
+      else Solver.brent(f, eos._1 * 0.3, eos._1 * 2.0)
+    vSol / formulaUnits * Avogadro * a3ToCm3
+  }
+
+  /** trapezoid integral of dV (m3) over P (Pa) from 1 bar to P_bar with a
+    * 500-bar grid (`Fe3Fe2_models.py:702-733`). */
+  private val dVdPCache =
+    new java.util.concurrent.ConcurrentHashMap[(Double, Double), java.lang.Double]()
+
+  def dVdP(tK: Double, pBar: Double): Double = {
+    val key = (tK, pBar)
+    val cached = dVdPCache.get(key)
+    if (cached != null) return cached.doubleValue
+    val step = 5e2
+    val grid = Iterator.iterate(1.0)(_ + step).takeWhile(_ < pBar + step).toArray
+    val dv = grid.map(p => (volume(tK, p, fe3 = true) -
+      volume(tK, p, fe3 = false)) * 1e-6)
+    var integral = 0.0
+    var i = 1
+    while (i < grid.length) {
+      integral += 0.5 * (dv(i) + dv(i - 1)) * (grid(i) - grid(i - 1)) * 1e5
+      i += 1
+    }
+    if (dVdPCache.size() > 100000) dVdPCache.clear()
+    dVdPCache.put(key, integral)
+    integral
+  }
+
+  /** Gibbs free energy at reference P (`Fe3Fe2_models.py:599-612`). */
+  def gibbs0(tK: Double): Double =
+    -331035.9211346371 - 190.3795512883899 * tK +
+      14.785873706952849 * tK * math.log(tK) -
+      0.0016487959655627517 * tK * tK + 9348044.389346942 / tK +
+      10773.299613088355 * math.sqrt(tK)
+
+  private val margules = Map("Mg" -> 68629.0, "Si" -> 4601.0, "Al" -> 40923.0,
+    "Ca" -> -58109.0, "Na" -> 0.0, "K" -> -59584.0, "P" -> 0.0, "Ti" -> 0.0)
+  private val feMargules = -14210.0
+
+  /** One evaluation of eq. 3 at a trial ratio (`Fe3Fe2_models.py:565-597`). */
+  private def once(mol: Map[String, Double], tK: Double, fO2: Double,
+                   g0: Double, vdp: Double, r: Double): Double = {
+    val c = Fe3Fe2Iterative.cationsWithFeSplit(mol, r)
+    def cat(n: String): Double = c.getOrElse(n, 0.0)
+    val sumMargules = margules.map { case (n, m) => cat(n) * m }.sum
+    val lnA = (sumMargules + (cat("Fe") - cat("Fe3")) * feMargules) / (R * tK)
+    math.exp(-(g0 + vdp) / (R * tK) - lnA + math.log(fO2) / 4.0)
+  }
+
+  /** Full deng2020: per-row fixed point; dVdP/gibbs0 hoisted per (T,P). */
+  def fe3Fe2(mol: Map[String, Double], tK: Double, pBar: Double,
+             fO2: Double): Double = {
+    val g0 = gibbs0(tK)
+    val vdp = dVdP(tK, pBar)
+    def g(r: Double): Double = once(mol, tK, fO2, g0, vdp, r) - r
+    val s = Solver.secant(g, 0.3, 0.31, tol = 1e-10)
+    if (s.isFinite && s > 0.0 && math.abs(g(s)) < 1e-8) s
+    else try Solver.brent(g, 1e-8, 100.0) catch { case _: Throwable => Double.NaN }
+  }
+}

@@ -123,6 +123,58 @@ object Kd {
     kd
   }
 
+  /** Generic Kd <-> equilibrium-Fo fixed point (`Kd_iterate.py:31-100`)
+    * shared by toplis2005 / blundy2020 / saper2022: only the inner
+    * Kd(Fo) kernel differs. */
+  private[graft] def iterateKdFo(kdAt: Double => Double, feOmol: Double,
+                                 mgOmol: Double, fe3fe2: Double): Double = {
+    val fe2FeTotal = 1.0 / (1.0 + fe3fe2)
+    val fe2MgLiquid = feOmol * fe2FeTotal / mgOmol
+    def eqFo(kd: Double): Double = 1.0 / (1.0 + kd * fe2MgLiquid)
+    var foInit = 0.85
+    var kd = kdAt(foInit)
+    var foEq = eqFo(kd)
+    var delta = math.abs(foInit - foEq) / foInit
+    var n = 0
+    while (delta > 0.001 && n < 100) {
+      kd = kdAt(foInit)
+      foInit = foEq
+      foEq = eqFo(kd)
+      delta = math.abs(foInit - foEq) / foInit
+      n += 1
+    }
+    kd
+  }
+
+  /** Blundy (2020) eq. 8 with Fo iteration (`Kd_models.py:271-419`):
+    * Kd_Fe2 = 0.3642 exp(312.7 (1-2Fo)/T) — the Fe3/FeTotal factor cancels
+    * between Kd_Fe_total and the Fe2 correction; Fe3Fe2 (forced to
+    * borisov2018 by the reference, `:352-362`) enters via equilibrium Fo. */
+  private[graft] def blundy2020Iterate(feOmol: Double, mgOmol: Double,
+                                       fe3fe2Borisov: Double, tK: Double): Double =
+    iterateKdFo(fo => 0.3642 * math.exp(312.7 * (1.0 - 2.0 * fo) / tK),
+      feOmol, mgOmol, fe3fe2Borisov)
+
+  /** Saper & Stolper (2022) eq. 10 with Fo iteration (`Kd_models.py:
+    * 655-752`): Gibbs + melt cation interaction terms. */
+  private[graft] def saper2022Iterate(feOmol: Double, mgOmol: Double,
+                                      catSi: Double, catTi: Double, catNaK: Double,
+                                      fe3fe2: Double, tK: Double): Double =
+    iterateKdFo(fo => math.exp(
+      (-6766.0 - 7.34 * tK) / (R * tK) +
+        1.0445 * catSi - 1.3125 * catTi - 3.0550 * catSi * catNaK +
+        3040.0 * (1.0 - 2.0 * fo) / (R * tK)),
+      feOmol, mgOmol, fe3fe2)
+
+  def blundy2020(feOmol: Column, mgOmol: Column, fe3fe2Borisov: Column,
+                 tK: Column): Column =
+    udf(blundy2020Iterate _).apply(feOmol, mgOmol, fe3fe2Borisov, tK)
+
+  def saper2022(feOmol: Column, mgOmol: Column, catSi: Column, catTi: Column,
+                catNaK: Column, fe3fe2: Column, tK: Column): Column =
+    udf(saper2022Iterate _).apply(feOmol, mgOmol, catSi, catTi, catNaK,
+      fe3fe2, tK)
+
   /** Column-level toplis2005 iterative Kd. Feed mole-percent/mol-fraction
     * scalar columns (cheap expressions) so the UDF stays narrow. */
   def toplis2005(siO2mp: Column, na2Omp: Column, k2Omp: Column, h2Omp: Column,
