@@ -185,6 +185,7 @@ object Queries {
             org.apache.spark.sql.functions.lit(0.2), col("T_K")), 6).as("Kd"))
           .orderBy("sample_id")
       }, None),
+      olMeltThermoQ) ++ errorModelQueries ++ Seq(
       // Iterative toplis2005 (Kd<->Fo fixed point in a UDF): rows-only check,
       // the convergent loop is not expressible as plain SQL.
       Q("q_kd_toplis2005_iterative", (s, dir) => {
@@ -202,6 +203,75 @@ object Queries {
       // J1 join: observed Kd from melt (lineitem) x olivine (orders) pair.
       observedKdJoinQ)
   }
+
+  /** Olivine-liquid thermometer putirka2007_4 (`thermometers/ol_melt.py:
+    * 22-119`): the J1 join with measured D_Mg = Mg_cat(ol)/Mg_cat(liq).
+    * Closed-form on both sides of the join -> full oracle. */
+  private def olMeltThermoQ: Q = {
+    val a = mctx.anhydrous
+    val meltSide = Tables.meltsWithOrder
+      .derive("m_cnm", E.sumAll(Seq("Fe", "Mn", "Mg", "Ca", "Co", "Ni")
+        .map(a.cat(_): E)))
+      .derive("m_al", a.cat("Al")).derive("m_ti", a.cat("Ti"))
+      .derive("m_si_mol", a.molNorm("SiO2"))
+      .derive("m_mg_cat", a.cat("Mg"))
+      .derive("m_h2o", mctx.wt("H2O"))
+      .select("sample_id", "order_id", "P_bar", "m_cnm", "m_al", "m_ti",
+        "m_si_mol", "m_mg_cat", "m_h2o")
+    val olCtx = CompCtx(Tables.olivineElements)
+    val olSide = Tables.olivines
+      .derive("ol_mg_cat", olCtx.cat("Mg"))
+      .select("sample_id", "ol_mg_cat")
+    val pGPa = C("P_bar") / Lit(1e4)
+    val nf = Lit(7.0 / 2.0) * ln(Lit(1.0) - C("m_al")) +
+      Lit(7.0) * ln(Lit(1.0) - C("m_ti"))
+    val tExpr = round(
+      (Lit(15294.6) + Lit(1318.8) * pGPa + Lit(2.4834) * pGPa * pGPa) /
+        (Lit(8.048) + Lit(2.8532) * ln(C("ol_mg_cat") / C("m_mg_cat")) +
+          Lit(2.097) * ln(Lit(1.5) * C("m_cnm")) +
+          Lit(2.575) * ln(Lit(3.0) * C("m_si_mol")) - Lit(1.41) * nf +
+          Lit(0.222) * C("m_h2o") + Lit(0.5) * pGPa) + Lit(273.15), 6)
+    val sql =
+      s"""WITH melt AS (${meltSide.sql("lineitem", Seq.empty)}),
+         | ol AS (${olSide.sql("orders", Seq.empty)})
+         | SELECT melt."sample_id" AS "sample_id",
+         |   ${E.toSql(tExpr)} AS "T_K_calc"
+         | FROM melt JOIN ol ON melt."order_id" = ol."sample_id"
+         | ORDER BY "sample_id"""".stripMargin.replace("\n", " ")
+    Q("q_thermo_olmelt_putirka2007_4", (s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val m = Pipeline.applySpark(Tables.read(s, dir, "lineitem"), meltSide.stages)
+      val o = Pipeline.applySpark(Tables.read(s, dir, "orders"), olSide.stages)
+        .withColumnRenamed("sample_id", "ol_sample_id")
+      m.join(o, m("order_id") === o("ol_sample_id"))
+        .select(col("sample_id"), E.toColumn(tExpr).as("T_K_calc"))
+        .orderBy("sample_id")
+    }, Some(sql))
+  }
+
+  /** Fe3Fe2 error model queries: 1-bar fitted curve (oracle-able
+    * expression) + the high-pressure B-spline branch (UDF, rows-only). */
+  private def errorModelQueries: Seq[Q] = Seq(
+    meltQ("q_fe3fe2_error_1bar") { m =>
+      val fe3fe2 = round(Fe3Fe2.sun2024(mctx, C("T_K"),
+        Fo2Buffers.qfm1bar(C("T_K")), C("P_bar")), 6)
+      m.derive("Fe3Fe2", fe3fe2)
+        .derive("error_1sigma",
+          round(ErrorModels.fe3fe2Error1Bar("sun2024", C("Fe3Fe2")), 6))
+        .select("sample_id", "Fe3Fe2", "error_1sigma")
+    },
+    Q("q_fe3fe2_error_hp", (s, dir) => {
+      import org.apache.spark.sql.functions.{col, round => sround, udf}
+      val errUdf = udf((fe3fe2: Double, pBar: Double) =>
+        ErrorModels.fe3fe2Error("sun2024", fe3fe2, pBar))
+      val fe3fe2 = E.toColumn(round(Fe3Fe2.sun2024(mctx, C("T_K"),
+        Fo2Buffers.qfm1bar(C("T_K")), C("P_bar")), 6))
+      Tables.meltsDF(s, dir)
+        .select(col("sample_id"), fe3fe2.as("Fe3Fe2"), col("P_bar"))
+        .select(col("sample_id"),
+          sround(errUdf(col("Fe3Fe2"), col("P_bar")), 6).as("error_1sigma"))
+        .orderBy("sample_id")
+    }, None))
 
   /** The reference's canonical implicit join J1 — olivine and melt paired by
     * sample key (`olivine.py:60-95`) — as an explicit equi-join. The olivine

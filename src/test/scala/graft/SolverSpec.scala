@@ -106,6 +106,23 @@ class SolverSpec extends AnyFunSuite {
     }
   }
 
+  test("B-spline evaluation matches Bezier identities on clamped knots") {
+    import graft.models.ErrorModels
+    // sun2024 HP spline is a single cubic Bezier span (4+4 clamped knots)
+    val (t, c) = ErrorModels.fe3fe2SplineHP("sun2024")
+    val a = t(3); val b = t(4)
+    assert(math.abs(ErrorModels.splev(a, t, c) - c(0)) < 1e-12)
+    assert(math.abs(ErrorModels.splev(b, t, c) - c(3)) < 1e-12)
+    val mid = (a + b) / 2
+    val bezierMid = (c(0) + 3 * c(1) + 3 * c(2) + c(3)) / 8.0
+    assert(math.abs(ErrorModels.splev(mid, t, c) - bezierMid) < 1e-12)
+    // error curve positive over the physical range
+    for (x <- Seq(0.05, 0.2, 0.5, 1.0)) {
+      assert(ErrorModels.fe3fe2Error("sun2024", x, 1.0) > 0)
+      assert(ErrorModels.fe3fe2Error("sun2024", x, 5000.0) > 0)
+    }
+  }
+
   test("zero-volatile edge cases") {
     val dry = basalt.updated("H2O", 0.0)
     assert(IaconoMarziano.h2oSaturation(dry, 1473.15) == 0.0)
