@@ -93,6 +93,60 @@ object Fe3Fe2 {
         Lit(2.0) * m.cat("Na") + Lit(3.7) * m.cat("K") - Lit(2.4) * m.cat("P"))
   }
 
+  /** Zhang et al. (2017) eq. 11, "LC" parameterisation
+    * (`Fe3Fe2_models.py:1162-1243`): closed-form in (T, P, fO2) only. */
+  def zhang2017(tK: E, fO2: E, pBar: E): E = {
+    val (dVdT, a, b, c, d) = (2.92, -6.376, 107257.0, 15095.0, 8.27e-2)
+    val R = 8.31446261815324
+    val pGPa = pBar * Lit(1e5) / Lit(1e9)
+    val part1 = ln(fO2) / Lit(4.0) + Lit(a) + Lit(b) / (Lit(R) * tK)
+    val part2 = (Lit(0.0) - (Lit(20170.0) + Lit(4.54) * (tK - Lit(1673.0)))) *
+      Lit(16.6 / 3.0) * (pow(Lit(1.0) + Lit(0.241) * pGPa, Lit(0.75)) - Lit(1.0)) /
+      (Lit(R) * tK)
+    val part3 = (Lit(c) + Lit(dVdT) * (tK - Lit(1673.0))) * Lit(4.0 / (3.0 * d))
+    val part4 = (pow(Lit(1.0) + Lit(d) * pGPa, Lit(0.75)) - Lit(1.0)) /
+      (Lit(R) * tK)
+    exp(part1 + part2 + part3 * part4)
+  }
+
+  /** Armstrong et al. (2019) Tait-like VdP of the FeO/FeO1.5 partial molar
+    * volumes as closed-form expressions (`Fe3Fe2_models.py:1088-1135`) —
+    * the dVdP basis hirschmann2022 delegates to. */
+  private def armstrongVdP(tK: E, pBar: E, fe3: Boolean): E = {
+    val (k0, kp0) = if (fe3) (12.6, 1.3) else (37.0, 8.0)
+    val kpp0 = -kp0 / k0
+    val v0 = if (fe3) Lit(21070.0) + Lit(4.54) * (tK - Lit(1673.0))
+      else Lit(13650.0) + Lit(2.92) * (tK - Lit(1673.0))
+    val a = (1.0 + kp0) / (1.0 + kp0 + k0 * kpp0)
+    val b = kp0 / k0 - kpp0 / (1.0 + kp0)
+    val c = (1.0 + kp0 + k0 * kpp0) / (kp0 * kp0 + kp0 - k0 * kpp0)
+    val pGPa = pBar / Lit(1e4)
+    val part1 = Lit(a) * (Lit(1.0) - pow(Lit(1.0) + Lit(b) * pGPa, Lit(1.0 - c)))
+    val part2 = Lit(b * (c - 1.0)) * pGPa
+    pGPa * v0 * (Lit(1.0 - a) + part1 / part2)
+  }
+
+  /** Hirschmann (2022) eq. 21 (`Fe3Fe2_models.py:1246-1357`), dVdP via the
+    * armstrong2019 analytic volumes — fully closed-form. */
+  def hirschmann2022(m: CompCtx, tK: E, fO2: E, pBar: E): E = {
+    val R = 8.31446261815324
+    val (a, b, c, dCp, t0) = (0.1917, -1.961, 4158.1, 33.25, 1673.15)
+    val ys = Seq(-520.46, -185.37, 494.39, 1838.34, 2888.48, 3473.68, -4473.6)
+    val cats = Seq("Si", "Ti", "Mg", "Ca", "Na", "K", "P")
+    val compositional = sumAll(cats.zip(ys).map { case (cName, y) =>
+      m.cat(cName) * Lit(y): E
+    }) + Lit(-1245.09) * m.cat("Si") * m.cat("Al") +
+      Lit(-1156.86) * m.cat("Si") * m.cat("Mg")
+    val dVdP = armstrongVdP(tK, pBar, fe3 = true) -
+      armstrongVdP(tK, pBar, fe3 = false)
+    val part1 = Lit(a) * log10(fO2) + Lit(b) + Lit(c) / tK
+    val part2 = Lit(-dCp / (R * math.log(10.0))) *
+      (Lit(1.0) - Lit(t0) / tK - ln(tK / Lit(t0)))
+    val part3 = (Lit(0.0) - dVdP) / (Lit(R * math.log(10.0)) * tK)
+    val part4 = Lit(1.0) / tK * compositional
+    pow(Lit(10.0), part1 + part2 + part3 + part4)
+  }
+
   /** Sun (2024) eq. 9, the reference's DEFAULT Fe3Fe2 model, with the
     * closed-form parameterised Gamma(T,P) instead of the deng2020 EOS
     * integral (`Fe3Fe2_models.py:1360-1544`, `_Gamma_parameterised`
@@ -137,6 +191,8 @@ object Fe3Fe2 {
   /** Registry of the closed-form models: name -> (ctx, T_K, fO2, P_bar) => E. */
   val closedForm: Map[String, (CompCtx, E, E, E) => E] = Map(
     "sun2024" -> ((m, t, f, p) => sun2024(m, t, f, p)),
+    "zhang2017" -> ((_, t, f, p) => zhang2017(t, f, p)),
+    "hirschmann2022" -> ((m, t, f, p) => hirschmann2022(m, t, f, p)),
     "borisov2018" -> ((m, t, f, _) => borisov2018(m, t, f)),
     "kress_carmichael1991" -> ((m, t, f, p) => kressCarmichael1991(m, t, f, p)),
     "jayasuriya2004" -> ((m, t, f, _) => jayasuriya2004(m, t, f)),
