@@ -78,6 +78,18 @@ object SolverQueries {
           round(col("sat._2"), 6).as("X_fluid"))
         .orderBy("sample_id")
     }, None),
+    Q("q_saturation_allison", (s, dir) => {
+      val sat = udf((wt: Seq[Double], tK: Double) => {
+        val (p, x) = graft.functions.Allison
+          .mixedSaturation(IaconoMarziano.Comp(meltEls, wt.toArray), tK)
+        (p, x)
+      })
+      Tables.meltsDF(s, dir)
+        .withColumn("sat", sat(wtArray, col("T_K")))
+        .select(col("sample_id"), round(col("sat._1"), 4).as("P_sat_bar"),
+          round(col("sat._2"), 6).as("X_fluid"))
+        .orderBy("sample_id")
+    }, None),
     // Iterative Fe3Fe2 models: per-row fixed point (activities depend on
     // speciation), fO2 from QFM 1-bar. Rows-only checks; ScalaTest covers
     // the fixed-point invariant.

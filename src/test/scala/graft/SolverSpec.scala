@@ -106,6 +106,32 @@ class SolverSpec extends AnyFunSuite {
     }
   }
 
+  test("Allison fugacity EOS behaves like an ideal gas at low P") {
+    for (co2 <- Seq(true, false)) {
+      val f = Allison.fugacity(1473.15, 1.0, co2)
+      assert(math.abs(f / 1.0 - 1.0) < 0.05, s"co2=$co2 f=$f")
+    }
+    // fugacity coefficient near 1 at moderate P and high T
+    val f2k = Allison.fugacity(1473.15, 2000.0, co2Species = false)
+    assert(f2k > 1000.0 && f2k < 4000.0, f2k.toString)
+  }
+
+  test("Allison saturation inverts solubility") {
+    val t = 1473.15
+    val pSat = Allison.h2oSaturation(basalt, t)
+    assert(pSat.isFinite && pSat > 0, pSat.toString)
+    val back = Allison.h2oSolubility(t, pSat)
+    assert(math.abs(back - basalt("H2O")) < 1e-6, s"$back")
+    val pSatC = Allison.co2Saturation(basalt, t)
+    val backC = Allison.co2Solubility(basalt, t, pSatC)
+    // the reference's XCO3<->wt% conversions are not exact inverses
+    // (saturation uses FW for the CO2 mole term, solubility uses 44.01)
+    assert(math.abs(backC - basalt("CO2")) / basalt("CO2") < 1e-2, s"$backC")
+    val (p, xfl) = Allison.mixedSaturation(basalt, t)
+    assert(p.isFinite && p > pSat && p > pSatC && xfl > 0 && xfl < 1,
+      s"P=$p X=$xfl")
+  }
+
   test("B-spline evaluation matches Bezier identities on clamped knots") {
     import graft.models.ErrorModels
     // sun2024 HP spline is a single cubic Bezier span (4+4 clamped knots)
