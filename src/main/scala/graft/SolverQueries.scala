@@ -65,6 +65,19 @@ object SolverQueries {
         .select(col("sample_id"), round(log10(col("fO2")), 6).as("log10_fO2"))
         .orderBy("sample_id")
     }, None),
+    // Full IW buffer (Hirschmann 2021): Vinet EOS + wustite equilibrium,
+    // distinct (T,P) + broadcast join like QFM.
+    Q("q_fo2_iw_full", (s, dir) => {
+      import org.apache.spark.sql.functions.broadcast
+      val f = udf((tK: Double, pBar: Double) =>
+        graft.functions.IwFull.fO2(tK, pBar))
+      val base = Tables.meltsDF(s, dir)
+      val conditions = base.select(col("T_K"), col("P_bar")).distinct()
+        .withColumn("fO2_iw", f(col("T_K"), col("P_bar")))
+      base.join(broadcast(conditions), Seq("T_K", "P_bar"))
+        .select(col("sample_id"), round(log10(col("fO2_iw")), 6).as("log10_fO2"))
+        .orderBy("sample_id")
+    }, None),
     // Second solubility model family (config-dispatchable alternative).
     Q("q_saturation_shishkina", (s, dir) => {
       val sat = udf((wt: Seq[Double]) => {

@@ -106,6 +106,19 @@ class SolverSpec extends AnyFunSuite {
     }
   }
 
+  test("full IW buffer sits ~3.5 log units below QFM and rises with P") {
+    val t = 1400.0
+    val iw = math.log10(IwFull.fO2(t, 1.0))
+    val qfm = math.log10(QfmFull.fO2(t, 1.0))
+    assert(qfm - iw > 2.5 && qfm - iw < 5.0, s"QFM-IW = ${qfm - iw}")
+    // close to the O'Neill 1993 1-bar IW parameterisation
+    val muOneill = -550915.0 + 269.106 * t - 16.9484 * math.log(t) * t
+    val iwOneill = muOneill / (8.31446261815324 * t) / math.log(10.0)
+    assert(math.abs(iw - iwOneill) < 0.5, s"iw=$iw oneill=$iwOneill")
+    val iwHighP = math.log10(IwFull.fO2(t, 5e4))
+    assert(iwHighP > iw, s"$iwHighP !> $iw")
+  }
+
   test("Allison fugacity EOS behaves like an ideal gas at low P") {
     for (co2 <- Seq(true, false)) {
       val f = Allison.fugacity(1473.15, 1.0, co2)
