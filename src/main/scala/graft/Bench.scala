@@ -1,9 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
+  * prints one JSON line with per-query wall seconds.
+  *
+  * Timing is honest full evaluation: `df.queryExecution.toRdd.count()`
+  * executes the final optimized physical plan — every projection, UDF and
+  * sort — without collecting rows to the driver. A plain `df.count()` would
+  * let Catalyst prune all projected columns (a select-only query collapses
+  * to a scan count and "benchmarks" nothing).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,7 +28,8 @@ object Bench {
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -109,8 +109,82 @@ object Queries {
     thermoQ("shea2022", Thermometers.shea2022(_), transcendental = false),
     thermoQ("sugawara2000_3", Thermometers.sugawara2000_3(_), transcendental = false),
     thermoQ("sugawara2000_6a", Thermometers.sugawara2000_6a(_), transcendental = false)
-  ) ++ fo2Queries ++ fe3fe2Queries ++ rheologyKdQueries ++ ExtQueries.all ++
-    SolverQueries.all
+  ) ++ fo2Queries ++ fe3fe2Queries ++ rheologyKdQueries ++ geoQueries ++
+    ExtQueries.all ++ SolverQueries.all
+
+  /** Geoplot + calibration-data operators (SURVEY §2.1 S3: the TAS polygon
+    * table, reference reservoir compositions, calibration datasets). */
+  private def geoQueries: Seq[Q] = Seq(
+    // TAS rock classification compiled to one codegen'd CASE tree
+    // (`geoplot/TAS_diagram.py:22-67` + `data/TAS.csv`). The (SiO2, alkali)
+    // point is spread across the WHOLE diagram from the conditions columns
+    // so every one of the 15 fields is exercised — the natural melts table
+    // only covers the basalt corner.
+    meltQ("q_tas_classify") { m =>
+      m.derive("tas_sio2", C("P_bar") * Lit(0.004) + Lit(38.996))
+        .derive("tas_alkali", (C("T_K") - Lit(1350.0)) * Lit(0.068))
+        .derive("rock", Tas.classify(C("tas_sio2"), C("tas_alkali")))
+        .select("sample_id", "tas_sio2", "tas_alkali", "rock")
+    },
+    // Chondrite-normalised REE pattern + Eu anomaly
+    // (`geoplot/trace_elements.py:30-36`, McDonough & Sun 1995). Trace
+    // concentrations synthesised from the conditions columns; the
+    // normalisation itself is the operator under test (per-column divide by
+    // a folded literal — J3 lookups never become joins).
+    meltQ("q_trace_ree_norm") { m =>
+      val ree = Seq(
+        "La" -> (Lit(2.0) + (C("P_bar") % Lit(350.0)) * Lit(0.05)),
+        "Ce" -> (Lit(5.0) + (C("P_bar") % Lit(300.0)) * Lit(0.11)),
+        "Nd" -> (Lit(4.0) + (C("T_K") % Lit(250.0)) * Lit(0.07)),
+        "Sm" -> (Lit(1.5) + (C("P_bar") % Lit(200.0)) * Lit(0.02)),
+        "Eu" -> (Lit(0.5) + (C("T_K") % Lit(100.0)) * Lit(0.01)),
+        "Gd" -> (Lit(2.0) + (C("P_bar") % Lit(150.0)) * Lit(0.02)),
+        "Dy" -> (Lit(2.5) + (C("T_K") % Lit(120.0)) * Lit(0.015)),
+        "Er" -> (Lit(1.2) + (C("P_bar") % Lit(90.0)) * Lit(0.01)),
+        "Yb" -> (Lit(1.0) + (C("T_K") % Lit(80.0)) * Lit(0.01)),
+        "Lu" -> (Lit(0.15) + (C("P_bar") % Lit(60.0)) * Lit(0.002)))
+      val withRee = ree.foldLeft(m) { case (st, (el, e)) =>
+        st.derive(s"${el}_n",
+          TraceElements.normalise(e, el, TraceElements.c1Chondrite))
+      }
+      withRee
+        .derive("eu_anomaly", round(TraceElements.euAnomaly(
+          C("Eu_n"), C("Sm_n"), C("Gd_n")), 6))
+        .derive("la_yb_n", C("La_n") / C("Yb_n"))
+        .select(Seq("sample_id") ++ ree.map(_._1 + "_n") ++
+          Seq("eu_anomaly", "la_yb_n"): _*)
+    },
+    // Calibration-dataset membership filter: the reference's
+    // `calibration_data.query("ref in @datasets")`
+    // (`model_calibrations/plot_calibration.py:63-72`) as a Spark
+    // `filter(isin)` — a selective predicate Catalyst pushes into the scan.
+    calibrationFilterQ)
+
+  private def calibrationFilterQ: Q = {
+    val codes = Vector("A2019", "B2013", "KC1991", "O2006", "S2020", "T1980",
+      "Z2017", "Z2018")
+    val datasets = CalibrationData.fe3fe2Datasets("armstrong2019")
+    // ref code from the customer key: CASE (c_custkey % 8) -> code
+    val bucket: E = C("c_custkey") % ILit(codes.size.toLong)
+    val refExpr: E = codes.init.zipWithIndex.foldRight(SLit(codes.last): E) {
+      case ((code, i), rest) => If(bucket === ILit(i.toLong), SLit(code), rest)
+    }
+    val inSet = codes.indices.filter(i => datasets.contains(codes(i)))
+    val sql =
+      s"""WITH r AS (SELECT "c_custkey" AS "sample_id", ${E.toSql(refExpr)}
+         | AS "ref" FROM customer)
+         | SELECT * FROM r
+         | WHERE "ref" IN (${datasets.map(d => s"'$d'").mkString(", ")})
+         | ORDER BY "sample_id"""".stripMargin.replace("\n", " ")
+    Q("q_calibration_filter", (s, dir) => {
+      import org.apache.spark.sql.functions.col
+      Tables.read(s, dir, "customer")
+        .select(col("c_custkey").as("sample_id"),
+          E.toColumn(refExpr).as("ref"))
+        .filter(col("ref").isin(datasets: _*))
+        .orderBy("sample_id")
+    }, Some(sql))
+  }
 
   /** fO2 buffers: output log10(fO2) (absolute fO2 spans ~1e-12..1e-5 — a
     * fixed-decimal round would zero it), rounded for libm-vs-Java ulp drift. */

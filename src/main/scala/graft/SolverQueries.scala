@@ -17,6 +17,17 @@ object SolverQueries {
 
   private val wtArray = array(Tables.meltElements.map(col): _*)
 
+  /** Spread CPU-bound per-row solves across the cluster: a small local scan
+    * yields 1-2 input partitions, which would serialize the solver UDF on
+    * one core (observed: the Shishkina solve pinned a single task for
+    * minutes at sf0.01). Only ever RAISES the partition count — at 100 TB
+    * the scan already has thousands of partitions and this is a no-op, so
+    * no gratuitous shuffle at scale. */
+  private def spread(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def all: Seq[Q] = Seq(
     // EP2 flagship: volatile saturation pressure (mixed H2O-CO2 fluid).
     Q("q_saturation_mixed", (s, dir) => {
@@ -25,7 +36,7 @@ object SolverQueries {
           .mixedSaturation(IaconoMarziano.Comp(meltEls, wt.toArray), tK)
         (p, x)
       })
-      Tables.meltsDF(s, dir)
+      spread(Tables.meltsDF(s, dir))
         .withColumn("sat", sat(wtArray, col("T_K")))
         .select(col("sample_id"), round(col("sat._1"), 4).as("P_sat_bar"),
           round(col("sat._2"), 6).as("X_fluid"))
@@ -33,14 +44,14 @@ object SolverQueries {
     }, None),
     Q("q_saturation_h2o", (s, dir) => {
       val sat = compUdf((c, t) => IaconoMarziano.h2oSaturation(c, t))
-      Tables.meltsDF(s, dir)
+      spread(Tables.meltsDF(s, dir))
         .select(col("sample_id"),
           round(sat(wtArray, col("T_K")), 4).as("P_sat_bar"))
         .orderBy("sample_id")
     }, None),
     Q("q_saturation_co2", (s, dir) => {
       val sat = compUdf((c, t) => IaconoMarziano.co2Saturation(c, t))
-      Tables.meltsDF(s, dir)
+      spread(Tables.meltsDF(s, dir))
         .select(col("sample_id"),
           round(sat(wtArray, col("T_K")), 4).as("P_sat_bar"))
         .orderBy("sample_id")
@@ -53,7 +64,7 @@ object SolverQueries {
         val co = IaconoMarziano.co2Solubility(c, 0.5, p, tK)
         (h, co)
       })
-      Tables.meltsDF(s, dir)
+      spread(Tables.meltsDF(s, dir))
         .withColumn("sol", sol(wtArray, col("P_bar"), col("T_K")))
         .select(col("sample_id"), round(col("sol._1"), 6).as("H2O_dissolved"),
           round(col("sol._2"), 6).as("CO2_dissolved"))
@@ -85,7 +96,7 @@ object SolverQueries {
           .mixedSaturation(IaconoMarziano.Comp(meltEls, wt.toArray))
         (p, x)
       })
-      Tables.meltsDF(s, dir)
+      spread(Tables.meltsDF(s, dir))
         .withColumn("sat", sat(wtArray))
         .select(col("sample_id"), round(col("sat._1"), 4).as("P_sat_bar"),
           round(col("sat._2"), 6).as("X_fluid"))
@@ -97,7 +108,7 @@ object SolverQueries {
           .mixedSaturation(IaconoMarziano.Comp(meltEls, wt.toArray), tK)
         (p, x)
       })
-      Tables.meltsDF(s, dir)
+      spread(Tables.meltsDF(s, dir))
         .withColumn("sat", sat(wtArray, col("T_K")))
         .select(col("sample_id"), round(col("sat._1"), 4).as("P_sat_bar"),
           round(col("sat._2"), 6).as("X_fluid"))
@@ -112,7 +123,7 @@ object SolverQueries {
           IaconoMarziano.Comp(meltEls, wt.toArray).molNorm, tK, pBar, fO2))
       val fO2 = graft.expr.E.toColumn(
         graft.models.Fo2Buffers.qfm1bar(graft.expr.C("T_K")))
-      Tables.meltsDF(s, dir)
+      spread(Tables.meltsDF(s, dir))
         .select(col("sample_id"),
           round(f(wtArray, col("T_K"), col("P_bar"), fO2), 6).as("Fe3Fe2"))
         .orderBy("sample_id")
@@ -123,7 +134,7 @@ object SolverQueries {
           IaconoMarziano.Comp(meltEls, wt.toArray).molNorm, tK, pBar, fO2))
       val fO2 = graft.expr.E.toColumn(
         graft.models.Fo2Buffers.qfm1bar(graft.expr.C("T_K")))
-      Tables.meltsDF(s, dir)
+      spread(Tables.meltsDF(s, dir))
         .select(col("sample_id"),
           round(f(wtArray, col("T_K"), col("P_bar"), fO2), 6).as("Fe3Fe2"))
         .orderBy("sample_id")
@@ -134,7 +145,7 @@ object SolverQueries {
           IaconoMarziano.Comp(meltEls, wt.toArray).molNorm, tK, pBar, fO2))
       val fO2 = graft.expr.E.toColumn(
         graft.models.Fo2Buffers.qfm1bar(graft.expr.C("T_K")))
-      Tables.meltsDF(s, dir)
+      spread(Tables.meltsDF(s, dir))
         .select(col("sample_id"),
           round(f(wtArray, col("T_K"), col("P_bar"), fO2), 6).as("Fe3Fe2"))
         .orderBy("sample_id")

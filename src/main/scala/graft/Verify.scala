@@ -17,7 +17,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // No coalesce(1): it is a narrow dependency that collapses the WHOLE
+      // upstream computation into one task (solver UDF queries would run
+      // single-threaded). The final orderBy range-partitions, and part
+      // files are read back in partition (= name) order, so global row
+      // order survives a multi-file write.
+      try fn(spark, sfDir).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

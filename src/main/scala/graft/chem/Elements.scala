@@ -69,9 +69,21 @@ object Elements {
   /** Parse a chemical formula into components. Returns None when the string
     * is not a formula made of known element symbols (the classification test
     * the reference does by attempting a weight calculation,
-    * `parse_io/readers.py:50-57`). */
+    * `parse_io/readers.py:50-57`).
+    *
+    * Memoised: the name universe is tiny (~tens of oxide strings) but these
+    * lookups sit under per-row solver loops on executors — regex parsing per
+    * call dominated the Shishkina saturation solve before caching. The
+    * reference memoises weights the same way (`core/Elements.py:91-146`). */
   def parseFormula(name: String): Option[List[Component]] = {
     if (name == null || name.isEmpty) return None
+    parseCache.computeIfAbsent(name, parseUncached(_))
+  }
+
+  private val parseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[List[Component]]]()
+
+  private def parseUncached(name: String): Option[List[Component]] = {
     val ms = token.findAllMatchIn(name).toList
     if (ms.isEmpty || ms.map(_.matched.length).sum != name.length) return None
     val comps = ms.map { m =>
@@ -99,11 +111,16 @@ object Elements {
   def isChemical(name: String): Boolean = chemicalWeight(name).isDefined
 
   /** Weight keyed the way the reference keys it: cation names with charge
-    * digits ("Fe3") weigh as the bare element. */
-  def chemicalWeight(name: String): Option[Double] = {
-    val lookup = if (name.contains("O")) name else name.replaceAll("\\d+", "")
-    weightOf(lookup)
-  }
+    * digits ("Fe3") weigh as the bare element. Memoised like
+    * [[parseFormula]]. */
+  def chemicalWeight(name: String): Option[Double] =
+    weightCache.computeIfAbsent(name, { n: String =>
+      val lookup = if (n.contains("O")) n else n.replaceAll("\\d+", "")
+      weightOf(lookup)
+    })
+
+  private val weightCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Double]]()
 
   /** Number of cations (non-oxygen atoms of the leading element) per formula
     * unit: Al2O3 -> 2, SiO2 -> 1, Fe -> 1. */
@@ -124,16 +141,20 @@ object Elements {
   /** Cation NAME of an oxide: element symbol, plus the oxidation state when
     * it differs from the element's default ("FeO"->"Fe", "Fe2O3"->"Fe3",
     * "TiO2"->"Ti"). Non-oxides (F, S, Cl) keep their symbol. */
-  def cationName(oxide: String): String = {
-    val el = cationElement(oxide)
-    val nO = oxygenAmount(oxide)
-    if (nO == 0.0) el
-    else {
-      val nCat = cationAmount(oxide)
-      val state = math.round(2.0 * nO / nCat).toInt
-      if (defaultOxidationState.get(el).contains(state)) el else s"$el$state"
-    }
-  }
+  def cationName(oxide: String): String =
+    cationNameCache.computeIfAbsent(oxide, { ox: String =>
+      val el = cationElement(ox)
+      val nO = oxygenAmount(ox)
+      if (nO == 0.0) el
+      else {
+        val nCat = cationAmount(ox)
+        val state = math.round(2.0 * nO / nCat).toInt
+        if (defaultOxidationState.get(el).contains(state)) el else s"$el$state"
+      }
+    })
+
+  private val cationNameCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Inverse of [[cationName]]: build the oxide formula for a cation name.
     * "Fe3" -> "Fe2O3"; "Ti" -> "TiO2" (default state); "Na" -> "Na2O".

@@ -156,10 +156,18 @@ object Allison {
     val fCO2Pure = fugacity(tK, pBar, co2Species = true)
     val fCO2 = fCO2Pure * (1.0 - xFluid)
     val pCO2 =
-      if (xFluid > 0)
-        try Solver.brent(p => fCO2 - fugacity(tK, p, co2Species = true), 1e-50, 1.5e4)
-        catch { case _: Throwable => return Double.NaN }
-      else pBar
+      if (xFluid > 0) {
+        // invert fugacity->P: fugacity ~ P, so seed a secant at fCO2 —
+        // ~5 evals instead of a [1e-50, 15 kbar] Brent per objective call
+        // (this sits inside the mixed-saturation Newton loop)
+        def fn(p: Double): Double = fCO2 - fugacity(tK, p, co2Species = true)
+        val s = Solver.secant(fn, math.max(fCO2, 1.0),
+          math.max(fCO2 * 0.9, 0.5))
+        if (s.isFinite && s > 0 && math.abs(fn(s)) < 1e-7 * math.max(1.0, fCO2)) s
+        else
+          try Solver.brent(fn, 1e-50, 1.5e4)
+          catch { case _: Throwable => return Double.NaN }
+      } else pBar
     val cat = cationFractions(c)
     val k = math.exp(lnK0(cat)) * math.exp(-deltaV(cat) * (pCO2 - p0) / (ra * tK))
     val kf = k * fCO2

@@ -24,41 +24,56 @@ object Shishkina {
     terms.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum / tot }
   }
 
-  /** H2O solubility (wt.%), eq. 9 (`shishkina2014.py:117-166`). */
-  def h2oSolubility(c: Comp, xFluid: Double, pBar: Double): Double = {
-    val cat = anhydrousCations(c)
+  /** The two compositional scalars the solubility laws depend on — constant
+    * per sample, so hoisted OUT of every solver loop (before this, the Brent
+    * objectives rebuilt the cation map, with formula parsing, per trial —
+    * the single hottest path in the whole engine at sf0.01). */
+  private def alkali(cat: Map[String, Double]): Double =
+    cat.getOrElse("Na", 0.0) + cat.getOrElse("K", 0.0)
+
+  private def piStarOf(cat: Map[String, Double]): Double = {
+    def x(n: String): Double = cat.getOrElse(n, 0.0)
+    (x("Ca") + 0.8 * x("K") + 0.7 * x("Na") +
+      0.4 * x("Mg") + 0.4 * x("Fe")) / (x("Si") + x("Al"))
+  }
+
+  private def h2oSolubilityB(b: Double, xFluid: Double, pBar: Double): Double = {
     val fH2O = xFluid * pBar / 10.0 // MPa partial pressure
     val a = 3.36e-7 * math.pow(fH2O, 3) - 2.33e-4 * fH2O * fH2O +
       0.0711 * fH2O - 1.1309
-    val b = cat.getOrElse("Na", 0.0) + cat.getOrElse("K", 0.0)
     val cc = -1.2e-5 * fH2O * fH2O + 0.0196 * fH2O + 1.1297
     a * b + cc
   }
 
-  /** CO2 solubility (wt.%), eq. 13 with the pi* compositional parameter
-    * (`shishkina2014.py:221-292`). */
-  def co2Solubility(c: Comp, xFluid: Double, pBar: Double): Double = {
+  private def co2SolubilityPi(piStar: Double, xFluid: Double, pBar: Double): Double = {
     if (xFluid == 1.0) return 0.0
-    val cat = anhydrousCations(c)
-    def x(n: String): Double = cat.getOrElse(n, 0.0)
-    val piStar = (x("Ca") + 0.8 * x("K") + 0.7 * x("Na") +
-      0.4 * x("Mg") + 0.4 * x("Fe")) / (x("Si") + x("Al"))
     val fCO2 = (1.0 - xFluid) * pBar / 10.0
     math.exp(1.150 * math.log(fCO2) + 6.71 * piStar + (-1.345)) / 1e4
   }
 
+  /** H2O solubility (wt.%), eq. 9 (`shishkina2014.py:117-166`). */
+  def h2oSolubility(c: Comp, xFluid: Double, pBar: Double): Double =
+    h2oSolubilityB(alkali(anhydrousCations(c)), xFluid, pBar)
+
+  /** CO2 solubility (wt.%), eq. 13 with the pi* compositional parameter
+    * (`shishkina2014.py:221-292`). */
+  def co2Solubility(c: Comp, xFluid: Double, pBar: Double): Double =
+    co2SolubilityPi(piStarOf(anhydrousCations(c)), xFluid, pBar)
+
   def h2oSaturation(c: Comp, xFluid: Double = 1.0): Double = {
     val h2o = c("H2O")
     if (h2o == 0.0) return 0.0
-    if (h2o < h2oSolubility(c, xFluid, 0.0)) return Double.NaN
-    try Solver.brent(p => h2o - h2oSolubility(c, xFluid, p), 1e-15, 1.5e4)
+    val b = alkali(anhydrousCations(c))
+    if (h2o < h2oSolubilityB(b, xFluid, 0.0)) return Double.NaN
+    try Solver.brent(p => h2o - h2oSolubilityB(b, xFluid, p), 1e-15, 1.5e4)
     catch { case _: Throwable => Double.NaN }
   }
 
   def co2Saturation(c: Comp, xFluid: Double = 0.0): Double = {
     val co2 = c("CO2")
     if (co2 == 0.0) return 0.0
-    try Solver.brent(p => co2 - co2Solubility(c, xFluid, p), 1e-15, 1.5e4)
+    val piStar = piStarOf(anhydrousCations(c))
+    try Solver.brent(p => co2 - co2SolubilityPi(piStar, xFluid, p), 1e-15, 1.5e4)
     catch { case _: Throwable => Double.NaN }
   }
 
@@ -69,12 +84,15 @@ object Shishkina {
     val pCO2 = co2Saturation(c)
     if (c("H2O") <= 0.0) return (pCO2, 0.0)
     if (c("CO2") <= 0.0) return (pH2O, 1.0)
+    val cat = anhydrousCations(c)
+    val b = alkali(cat); val piStar = piStarOf(cat)
+    val h2oObs = c("H2O"); val co2Obs = c("CO2")
     val pGuess = (if (pH2O.isFinite) pH2O else 0.0) +
       (if (pCO2.isFinite) pCO2 else 0.0)
     def objective(p: Double, xfl: Double): (Double, Double) = {
       val pc = math.max(p, 1e-15)
       val xc = math.min(1.0, math.max(0.0, xfl))
-      (h2oSolubility(c, xc, pc) - c("H2O"), co2Solubility(c, xc, pc) - c("CO2"))
+      (h2oSolubilityB(b, xc, pc) - h2oObs, co2SolubilityPi(piStar, xc, pc) - co2Obs)
     }
     val (p, xflRaw) = Solver.newton2d(objective, pGuess, 0.01,
       clampX = x => math.max(x, 1e-15),
