@@ -87,27 +87,68 @@ object IwFull {
     3.0 * k0 / (x * x) * (1.0 - x) * math.exp(1.5 * (kp0 - 1.0) * (1.0 - x))
   }
 
-  private def vinetV(pGPa: Double, tK: Double, p: EosP): Double = {
-    val (v0, k0, kp0, alpha0, delta0, kappa) = p
-    val vRoom =
-      try Solver.brent(v => vinetP(v, v0, k0, kp0) - pGPa, v0 * 0.3, v0 * 1.5)
+  /** Room-T volume at pressure `pGPa`: Vinet inversion. Seeded secant from
+    * the previous grid point's solution (the volume varies smoothly along
+    * the integration grid, so ~5 evals replace a full [0.3 v0, 1.5 v0]
+    * Brent per point); bracketed Brent as the fallback. */
+  private def vinetVRoom(pGPa: Double, p: EosP, seed: Double): Double = {
+    val (v0, k0, kp0, _, _, _) = p
+    def f(v: Double): Double = vinetP(v, v0, k0, kp0) - pGPa
+    val s = Solver.secant(f, seed, seed * 0.995)
+    if (s.isFinite && s > v0 * 0.2 && s < v0 * 1.6 &&
+        math.abs(f(s)) < 1e-10 * math.max(1.0, pGPa)) s
+    else
+      try Solver.brent(f, v0 * 0.3, v0 * 1.5)
       catch { case _: Throwable => v0 }
-    val alpha = alpha0 * math.exp((-delta0 / kappa) *
-      (1.0 - math.pow(vRoom / v0, kappa)))
-    vRoom * math.exp(alpha * (tK - 298.15))
   }
 
-  /** 100-point trapezoid of V dP from 1 bar to P (J/mol). */
-  private def vinetVdP(pGPa: Double, tK: Double, p: EosP): Double = {
-    if (pGPa <= 1e-4) return 0.0
+  /** The T-independent part of the 100-point V(P) integration grid for one
+    * phase: room-T volumes and thermal-expansion coefficients at each grid
+    * pressure. Cached per (phase, target pressure): the thermal factor
+    * exp(alpha (T - 298.15)) is the ONLY T-dependence of the Vinet volume,
+    * so across the many (T, P) conditions sharing a pressure the expensive
+    * EOS inversions happen once (at sf0.1 each pressure recurs across ~250
+    * temperatures). Bounded like the fO2 cache. */
+  private def vdpGrid(phase: String, pGPa: Double): (Array[Double], Array[Double]) = {
+    val key = (phase, pGPa)
+    val hit = gridCache.get(key)
+    if (hit != null) return hit
+    val p = eos(phase)
+    val (v0, _, _, alpha0, delta0, kappa) = p
     val n = 100
     val step = (pGPa - 1e-4) / (n - 1)
-    var integral = 0.0
-    var prev = vinetV(1e-4, tK, p)
-    var i = 1
+    val vRoom = new Array[Double](n)
+    val alpha = new Array[Double](n)
+    var seed = v0
+    var i = 0
     while (i < n) {
       val pi = 1e-4 + i * step
-      val vi = vinetV(pi, tK, p)
+      seed = vinetVRoom(pi, p, seed)
+      vRoom(i) = seed
+      alpha(i) = alpha0 * math.exp((-delta0 / kappa) *
+        (1.0 - math.pow(seed / v0, kappa)))
+      i += 1
+    }
+    if (gridCache.size() > 50000) gridCache.clear()
+    gridCache.put(key, (vRoom, alpha))
+    (vRoom, alpha)
+  }
+
+  private val gridCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Double), (Array[Double], Array[Double])]()
+
+  /** 100-point trapezoid of V dP from 1 bar to P (J/mol). */
+  private def vinetVdP(pGPa: Double, tK: Double, phase: String): Double = {
+    if (pGPa <= 1e-4) return 0.0
+    val (vRoom, alpha) = vdpGrid(phase, pGPa)
+    val n = vRoom.length
+    val step = (pGPa - 1e-4) / (n - 1)
+    val dT = tK - 298.15
+    var integral = 0.0
+    var prev = vRoom(0) * math.exp(alpha(0) * dT)
+    var i = 1
+    while (i < n) {
+      val vi = vRoom(i) * math.exp(alpha(i) * dT)
       integral += 0.5 * (vi + prev) * step
       prev = vi
       i += 1
@@ -120,7 +161,7 @@ object IwFull {
   private def gibbsPhase(phase: String, tK: Double, pBar: Double): Double = {
     var g = gibbs0(tK, g0Params(phase, tK))
     if (phase == "Fe_bcc-alpha") g += gibbsFeMagnetic(tK)
-    if (pBar > 1.0 && phase != "O2") g += vinetVdP(pBar / 1e4, tK, eos(phase))
+    if (pBar > 1.0 && phase != "O2") g += vinetVdP(pBar / 1e4, tK, phase)
     g
   }
 
