@@ -14,8 +14,19 @@ import graft.expr.E._
   */
 object Tables {
 
-  def read(spark: SparkSession, dir: String, table: String): DataFrame =
-    spark.read.parquet(s"$dir/$table.parquet")
+  /** Read a driver table, spreading the scan across the cluster when the
+    * file yields fewer partitions than cores. Parquet cannot split below
+    * row-group granularity, so the small test files cap out at 1-3 tasks no
+    * matter the split-size configs — which serializes every downstream
+    * per-row computation (expression chains and solver UDFs alike). The
+    * repartition shuffles only the scan's raw columns (cheap), and only
+    * ever RAISES the partition count: at 100 TB the scan already has
+    * thousands of row groups and this is a no-op. */
+  def read(spark: SparkSession, dir: String, table: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$table.parquet")
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
   /** events with an epoch-millisecond column. The driver's events table has
     * nanosecond timestamps, which Spark 4 only reads with

@@ -47,7 +47,11 @@ final case class Staged(schema: MagmaSchema, stages: Vector[Stage]) {
   private def ids: Seq[(String, E)] = schema.elements.map(e => e -> (C(e): E))
   private def sumEls: E = sumAll(schema.elements.map(C(_): E))
 
-  def withStage(cols: Seq[(String, E)]): Staged = copy(stages = stages :+ Stage(cols))
+  /** Stages pass through [[Cse]]: repeated subtrees (normalisation
+    * denominators, cation sums) are hoisted into prelude projections so
+    * every stage stays small enough for whole-stage codegen. */
+  def withStage(cols: Seq[(String, E)]): Staged =
+    copy(stages = stages ++ Cse.expand(Stage(cols)))
 
   /** total = Σ element columns — the invariant the reference maintains on
     * every mutation (`magmaFrame.py:156-174`); here a derived column. */

@@ -160,6 +160,141 @@ object E {
   * WITH-chain for the oracle. */
 final case class Stage(cols: Seq[(String, E)])
 
+/** Common-subexpression elimination over a stage: repeated subtrees (e.g.
+  * the mole-sum denominator a normalisation divides EVERY element column
+  * by, or the cation denominator a model references per cation) are hoisted
+  * into a prelude projection stage and replaced by column references.
+  *
+  * Why this matters at scale: the expression generators inline conversion
+  * chains, so one model stage can carry a dozen copies of a 40-node sum.
+  * Catalyst's codegen-time subexpression elimination does not always save
+  * such stages — the generated method blows past the JIT/codegen size
+  * limits and execution falls back to interpreted eval (observed: the EP3
+  * chain spending 23s at sf0.1 on arithmetic worth <2s). Hoisting keeps
+  * each projection small and codegen-friendly. The SQL renderer consumes
+  * the SAME rewritten stages, so engine and oracle still compute identical
+  * arithmetic in identical order.
+  */
+object Cse {
+  private def sizeOf(e: E): Int = e match {
+    case Bin(_, l, r) => 1 + sizeOf(l) + sizeOf(r)
+    case Fn(_, args)  => 1 + args.map(sizeOf).sum
+    case If(c, t, f)  => 1 + sizeCond(c) + sizeOf(t) + sizeOf(f)
+    case CastD(a)     => 1 + sizeOf(a)
+    case _            => 1
+  }
+  private def sizeCond(c: Cond): Int = c match {
+    case Cmp(_, l, r)   => 1 + sizeOf(l) + sizeOf(r)
+    case AndOr(_, l, r) => 1 + sizeCond(l) + sizeCond(r)
+    case NotC(x)        => 1 + sizeCond(x)
+  }
+
+  private def contains(hay: E, needle: E): Boolean =
+    hay == needle || (hay match {
+      case Bin(_, l, r) => contains(l, needle) || contains(r, needle)
+      case Fn(_, args)  => args.exists(contains(_, needle))
+      case If(c, t, f)  => condContains(c, needle) || contains(t, needle) ||
+        contains(f, needle)
+      case CastD(a)     => contains(a, needle)
+      case _            => false
+    })
+  private def condContains(c: Cond, needle: E): Boolean = c match {
+    case Cmp(_, l, r)   => contains(l, needle) || contains(r, needle)
+    case AndOr(_, l, r) => condContains(l, needle) || condContains(r, needle)
+    case NotC(x)        => condContains(x, needle)
+  }
+
+  private def count(e: E, acc: scala.collection.mutable.Map[E, Int]): Unit = {
+    e match {
+      case Bin(_, l, r) => count(l, acc); count(r, acc)
+      case Fn(_, args)  => args.foreach(count(_, acc))
+      case If(c, t, f)  => countCond(c, acc); count(t, acc); count(f, acc)
+      case CastD(a)     => count(a, acc)
+      case _: Raw       => return // opaque: Column equality is unreliable
+      case _            => return
+    }
+    if (sizeOf(e) >= minSize) acc.update(e, acc.getOrElse(e, 0) + 1)
+  }
+  private def countCond(c: Cond, acc: scala.collection.mutable.Map[E, Int]): Unit =
+    c match {
+      case Cmp(_, l, r)   => count(l, acc); count(r, acc)
+      case AndOr(_, l, r) => countCond(l, acc); countCond(r, acc)
+      case NotC(x)        => countCond(x, acc)
+    }
+
+  def rewrite(e: E, m: Map[E, String]): E = m.get(e) match {
+    case Some(n) => C(n)
+    case None => e match {
+      case Bin(op, l, r) => Bin(op, rewrite(l, m), rewrite(r, m))
+      case Fn(f, args)   => Fn(f, args.map(rewrite(_, m)))
+      case If(c, t, f)   => If(rewriteCond(c, m), rewrite(t, m), rewrite(f, m))
+      case CastD(a)      => CastD(rewrite(a, m))
+      case other         => other
+    }
+  }
+  def rewriteCond(c: Cond, m: Map[E, String]): Cond = c match {
+    case Cmp(op, l, r)   => Cmp(op, rewrite(l, m), rewrite(r, m))
+    case AndOr(op, l, r) => AndOr(op, rewriteCond(l, m), rewriteCond(r, m))
+    case NotC(x)         => NotC(rewriteCond(x, m))
+  }
+
+  private def freeVars(e: E, acc: scala.collection.mutable.LinkedHashSet[String]): Unit =
+    e match {
+      case C(n)         => acc += n
+      case Bin(_, l, r) => freeVars(l, acc); freeVars(r, acc)
+      case Fn(_, args)  => args.foreach(freeVars(_, acc))
+      case If(c, t, f)  => freeVarsCond(c, acc); freeVars(t, acc); freeVars(f, acc)
+      case CastD(a)     => freeVars(a, acc)
+      case _            => ()
+    }
+  private def freeVarsCond(c: Cond, acc: scala.collection.mutable.LinkedHashSet[String]): Unit =
+    c match {
+      case Cmp(_, l, r)   => freeVars(l, acc); freeVars(r, acc)
+      case AndOr(_, l, r) => freeVarsCond(l, acc); freeVarsCond(r, acc)
+      case NotC(x)        => freeVarsCond(x, acc)
+    }
+
+  private val minSize = 5
+  private val maxPicks = 16
+
+  /** Split a stage into (prelude, rewritten) when profitable; None when the
+    * stage has no repeated subtree worth hoisting. */
+  def split(stage: Stage): Option[(Stage, Stage)] = {
+    val counts = scala.collection.mutable.Map.empty[E, Int]
+    stage.cols.foreach { case (_, e) => count(e, counts) }
+    val candidates = counts.toSeq.collect {
+      case (e, n) if n >= 2 => (e, sizeOf(e))
+    }.sortBy(-_._2)
+    if (candidates.isEmpty) return None
+    // greedy non-overlapping pick, largest first
+    val picked = scala.collection.mutable.ArrayBuffer.empty[E]
+    candidates.iterator.takeWhile(_ => picked.size < maxPicks).foreach {
+      case (e, _) =>
+        if (!picked.exists(p => contains(p, e) || contains(e, p)))
+          picked += e
+    }
+    if (picked.isEmpty) return None
+    val names = picked.zipWithIndex.map { case (e, i) => e -> s"_cse$i" }.toMap
+    // prelude passes through every column the original stage reads
+    val fv = scala.collection.mutable.LinkedHashSet.empty[String]
+    stage.cols.foreach { case (_, e) => freeVars(e, fv) }
+    val prelude = Stage(fv.toSeq.map(c => c -> (C(c): E)) ++
+      picked.map(e => names(e) -> e))
+    val rewritten = Stage(stage.cols.map { case (n, e) => n -> rewrite(e, names) })
+    Some((prelude, rewritten))
+  }
+
+  /** Recursive: the prelude's hoisted definitions can themselves share
+    * subtrees (a hoisted cation fraction still contains the hoisted
+    * denominator), so re-split until stable. Depth-bounded; every level
+    * keeps arithmetic and op order identical. */
+  def expand(stage: Stage, depth: Int = 4): Seq[Stage] = split(stage) match {
+    case Some((p, r)) if depth > 0 => expand(p, depth - 1) :+ r
+    case Some((p, r))              => Seq(p, r)
+    case None                      => Seq(stage)
+  }
+}
+
 object Pipeline {
   import E._
 

@@ -148,9 +148,11 @@ object Allison {
       138.855 * x("K") + 2.239 * naK
   }
 
-  /** CO2 solubility (wt.%), eq. 5 (`allison2022.py:273-337`). */
-  def co2Solubility(c: Comp, tK: Double, pBar: Double,
-                    xFluid: Double = 0.0): Double = {
+  /** CO2 solubility with the composition terms precomputed — lnK0/deltaV
+    * are per-sample constants, hoisted out of the mixed-saturation Newton
+    * loop's trial evaluations. */
+  private def co2SolubilityK(lk0: Double, dv: Double, tK: Double,
+                             pBar: Double, xFluid: Double): Double = {
     if (pBar <= 0 || 1.0 - xFluid <= 0) return 0.0
     val ra = R * 10.0
     val fCO2Pure = fugacity(tK, pBar, co2Species = true)
@@ -168,11 +170,17 @@ object Allison {
           try Solver.brent(fn, 1e-50, 1.5e4)
           catch { case _: Throwable => return Double.NaN }
       } else pBar
-    val cat = cationFractions(c)
-    val k = math.exp(lnK0(cat)) * math.exp(-deltaV(cat) * (pCO2 - p0) / (ra * tK))
+    val k = math.exp(lk0) * math.exp(-dv * (pCO2 - p0) / (ra * tK))
     val kf = k * fCO2
     val xCO3 = kf / (1.0 - kf)
     44.01 * xCO3 / (44.01 * xCO3 + (1.0 - xCO3) * fw) * 100.0
+  }
+
+  /** CO2 solubility (wt.%), eq. 5 (`allison2022.py:273-337`). */
+  def co2Solubility(c: Comp, tK: Double, pBar: Double,
+                    xFluid: Double = 0.0): Double = {
+    val cat = cationFractions(c)
+    co2SolubilityK(lnK0(cat), deltaV(cat), tK, pBar, xFluid)
   }
 
   /** H2O saturation pressure: invert the fugacity EOS against
@@ -217,11 +225,14 @@ object Allison {
     if (c("CO2") <= 0.0) return (pH2O, 1.0)
     val pGuess = (if (pH2O.isFinite) pH2O else 0.0) +
       (if (pCO2.isFinite) pCO2 else 0.0)
+    val cat = cationFractions(c)
+    val lk0 = lnK0(cat); val dv = deltaV(cat)
+    val h2oObs = c("H2O"); val co2Obs = c("CO2")
     def objective(p: Double, xfl: Double): (Double, Double) = {
       val pc = math.max(p, 1e-15)
       val xc = math.min(1.0, math.max(0.0, xfl))
-      (h2oSolubility(tK, pc, xc) - c("H2O"),
-        co2Solubility(c, tK, pc, xc) - c("CO2"))
+      (h2oSolubility(tK, pc, xc) - h2oObs,
+        co2SolubilityK(lk0, dv, tK, pc, xc) - co2Obs)
     }
     val (p, xflRaw) = Solver.newton2d(objective, pGuess, 0.1,
       clampX = x => math.max(x, 1e-15),

@@ -129,7 +129,9 @@ object IwFull {
         (1.0 - math.pow(seed / v0, kappa)))
       i += 1
     }
-    if (gridCache.size() > 50000) gridCache.clear()
+    // Bound must exceed the working set (7 phases x ~10k distinct pressures
+    // in the driver tables = 70k entries, ~110 MB) or the cache thrashes.
+    if (gridCache.size() > 200000) gridCache.clear()
     gridCache.put(key, (vRoom, alpha))
     (vRoom, alpha)
   }
