@@ -65,14 +65,31 @@ object Deng2020 {
   private val dVdPCache =
     new java.util.concurrent.ConcurrentHashMap[(Double, Double), java.lang.Double]()
 
+  /** Volume at integration-grid points, cached per (T, P, endmember): the
+    * grid is a fixed 500-bar lattice and the driver tables carry ~250
+    * distinct temperatures, so across rows the same solves recur
+    * constantly (~10k distinct entries at sf0.1 vs ~200 fresh EOS solves
+    * per row without the cache). */
+  private val volCache =
+    new java.util.concurrent.ConcurrentHashMap[(Double, Double, Boolean), java.lang.Double]()
+  private def volumeCached(tK: Double, p: Double, fe3: Boolean): Double = {
+    val key = (tK, p, fe3)
+    val hit = volCache.get(key)
+    if (hit != null) return hit.doubleValue
+    val v = volume(tK, p, fe3)
+    if (volCache.size() > 500000) volCache.clear()
+    volCache.put(key, v)
+    v
+  }
+
   def dVdP(tK: Double, pBar: Double): Double = {
     val key = (tK, pBar)
     val cached = dVdPCache.get(key)
     if (cached != null) return cached.doubleValue
     val step = 5e2
     val grid = Iterator.iterate(1.0)(_ + step).takeWhile(_ < pBar + step).toArray
-    val dv = grid.map(p => (volume(tK, p, fe3 = true) -
-      volume(tK, p, fe3 = false)) * 1e-6)
+    val dv = grid.map(p => (volumeCached(tK, p, fe3 = true) -
+      volumeCached(tK, p, fe3 = false)) * 1e-6)
     var integral = 0.0
     var i = 1
     while (i < grid.length) {
@@ -95,22 +112,22 @@ object Deng2020 {
     "Ca" -> -58109.0, "Na" -> 0.0, "K" -> -59584.0, "P" -> 0.0, "Ti" -> 0.0)
   private val feMargules = -14210.0
 
-  /** One evaluation of eq. 3 at a trial ratio (`Fe3Fe2_models.py:565-597`). */
-  private def once(mol: Map[String, Double], tK: Double, fO2: Double,
-                   g0: Double, vdp: Double, r: Double): Double = {
-    val c = Fe3Fe2Iterative.cationsWithFeSplit(mol, r)
-    def cat(n: String): Double = c.getOrElse(n, 0.0)
-    val sumMargules = margules.map { case (n, m) => cat(n) * m }.sum
-    val lnA = (sumMargules + (cat("Fe") - cat("Fe3")) * feMargules) / (R * tK)
-    math.exp(-(g0 + vdp) / (R * tK) - lnA + math.log(fO2) / 4.0)
-  }
-
-  /** Full deng2020: per-row fixed point; dVdP/gibbs0 hoisted per (T,P). */
+  /** Full deng2020: per-row fixed point on eq. 3
+    * (`Fe3Fe2_models.py:565-597`); dVdP/gibbs0 hoisted per (T,P) and the
+    * non-Fe Margules sum per row (r-invariant — see
+    * [[Fe3Fe2Iterative.CatBase]]); each trial is pure scalar math. */
   def fe3Fe2(mol: Map[String, Double], tK: Double, pBar: Double,
              fO2: Double): Double = {
     val g0 = gibbs0(tK)
     val vdp = dVdP(tK, pBar)
-    def g(r: Double): Double = once(mol, tK, fO2, g0, vdp, r) - r
+    val b = Fe3Fe2Iterative.catBase(mol)
+    val sumMargules = margules.map { case (n, m) => b(n) * m }.sum
+    val gTerm = -(g0 + vdp) / (R * tK)
+    val lnfO2Quarter = math.log(fO2) / 4.0
+    def g(r: Double): Double = {
+      val lnA = (sumMargules + b.feMinusFe3(r) * feMargules) / (R * tK)
+      math.exp(gTerm - lnA + lnfO2Quarter) - r
+    }
     val s = Solver.secant(g, 0.3, 0.31, tol = 1e-10)
     if (s.isFinite && s > 0.0 && math.abs(g(s)) < 1e-8) s
     else try Solver.brent(g, 1e-8, 100.0) catch { case _: Throwable => Double.NaN }

@@ -26,31 +26,60 @@ object Fe3Fe2Iterative {
     terms.groupBy(_._1).map { case (c, vs) => c -> vs.iterator.map(_._2).sum / tot }
   }
 
-  /** O'Neill et al. (2006) eq. 10, one evaluation at a trial ratio
-    * (`Fe3Fe2_models.py:840-871`). */
-  private def oneill2006Once(mol: Map[String, Double], tK: Double,
-                             pBar: Double, fO2: Double, r: Double): Double = {
-    val c = cationsWithFeSplit(mol, r)
-    def cat(n: String): Double = c.getOrElse(n, 0.0)
+  /** The r-invariant decomposition of [[cationsWithFeSplit]]: splitting
+    * FeO into FeO + Fe2O3 CONSERVES the cation count (each Fe is one
+    * cation on either side), so the denominator and every non-Fe cation
+    * fraction are constant across the fixed-point trials — only the
+    * Fe2+/Fe3+ pair redistributes `feTot` by 1/(1+r). Hoisting this out
+    * of the trial evaluations removes all per-trial Map building. */
+  private[functions] final case class CatBase(cat: Map[String, Double],
+                                              feTot: Double) {
+    @inline def fe(r: Double): Double = feTot / (1.0 + r)
+    @inline def fe3(r: Double): Double = feTot - fe(r)
+    /** cat("Fe") - cat("Fe3") at trial r. */
+    @inline def feMinusFe3(r: Double): Double = fe(r) - fe3(r)
+    def apply(n: String): Double = cat.getOrElse(n, 0.0)
+  }
+
+  private[functions] def catBase(mol: Map[String, Double]): CatBase = {
+    val feo = mol.getOrElse("FeO", 0.0)
+    val terms = (mol - "FeO" - "Fe2O3").toSeq.map { case (ox, x) =>
+      Elements.cationName(ox) -> x * Elements.cationAmount(ox)
+    }
+    val tot = terms.iterator.map(_._2).sum + feo
+    CatBase(
+      terms.groupBy(_._1).map { case (c, vs) => c -> vs.iterator.map(_._2).sum / tot },
+      feo / tot)
+  }
+
+  /** O'Neill et al. (2006) eq. 10 (`Fe3Fe2_models.py:840-871`): the cation
+    * polynomial and pressure term are per-row constants; only the
+    * Fe2+-Fe3+ difference varies per trial. */
+  def oneill2006(mol: Map[String, Double], tK: Double, pBar: Double,
+                 fO2: Double): Double = {
+    val b = catBase(mol)
     val pGPa = pBar / 1e4
-    val part1 = (-28144.0 + 3905.0 * cat("Mg") - 13359.0 * cat("Ca") -
-      14858.0 * cat("Na") - 9805.0 * cat("K") + 10906.0 * cat("Al") +
-      110971.0 * cat("P") - 11952.0 * (cat("Fe") - cat("Fe3"))) / tK
+    val catPoly = -28144.0 + 3905.0 * b("Mg") - 13359.0 * b("Ca") -
+      14858.0 * b("Na") - 9805.0 * b("K") + 10906.0 * b("Al") +
+      110971.0 * b("P")
     val part2 = 13.95 +
       (33122.0 / tK - 5.24) * (math.pow(1.0 + 0.241 * pGPa, 0.75) - 1.0) -
       (39156.0 / tK - 6.17) * (math.pow(1.0 + 0.132 * pGPa, 0.75) - 1.0)
-    math.pow(10.0, (math.log10(fO2) - part1 - part2) / 4.0)
+    val log10fO2 = math.log10(fO2)
+    fixedPoint { r =>
+      val part1 = (catPoly - 11952.0 * b.feMinusFe3(r)) / tK
+      math.pow(10.0, (log10fO2 - part1 - part2) / 4.0)
+    }
   }
 
-  /** Armstrong et al. (2019) Supplementary eq. S12, one evaluation
+  /** Armstrong et al. (2019) Supplementary eq. S12
     * (`Fe3Fe2_models.py:1030-1155`): Gibbs0 + Tait-like VdP of the FeO/
-    * FeO1.5 partial molar volumes + Jayasuriya Margules activities. */
-  private def armstrong2019Once(mol: Map[String, Double], tK: Double,
-                                pBar: Double, fO2: Double, r: Double): Double = {
-    val c = cationsWithFeSplit(mol, r)
-    def cat(n: String): Double = c.getOrElse(n, 0.0)
+    * FeO1.5 partial molar volumes + Jayasuriya Margules activities.
+    * Everything but the Fe2+-Fe3+ Margules term is per-row constant. */
+  def armstrong2019(mol: Map[String, Double], tK: Double, pBar: Double,
+                    fO2: Double): Double = {
+    val b = catBase(mol)
     val gibbs0 = -(16201.0 / tK - 8.031) * (R * tK)
-
     def vdp(phase: String): Double = {
       val (k0, kp0) = phase match {
         case "Fe2" => (37.0, 8.0)
@@ -63,20 +92,21 @@ object Fe3Fe2Iterative {
       }
       val pGPa = pBar / 1e4
       val a = (1.0 + kp0) / (1.0 + kp0 + k0 * kpp0)
-      val b = kp0 / k0 - kpp0 / (1.0 + kp0)
+      val bb = kp0 / k0 - kpp0 / (1.0 + kp0)
       val cc = (1.0 + kp0 + k0 * kpp0) / (kp0 * kp0 + kp0 - k0 * kpp0)
-      val part1 = a * (1.0 - math.pow(1.0 + b * pGPa, 1.0 - cc))
-      val part2 = b * (cc - 1.0) * pGPa
+      val part1 = a * (1.0 - math.pow(1.0 + bb * pGPa, 1.0 - cc))
+      val part2 = bb * (cc - 1.0) * pGPa
       pGPa * v0 * (1.0 - a + part1 / part2)
     }
     val dVdP = vdp("Fe3") - vdp("Fe2")
-
-    val margules = Map("Mg" -> -2248.0, "Ca" -> 7690.0, "Na" -> 8553.0,
-      "K" -> 5644.0, "Al" -> -6278.0)
-    val sumMargules = margules.map { case (n, m) => cat(n) * m }.sum
-    val lnAFe3AFe2 = sumMargules / tK + 6880.0 * ((cat("Fe") - cat("Fe3")) / tK)
-
-    math.exp(math.log(fO2) / 4.0 - (gibbs0 + dVdP) / (R * tK) + lnAFe3AFe2)
+    val sumMargules = -2248.0 * b("Mg") + 7690.0 * b("Ca") + 8553.0 * b("Na") +
+      5644.0 * b("K") + -6278.0 * b("Al")
+    val lnfO2Quarter = math.log(fO2) / 4.0
+    val gTerm = (gibbs0 + dVdP) / (R * tK)
+    fixedPoint { r =>
+      val lnAFe3AFe2 = sumMargules / tK + 6880.0 * (b.feMinusFe3(r) / tK)
+      math.exp(lnfO2Quarter - gTerm + lnAFe3AFe2)
+    }
   }
 
   private def fixedPoint(f: Double => Double): Double = {
@@ -85,15 +115,4 @@ object Fe3Fe2Iterative {
     if (s.isFinite && s > 0.0 && math.abs(g(s)) < 1e-8) s
     else try Solver.brent(g, 1e-8, 100.0) catch { case _: Throwable => Double.NaN }
   }
-
-  /** Solve the oneill2006 fixed point for one row. `mol` are NORMALISED
-    * oxide mol fractions (total Fe as FeO). P=0 in the S12 pressure term at
-    * 1 bar is handled by the formula itself. */
-  def oneill2006(mol: Map[String, Double], tK: Double, pBar: Double,
-                 fO2: Double): Double =
-    fixedPoint(r => oneill2006Once(mol, tK, pBar, fO2, r))
-
-  def armstrong2019(mol: Map[String, Double], tK: Double, pBar: Double,
-                    fO2: Double): Double =
-    fixedPoint(r => armstrong2019Once(mol, tK, pBar, fO2, r))
 }
