@@ -47,3 +47,14 @@ object Probe {
     spark.stop()
   }
 }
+
+/** Bare-session smoke of the driver's entry contract. */
+object EntrySmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    println(s"ENTRY_ROWS=${graft.SparkEntry.entry(spark).count()}")
+    spark.stop()
+  }
+}
