@@ -71,6 +71,20 @@ object ExtQueries {
         threshold = 0.0, k = 16, rowsPerBand = 2)
         .select(col("doc_a"), col("doc_b"), org.apache.spark.sql.functions.round(col("jaccard"), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b"), None),
+    // Embedding-cosine near-dup: thresholded unordered pair set over the
+    // embeddings table (the LSH-bucketed form is the 100 TB path).
+    Q("q_dedup_embedding_cosine",
+      (s, dir) => Similarity.cosineNearDupPairs(
+          Tables.read(s, dir, "embeddings"), threshold = 0.35)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH e AS (SELECT "vec_id", CAST("embedding" AS DOUBLE[]) AS v FROM embeddings),
+             | n AS (SELECT "vec_id", v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+             | p AS (SELECT a."vec_id" AS id_a, b."vec_id" AS id_b,
+             |   round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
+             |   FROM n a JOIN n b ON a."vec_id" < b."vec_id")
+             | SELECT id_a AS "id_a", id_b AS "id_b", sim AS "sim" FROM p
+             | WHERE sim >= 0.35e0 ORDER BY "id_a", "id_b"""".stripMargin
+        .replace("\n", " "))),
     // ---- similarity search ----------------------------------------------
     Q("q_knn_cosine_topk",
       (s, dir) => Similarity.bruteForceTopK(Tables.read(s, dir, "embeddings"), 5)

@@ -46,6 +46,21 @@ object Similarity {
       .select(col("qid"), col("nid"), col("sim"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: unordered (id_a < id_b) pairs
+    * whose cosine similarity clears `threshold` — the dedup DECISION set,
+    * as opposed to the top-k NEIGHBOUR set. Exact all-pairs kernel here;
+    * at 100 TB the identical select runs after an LSH-bucket equi-join
+    * (see [[lshTopK]]'s bucketing) so the pair space stays per-bucket. */
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val e = prepared(embeddings)
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val sim = round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), sim.as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Deterministic random hyperplanes: dim x planes doubles from a seeded
     * PRNG, baked into the plan as array literals. */
   def hyperplanes(dim: Int, planes: Int, seed: Long): Array[Array[Double]] = {
