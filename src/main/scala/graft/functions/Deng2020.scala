@@ -15,15 +15,26 @@ object Deng2020 {
   val R = 8.31446261815324
   val Avogadro = 6.02214076e23
   private val tRef = 3000.0
-  private val formulaUnits = 2.0 // 12.5molpc: Mg14Fe2Si16Oxx
   private val a3ToCm3 = 1e-24
 
-  // eos_params["12.5molpc"]: V_0, K_0, Kprime_0, Kprime_prime_0
-  private val eosFe2 = (1180.114014, 26.94713861, 2.802531871, 0.012313472)
-  private val eosFe3 = (1204.763652, 23.19530062, 3.216089358, 0.009340183)
-  // thermal_pressure_params["12.5molpc"]: a, b, c
-  private val thermFe2 = (35.79397483, 71.10313668, 36.59545225)
-  private val thermFe3 = (34.52616394, 68.64429623, 35.27069116)
+  /** EOS + thermal-pressure parameter sets keyed by melt-Fe content
+    * (`Fe3Fe2_models.py:462-504`, the un-rounded values from Deng's
+    * published code). Tuples: (eosFe2, eosFe3, thermFe2, thermFe3,
+    * formulaUnits); eos = (V_0, K_0, Kprime_0, Kprime_prime_0),
+    * therm = (a, b, c). */
+  private val paramSets: Map[String,
+      ((Double, Double, Double, Double), (Double, Double, Double, Double),
+       (Double, Double, Double), (Double, Double, Double), Double)] = Map(
+    "12.5molpc" -> (
+      (1180.114014, 26.94713861, 2.802531871, 0.012313472),
+      (1204.763652, 23.19530062, 3.216089358, 0.009340183),
+      (35.79397483, 71.10313668, 36.59545225),
+      (34.52616394, 68.64429623, 35.27069116), 2.0),
+    "25molpc" -> (
+      (1192.011066, 23.95435759, 3.32104996, -0.008912497),
+      (1256.727179, 16.12613905, 4.584011905, -0.177152954),
+      (31.34712676, 62.48520005, 32.4675829),
+      (30.38414264, 59.10950152, 29.64971394), 4.0))
 
   /** Birch-Murnaghan 4th order, Katsura & Tange (2019) eq. 27
     * (`EOSs/birch_murnaghan.py:6-42`); returns pressure in K_0's units. */
@@ -45,7 +56,9 @@ object Deng2020 {
 
   /** Volume (cm3 per mole Fe) at (T, P) for the Fe2/Fe3 endmember: EOS +
     * thermal-pressure term solved for V (`Fe3Fe2_models.py:624-671`). */
-  def volume(tK: Double, pBar: Double, fe3: Boolean): Double = {
+  def volume(tK: Double, pBar: Double, fe3: Boolean,
+             meltFe: String = "12.5molpc"): Double = {
+    val (eosFe2, eosFe3, thermFe2, thermFe3, formulaUnits) = paramSets(meltFe)
     val eos = if (fe3) eosFe3 else eosFe2
     val therm = if (fe3) thermFe3 else thermFe2
     val pGPa = pBar / 1e4
@@ -63,7 +76,7 @@ object Deng2020 {
   /** trapezoid integral of dV (m3) over P (Pa) from 1 bar to P_bar with a
     * 500-bar grid (`Fe3Fe2_models.py:702-733`). */
   private val dVdPCache =
-    new java.util.concurrent.ConcurrentHashMap[(Double, Double), java.lang.Double]()
+    new java.util.concurrent.ConcurrentHashMap[(Double, Double, String), java.lang.Double]()
 
   /** Volume at integration-grid points, cached per (T, P, endmember): the
     * grid is a fixed 500-bar lattice and the driver tables carry ~250
@@ -71,25 +84,26 @@ object Deng2020 {
     * constantly (~10k distinct entries at sf0.1 vs ~200 fresh EOS solves
     * per row without the cache). */
   private val volCache =
-    new java.util.concurrent.ConcurrentHashMap[(Double, Double, Boolean), java.lang.Double]()
-  private def volumeCached(tK: Double, p: Double, fe3: Boolean): Double = {
-    val key = (tK, p, fe3)
+    new java.util.concurrent.ConcurrentHashMap[(Double, Double, Boolean, String), java.lang.Double]()
+  private def volumeCached(tK: Double, p: Double, fe3: Boolean,
+                           meltFe: String): Double = {
+    val key = (tK, p, fe3, meltFe)
     val hit = volCache.get(key)
     if (hit != null) return hit.doubleValue
-    val v = volume(tK, p, fe3)
+    val v = volume(tK, p, fe3, meltFe)
     if (volCache.size() > 500000) volCache.clear()
     volCache.put(key, v)
     v
   }
 
-  def dVdP(tK: Double, pBar: Double): Double = {
-    val key = (tK, pBar)
+  def dVdP(tK: Double, pBar: Double, meltFe: String = "12.5molpc"): Double = {
+    val key = (tK, pBar, meltFe)
     val cached = dVdPCache.get(key)
     if (cached != null) return cached.doubleValue
     val step = 5e2
     val grid = Iterator.iterate(1.0)(_ + step).takeWhile(_ < pBar + step).toArray
-    val dv = grid.map(p => (volumeCached(tK, p, fe3 = true) -
-      volumeCached(tK, p, fe3 = false)) * 1e-6)
+    val dv = grid.map(p => (volumeCached(tK, p, fe3 = true, meltFe) -
+      volumeCached(tK, p, fe3 = false, meltFe)) * 1e-6)
     var integral = 0.0
     var i = 1
     while (i < grid.length) {
@@ -117,9 +131,9 @@ object Deng2020 {
     * non-Fe Margules sum per row (r-invariant — see
     * [[Fe3Fe2Iterative.CatBase]]); each trial is pure scalar math. */
   def fe3Fe2(mol: Map[String, Double], tK: Double, pBar: Double,
-             fO2: Double): Double = {
+             fO2: Double, meltFe: String = "12.5molpc"): Double = {
     val g0 = gibbs0(tK)
-    val vdp = dVdP(tK, pBar)
+    val vdp = dVdP(tK, pBar, meltFe)
     val b = Fe3Fe2Iterative.catBase(mol)
     val sumMargules = margules.map { case (n, m) => b(n) * m }.sum
     val gTerm = -(g0 + vdp) / (R * tK)

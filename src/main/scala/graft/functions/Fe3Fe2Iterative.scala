@@ -109,6 +109,41 @@ object Fe3Fe2Iterative {
     }
   }
 
+  /** Plain cation fractions with Fe as total Fe2+ (no Fe3 split) — the
+    * reference's `moles.cations()` used by hirschmann2022
+    * (`Fe3Fe2_models.py:1304-1307`). */
+  private[functions] def plainCations(mol: Map[String, Double]): Map[String, Double] = {
+    val terms = mol.toSeq.map { case (ox, x) =>
+      Elements.cationName(ox) -> x * Elements.cationAmount(ox)
+    }
+    val tot = terms.iterator.map(_._2).sum
+    terms.groupBy(_._1).map { case (c, vs) => c -> vs.iterator.map(_._2).sum / tot }
+  }
+
+  /** Hirschmann (2022) eq. 21 with the deng2020 EOS-integral dVdP instead
+    * of the armstrong2019 analytic volumes (the reference's
+    * `dVdP_method="deng2020"` variant, `Fe3Fe2_models.py:1325-1330`).
+    * Closed-form in Fe3Fe2 — no fixed point — but needs the numeric Deng
+    * volume integral, so it lives here rather than in the expression AST. */
+  def hirschmann2022DengVdP(mol: Map[String, Double], tK: Double,
+                            pBar: Double, fO2: Double): Double = {
+    val (a, b, c, dCp, t0) = (0.1917, -1.961, 4158.1, 33.25, 1673.15)
+    val cats = plainCations(mol)
+    def cat(n: String): Double = cats.getOrElse(n, 0.0)
+    val compositional =
+      Seq("Si" -> -520.46, "Ti" -> -185.37, "Mg" -> 494.39, "Ca" -> 1838.34,
+        "Na" -> 2888.48, "K" -> 3473.68, "P" -> -4473.6)
+        .map { case (n, y) => cat(n) * y }.sum +
+        -1245.09 * cat("Si") * cat("Al") + -1156.86 * cat("Si") * cat("Mg")
+    val dVdP = Deng2020.dVdP(tK, pBar)
+    val part1 = a * math.log10(fO2) + b + c / tK
+    val part2 = -dCp / (R * math.log(10.0)) *
+      (1.0 - t0 / tK - math.log(tK / t0))
+    val part3 = -dVdP / (R * math.log(10.0) * tK)
+    val part4 = compositional / tK
+    math.pow(10.0, part1 + part2 + part3 + part4)
+  }
+
   private def fixedPoint(f: Double => Double): Double = {
     def g(r: Double): Double = f(r) - r
     val s = Solver.secant(g, 0.3, 0.31, tol = 1e-10)

@@ -1,0 +1,429 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.chem.Elements
+import graft.core._
+import graft.expr._
+import graft.expr.E._
+import graft.functions._
+import graft.models._
+
+/** Golden-value anchors from the REFERENCE'S OWN accuracy-benchmark
+  * fixtures (`docs/source/notebooks/benchmarks/data/`, compared in
+  * `docs/source/notebooks/benchmarks/{fO2,Fe3Fe2,Kd,melt_thermometers}
+  * .ipynb`). These pin the solver families that the DuckDB oracle cannot
+  * reach (the oracle consumes the same expression AST the engine compiles,
+  * so only EXTERNAL numbers catch transcribed-constant errors):
+  *
+  *  - QFM full EOS buffer vs Anenburg's app (`QFM_anenburg.csv`)
+  *  - IW full buffer vs Hirschmann's MATLAB code (`fO2_IW_Hirschmann.csv`)
+  *  - deng2020 / armstrong2019 iterative Fe3Fe2 vs Hirschmann (2022)'s
+  *    published per-sample model values (`Fe3Fe2_hirschmann.csv`) and
+  *    Deng (2020)'s published planet adiabat curves (`earth/moon/mars.csv`)
+  *  - sun2024 vs Sun et al. (2024)'s Excel implementation
+  *  - putirka2008 / sun2020 thermometers vs the authors' Excel sheets
+  *  - sun2020 / saper2022 / blundy2020 Kd vs Excel + measured values
+  *
+  * Volatile-saturation models have NO published fixture in the reference
+  * (its benchmark suite is fO2/Fe3Fe2/Kd/thermometers only) and remain
+  * covered by the inverse/self-consistency properties in SolverSpec.
+  */
+object Golden {
+  /** Parse a plain (unquoted) CSV resource: (header, rows). */
+  def load(name: String): (Array[String], Array[Array[String]]) = {
+    val in = getClass.getResourceAsStream(s"/golden/$name")
+    require(in != null, s"missing golden resource $name")
+    val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toArray
+    val header = lines.head.split(",", -1).map(_.trim)
+    (header, lines.tail.filter(_.nonEmpty).map(_.split(",", -1).map(_.trim)))
+  }
+
+  def num(s: String): Double =
+    if (s.isEmpty) Double.NaN
+    else try s.toDouble catch { case _: NumberFormatException => Double.NaN }
+
+  /** Rows as column-name maps. */
+  def rows(name: String): Array[Map[String, Double]] = {
+    val (h, rs) = load(name)
+    rs.map(r => h.zip(r.map(num)).toMap)
+  }
+
+  /** wt.% oxides -> normalised oxide mol fractions (reference
+    * `Melt(...).moles()`); NaN/absent read as 0. */
+  def wtToMol(comp: Seq[(String, Double)]): Map[String, Double] = {
+    val mol = comp.collect { case (ox, wt) if !wt.isNaN && wt > 0.0 =>
+      ox -> wt / Elements.chemicalWeight(ox).get
+    }
+    val tot = mol.map(_._2).sum
+    mol.map { case (o, m) => o -> m / tot }.toMap
+  }
+
+  /** cation mol fractions -> normalised oxide mol fractions (reference
+    * `Melt(..., datatype="cation").oxides()`). */
+  def cationToOxideMol(cats: Seq[(String, Double)]): Map[String, Double] = {
+    val mol = cats.collect { case (c, x) if !x.isNaN && x > 0.0 =>
+      val ox = Elements.oxideName(c)
+      ox -> x / Elements.cationAmount(ox)
+    }
+    val tot = mol.map(_._2).sum
+    mol.map { case (o, m) => o -> m / tot }.toMap
+  }
+}
+
+class GoldenSpec extends SparkSpec {
+  import Golden._
+
+  private def maxAbs(ds: Seq[Double]): Double =
+    if (ds.isEmpty) 0.0 else ds.map(math.abs).max
+  private def medianAbs(ds: Seq[Double]): Double = {
+    val s = ds.map(math.abs).sorted
+    s(s.length / 2)
+  }
+
+  // ---- fO2 buffers vs external calculators --------------------------------
+
+  test("QFM full matches Anenburg's calculator (golden fixture)") {
+    val devByP = rows("QFM_anenburg.csv").groupBy(_("P_bar")).map {
+      case (p, rs) =>
+        p -> rs.toSeq.map { r =>
+          math.log10(QfmFull.fO2(r("T_K"), p)) - math.log10(r("fO2"))
+        }
+    }
+    for ((p, devs) <- devByP.toSeq.sortBy(_._1)) {
+      info(f"QFM P=$p%.0f bar: max |dlog10 fO2| = ${maxAbs(devs)}%.4f " +
+        f"median ${medianAbs(devs)}%.4f over ${devs.size} points")
+      // Bit-exact vs Anenburg up to 10 kbar. At 10 GPa the REFERENCE ITSELF
+      // deviates from Anenburg by up to ~1.05 log units (different EOS
+      // datasets once the qtz->coe->stish / fay->ring transitions engage) —
+      // verified by executing `fO2/QFM.py` in-container; exact parity with
+      // the reference at that tier is pinned by the ref_qfm_parity test.
+      val tol = if (p <= 1e4) 0.01 else 1.1
+      assert(maxAbs(devs) < tol, f"P=$p max dev ${maxAbs(devs)}%.4f")
+    }
+  }
+
+  test("QFM full matches the reference implementation bit-exactly to 10 GPa") {
+    // golden/ref_qfm_parity.csv = output of the reference's own
+    // `QFM.calculate_fO2` executed in-container over a (T, P) grid.
+    val devs = rows("ref_qfm_parity.csv").toSeq.map { r =>
+      math.log10(QfmFull.fO2(r("T_K"), r("P_bar"))) - r("log10fO2")
+    }
+    info(f"QFM parity: max |dlog10 fO2| = ${maxAbs(devs)}%.8f " +
+      f"over ${devs.size} points")
+    assert(maxAbs(devs) < 1e-5, f"max dev ${maxAbs(devs)}")
+  }
+
+  test("IW full matches Hirschmann's MATLAB values (golden fixture)") {
+    val devByP = rows("fO2_IW_Hirschmann.csv").groupBy(_("P_bar")).map {
+      case (p, rs) =>
+        p -> rs.toSeq.map { r =>
+          math.log10(IwFull.fO2(r("T_K"), p)) - math.log10(r("fO2"))
+        }
+    }
+    for ((p, devs) <- devByP.toSeq.sortBy(_._1)) {
+      info(f"IW P=$p%.0f bar: max |dlog10 fO2| = ${maxAbs(devs)}%.4f " +
+        f"median ${medianAbs(devs)}%.4f over ${devs.size} points")
+      val tol = if (p <= 1e4) 0.05 else 0.3
+      assert(maxAbs(devs) < tol, f"P=$p max dev ${maxAbs(devs)}%.4f")
+    }
+  }
+
+  // ---- iterative Fe3Fe2 vs published model values -------------------------
+
+  /** Hirschmann (2022) benchmark table rows, aligned 1:1 (original file
+    * order) with `ref_hirschmann_parity.csv` — the reference's own
+    * deng2020/armstrong2019/hirschmann2022(x2 dVdP methods) Fe3Fe2 output
+    * executed in-container on the same rows. The table's
+    * `Fe3Fetotal_deng/armstrong` columns are Hirschmann's OWN model
+    * (hirschmann2022 eq. 21) evaluated with the deng/armstrong dVdP bases
+    * (see `benchmarks/Fe3Fe2.ipynb`), NOT the deng2020/armstrong2019
+    * models — the reference's deng/armstrong deviate from those columns by
+    * up to 0.07/0.14 Fe3Fetotal, identical to ours. */
+  private lazy val hirschmannRows = {
+    val (h, rs) = load("Fe3Fe2_hirschmann.csv")
+    val oxides = h.drop(8) // SiO2..P2O5 wt.%
+    val parity = rows("ref_hirschmann_parity.csv")
+    rs.zip(parity).map { case (r, p) =>
+      val m = h.zip(r.map(num)).toMap
+      (m, wtToMol(oxides.map(ox => ox -> num(r(h.indexOf(ox))))), p)
+    }
+  }
+
+  test("deng2020 / armstrong2019 match the reference bit-exactly (parity fixture)") {
+    val (dD, dA) = hirschmannRows.toSeq.map { case (m, mol, p) =>
+      val t = m("T_K"); val pb = m("P_GPa") * 1e4
+      val f = math.pow(10.0, m("log10fO2"))
+      val rD = Deng2020.fe3Fe2(mol, t, pb, f)
+      val rA = Fe3Fe2Iterative.armstrong2019(mol, t, pb, f)
+      (math.abs(rD - p("ref_deng")) / p("ref_deng"),
+        math.abs(rA - p("ref_armstrong")) / p("ref_armstrong"))
+    }.unzip
+    info(f"deng2020 parity: max rel dev = ${maxAbs(dD)}%.2e over ${dD.size}")
+    info(f"armstrong2019 parity: max rel dev = ${maxAbs(dA)}%.2e")
+    assert(maxAbs(dD) < 1e-6 && maxAbs(dA) < 1e-6)
+  }
+
+  test("hirschmann2022 (armstrong dVdP) matches reference + published table") {
+    val elements = Vector("SiO2", "TiO2", "Al2O3", "Cr2O3", "FeO", "MnO",
+      "MgO", "NiO", "CaO", "Na2O", "K2O", "P2O5")
+    val ms = hirschmannRows.map { case (m, _, _) =>
+      elements.map(e => e -> (if (m(e).isNaN) 0.0 else m(e))).toMap ++
+        Map("T_K" -> m("T_K"), "P_bar" -> m("P_GPa") * 1e4,
+          "fO2" -> math.pow(10.0, m("log10fO2")))
+    }.toSeq
+    val df = fixtureDf(ms, elements ++ Seq("T_K", "P_bar", "fO2"))
+    val mctx = CompCtx(elements)
+    val got = evalCol(df, E.toColumn(
+      Fe3Fe2.hirschmann2022(mctx, C("T_K"), C("fO2"), C("P_bar"))))
+    val parityDev = got.zip(hirschmannRows).map { case (g, (_, _, p)) =>
+      (g - p("ref_h22_armstrong")) / p("ref_h22_armstrong") }
+    val tableDev = got.zip(hirschmannRows).map { case (g, (m, _, _)) =>
+      g / (1.0 + g) - m("Fe3Fetotal_armstrong") }
+    info(f"h22(armstrong) parity: max rel dev = ${maxAbs(parityDev)}%.2e")
+    info(f"h22(armstrong) vs Hirschmann table: max |dFe3Fetotal| = " +
+      f"${maxAbs(tableDev)}%.4f median ${medianAbs(tableDev)}%.4f")
+    assert(maxAbs(parityDev) < 1e-6)
+    assert(maxAbs(tableDev) < 0.01) // reference achieves 0.0042
+  }
+
+  test("hirschmann2022 (deng dVdP) matches reference + published table") {
+    val devs = hirschmannRows.toSeq.map { case (m, mol, p) =>
+      val g = Fe3Fe2Iterative.hirschmann2022DengVdP(mol, m("T_K"),
+        m("P_GPa") * 1e4, math.pow(10.0, m("log10fO2")))
+      ((g - p("ref_h22_deng")) / p("ref_h22_deng"),
+        g / (1.0 + g) - m("Fe3Fetotal_deng"))
+    }
+    val (parityDev, tableDev) = devs.unzip
+    info(f"h22(deng) parity: max rel dev = ${maxAbs(parityDev)}%.2e")
+    info(f"h22(deng) vs Hirschmann table: max |dFe3Fetotal| = " +
+      f"${maxAbs(tableDev)}%.4f median ${medianAbs(tableDev)}%.4f")
+    assert(maxAbs(parityDev) < 1e-6)
+    assert(maxAbs(tableDev) < 0.01) // reference achieves 0.0037
+  }
+
+  test("deng2020 reproduces Deng (2020)'s planet adiabat curves") {
+    val comps = {
+      val (h, rs) = load("deng2020_compositions.csv")
+      rs.map { r =>
+        r(0) -> cationToOxideMol(
+          h.drop(1).dropRight(1).zipWithIndex.map { case (c, i) =>
+            c -> num(r(i + 1)) })
+      }.toMap
+    }
+    for ((planet, meltFe) <- Seq("earth" -> "12.5molpc",
+        "moon" -> "12.5molpc", "mars" -> "25molpc")) {
+      val mol = comps(planet)
+      val devs = rows(s"deng2020_$planet.csv").zipWithIndex
+        .collect { case (r, i) if i % 5 == 0 => r }.toSeq.map { r =>
+          val x = Deng2020.fe3Fe2(mol, r("T_K"), r("P_GPa") * 1e4,
+            math.pow(10.0, r("log10fO2")), meltFe)
+          x / (1.0 + x) - r("Fe3Fetotal")
+        }
+      info(f"deng2020 $planet: max |dFe3Fetotal| = ${maxAbs(devs)}%.4f " +
+        f"over ${devs.size} points")
+      assert(maxAbs(devs) < 0.01, f"$planet max dev ${maxAbs(devs)}%.4f")
+    }
+  }
+
+  // ---- Spark-side helpers -------------------------------------------------
+
+  /** Build a DataFrame with (row_id, numeric columns) from fixture maps. */
+  private def fixtureDf(ms: Seq[Map[String, Double]], cols: Seq[String]) = {
+    val schema = StructType(StructField("row_id", IntegerType) +:
+      cols.map(c => StructField(c, DoubleType)))
+    val rws = ms.zipWithIndex.map { case (m, i) =>
+      Row.fromSeq(i +: cols.map(c => m.getOrElse(c, Double.NaN) match {
+        case d if d.isNaN => 0.0
+        case d => d
+      }))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rws, 2), schema)
+  }
+
+  private def evalCol(df: org.apache.spark.sql.DataFrame,
+                      c: org.apache.spark.sql.Column): Seq[Double] =
+    df.select(c.cast("double").as("v"), org.apache.spark.sql.functions
+      .col("row_id")).collect().sortBy(_.getInt(1)).toSeq.map(_.getDouble(0))
+
+  test("sun2024 matches Sun et al. (2024)'s Excel implementation") {
+    val ms = rows("Fe3Fe2_input_sun2024.csv")
+    val elements = Vector("SiO2", "TiO2", "Al2O3", "MgO", "CaO", "Na2O",
+      "K2O", "P2O5", "MnO", "CoO", "NiO", "FeO")
+    val df = fixtureDf(ms, elements ++ Seq("T_K", "P_bar", "fO2"))
+    val mctx = CompCtx(elements)
+    val e = Fe3Fe2.sun2024(mctx, C("T_K"), C("fO2"), C("P_bar"))
+    val got = evalCol(df, E.toColumn(e))
+    val devs = got.zip(ms).map { case (g, m) =>
+      (g - m("_Fe3Fe2_sun2024")) / m("_Fe3Fe2_sun2024")
+    }
+    info(f"sun2024: max |rel dev| = ${maxAbs(devs)}%.4f " +
+      f"median ${medianAbs(devs)}%.4f over ${devs.size} samples")
+    assert(maxAbs(devs) < 0.02, f"max rel dev ${maxAbs(devs)}%.4f")
+  }
+
+  // ---- thermometers vs author Excel sheets --------------------------------
+
+  private lazy val calibration: Map[String, Map[String, Double]] = {
+    val (h, rs) = load("Kd_calibration_data.csv")
+    rs.map { r =>
+      r(h.indexOf("run")) -> h.zip(r.map(num)).toMap
+    }.toMap
+  }
+
+  test("putirka2008 thermometers match Putirka's Excel sheet") {
+    val golden = {
+      val (h, rs) = load("melt_thermometer_putirka2008.csv")
+      rs.map(r => r(0) -> h.tail.zip(r.tail.map(num)).toMap).toMap
+    }
+    val runs = golden.keys.toSeq.sorted.filter(calibration.contains)
+    val elements = Vector("SiO2", "TiO2", "Al2O3", "FeO", "MnO", "MgO",
+      "CaO", "Na2O", "K2O", "H2O")
+    val ms = runs.map(r => calibration(r))
+    val df = fixtureDf(ms, elements :+ "P_bar")
+    val mctx = CompCtx(elements)
+    for (name <- Seq("putirka2008_13", "putirka2008_14", "putirka2008_15",
+        "putirka2008_16", "putirka2008_22")) {
+      val got = evalCol(df, E.toColumn(Thermometers.all(name)(mctx)))
+      // golden sheet records Celsius
+      val devs = got.zip(runs).map { case (g, run) =>
+        g - 273.15 - golden(run)(name)
+      }
+      info(f"$name: max |dT| = ${maxAbs(devs)}%.2f K " +
+        f"median ${medianAbs(devs)}%.2f K over ${devs.size} runs")
+      assert(medianAbs(devs) < 5.0, f"$name median dev ${medianAbs(devs)}%.2f")
+      assert(maxAbs(devs) < 25.0, f"$name max dev ${maxAbs(devs)}%.2f")
+    }
+  }
+
+  test("sun2020 thermometer and Kd match Sun's Excel sheet") {
+    val golden = rows("Kd_sun2020.csv")
+    val (gh, grs) = load("Kd_sun2020.csv")
+    val runs = grs.map(_(0)).filter(calibration.contains)
+    val goldenByRun = grs.map(r => r(0) -> gh.zip(r.map(num)).toMap).toMap
+    val elements = Vector("SiO2", "TiO2", "Al2O3", "Cr2O3", "FeO", "MnO",
+      "MgO", "CaO", "Na2O", "K2O", "P2O5", "NiO", "H2O", "CO2")
+    val ms = runs.toSeq.map(r => calibration(r) ++
+      Map("P_bar" -> goldenByRun(r)("P_bar")))
+    val df = fixtureDf(ms, elements :+ "P_bar")
+    val mctx = CompCtx(elements)
+
+    val gotT = evalCol(df, E.toColumn(Thermometers.sun2020(mctx)))
+    val devT = gotT.zip(runs).map { case (g, run) =>
+      g - goldenByRun(run)("T_K") }
+    info(f"sun2020 T: max |dT| = ${maxAbs(devT)}%.2f K " +
+      f"median ${medianAbs(devT)}%.2f K over ${devT.size} runs")
+    assert(medianAbs(devT) < 10.0, f"median dT ${medianAbs(devT)}%.2f")
+
+    // Kd at fixed Fe3Fe2 = 0.2, Fe_total basis (benchmark notebook recipe)
+    val kdFe2 = evalCol(df, E.toColumn(Kd.sun2020(mctx, Lit(0.2))))
+    val fe3FeTot = 0.2 / 1.2
+    val devKd = kdFe2.zip(runs).map { case (g, run) =>
+      g * (1 - fe3FeTot) - goldenByRun(run)("Kd_Fetotal") }
+    info(f"sun2020 Kd: max |dKd| = ${maxAbs(devKd)}%.4f " +
+      f"median ${medianAbs(devKd)}%.4f over ${devKd.size} runs")
+    assert(medianAbs(devKd) < 0.02, f"median dKd ${medianAbs(devKd)}%.4f")
+  }
+
+  // ---- Kd models vs measured values ---------------------------------------
+
+  test("saper2022 Kd predictions sit on the measured values (fig 6a)") {
+    val ms = rows("Kd_saper2022_table3_glass.csv")
+    val elements = Vector("SiO2", "TiO2", "Al2O3", "Cr2O3", "FeO", "MnO",
+      "MgO", "CaO", "Na2O", "K2O", "NiO")
+    val df = fixtureDf(ms, elements ++ Seq("T_K", "fO2"))
+    val mctx = CompCtx(elements)
+    val fe3fe2 = E.toColumn(Fe3Fe2.borisov2018(mctx, C("T_K"), C("fO2")))
+    val kdPred = Kd.saper2022(
+      E.toColumn(mctx.molNorm("FeO")), E.toColumn(mctx.molNorm("MgO")),
+      E.toColumn(mctx.cat("Si")), E.toColumn(mctx.cat("Ti")),
+      E.toColumn(mctx.cat("Na") + mctx.cat("K")),
+      fe3fe2, org.apache.spark.sql.functions.col("T_K"))
+    val got = evalCol(df, kdPred)
+    val fe3 = evalCol(df, fe3fe2)
+    val devs = got.zip(fe3).zip(ms).map { case ((kd, r), m) =>
+      val measuredFe2 = m("Kd_FeTMg") / (1.0 - r / (1.0 + r))
+      kd - measuredFe2
+    }
+    info(f"saper2022: max |dKd_Fe2| = ${maxAbs(devs)}%.4f " +
+      f"median ${medianAbs(devs)}%.4f over ${devs.size} runs")
+    // measured-vs-predicted (experimental scatter); fig 6a spans 0.30-0.37
+    assert(medianAbs(devs) < 0.02, f"median ${medianAbs(devs)}%.4f")
+    assert(maxAbs(devs) < 0.06, f"max ${maxAbs(devs)}%.4f")
+  }
+
+  // ---- volatile saturation vs reference execution -------------------------
+
+  test("saturation models match the reference implementation (parity fixture)") {
+    // golden/ref_saturation_parity.csv = the reference's own
+    // iaconomarziano2012 / allison2022 / shishkina2014 h2o/co2/mixed
+    // saturation + fixed-condition solubility executed in-container over 18
+    // composition x volatile x T cases (the reference publishes no
+    // solubility benchmark fixtures of its own).
+    val ms = rows("ref_saturation_parity.csv")
+    val oxides = Array("SiO2", "TiO2", "Al2O3", "FeO", "MnO", "MgO", "CaO",
+      "Na2O", "K2O", "P2O5", "H2O", "CO2")
+    def relDevs(tag: String)(
+        f: (IaconoMarziano.Comp, Double, Map[String, Double]) => Option[(Double, Double)])
+        : Seq[Double] =
+      ms.toSeq.flatMap { m =>
+        val c = IaconoMarziano.Comp(oxides, oxides.map(m(_)))
+        f(c, m("T_K"), m).toSeq.flatMap { case (got, want) =>
+          if (want.isNaN) None
+          else Some(math.abs(got - want) / math.max(math.abs(want), 1e-9))
+        }
+      }
+    val checks: Seq[(String, Seq[Double])] = Seq(
+      "im_h2o_sat" -> relDevs("im_h2o_sat")((c, t, m) =>
+        Some((IaconoMarziano.h2oSaturation(c, t), m("im_h2o_sat")))),
+      "im_co2_sat" -> relDevs("im_co2_sat")((c, t, m) =>
+        Some((IaconoMarziano.co2Saturation(c, t), m("im_co2_sat")))),
+      "im_mixed_P" -> relDevs("im_mixed_P")((c, t, m) =>
+        Some((IaconoMarziano.mixedSaturation(c, t)._1, m("im_mixed_P")))),
+      "im_mixed_X" -> relDevs("im_mixed_X")((c, t, m) =>
+        Some((IaconoMarziano.mixedSaturation(c, t)._2, m("im_mixed_X")))),
+      "im_h2o_sol" -> relDevs("im_h2o_sol")((c, t, m) =>
+        Some((IaconoMarziano.h2oSolubility(c, 1.0, 2000.0, t), m("im_h2o_sol_2k")))),
+      "im_co2_sol" -> relDevs("im_co2_sol")((c, t, m) =>
+        Some((IaconoMarziano.co2Solubility(c, 0.0, 2000.0, t) * 1e4, m("im_co2_sol_2k")))),
+      "al_h2o_sat" -> relDevs("al_h2o_sat")((c, t, m) =>
+        Some((Allison.h2oSaturation(c, t), m("al_h2o_sat")))),
+      "al_co2_sat" -> relDevs("al_co2_sat")((c, t, m) =>
+        Some((Allison.co2Saturation(c, t), m("al_co2_sat")))),
+      "al_mixed_P" -> relDevs("al_mixed_P")((c, t, m) =>
+        Some((Allison.mixedSaturation(c, t)._1, m("al_mixed_P")))),
+      "al_h2o_sol" -> relDevs("al_h2o_sol")((c, t, m) =>
+        Some((Allison.h2oSolubility(t, 2000.0), m("al_h2o_sol_2k")))),
+      "al_co2_sol" -> relDevs("al_co2_sol")((c, t, m) =>
+        Some((Allison.co2Solubility(c, t, 2000.0), m("al_co2_sol_2k")))),
+      "sh_h2o_sat" -> relDevs("sh_h2o_sat")((c, t, m) =>
+        Some((Shishkina.h2oSaturation(c), m("sh_h2o_sat")))),
+      "sh_co2_sat" -> relDevs("sh_co2_sat")((c, t, m) =>
+        Some((Shishkina.co2Saturation(c), m("sh_co2_sat")))),
+      "sh_mixed_P" -> relDevs("sh_mixed_P")((c, t, m) =>
+        Some((Shishkina.mixedSaturation(c)._1, m("sh_mixed_P")))),
+      "sh_h2o_sol" -> relDevs("sh_h2o_sol")((c, t, m) =>
+        Some((Shishkina.h2oSolubility(c, 1.0, 2000.0), m("sh_h2o_sol_2k")))),
+      "sh_co2_sol" -> relDevs("sh_co2_sol")((c, t, m) =>
+        Some((Shishkina.co2Solubility(c, 0.0, 2000.0), m("sh_co2_sol_2k")))))
+    for ((tag, devs) <- checks) {
+      info(f"$tag: max rel dev = ${maxAbs(devs)}%.2e over ${devs.size} cases")
+      assert(maxAbs(devs) < 1e-3, f"$tag max rel dev ${maxAbs(devs)}%.2e")
+    }
+  }
+
+  test("blundy2020 Kd formula reproduces measured Kd at reported Fo") {
+    val ms = rows("Kd_blundy2020_input.csv").filter(m =>
+      !m("olivine_forsterite").isNaN && !m("_Fe3Fe2").isNaN &&
+        !m("Kd_FeTMg").isNaN)
+    assert(ms.nonEmpty)
+    val devs = ms.toSeq.map { m =>
+      val fo = m("olivine_forsterite"); val r = m("_Fe3Fe2")
+      val kdFe2 = 0.3642 * math.exp(312.7 * (1.0 - 2.0 * fo) / m("T_K"))
+      kdFe2 * (1.0 - r / (1.0 + r)) - m("Kd_FeTMg")
+    }
+    info(f"blundy2020: max |dKd_FeT| = ${maxAbs(devs)}%.4f " +
+      f"median ${medianAbs(devs)}%.4f over ${devs.size} runs")
+    assert(medianAbs(devs) < 0.03, f"median ${medianAbs(devs)}%.4f")
+  }
+}

@@ -98,7 +98,8 @@ class SolverSpec extends AnyFunSuite {
     for ((name, f) <- Seq(
       "oneill2006" -> (Fe3Fe2Iterative.oneill2006 _),
       "armstrong2019" -> (Fe3Fe2Iterative.armstrong2019 _),
-      "deng2020" -> (Deng2020.fe3Fe2 _))) {
+      "deng2020" -> ((m: Map[String, Double], t: Double, p: Double,
+        f: Double) => Deng2020.fe3Fe2(m, t, p, f)))) {
       val r = f(mol, t, p, fO2)
       assert(r > 0.02 && r < 1.0, s"$name: $r")
       val rOxidised = f(mol, t, p, fO2 * 100.0)
