@@ -112,7 +112,7 @@ object Fe3Fe2Iterative {
   /** Plain cation fractions with Fe as total Fe2+ (no Fe3 split) — the
     * reference's `moles.cations()` used by hirschmann2022
     * (`Fe3Fe2_models.py:1304-1307`). */
-  private[functions] def plainCations(mol: Map[String, Double]): Map[String, Double] = {
+  private[graft] def plainCations(mol: Map[String, Double]): Map[String, Double] = {
     val terms = mol.toSeq.map { case (ox, x) =>
       Elements.cationName(ox) -> x * Elements.cationAmount(ox)
     }

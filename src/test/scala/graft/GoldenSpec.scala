@@ -412,6 +412,49 @@ class GoldenSpec extends SparkSpec {
     }
   }
 
+  test("oneill2006 and iterative Kd models match the reference (parity fixture)") {
+    // golden/ref_kd_parity.csv = reference execution of oneill2006 Fe3Fe2
+    // and the full Fo-iterating toplis2005/blundy2020/saper2022 Kd chains
+    // over 18 composition x (T, P) cases.
+    val ms = rows("ref_kd_parity.csv")
+    val elements = Vector("SiO2", "TiO2", "Al2O3", "FeO", "MnO", "MgO",
+      "CaO", "Na2O", "K2O", "P2O5", "H2O", "CO2")
+    val df = fixtureDf(ms.toIndexedSeq, elements ++ Seq("T_K", "fO2"))
+    val mctx = CompCtx(elements)
+    val borisov = evalCol(df,
+      E.toColumn(Fe3Fe2.borisov2018(mctx, C("T_K"), C("fO2"))))
+    val checksPerRow = ms.toSeq.zip(borisov).map { case (m, bor) =>
+      val mol = wtToMol(elements.map(e => e -> m(e)))
+      def molPc(ox: String): Double = mol.getOrElse(ox, 0.0) * 100.0
+      val t = m("T_K"); val p = m("P_bar"); val f = m("fO2")
+      val oneill = Fe3Fe2Iterative.oneill2006(mol, t, p, f)
+      val toplis = Kd.toplisIterate(molPc("SiO2"), molPc("Na2O"),
+        molPc("K2O"), molPc("H2O"), mol.getOrElse("FeO", 0.0),
+        mol.getOrElse("MgO", 0.0), m("fe3fe2_in"), t, p)
+      val blundy = Kd.blundy2020Iterate(mol.getOrElse("FeO", 0.0),
+        mol.getOrElse("MgO", 0.0), bor, t)
+      val saper = {
+        val cats = Fe3Fe2Iterative.plainCations(mol)
+        Kd.saper2022Iterate(mol.getOrElse("FeO", 0.0),
+          mol.getOrElse("MgO", 0.0), cats.getOrElse("Si", 0.0),
+          cats.getOrElse("Ti", 0.0),
+          cats.getOrElse("Na", 0.0) + cats.getOrElse("K", 0.0),
+          m("fe3fe2_in"), t)
+      }
+      Seq("oneill2006" -> (oneill, m("ref_oneill2006")),
+        "toplis2005_iter" -> (toplis, m("ref_toplis")),
+        "blundy2020_iter" -> (blundy, m("ref_blundy")),
+        "saper2022_iter" -> (saper, m("ref_saper")))
+    }
+    for (tag <- Seq("oneill2006", "toplis2005_iter", "blundy2020_iter",
+        "saper2022_iter")) {
+      val devs = checksPerRow.map(_.toMap.apply(tag)).map { case (got, want) =>
+        math.abs(got - want) / want }
+      info(f"$tag: max rel dev = ${maxAbs(devs)}%.2e over ${devs.size} cases")
+      assert(maxAbs(devs) < 1e-3, f"$tag max rel dev ${maxAbs(devs)}%.2e")
+    }
+  }
+
   test("blundy2020 Kd formula reproduces measured Kd at reported Fo") {
     val ms = rows("Kd_blundy2020_input.csv").filter(m =>
       !m("olivine_forsterite").isNaN && !m("_Fe3Fe2").isNaN &&
