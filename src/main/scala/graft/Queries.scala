@@ -110,7 +110,82 @@ object Queries {
     thermoQ("sugawara2000_3", Thermometers.sugawara2000_3(_), transcendental = false),
     thermoQ("sugawara2000_6a", Thermometers.sugawara2000_6a(_), transcendental = false)
   ) ++ fo2Queries ++ fe3fe2Queries ++ rheologyKdQueries ++ geoQueries ++
-    ExtQueries.all ++ SolverQueries.all
+    stochasticQueries ++ ExtQueries.all ++ SolverQueries.all
+
+  /** Deterministic hash-derived Gaussians (Box-Muller over integer-hash
+    * uniforms). Unlike `randn(seed)` — whose stream depends on partition
+    * layout, so results change with cluster size — these are pure row
+    * functions of (sample_id, draw): reproducible on any cluster AND
+    * expressible in DuckDB, so both stochastic queries get full oracle
+    * checks (reference `C10 random_sample` / MC error propagation). */
+  private object HashGauss {
+    private val M = 1000003L // prime modulus; all arithmetic < 2^63
+    private val A = 48271L   // MINSTD multiplier
+    /** Uniform in (0,1) from (sample_id, salt, extra): two multiplicative
+      * rounds of 64-bit-safe integer arithmetic, identical in both engines. */
+    def unif(salt: Long, extra: E = ILit(0)): E = {
+      val h0 = (C("sample_id") % ILit(M)) * ILit(A) + ILit(salt) +
+        extra * ILit(7919L)
+      val h1 = (h0 % ILit(M)) * ILit(A) + ILit(31L * salt + 17L)
+      (CastD(h1 % ILit(M)) + Lit(0.5)) / Lit(M.toDouble)
+    }
+    /** Standard Gaussian via Box-Muller. */
+    def gauss(salt: Long, extra: E = ILit(0)): E =
+      sqrt(Lit(-2.0) * ln(unif(salt, extra))) *
+        cos(Lit(2.0 * math.Pi) * unif(salt + 1000L, extra))
+  }
+
+  private def stochasticQueries: Seq[Q] = {
+    import org.apache.spark.sql.functions.{array, avg, col, explode, lit,
+      stddev_samp, round => sround}
+    // C10 random_sample: per-element Gaussian perturbation, clipped at 0.
+    val randomSample = meltQ("q_random_sample") { m =>
+      m.mapElements((e, i) =>
+          greatest(C(e) + HashGauss.gauss(7L + i) * Lit(0.05), Lit(0.0)))
+        .mapElements((e, _) => round(C(e), 6))
+        .select("sample_id", "SiO2", "MgO", "FeO")
+    }
+    // Monte-Carlo error propagation: 8 perturbed draws per sample ->
+    // sun2024 Fe3Fe2 -> per-sample mean/sd. Draw fan-out is a lateral
+    // explode; the same arithmetic renders to DuckDB SQL by hand because
+    // the staged pipeline has no explode/groupBy.
+    val nDraws = 8
+    val errWtPc = 0.02 // 1-sigma on every element, wt.%
+    def perturbE(e: String, i: Int): E =
+      greatest(C(e) + HashGauss.gauss(42L + i, C("draw")) * Lit(errWtPc),
+        Lit(0.0))
+    val fe3fe2E: E = Fe3Fe2.sun2024(mctx, C("T_K"),
+      Fo2Buffers.qfm1bar(C("T_K")), C("P_bar"))
+    val mcBuild = (s: SparkSession, dir: String) => {
+      val base = Tables.meltsDF(s, dir)
+        .withColumn("draw", explode(array((0 until nDraws).map(i =>
+          lit(i.toLong)): _*)))
+      val perturbed = Tables.meltElements.zipWithIndex.foldLeft(base) {
+        case (d, (e, i)) => d.withColumn(e, E.toColumn(perturbE(e, i)))
+      }
+      perturbed.withColumn("Fe3Fe2", E.toColumn(fe3fe2E))
+        .groupBy("sample_id")
+        .agg(sround(avg("Fe3Fe2"), 6).as("fe3fe2_mean"),
+          sround(stddev_samp("Fe3Fe2"), 6).as("fe3fe2_sd"))
+        .orderBy("sample_id")
+    }
+    val meltsSql = Tables.melts.sql("lineitem", Seq.empty)
+    val passCols = Seq("sample_id", "T_K", "P_bar")
+      .map(c => "\"" + c + "\"").mkString(", ")
+    val perturbedSql = Tables.meltElements.zipWithIndex.map { case (e, i) =>
+      s"${E.toSql(perturbE(e, i))} AS \"$e\""
+    }.mkString(", ")
+    val mcSql =
+      s"""WITH melts AS ($meltsSql),
+         |draws AS (SELECT CAST(range AS BIGINT) AS draw FROM range(0, $nDraws)),
+         |perturbed AS (SELECT $passCols, draw, $perturbedSql
+         |  FROM melts CROSS JOIN draws),
+         |fe AS (SELECT "sample_id", ${E.toSql(fe3fe2E)} AS fe3fe2 FROM perturbed)
+         |SELECT "sample_id", round(avg(fe3fe2), 6) AS fe3fe2_mean,
+         |  round(stddev_samp(fe3fe2), 6) AS fe3fe2_sd
+         |FROM fe GROUP BY "sample_id" ORDER BY "sample_id"""".stripMargin
+    Seq(randomSample, Q("q_monte_carlo_fe3fe2", mcBuild, Some(mcSql)))
+  }
 
   /** Geoplot + calibration-data operators (SURVEY §2.1 S3: the TAS polygon
     * table, reference reservoir compositions, calibration datasets). */

@@ -150,38 +150,6 @@ object SolverQueries {
           round(f(wtArray, col("T_K"), col("P_bar"), fO2), 6).as("Fe3Fe2"))
         .orderBy("sample_id")
     }, None),
-    // C10 Monte-Carlo error propagation: per-row Gaussian perturbation with
-    // a fixed seed (deterministic per plan; no SQL oracle — randn streams
-    // are engine-specific), k draws via explode, then per-sample mean/sd.
-    Q("q_monte_carlo_fe3fe2", (s, dir) => {
-      import graft.models.{CompCtx, Fe3Fe2, Fo2Buffers}
-      import graft.expr.{E, C}
-      val nDraws = 8
-      val errs = Tables.meltElements.map(e => e -> 0.02).toMap // 1-sigma wt.%
-      val base = Tables.meltsDF(s, dir)
-        .withColumn("draw", explode(array((0 until nDraws).map(lit): _*)))
-      val perturbed = Tables.meltElements.zipWithIndex.foldLeft(base) {
-        case (d, (e, i)) => d.withColumn(e,
-          greatest(col(e) + randn(42L + i) * lit(errs(e)), lit(0.0)))
-      }
-      val mctx = CompCtx(Tables.meltElements)
-      val fe3fe2 = Fe3Fe2.sun2024(mctx, C("T_K"),
-        Fo2Buffers.qfm1bar(C("T_K")), C("P_bar"))
-      perturbed.withColumn("Fe3Fe2", E.toColumn(fe3fe2))
-        .groupBy("sample_id")
-        .agg(avg("Fe3Fe2").as("fe3fe2_mean"),
-          stddev_samp("Fe3Fe2").as("fe3fe2_sd"))
-        .orderBy("sample_id")
-    }, None),
-    Q("q_random_sample", (s, dir) => {
-      val base = Tables.meltsDF(s, dir)
-      val perturbed = Tables.meltElements.zipWithIndex.foldLeft(base) {
-        case (d, (e, i)) => d.withColumn(e,
-          greatest(col(e) + randn(7L + i) * lit(0.05), lit(0.0)))
-      }
-      perturbed.select(col("sample_id"), col("SiO2"), col("MgO"), col("FeO"))
-        .orderBy("sample_id")
-    }, None),
     // Multimodal plumbing: opaque binary payload -> per-partition decode
     // stub -> typed metadata + feature vector (schema/batching real, codec
     // stubbed — no image libs in this container).

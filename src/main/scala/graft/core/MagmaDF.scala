@@ -300,6 +300,12 @@ final case class Staged(schema: MagmaSchema, stages: Vector[Stage]) {
     * upstream stages automatically). */
   def select(cols: String*): Staged = withStage(cols.map(c => c -> (C(c): E)))
 
+  /** Rewrite every element column through `f` (passthroughs carried) —
+    * e.g. per-element perturbation or rounding. */
+  def mapElements(f: (String, Int) => E): Staged =
+    withStage(pass ++ schema.elements.zipWithIndex.map { case (e, i) =>
+      e -> f(e, i) })
+
   /** Add a derived column from an expression over the current stage; the new
     * column becomes passthrough for later stages (so derives chain). */
   def derive(name: String, e: E): Staged = {

@@ -53,6 +53,7 @@ object E {
   def ln(a: E): E = Fn("ln", List(a))
   def log10(a: E): E = Fn("log10", List(a))
   def sqrt(a: E): E = Fn("sqrt", List(a))
+  def cos(a: E): E = Fn("cos", List(a))
   def abs(a: E): E = Fn("abs", List(a))
   def pow(a: E, b: E): E = Fn("pow", List(a, b))
   def least(xs: E*): E = Fn("least", xs.toList)
@@ -89,6 +90,7 @@ object E {
     case Fn("ln", List(a))       => F.log(toColumn(a))
     case Fn("log10", List(a))    => F.log10(toColumn(a))
     case Fn("sqrt", List(a))     => F.sqrt(toColumn(a))
+    case Fn("cos", List(a))      => F.cos(toColumn(a))
     case Fn("abs", List(a))      => F.abs(toColumn(a))
     case Fn("pow", List(a, b))   => F.pow(toColumn(a), toColumn(b))
     case Fn("least", xs)         => F.least(xs.map(toColumn): _*)
