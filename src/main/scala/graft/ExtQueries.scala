@@ -15,6 +15,17 @@ import graft.Queries.Q
   */
 object ExtQueries {
 
+  /** DuckDB rendering of [[Similarity.lshBucket]]: disjoint power-of-two
+    * sign bits summed. Hyperplane literals are the SAME doubles baked into
+    * the Spark plan (seeded PRNG + round-trip double formatting), so the
+    * oracle computes identical projections. Dim fixed to the driver
+    * testdata's 64 here — the Spark side infers it from the data. */
+  private def lshBucketSql(planes: Int, seed: Long, dim: Int): String =
+    Similarity.hyperplanes(dim, planes, seed).zipWithIndex.map { case (p, i) =>
+      val arr = p.map(E.formatDouble).mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(v, $arr) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   /** Per-document scalar pipeline: one projection stage over `documents`. */
   private def docQ(name: String, cols: (String, E)*): Q = {
     val stages = Vector(Stage(Seq[(String, E)]("doc_id" -> C("doc_id")) ++ cols))
@@ -100,7 +111,32 @@ object ExtQueries {
              | ORDER BY qid, nid""".stripMargin.replace("\n", " "))),
     Q("q_knn_lsh", (s, dir) =>
       Similarity.lshTopK(Tables.read(s, dir, "embeddings"), 5).orderBy("qid", "nid"),
-      None),
+      Some("""WITH e AS (SELECT "vec_id", CAST("embedding" AS DOUBLE[]) AS v FROM embeddings),
+             | n AS (SELECT "vec_id", v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+             | b AS (SELECT "vec_id", v, nrm, BUCKET AS bucket FROM n),
+             | p AS (SELECT a."vec_id" AS qid, b2."vec_id" AS nid,
+             |   round(list_dot_product(a.v, b2.v) / (a.nrm * b2.nrm), 6) AS sim
+             |   FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a."vec_id" <> b2."vec_id"),
+             | r AS (SELECT qid, nid, sim,
+             |   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM p)
+             | SELECT qid AS "qid", nid AS "nid", sim AS "sim" FROM r WHERE rk <= 5
+             | ORDER BY qid, nid""".stripMargin.replace("\n", " ")
+        .replace("BUCKET", lshBucketSql(8, 42L, 64)))),
+    // LSH-bucketed near-dup decision set: the production-scale form of
+    // q_dedup_embedding_cosine (pairs are a subset of its exact output).
+    Q("q_dedup_embedding_lsh",
+      (s, dir) => Similarity.lshNearDupPairs(
+          Tables.read(s, dir, "embeddings"), threshold = 0.35)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH e AS (SELECT "vec_id", CAST("embedding" AS DOUBLE[]) AS v FROM embeddings),
+             | n AS (SELECT "vec_id", v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+             | b AS (SELECT "vec_id", v, nrm, BUCKET AS bucket FROM n),
+             | p AS (SELECT a."vec_id" AS id_a, b2."vec_id" AS id_b,
+             |   round(list_dot_product(a.v, b2.v) / (a.nrm * b2.nrm), 6) AS sim
+             |   FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a."vec_id" < b2."vec_id")
+             | SELECT id_a AS "id_a", id_b AS "id_b", sim AS "sim" FROM p
+             | WHERE sim >= 0.35e0 ORDER BY "id_a", "id_b"""".stripMargin
+        .replace("\n", " ").replace("BUCKET", lshBucketSql(8, 42L, 64)))),
     // ---- event-stream batch equivalents ---------------------------------
     Q("q_events_hourly",
       (s, dir) => Tables.eventsWithMs(s, dir)

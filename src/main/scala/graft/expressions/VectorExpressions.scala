@@ -25,7 +25,10 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"DotProduct: vector length mismatch $n vs ${y.numElements()}")
     var sum = 0.0
     var i = 0
     while (i < n) { sum += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -38,7 +41,11 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val sum = ctx.freshName("sum")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "DotProduct: vector length mismatch " + $n + " vs " + $b.numElements());
+         |}
          |double $sum = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $sum += $a.getDouble($i) * $b.getDouble($i);

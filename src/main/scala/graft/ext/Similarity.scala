@@ -77,12 +77,22 @@ object Similarity {
     bits.reduce(_.bitwiseOR(_))
   }
 
+  /** Embedding dimension read from the first row (a one-row head job —
+    * metadata-scale even on a large cluster). [[DotProduct]] fails fast on
+    * any row whose length disagrees. */
+  def inferDim(embeddings: DataFrame): Int =
+    embeddings.select(size(col("embedding")).as("d")).head().getInt(0)
+
+  private def resolveDim(embeddings: DataFrame, dim: Int): Int =
+    if (dim > 0) dim else inferDim(embeddings)
+
   /** Approximate top-k: neighbours restricted to the same LSH bucket.
-    * Returns (qid, nid, sim) — a subset of brute force's pairs. */
+    * Returns (qid, nid, sim) — a subset of brute force's pairs. `dim` is
+    * inferred from the data when not given. */
   def lshTopK(embeddings: DataFrame, k: Int, planes: Int = 8,
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L, dim: Int = -1): DataFrame = {
     val e = prepared(embeddings)
-    val hp = hyperplanes(64, planes, seed)
+    val hp = hyperplanes(resolveDim(embeddings, dim), planes, seed)
     val withBucket = e.withColumn("bucket", lshBucket(col("v"), hp))
     val a = withBucket.select(col("bucket"), col("vec_id").as("qid"),
       col("v").as("va"), col("nrm").as("na"))
@@ -95,5 +105,27 @@ object Similarity {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("qid"), col("nid"), col("sim"))
+  }
+
+  /** LSH-bucketed embedding near-duplicate pairs — the 100 TB production
+    * form of [[cosineNearDupPairs]]: candidate pairs come from an equi-join
+    * on the sign-bit bucket key (shuffle carries (bucket, id, vec) and each
+    * bucket's pair space is tiny), then the SAME thresholded cosine select
+    * decides. Output is a subset of the exact all-pairs decision set;
+    * recall rises with fewer planes or multiple seed rounds. */
+  def lshNearDupPairs(embeddings: DataFrame, threshold: Double,
+                      planes: Int = 8, seed: Long = 42L,
+                      dim: Int = -1): DataFrame = {
+    val e = prepared(embeddings)
+    val hp = hyperplanes(resolveDim(embeddings, dim), planes, seed)
+    val withBucket = e.withColumn("bucket", lshBucket(col("v"), hp))
+    val a = withBucket.select(col("bucket"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = withBucket.select(col("bucket"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val sim = round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), sim.as("sim"))
+      .filter(col("sim") >= threshold)
   }
 }

@@ -75,6 +75,33 @@ class ExtOpsSpec extends SparkSpec {
       assert(math.abs(bf(pair) - sim) < 1e-9, pair.toString)
   }
 
+  test("LSH near-dup pairs are a subset of exact cosine pairs, non-64 dim works") {
+    val vecs = (0 until 40).map { i =>
+      val v = Array.tabulate(48)(j => // deliberately not 64: dim is inferred
+        (math.sin(i * 48 + j) + (if (i % 4 == j % 4) 2.0 else 0.0)).toFloat)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val exact = Similarity.cosineNearDupPairs(vecs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNearDupPairs(vecs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty && lsh.nonEmpty)
+    assert(lsh.subsetOf(exact), s"${lsh -- exact} not in exact set")
+    val recall = lsh.size.toDouble / exact.size
+    info(f"lsh near-dup recall = $recall%.2f (${lsh.size}/${exact.size})")
+    assert(recall > 0.2)
+  }
+
+  test("DotProduct fails fast on vector length mismatch") {
+    val df = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
+    val ex = intercept[Exception] {
+      df.select(Similarity.dot(col("a"), col("b"))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(ex).exists(m => m != null && m.contains("length mismatch")))
+  }
+
   test("text quality expressions evaluate on constructed docs") {
     import graft.expr.{E, C}
     import graft.ext.{TextAnalysis => TA}
