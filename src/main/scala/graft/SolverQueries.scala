@@ -70,22 +70,22 @@ object SolverQueries {
           round(col("sol._2"), 6).as("CO2_dissolved"))
         .orderBy("sample_id")
     }, None),
-    // Full QFM with EOS pressure terms: distinct (T,P) + broadcast join.
+    // Full QFM with EOS pressure terms: one narrow per-row UDF stage with
+    // per-executor (T,P) memo caches — no shuffle, no unbounded broadcast
+    // (see the scale note on QfmFull).
     Q("q_fo2_qfm_full", (s, dir) => {
-      QfmFull.withQfm(Tables.meltsDF(s, dir), "T_K", "P_bar", logshift = 0.0)
+      QfmFull.withQfm(spread(Tables.meltsDF(s, dir)), "T_K", "P_bar",
+          logshift = 0.0)
         .select(col("sample_id"), round(log10(col("fO2")), 6).as("log10_fO2"))
         .orderBy("sample_id")
     }, None),
-    // Full IW buffer (Hirschmann 2021): Vinet EOS + wustite equilibrium,
-    // distinct (T,P) + broadcast join like QFM.
+    // Full IW buffer (Hirschmann 2021): Vinet EOS + wustite equilibrium;
+    // same per-row memoised-UDF shape (IwFull caches per (T,P) internally).
     Q("q_fo2_iw_full", (s, dir) => {
-      import org.apache.spark.sql.functions.broadcast
       val f = udf((tK: Double, pBar: Double) =>
         graft.functions.IwFull.fO2(tK, pBar))
-      val base = Tables.meltsDF(s, dir)
-      val conditions = base.select(col("T_K"), col("P_bar")).distinct()
+      spread(Tables.meltsDF(s, dir))
         .withColumn("fO2_iw", f(col("T_K"), col("P_bar")))
-      base.join(broadcast(conditions), Seq("T_K", "P_bar"))
         .select(col("sample_id"), round(log10(col("fO2_iw")), 6).as("log10_fO2"))
         .orderBy("sample_id")
     }, None),

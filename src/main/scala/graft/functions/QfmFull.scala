@@ -1,18 +1,21 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{broadcast, col, lit, udf}
+import org.apache.spark.sql.functions.{col, lit, udf}
 
 /** Full QFM oxygen-fugacity buffer with EOS pressure terms
   * (reference `fO2/QFM.py:187-239`): O'Neill (1987) 1-bar polynomial +
   * Tait-EOS VdP of quartz/magnetite/fayalite with Landau excess energy and
   * phase transitions (qtz->coe->stish, fay->ring) solved per temperature.
   *
-  * Scale design: fO2 depends only on (T, P). `withQfm` computes the UDF over
-  * `distinct(T_K, P_bar)` and broadcast-joins the result back — per-row
-  * solver cost collapses to per-distinct-condition cost (SURVEY.md §4.2),
-  * which at 100 TB is the difference between billions and thousands of
-  * Brent solves. */
+  * Scale design: fO2 depends only on (T, P), so the cost model is
+  * per-DISTINCT-condition, realised with per-executor memo caches inside a
+  * per-row UDF ([[transitionCache]] keyed by T — the only solver work — and
+  * [[fO2Cache]] keyed by (T, P)). A `distinct()+broadcast` formulation
+  * would also collapse the solve count, but (T, P) are continuous doubles:
+  * at 100 TB the distinct set can approach table cardinality and the
+  * broadcast OOMs the driver, while the memo caches stay bounded per
+  * executor and the plan keeps ONE narrow stage with no shuffle at all. */
 object QfmFull {
 
   val R = 8.31446261815324
@@ -76,26 +79,34 @@ object QfmFull {
     (vdpSiO2, vdpMt, vdpFe2SiO4)
   }
 
+  /** (T, P) -> base fO2 memo, bounded like [[transitionCache]]: repeated
+    * conditions skip even the closed-form Tait arithmetic. */
+  private val fO2Cache =
+    new java.util.concurrent.ConcurrentHashMap[(Double, Double), java.lang.Double]()
+
   /** Absolute fO2 (bar) at QFM + logshift, T (K), P (bar)
     * (`fO2/QFM.py:187-239`). */
   def fO2(tK: Double, pBar: Double, logshift: Double = 0.0): Double = {
+    val key = (tK, pBar)
+    val hit = fO2Cache.get(key)
+    if (hit != null) return hit.doubleValue * math.pow(10.0, logshift)
     val (q, m, f) = vdpWithTransitions(tK, pBar)
     val muP = 1e3 * (3.0 * q + 2.0 * m - 3.0 * f)
     val (q1, m1, f1) = vdpNoTransitions(tK, 1.0)
     val mu1barEos = 1e3 * (3.0 * q1 + 2.0 * m1 - 3.0 * f1)
     val mu = muO2OneBar(tK) + (muP - mu1barEos)
-    math.exp(mu / (R * tK)) * math.pow(10.0, logshift)
+    val base = math.exp(mu / (R * tK))
+    if (fO2Cache.size() > 100000) fO2Cache.clear()
+    fO2Cache.put(key, base)
+    base * math.pow(10.0, logshift)
   }
 
   val fO2Udf = udf((tK: Double, pBar: Double, shift: Double) =>
     fO2(tK, pBar, shift))
 
-  /** Attach an `fO2` column: dedup (T,P), solve once per condition,
-    * broadcast back. */
+  /** Attach an `fO2` column: one narrow per-row UDF stage (memoised per
+    * executor — see the scale note in the object doc). */
   def withQfm(df: DataFrame, tCol: String, pCol: String,
-              logshift: Double = 0.0, as: String = "fO2"): DataFrame = {
-    val conditions = df.select(col(tCol), col(pCol)).distinct()
-      .withColumn(as, fO2Udf(col(tCol), col(pCol), lit(logshift)))
-    df.join(broadcast(conditions), Seq(tCol, pCol))
-  }
+              logshift: Double = 0.0, as: String = "fO2"): DataFrame =
+    df.withColumn(as, fO2Udf(col(tCol), col(pCol), lit(logshift)))
 }
