@@ -21,13 +21,25 @@ final case class MagmaConfig(
     volatileSolubility: String = "iaconomarziano2012")
 
 object MagmaConfig {
+  /** Iterative (solver-backed) Fe3Fe2 models, dispatched as scalar UDFs
+    * rather than closed-form expressions (`Fe_redox/Fe3Fe2_calculate.py`). */
+  val iterativeFe3Fe2: Set[String] =
+    Set("oneill2006", "armstrong2019", "deng2020")
+  val solubilityModels: Set[String] =
+    Set("iaconomarziano2012", "allison2022", "shishkina2014")
+
   @volatile private var current = MagmaConfig()
   def get: MagmaConfig = current
   def set(c: MagmaConfig): Unit = {
     require(Fe3Fe2.closedForm.contains(c.fe3fe2Model) ||
+      iterativeFe3Fe2.contains(c.fe3fe2Model) ||
       c.fe3fe2Model == "fixed", s"unknown Fe3Fe2 model ${c.fe3fe2Model}")
     require(Thermometers.all.contains(c.meltThermometer),
       s"unknown thermometer ${c.meltThermometer}")
+    require(solubilityModels.contains(c.volatileSolubility),
+      s"unknown volatile-solubility model ${c.volatileSolubility}")
+    require(Set("qfm", "iw", "nno").contains(c.fO2Buffer),
+      s"unknown fO2 buffer ${c.fO2Buffer}")
     current = c
   }
   def reset(): Unit = current = MagmaConfig()
@@ -63,8 +75,8 @@ object MagmaIO {
     new Melt(readFile(spark, path, keepColumns = keepColumns))
   def readOlivine(spark: SparkSession, path: String): Olivine =
     new Olivine(readFile(spark, path))
-  def readClinopyroxene(spark: SparkSession, path: String): MagmaDF =
-    readFile(spark, path)
+  def readClinopyroxene(spark: SparkSession, path: String): Clinopyroxene =
+    new Clinopyroxene(readFile(spark, path))
   def readPlagioclase(spark: SparkSession, path: String): MagmaDF =
     readFile(spark, path)
 }
@@ -110,12 +122,33 @@ final class Melt(val mdf: MagmaDF, config: MagmaConfig = MagmaConfig.get) {
     new Melt(MagmaDF(out, st), config)
   }
 
-  /** Melt Fe3+/Fe2+ via the configured model (`melt.py:162-223`). */
+  /** Melt Fe3+/Fe2+ via the configured model (`melt.py:162-223`,
+    * `Fe_redox/Fe3Fe2_calculate.py:7-39`): closed-form models compile to a
+    * single codegen'd expression; iterative ones (oneill2006/armstrong2019/
+    * deng2020) to a narrow per-row solver UDF. */
   def fe3Fe2(tCol: String = "T_K", pCol: String = "P_bar",
-             fO2Col: String = "fO2", as: String = "Fe3Fe2"): Melt = {
-    val e = Fe3Fe2.closedForm(config.fe3fe2Model)(ctx, C(tCol), C(fO2Col), C(pCol))
-    addCol(as, E.toColumn(e))
-  }
+             fO2Col: String = "fO2", as: String = "Fe3Fe2"): Melt =
+    config.fe3fe2Model match {
+      case m if Fe3Fe2.closedForm.contains(m) =>
+        addCol(as, E.toColumn(
+          Fe3Fe2.closedForm(m)(ctx, C(tCol), C(fO2Col), C(pCol))))
+      case m if MagmaConfig.iterativeFe3Fe2.contains(m) =>
+        val els = mdf.staged.schema.elements.toArray
+        val f: (Map[String, Double], Double, Double, Double) => Double =
+          m match {
+            case "oneill2006" => graft.functions.Fe3Fe2Iterative.oneill2006
+            case "armstrong2019" => graft.functions.Fe3Fe2Iterative.armstrong2019
+            case "deng2020" =>
+              (mol, t, p, fo2) => graft.functions.Deng2020.fe3Fe2(mol, t, p, fo2)
+          }
+        val u = org.apache.spark.sql.functions.udf(
+          (wt: Seq[Double], tK: Double, pBar: Double, fO2: Double) =>
+            f(IaconoMarziano.Comp(els, wt.toArray).molNorm, tK, pBar, fO2))
+        addCol(as, u(org.apache.spark.sql.functions.array(els.map(col): _*),
+          col(tCol), col(pCol), col(fO2Col)))
+      case "fixed" => addCol(as, lit(0.2))
+      case other => throw new IllegalArgumentException(s"Fe3Fe2 model $other")
+    }
 
   /** Split total Fe into FeO/Fe2O3 from a ratio column (`melt.py:225-274`). */
   def feSpeciation(fe3fe2Col: String = "Fe3Fe2"): Melt =
@@ -132,15 +165,25 @@ final class Melt(val mdf: MagmaDF, config: MagmaConfig = MagmaConfig.get) {
     addCol(as, E.toColumn(e))
   }
 
-  /** EP2 flagship: volatile saturation pressure (mixed H2O-CO2). */
+  /** EP2 flagship: volatile saturation pressure (mixed H2O-CO2), dispatched
+    * on `config.volatileSolubility` (reference `volatile_solubility/
+    * calculate_volatiles.py:8-20` `get_solubility_model`). */
   def volatileSaturationPressure(tCol: String = "T_K"): DataFrame = {
     val els = mdf.staged.schema.elements.toArray
+    val solve: (IaconoMarziano.Comp, Double) => (Double, Double) =
+      config.volatileSolubility match {
+        case "iaconomarziano2012" =>
+          (c, t) => IaconoMarziano.mixedSaturation(c, t)
+        case "allison2022" =>
+          (c, t) => graft.functions.Allison.mixedSaturation(c, t)
+        case "shishkina2014" =>
+          (c, _) => graft.functions.Shishkina.mixedSaturation(c)
+        case other =>
+          throw new IllegalArgumentException(s"solubility model $other")
+      }
     val sat = org.apache.spark.sql.functions.udf(
-      (wt: Seq[Double], tK: Double) => {
-        val (p, x) = IaconoMarziano.mixedSaturation(
-          IaconoMarziano.Comp(els, wt.toArray), tK)
-        (p, x)
-      })
+      (wt: Seq[Double], tK: Double) =>
+        solve(IaconoMarziano.Comp(els, wt.toArray), tK))
     df.withColumn("sat",
         sat(org.apache.spark.sql.functions.array(els.map(col): _*), col(tCol)))
       .withColumn("P_sat_bar", col("sat._1"))
@@ -149,6 +192,22 @@ final class Melt(val mdf: MagmaDF, config: MagmaConfig = MagmaConfig.get) {
 
   def moles: MagmaDF = mdf.moles()
   def cations: MagmaDF = mdf.cations()
+}
+
+/** Clinopyroxene-phase operations (`core/MagmaFrames/clinopyroxene.py:
+  * 32-50`): Mg# on cation fractions and the 6-oxygen mineral formula. */
+final class Clinopyroxene(val mdf: MagmaDF) {
+  def df: DataFrame = mdf.df
+  def mgNo(as: String = "Mg_no"): DataFrame = {
+    val st = graft.core.Staged(mdf.staged.schema, Vector.empty)
+      .withMgNumber(as)
+    Pipeline.applySpark(df, st.stages)
+  }
+  def formula: DataFrame = {
+    val st = graft.core.Staged(mdf.staged.schema, Vector.empty)
+      .mineralFormula(6.0)
+    Pipeline.applySpark(df, st.stages)
+  }
 }
 
 /** Olivine-phase operations (`core/MagmaFrames/olivine.py`). */

@@ -109,4 +109,56 @@ class ApiSpec extends SparkSpec {
       }
     } finally MagmaConfig.reset()
   }
+
+  test("config dispatches iterative Fe3Fe2 models end-to-end") {
+    val results = for (model <- Seq("deng2020", "oneill2006", "armstrong2019",
+        "sun2024")) yield {
+      MagmaConfig.set(MagmaConfig(fe3fe2Model = model))
+      try {
+        val melt = new Melt(MagmaDFWithCols(MagmaIO.readMelt(spark, meltCsv)))
+          .temperature()
+          .withFO2(tCol = "T_K_calc", pCol = "P_bar")
+          .fe3Fe2(tCol = "T_K_calc", pCol = "P_bar")
+        val r = melt.df.collect().map(_.getAs[Double]("Fe3Fe2"))
+        assert(r.forall(v => v > 0 && v < 10), s"$model: ${r.toSeq}")
+        model -> r.toSeq
+      } finally MagmaConfig.reset()
+    }
+    // different models must actually produce different numbers
+    assert(results.map(_._2).distinct.size == results.size, results.toString)
+  }
+
+  test("config dispatches volatile-solubility models end-to-end") {
+    val byModel = for (model <- Seq("iaconomarziano2012", "allison2022",
+        "shishkina2014")) yield {
+      MagmaConfig.set(MagmaConfig(volatileSolubility = model))
+      try {
+        val melt = new Melt(MagmaDFWithCols(MagmaIO.readMelt(spark, meltCsv)))
+          .temperature()
+        val sat = melt.volatileSaturationPressure(tCol = "T_K_calc").collect()
+          .map(r => r.getAs[String]("sample_id") ->
+            r.getAs[Double]("P_sat_bar")).toMap
+        assert(sat.values.forall(_ > 0), s"$model: $sat")
+        model -> sat
+      } finally MagmaConfig.reset()
+    }
+    assert(byModel.map(_._2).distinct.size == byModel.size, byModel.toString)
+    intercept[IllegalArgumentException] {
+      MagmaConfig.set(MagmaConfig(volatileSolubility = "nope"))
+    }
+  }
+
+  test("clinopyroxene wrapper computes Mg# and 6-oxygen formula") {
+    val cpxCsv = writeCsv("cpx.csv",
+      """name,SiO2,TiO2,Al2O3,FeO,MnO,MgO,CaO,Na2O,Cr2O3,total
+        |c1,52.1,0.45,2.9,5.2,0.12,16.5,21.3,0.3,0.6,99.47
+        |c2,51.0,0.7,4.1,6.8,0.15,15.2,20.5,0.4,0.3,99.15
+        |""".stripMargin)
+    val cpx = MagmaIO.readClinopyroxene(spark, cpxCsv)
+    val mg = cpx.mgNo().collect()
+      .map(r => r.getAs[String]("sample_id") -> r.getAs[Double]("Mg_no")).toMap
+    assert(mg.values.forall(v => v > 0.75 && v < 0.90), mg.toString)
+    val formula = cpx.formula.collect()
+    assert(formula.nonEmpty)
+  }
 }
