@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -43,24 +43,30 @@ object Multimodal {
     (fmt, w, h, feature)
   }
 
-  /** Decode + feature-extract a binary column per partition (batched, no
-    * per-row task overhead; the iterator shape matches `mapInPandas`
-    * batches). Expects (doc_id: long, payload: binary). */
+  /** Decoded record produced by the UDF; encodes to the nullable-struct
+    * half of [[featureSchema]]. */
+  final case class Decoded(payload_bytes: Int, format: String,
+                           width: Option[Int], height: Option[Int],
+                           feature: Option[Seq[Double]])
+
+  /** Decode + feature-extract a binary column. A struct-returning Scala
+    * UDF rather than `rdd.mapPartitions`: the query stays on the
+    * DataFrame/Tungsten plane, so column pruning still reaches the scan for
+    * metadata-only consumers (e.g. [[resizePlan]] never deserialises the
+    * payload bytes of OTHER columns) and the surrounding projections remain
+    * whole-stage codegen'd. Expects (doc_id: long, payload: binary). */
   def decodeFeatures(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
-    val spark = df.sparkSession
-    val rdd = df.select(col("doc_id").cast("long"), col(payloadCol)).rdd
-      .mapPartitions { rows =>
-        rows.map { r =>
-          val id = r.getLong(0)
-          val payload = r.getAs[Array[Byte]](1)
-          if (payload == null) Row(id, 0, null, null, null, null)
-          else {
-            val (fmt, w, h, feat) = decodeStub(payload)
-            Row(id, payload.length, fmt, w, h, feat.toSeq)
-          }
-        }
-      }
-    spark.createDataFrame(rdd, featureSchema)
+    val decode = udf((payload: Array[Byte]) =>
+      if (payload == null) Decoded(0, null, None, None, None)
+      else {
+        val (fmt, w, h, feat) = decodeStub(payload)
+        Decoded(payload.length, fmt, Some(w), Some(h), Some(feat.toSeq))
+      })
+    df.select(col("doc_id").cast("long").as("doc_id"),
+        decode(col(payloadCol)).as("d"))
+      .select(col("doc_id"), col("d.payload_bytes").as("payload_bytes"),
+        col("d.format").as("format"), col("d.width").as("width"),
+        col("d.height").as("height"), col("d.feature").as("feature"))
   }
 
   /** Resize metadata transform (pure column math over the typed metadata —
