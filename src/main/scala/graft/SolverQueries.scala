@@ -171,6 +171,18 @@ object SolverQueries {
           col("out_width"), col("out_height"))
         .orderBy("doc_id")
     }, None),
+    // Smooth isobar curve assembly (reference isobars.py:107-141):
+    // distributed grid -> driver-side spline -> unioned segments.
+    Q("q_isobar_curves", (s, dir) => {
+      val comps = spread(Tables.meltsDF(s, dir)
+        .filter(col("sample_id") % 997 === 3))
+      val grid = graft.functions.Isobars.isobarGrid(comps, meltEls,
+        isobars = Seq(1000.0, 2000.0, 3000.0))
+      graft.functions.Isobars.isobarCurves(s, grid)
+        .select(col("sample_id"), col("P_bar"),
+          round(col("H2O"), 6).as("H2O"), round(col("CO2"), 6).as("CO2"))
+        .orderBy("sample_id", "P_bar", "H2O")
+    }, None),
     // Isobar grid (J2 cross-join pattern): a few compositions x P x x_fluid.
     Q("q_isobars", (s, dir) => {
       val comps = Tables.meltsDF(s, dir).filter(col("sample_id") % 997 === 3)

@@ -455,6 +455,41 @@ class GoldenSpec extends SparkSpec {
     }
   }
 
+  test("isobar curves pass through their knots and track direct solubility") {
+    import spark.implicits._
+    val oxides = Array("SiO2", "TiO2", "Al2O3", "FeO", "MnO", "MgO", "CaO",
+      "Na2O", "K2O", "P2O5", "H2O", "CO2")
+    val vals = Array(48.5, 1.2, 15.3, 9.0, 0.17, 7.8, 11.0, 2.6, 0.7, 0.25,
+      2.0, 0.05)
+    val t = 1473.15
+    val sample = Seq((1L, vals(0), vals(1), vals(2), vals(3), vals(4),
+      vals(5), vals(6), vals(7), vals(8), vals(9), vals(10), vals(11), t))
+      .toDF("sample_id" +: oxides.toIndexedSeq :+ "T_K": _*)
+    val grid = Isobars.isobarGrid(sample, oxides, isobars = Seq(2000.0))
+    val gridRows = grid.collect().map(r =>
+      (r.getDouble(2), r.getDouble(3), r.getDouble(4))) // (xfl, H2O, CO2)
+    val curve = Isobars.isobarCurves(spark, grid).collect()
+      .map(r => (r.getDouble(2), r.getDouble(3))) // (H2O, CO2)
+    assert(curve.length >= 100)
+    // the spline passes through every knot exactly (interpolation property)
+    val sorted = gridRows.sortBy(_._1).filter(_._2 > 0)
+    val kx = sorted.map(_._2); val ky = sorted.map(_._3)
+    val f = Isobars.cubicSpline(kx, ky)
+    for ((x, y) <- kx.zip(ky))
+      assert(math.abs(f(x) - y) < 1e-12, s"knot ($x, $y) -> ${f(x)}")
+    // interpolated CO2 tracks direct solubility evaluation between knots
+    val comp = IaconoMarziano.Comp(oxides, vals)
+    val co2Range = gridRows.map(_._3).max - gridRows.map(_._3).min
+    val errs = curve.filter(p => p._1 > 1e-6 && p._1 < kx.last - 1e-8)
+      .map { case (h, cInterp) =>
+      val xfl = Solver.brent(x =>
+        IaconoMarziano.h2oSolubility(comp, x, 2000.0, t) - h, 1e-9, 1.0 - 1e-9)
+      math.abs(cInterp - IaconoMarziano.co2Solubility(comp, xfl, 2000.0, t))
+    }
+    info(f"isobar interp: max |dCO2| = ${errs.max}%.5f of range $co2Range%.4f")
+    assert(errs.max < 0.02 * co2Range, s"max err ${errs.max}")
+  }
+
   test("blundy2020 Kd formula reproduces measured Kd at reported Fo") {
     val ms = rows("Kd_blundy2020_input.csv").filter(m =>
       !m("olivine_forsterite").isNaN && !m("_Fe3Fe2").isNaN &&
