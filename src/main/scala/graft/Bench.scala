@@ -26,16 +26,23 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).queryExecution.toRdd.count() }
       catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // millisecond precision keeps the line compact enough for line-buffered
+    // log capture (a full-precision line for ~100 queries risks truncation)
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // redundant file copy in case stdout capture clips the tail
+    try java.nio.file.Files.writeString(java.nio.file.Path.of("BENCH_LAST.json"), line)
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

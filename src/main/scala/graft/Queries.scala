@@ -99,6 +99,18 @@ object Queries {
       m.derive("in_calibration", CastD(If(inRange, ILit(1), ILit(0))))
         .select("sample_id", "in_calibration")
     },
+    // --- P12: temperature sanity flag (validate_temperatures.py:6-20) ----
+    // The reference warns on negative/NaN temperatures; here a per-row flag
+    // column (NaN compares greater than any double in BOTH engines, so the
+    // upper bound catches it without an isnan() dialect split).
+    meltQ("q_temperature_validate") { m =>
+      val t = Thermometers.putirka2008_15(mctx)
+      m.derive("T_K_calc", t)
+        .derive("T_valid", CastD(If(
+          (C("T_K_calc") > Lit(0.0)) && (C("T_K_calc") < Lit(1e4)),
+          ILit(1), ILit(0))))
+        .select("sample_id", "T_K_calc", "T_valid")
+    },
     // --- 2.7 thermometers -------------------------------------------------
     thermoQ("putirka2008_13", Thermometers.putirka2008_13(_), transcendental = false),
     thermoQ("putirka2008_14", Thermometers.putirka2008_14(_), transcendental = false),
