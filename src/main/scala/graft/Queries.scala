@@ -421,18 +421,16 @@ object Queries {
           round(ErrorModels.fe3fe2Error1Bar("sun2024", C("Fe3Fe2")), 6))
         .select("sample_id", "Fe3Fe2", "error_1sigma")
     },
-    Q("q_fe3fe2_error_hp", (s, dir) => {
-      import org.apache.spark.sql.functions.{col, round => sround, udf}
-      val errUdf = udf((fe3fe2: Double, pBar: Double) =>
-        ErrorModels.fe3fe2Error("sun2024", fe3fe2, pBar))
-      val fe3fe2 = E.toColumn(round(Fe3Fe2.sun2024(mctx, C("T_K"),
-        Fo2Buffers.qfm1bar(C("T_K")), C("P_bar")), 6))
-      Tables.meltsDF(s, dir)
-        .select(col("sample_id"), fe3fe2.as("Fe3Fe2"), col("P_bar"))
-        .select(col("sample_id"),
-          sround(errUdf(col("Fe3Fe2"), col("P_bar")), 6).as("error_1sigma"))
-        .orderBy("sample_id")
-    }, None))
+    // HP B-spline error: the sun2024 fit is a single clamped cubic span, so
+    // the spline renders closed-form into the dual-compiled AST -> full
+    // oracle (the multi-span borisov fit stays on the scalar splev path).
+    meltQ("q_fe3fe2_error_hp") { m =>
+      m.derive("Fe3Fe2", round(Fe3Fe2.sun2024(mctx, C("T_K"),
+          Fo2Buffers.qfm1bar(C("T_K")), C("P_bar")), 6))
+        .derive("error_1sigma", round(
+          ErrorModels.fe3fe2ErrorExpr("sun2024", C("Fe3Fe2"), C("P_bar")), 6))
+        .select("sample_id", "error_1sigma")
+    })
 
   /** The reference's canonical implicit join J1 — olivine and melt paired by
     * sample key (`olivine.py:60-95`) — as an explicit equi-join. The olivine

@@ -71,6 +71,26 @@ object ErrorModels {
     d(k)
   }
 
+  /** Single-span HP spline rendered closed-form: a clamped cubic B-spline
+    * with 4 coefficients is one Bezier span, so De Boor reduces to the
+    * Bernstein polynomial with clamped extrapolation — pure arithmetic the
+    * dual-compiled AST (and hence the DuckDB oracle) can express. */
+  def fe3fe2ErrorHPExpr(model: String, fe3fe2: E): E = {
+    val (t, c) = fe3fe2SplineHP(model)
+    require(c.length == 4, s"closed-form render needs a single span: $model")
+    val a = t(3); val b = t(4)
+    val u = (least(greatest(fe3fe2, Lit(a)), Lit(b)) - Lit(a)) / Lit(b - a)
+    val v = Lit(1.0) - u
+    v * v * v * Lit(c(0)) + Lit(3.0) * v * v * u * Lit(c(1)) +
+      Lit(3.0) * v * u * u * Lit(c(2)) + u * u * u * Lit(c(3))
+  }
+
+  /** get_error as an expression: 1-bar curve at/below 1 bar, HP spline
+    * above (`Fe3Fe2_baseclass.py:93-147`). */
+  def fe3fe2ErrorExpr(model: String, fe3fe2: E, pBar: E): E =
+    If(pBar <= Lit(1.0), fe3fe2Error1Bar(model, fe3fe2),
+      fe3fe2ErrorHPExpr(model, fe3fe2))
+
   /** get_error: 1-bar curve below/at 1 bar, spline above
     * (`Fe3Fe2_baseclass.py:93-147`). */
   def fe3fe2Error(model: String, fe3fe2: Double, pBar: Double): Double = {

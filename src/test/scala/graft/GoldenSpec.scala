@@ -455,6 +455,18 @@ class GoldenSpec extends SparkSpec {
     }
   }
 
+  test("closed-form HP error spline matches scalar De Boor evaluation") {
+    val df = fixtureDf(Seq(Map("x" -> 0.0)), Seq("x"))
+    for (x <- Seq(0.06, 0.1, 0.3, 0.5, 1.0, 1.5, 2.0, 2.16, 3.0)) {
+      val got = evalCol(df,
+        E.toColumn(ErrorModels.fe3fe2ErrorHPExpr("sun2024", Lit(x)))).head
+      val want = ErrorModels.splev(x,
+        ErrorModels.fe3fe2SplineHP("sun2024")._1,
+        ErrorModels.fe3fe2SplineHP("sun2024")._2)
+      assert(math.abs(got - want) < 1e-12, s"x=$x: $got vs $want")
+    }
+  }
+
   test("isobar curves pass through their knots and track direct solubility") {
     import spark.implicits._
     val oxides = Array("SiO2", "TiO2", "Al2O3", "FeO", "MnO", "MgO", "CaO",
