@@ -184,6 +184,74 @@ object Queries {
     val meltsSql = Tables.melts.sql("lineitem", Seq.empty)
     val passCols = Seq("sample_id", "T_K", "P_bar")
       .map(c => "\"" + c + "\"").mkString(", ")
+    // A4: rolling-window error recalibration (reference `tools/
+    // model_errors.py:20-56` `_running_stddev`): order validation pairs by
+    // the model value, 29-row centred window, reject samples further than
+    // 2 sigma from the window median, stddev of the survivors. The second
+    // pass re-reads window members under the first pass's stats, which SQL
+    // expresses as a row_number range self-join. Calibration datasets are
+    // thousands of rows, so the single global sort is by design (the
+    // reference runs this offline on the driver too).
+    val errorRecal = {
+      val fr = 15
+      val yExpr: E = C("x") * (Lit(1.0) + HashGauss.gauss(5L) * Lit(0.1))
+      val build = (s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions.{abs => sabs, count, expr,
+          round => sround, row_number, sequence, stddev_pop}
+        val pts = Pipeline.applySpark(Tables.read(s, dir, "lineitem"),
+            Tables.melts.stages)
+          .select(col("sample_id"),
+            E.toColumn(round(fe3fe2E, 6)).as("x"))
+          .withColumn("y", E.toColumn(yExpr))
+        val w = Window.orderBy("x", "sample_id")
+        val frame = w.rowsBetween(-fr, fr - 2)
+        val whole = Window.partitionBy()
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val st = pts
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(whole))
+          .withColumn("med", expr("percentile(y, 0.5)").over(frame))
+          .withColumn("sd", stddev_pop(col("y")).over(frame))
+        // re-reading window members under the centre row's (med, sd) is a
+        // range self-join; realise it as an EQUI join by exploding each row
+        // into the centre rns whose window contains it (29x fan-out) — a
+        // shuffle hash join, not a nested loop.
+        val members = st.select(col("y").as("y_b"),
+          explode(sequence(col("rn") - (fr - 2), col("rn") + fr)).as("crn"))
+        val centres = st.filter(col("rn") > fr && col("rn") <= col("n") - fr)
+        centres.join(members, col("rn") === col("crn"))
+          .filter(sabs(col("y_b") - col("med")) < lit(2.0) * col("sd"))
+          .groupBy(col("sample_id"), col("x"))
+          .agg(sround(stddev_pop(col("y_b")), 6).as("error_1sigma"))
+          .select(col("sample_id"), sround(col("x"), 6).as("x"),
+            col("error_1sigma"))
+          .orderBy("sample_id")
+      }
+      val oracleSql =
+        s"""WITH melts AS ($meltsSql),
+           |base AS (SELECT "sample_id", ${E.toSql(round(fe3fe2E, 6))} AS x
+           |  FROM melts),
+           |pts AS (SELECT "sample_id", x, ${E.toSql(yExpr)} AS y FROM base),
+           |st AS (SELECT "sample_id", x, y,
+           |  row_number() OVER (ORDER BY x, "sample_id") AS rn,
+           |  count(*) OVER () AS n,
+           |  median(y) OVER (ORDER BY x, "sample_id"
+           |    ROWS BETWEEN $fr PRECEDING AND ${fr - 2} FOLLOWING) AS med,
+           |  stddev_pop(y) OVER (ORDER BY x, "sample_id"
+           |    ROWS BETWEEN $fr PRECEDING AND ${fr - 2} FOLLOWING) AS sd
+           |  FROM pts),
+           |members AS (SELECT y AS y_b,
+           |  unnest(generate_series(rn - ${fr - 2}, rn + $fr)) AS crn FROM st),
+           |centres AS (SELECT * FROM st WHERE rn > $fr AND rn <= n - $fr)
+           |SELECT a."sample_id", round(a.x, 6) AS x,
+           |  round(stddev_pop(m.y_b), 6) AS error_1sigma
+           |FROM centres a JOIN members m ON a.rn = m.crn
+           |WHERE abs(m.y_b - a.med) < 2 * a.sd
+           |GROUP BY a."sample_id", a.x
+           |ORDER BY "sample_id"""".stripMargin.replace("\n", " ")
+      Q("q_error_recalibration", build, Some(oracleSql))
+    }
     val perturbedSql = Tables.meltElements.zipWithIndex.map { case (e, i) =>
       s"${E.toSql(perturbE(e, i))} AS \"$e\""
     }.mkString(", ")
@@ -196,7 +264,7 @@ object Queries {
          |SELECT "sample_id", round(avg(fe3fe2), 6) AS fe3fe2_mean,
          |  round(stddev_samp(fe3fe2), 6) AS fe3fe2_sd
          |FROM fe GROUP BY "sample_id" ORDER BY "sample_id"""".stripMargin
-    Seq(randomSample, Q("q_monte_carlo_fe3fe2", mcBuild, Some(mcSql)))
+    Seq(randomSample, Q("q_monte_carlo_fe3fe2", mcBuild, Some(mcSql)), errorRecal)
   }
 
   /** Geoplot + calibration-data operators (SURVEY §2.1 S3: the TAS polygon
