@@ -139,6 +139,19 @@ object SolverQueries {
           round(f(wtArray, col("T_K"), col("P_bar"), fO2), 6).as("Fe3Fe2"))
         .orderBy("sample_id")
     }, None),
+    // Reference-default sun2024 (dV="deng": EOS-integral Gamma). The
+    // oracle-checked q_fe3fe2_sun2024 is the dV="parameterised" variant.
+    Q("q_fe3fe2_sun2024_deng", (s, dir) => {
+      val f = udf((wt: Seq[Double], tK: Double, pBar: Double, fO2: Double) =>
+        graft.functions.Fe3Fe2Iterative.sun2024DengVdP(
+          IaconoMarziano.Comp(meltEls, wt.toArray).molNorm, tK, pBar, fO2))
+      val fO2 = graft.expr.E.toColumn(
+        graft.models.Fo2Buffers.qfm1bar(graft.expr.C("T_K")))
+      spread(Tables.meltsDF(s, dir))
+        .select(col("sample_id"),
+          round(f(wtArray, col("T_K"), col("P_bar"), fO2), 6).as("Fe3Fe2"))
+        .orderBy("sample_id")
+    }, None),
     Q("q_fe3fe2_deng2020", (s, dir) => {
       val f = udf((wt: Seq[Double], tK: Double, pBar: Double, fO2: Double) =>
         graft.functions.Deng2020.fe3Fe2(

@@ -21,10 +21,13 @@ final case class MagmaConfig(
     volatileSolubility: String = "iaconomarziano2012")
 
 object MagmaConfig {
-  /** Iterative (solver-backed) Fe3Fe2 models, dispatched as scalar UDFs
-    * rather than closed-form expressions (`Fe_redox/Fe3Fe2_calculate.py`). */
+  /** Solver-backed Fe3Fe2 models, dispatched as scalar UDFs rather than
+    * closed-form expressions (`Fe_redox/Fe3Fe2_calculate.py`). "sun2024"
+    * is here because the reference's DEFAULT is `dV="deng"` (EOS-integral
+    * Gamma, `Fe3Fe2_models.py:1495`); the codegen'd expression variant is
+    * reachable as "sun2024_parameterised". */
   val iterativeFe3Fe2: Set[String] =
-    Set("oneill2006", "armstrong2019", "deng2020")
+    Set("oneill2006", "armstrong2019", "deng2020", "sun2024")
   val solubilityModels: Set[String] =
     Set("iaconomarziano2012", "allison2022", "shishkina2014")
 
@@ -33,6 +36,7 @@ object MagmaConfig {
   def set(c: MagmaConfig): Unit = {
     require(Fe3Fe2.closedForm.contains(c.fe3fe2Model) ||
       iterativeFe3Fe2.contains(c.fe3fe2Model) ||
+      c.fe3fe2Model == "sun2024_parameterised" ||
       c.fe3fe2Model == "fixed", s"unknown Fe3Fe2 model ${c.fe3fe2Model}")
     require(Thermometers.all.contains(c.meltThermometer),
       s"unknown thermometer ${c.meltThermometer}")
@@ -129,9 +133,9 @@ final class Melt(val mdf: MagmaDF, config: MagmaConfig = MagmaConfig.get) {
   def fe3Fe2(tCol: String = "T_K", pCol: String = "P_bar",
              fO2Col: String = "fO2", as: String = "Fe3Fe2"): Melt =
     config.fe3fe2Model match {
-      case m if Fe3Fe2.closedForm.contains(m) =>
+      case "sun2024_parameterised" =>
         addCol(as, E.toColumn(
-          Fe3Fe2.closedForm(m)(ctx, C(tCol), C(fO2Col), C(pCol))))
+          Fe3Fe2.sun2024(ctx, C(tCol), C(fO2Col), C(pCol))))
       case m if MagmaConfig.iterativeFe3Fe2.contains(m) =>
         val els = mdf.staged.schema.elements.toArray
         val f: (Map[String, Double], Double, Double, Double) => Double =
@@ -140,12 +144,16 @@ final class Melt(val mdf: MagmaDF, config: MagmaConfig = MagmaConfig.get) {
             case "armstrong2019" => graft.functions.Fe3Fe2Iterative.armstrong2019
             case "deng2020" =>
               (mol, t, p, fo2) => graft.functions.Deng2020.fe3Fe2(mol, t, p, fo2)
+            case "sun2024" => graft.functions.Fe3Fe2Iterative.sun2024DengVdP
           }
         val u = org.apache.spark.sql.functions.udf(
           (wt: Seq[Double], tK: Double, pBar: Double, fO2: Double) =>
             f(IaconoMarziano.Comp(els, wt.toArray).molNorm, tK, pBar, fO2))
         addCol(as, u(org.apache.spark.sql.functions.array(els.map(col): _*),
           col(tCol), col(pCol), col(fO2Col)))
+      case m if Fe3Fe2.closedForm.contains(m) =>
+        addCol(as, E.toColumn(
+          Fe3Fe2.closedForm(m)(ctx, C(tCol), C(fO2Col), C(pCol))))
       case "fixed" => addCol(as, lit(0.2))
       case other => throw new IllegalArgumentException(s"Fe3Fe2 model $other")
     }

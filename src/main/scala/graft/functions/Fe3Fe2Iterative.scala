@@ -144,6 +144,32 @@ object Fe3Fe2Iterative {
     math.pow(10.0, part1 + part2 + part3 + part4)
   }
 
+  /** Sun (2024) eq. 9 with the deng2020 EOS-integral Gamma — the
+    * reference's DEFAULT `dV="deng"` variant
+    * (`Fe_redox/Fe3Fe2_models.py:1494-1534`). The expression-AST
+    * [[graft.models.Fe3Fe2.sun2024]] uses Sun's closed-form parameterised
+    * Gamma instead (the published approximation; deviates by up to ~8% in
+    * Fe3Fe2 at 1 GPa), which keeps the hot path codegen'd + oracle-able.
+    * Closed-form in Fe3Fe2 (total-Fe cations, no split). */
+  def sun2024DengVdP(mol: Map[String, Double], tK: Double, pBar: Double,
+                     fO2: Double): Double = {
+    val a0 = 2.1479; val a1 = -230.2593; val a2 = -1.8557e-4; val a3 = 34.3293
+    val a4 = 1.4138; val a5 = -17.3040; val a6 = -10.1820; val a7 = -6.7463
+    val a8 = -7.3886; val a9 = -14.5430; val a10 = -9.9776; val a11 = -16.1506
+    val a12 = -37.5572; val h = 2.1410
+    val cats = plainCations(mol)
+    def cat(n: String): Double = cats.getOrElse(n, 0.0)
+    val gamma = Deng2020.dVdP(tK, pBar) / (R * tK)
+    val omega = a1 + a2 * math.pow(tK, 1.5) + a3 * math.log(tK)
+    val fe = cat("Fe")
+    val phi = a4 * math.log(fe) + a5 * math.sqrt(fe) +
+      a6 * math.pow(cat("Si"), 3.0) + a7 * cat("Al") + a8 * cat("Ti") +
+      a9 * cat("Ca") + a10 * cat("Mg") +
+      (a11 + a12 * fe) * (cat("Na") + cat("K"))
+    math.pow(10.0,
+      (math.log10(fO2) - omega - phi - h * gamma) / (4.0 + a0 * math.sqrt(fe)))
+  }
+
   private def fixedPoint(f: Double => Double): Double = {
     def g(r: Double): Double = f(r) - r
     val s = Solver.secant(g, 0.3, 0.31, tol = 1e-10)

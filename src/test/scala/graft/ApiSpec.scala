@@ -112,7 +112,7 @@ class ApiSpec extends SparkSpec {
 
   test("config dispatches iterative Fe3Fe2 models end-to-end") {
     val results = for (model <- Seq("deng2020", "oneill2006", "armstrong2019",
-        "sun2024")) yield {
+        "sun2024", "sun2024_parameterised")) yield {
       MagmaConfig.set(MagmaConfig(fe3fe2Model = model))
       try {
         val melt = new Melt(MagmaDFWithCols(MagmaIO.readMelt(spark, meltCsv)))

@@ -455,6 +455,56 @@ class GoldenSpec extends SparkSpec {
     }
   }
 
+  test("every closed-form model family matches the reference (parity fixture)") {
+    // golden/ref_models_parity.csv = reference execution of ALL closed-form
+    // thermometers, Fe3Fe2 models, Kd models and fO2 buffers over 18
+    // composition x (T, P) cases. This catches transcribed-constant errors
+    // that the DuckDB oracle cannot (it consumes the same AST we compile).
+    val ms = rows("ref_models_parity.csv")
+    val elements = Vector("SiO2", "TiO2", "Al2O3", "FeO", "MnO", "MgO",
+      "CaO", "Na2O", "K2O", "P2O5", "H2O", "CO2")
+    val df = fixtureDf(ms.toIndexedSeq, elements ++ Seq("T_K", "P_bar", "fO2"))
+    val mctx = CompCtx(elements)
+    def check(tag: String, e: E): Unit = {
+      val got = evalCol(df, E.toColumn(e))
+      val devs = got.zip(ms).map { case (g, m) =>
+        math.abs(g - m(tag)) / math.max(math.abs(m(tag)), 1e-300) }
+      info(f"$tag: max rel dev = ${maxAbs(devs)}%.2e")
+      assert(maxAbs(devs) < 1e-9, f"$tag max rel dev ${maxAbs(devs)}%.2e")
+    }
+    for (name <- Thermometers.all.keys.toSeq.sorted)
+      check(s"th_$name", Thermometers.all(name)(mctx))
+    // the AST sun2024 is the dV="parameterised" variant; the reference
+    // DEFAULT dV="deng" is the scalar sun2024DengVdP, checked below
+    for (name <- Fe3Fe2.closedForm.keys.toSeq.sorted) {
+      val tag = if (name == "sun2024") "fe_sun2024_param" else s"fe_$name"
+      check(tag, Fe3Fe2.closedForm(name)(mctx, C("T_K"), C("fO2"), C("P_bar")))
+    }
+    locally {
+      val devs = ms.toSeq.map { m =>
+        val mol = wtToMol(elements.map(e => e -> m(e)))
+        val g = Fe3Fe2Iterative.sun2024DengVdP(mol, m("T_K"), m("P_bar"),
+          m("fO2"))
+        math.abs(g - m("fe_sun2024")) / m("fe_sun2024")
+      }
+      info(f"fe_sun2024 (deng dV): max rel dev = ${maxAbs(devs)}%.2e")
+      assert(maxAbs(devs) < 1e-9)
+    }
+    check("kd_putirka2016_8a", Kd.putirka2016_8a)
+    check("kd_putirka2016_8b", Kd.putirka2016_8b(mctx, C("P_bar")))
+    check("kd_putirka2016_8c", Kd.putirka2016_8c(mctx))
+    check("kd_putirka2016_8d", Kd.putirka2016_8d(mctx, C("P_bar")))
+    check("kd_sun2020", Kd.sun2020(mctx, Lit(0.2)))
+    check("fo2_nno", Fo2Buffers.nno(C("T_K"), C("P_bar")))
+    check("fo2_nno_1bar", Fo2Buffers.nno1bar(C("T_K")))
+    check("fo2_nno_frost", Fo2Buffers.nnoFrost(C("T_K"), C("P_bar")))
+    check("fo2_ruruo2", Fo2Buffers.ruRuO2(C("T_K"), C("P_bar")))
+    check("fo2_iw_campbell", Fo2Buffers.iwCampbell(C("T_K"), C("P_bar")))
+    check("fo2_fefeo", Fo2Buffers.feFeO94OneillHuebner(C("T_K"), C("P_bar")))
+    check("fo2_iw_zhang", Fo2Buffers.iwZhang(C("T_K"), C("P_bar")))
+    check("fo2_iw_oneill1993", Fo2Buffers.iwOneill1993(C("T_K")))
+  }
+
   test("closed-form HP error spline matches scalar De Boor evaluation") {
     val df = fixtureDf(Seq(Map("x" -> 0.0)), Seq("x"))
     for (x <- Seq(0.06, 0.1, 0.3, 0.5, 1.0, 1.5, 2.0, 2.16, 3.0)) {
