@@ -114,6 +114,16 @@ class GoldenSpec extends SparkSpec {
     assert(maxAbs(devs) < 1e-5, f"max dev ${maxAbs(devs)}")
   }
 
+  test("IW full matches the reference implementation (parity grid)") {
+    // reference float32-coerces its IW output (`fO2/IW.py:461-466`); we
+    // keep doubles, so parity holds to float32 resolution (~1e-7 rel).
+    val devs = rows("ref_iw_parity.csv").toSeq.map { r =>
+      math.log10(IwFull.fO2(r("T_K"), r("P_bar"))) - r("log10fO2")
+    }
+    info(f"IW parity: max |dlog10 fO2| = ${maxAbs(devs)}%.2e over ${devs.size}")
+    assert(maxAbs(devs) < 1e-5, f"max dev ${maxAbs(devs)}")
+  }
+
   test("IW full matches Hirschmann's MATLAB values (golden fixture)") {
     val devByP = rows("fO2_IW_Hirschmann.csv").groupBy(_("P_bar")).map {
       case (p, rs) =>
