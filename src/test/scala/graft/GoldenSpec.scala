@@ -415,7 +415,22 @@ class GoldenSpec extends SparkSpec {
       "sh_h2o_sol" -> relDevs("sh_h2o_sol")((c, t, m) =>
         Some((Shishkina.h2oSolubility(c, 1.0, 2000.0), m("sh_h2o_sol_2k")))),
       "sh_co2_sol" -> relDevs("sh_co2_sol")((c, t, m) =>
-        Some((Shishkina.co2Solubility(c, 0.0, 2000.0), m("sh_co2_sol_2k")))))
+        Some((Shishkina.co2Solubility(c, 0.0, 2000.0), m("sh_co2_sol_2k")))),
+      // x_fluid = 0.5: exercises the dissolved-H2O -> CO2 cross-coupling
+      // (d_H2O term) that the pure-species cases cannot reach
+      "im_h2o_sol_05" -> relDevs("im_h2o_sol_05")((c, t, m) =>
+        Some((IaconoMarziano.h2oSolubility(c, 0.5, 2000.0, t), m("im_h2o_sol_05")))),
+      "im_co2_sol_05" -> relDevs("im_co2_sol_05")((c, t, m) =>
+        Some((IaconoMarziano.co2Solubility(c, 0.5, 2000.0, t) * 1e4, m("im_co2_sol_05")))),
+      // NOTE: the al_co2_sol_05 fixture column is all-NaN (skipped): the
+      // reference RAISES on every mixed-fluid Allison CO2 solubility call
+      // (`allison2022.py:315` passes `species` positionally but its
+      // `_check_argument` decorator only reads kwargs). Our implementation
+      // takes the documented semantics instead of replicating the crash.
+      "al_co2_sol_05" -> relDevs("al_co2_sol_05")((c, t, m) =>
+        Some((Allison.co2Solubility(c, t, 2000.0, 0.5), m("al_co2_sol_05")))),
+      "sh_co2_sol_05" -> relDevs("sh_co2_sol_05")((c, t, m) =>
+        Some((Shishkina.co2Solubility(c, 0.5, 2000.0), m("sh_co2_sol_05")))))
     for ((tag, devs) <- checks) {
       info(f"$tag: max rel dev = ${maxAbs(devs)}%.2e over ${devs.size} cases")
       assert(maxAbs(devs) < 1e-3, f"$tag max rel dev ${maxAbs(devs)}%.2e")
