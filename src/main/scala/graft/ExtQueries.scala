@@ -179,6 +179,35 @@ object ExtQueries {
       Some("""SELECT "l_returnflag", "l_linestatus", sum("l_quantity") AS "sum_qty",
              | count(*) AS "n", count(DISTINCT "l_partkey") AS "n_parts"
              | FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-        .replace("\n", " ")))
+        .replace("\n", " "))),
+    // ---- star-schema dimension rollup: the canonical at-scale join shape —
+    // fact scan joined through three broadcast-sized dimensions (supplier ->
+    // nation -> region), partial aggregation before the final shuffle.
+    Q("q_region_rollup",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.broadcast
+        val li = Tables.read(s, dir, "lineitem")
+          .select(col("l_suppkey"), col("l_quantity"))
+        val sup = broadcast(Tables.read(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey")))
+        val nat = broadcast(Tables.read(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_regionkey")))
+        val reg = broadcast(Tables.read(s, dir, "region")
+          .select(col("r_regionkey"), col("r_name")))
+        li.join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(nat, col("s_nationkey") === col("n_nationkey"))
+          .join(reg, col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("double")).as("sum_qty"))
+          .orderBy("r_name")
+      },
+      Some("""SELECT "r_name", count(*) AS "n_items",
+             | sum(CAST("l_quantity" AS DOUBLE)) AS "sum_qty"
+             | FROM lineitem
+             | JOIN supplier ON "l_suppkey" = "s_suppkey"
+             | JOIN nation ON "s_nationkey" = "n_nationkey"
+             | JOIN region ON "n_regionkey" = "r_regionkey"
+             | GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")))
   )
 }
