@@ -172,10 +172,17 @@ object Queries {
       val base = Tables.meltsDF(s, dir)
         .withColumn("draw", explode(array((0 until nDraws).map(i =>
           lit(i.toLong)): _*)))
-      val perturbed = Tables.meltElements.zipWithIndex.foldLeft(base) {
-        case (d, (e, i)) => d.withColumn(e, E.toColumn(perturbE(e, i)))
-      }
-      perturbed.withColumn("Fe3Fe2", E.toColumn(fe3fe2E))
+      // run the perturbation + model stages through the CSE pass (as meltQ
+      // stages do): sun2024 references every element many times via its
+      // cation denominators, so the un-factored tree multiplies each
+      // perturbation subtree ~8x and codegen compile time dominates the
+      // one-shot query cost. Pure factoring — identical arithmetic.
+      val pass = Seq("sample_id", "T_K", "P_bar", "draw").map(c => c -> (C(c): E))
+      val perturbStage = Stage(pass ++ Tables.meltElements.zipWithIndex.map {
+        case (e, i) => e -> perturbE(e, i) })
+      val feStage = Stage(Seq("sample_id" -> (C("sample_id"): E),
+        "Fe3Fe2" -> fe3fe2E))
+      Pipeline.applySpark(base, Cse.expand(perturbStage) ++ Cse.expand(feStage))
         .groupBy("sample_id")
         .agg(sround(avg("Fe3Fe2"), 6).as("fe3fe2_mean"),
           sround(stddev_samp("Fe3Fe2"), 6).as("fe3fe2_sd"))
