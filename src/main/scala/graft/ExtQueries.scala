@@ -122,6 +122,19 @@ object ExtQueries {
              | SELECT qid AS "qid", nid AS "nid", sim AS "sim" FROM r WHERE rk <= 5
              | ORDER BY qid, nid""".stripMargin.replace("\n", " ")
         .replace("BUCKET", lshBucketSql(8, 42L, 64)))),
+    // IVF inverted-file ANN: data-adaptive cells (vs lshTopK's random
+    // hyperplanes); probes its 2 nearest cells per query.
+    Q("q_knn_ivf", (s, dir) =>
+      Similarity.ivfTopK(Tables.read(s, dir, "embeddings"), 5)
+        .orderBy("qid", "nid"),
+      None),
+    // SimHash banded near-dup pairs: full recall for hamming <= bands-1 by
+    // pigeonhole; exact bit_count(xor) check on candidates only.
+    Q("q_dedup_simhash_pairs", (s, dir) =>
+      Dedup.simhashNearDupPairs(Tables.read(s, dir, "documents")
+          .select(col("doc_id"), col("text")), maxHamming = 3)
+        .orderBy("doc_a", "doc_b"),
+      None),
     // LSH-bucketed near-dup decision set: the production-scale form of
     // q_dedup_embedding_cosine (pairs are a subset of its exact output).
     Q("q_dedup_embedding_lsh",

@@ -85,6 +85,38 @@ object Dedup {
     bits.reduce(_.bitwiseOR(_))
   }
 
+  /** SimHash near-duplicate pairs via banding: split the 64-bit signature
+    * into `bands` equal bit-bands; by pigeonhole, any pair with Hamming
+    * distance < `bands` shares at least one identical band, so the
+    * candidate join is an equi-join on (band index, band value) — shuffle
+    * carries (band, value, doc_id) only — and the exact Hamming check
+    * (codegen'd bit_count(xor)) runs on candidates only. Standard
+    * production SimHash dedup shape; guarantees full recall for
+    * maxHamming <= bands - 1. */
+  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3,
+                          bands: Int = 4): DataFrame = {
+    require(maxHamming < bands, s"pigeonhole needs maxHamming < bands")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val sigs = docs.select(col("doc_id"),
+      simhash(split(col("text"), " ")).as("sig"))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+        shiftright(col("sig"), b * width).bitwiseAND(lit(mask)).as("value"))): _*))
+        .as("bv"))
+      .select(col("doc_id"), col("sig"), col("bv.band"), col("bv.value"))
+    val a = banded.select(col("band"), col("value"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("value"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "value"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Exact n-gram Jaccard similarity between two token-set columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -107,6 +107,47 @@ object Similarity {
       .select(col("qid"), col("nid"), col("sim"))
   }
 
+  /** IVF (inverted-file) approximate top-k: vectors are assigned to their
+    * nearest of `cells` centroids, queries probe their `probes` nearest
+    * cells and search only those inverted lists. Complements [[lshTopK]]:
+    * IVF adapts to the data distribution where random hyperplanes cannot.
+    *
+    * Centroid selection is deterministic hash-sampling (the k-means++
+    * refinement the literature adds is an offline driver loop over a
+    * sample; the operator contract — centroids broadcast, assignment via
+    * small-dimension crossJoin, per-cell candidate join — is identical).
+    * Scale shape: assignment is a broadcast join (cells x dim doubles),
+    * the candidate join shuffles (cell, id, vec) like the LSH bucket join,
+    * and no stage ever materialises the n^2 pair space. */
+  def ivfTopK(embeddings: DataFrame, k: Int, cells: Int = 16,
+              probes: Int = 2, seed: Long = 42L): DataFrame = {
+    val e = prepared(embeddings)
+    // deterministic centroid sample: lowest `cells` hashes
+    val cent = e.withColumn("h", xxhash64(col("vec_id"), lit(seed)))
+      .orderBy("h").limit(cells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    // rank centroids per vector by cosine; keep top `probes` for the query
+    // side and the top-1 as the home cell
+    val scored = e.crossJoin(broadcast(cent))
+      .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))
+    val ranked = scored.withColumn("crk", row_number().over(w))
+    val home = ranked.filter(col("crk") === 1)
+      .select(col("cid").as("cell"), col("vec_id").as("nid"),
+        col("v").as("vb"), col("nrm").as("nb"))
+    val sim = round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+    val wq = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    ranked.filter(col("crk") <= probes)
+      .select(col("cid").as("cell"), col("vec_id").as("qid"),
+        col("v").as("va"), col("nrm").as("na"))
+      .join(home, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), sim.as("sim")).distinct()
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("sim"))
+  }
+
   /** LSH-bucketed embedding near-duplicate pairs — the 100 TB production
     * form of [[cosineNearDupPairs]]: candidate pairs come from an equi-join
     * on the sign-bit bucket key (shuffle carries (bucket, id, vec) and each

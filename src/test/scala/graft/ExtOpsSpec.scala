@@ -102,6 +102,45 @@ class ExtOpsSpec extends SparkSpec {
     assert(messages(ex).exists(m => m != null && m.contains("length mismatch")))
   }
 
+  test("IVF top-k similarities agree with brute force on shared pairs") {
+    val vecs = (0 until 40).map { i =>
+      val v = Array.tabulate(48)(j =>
+        (math.sin(i * 48 + j) + (if (i % 4 == j % 4) 2.0 else 0.0)).toFloat)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val bf = Similarity.bruteForceTopK(vecs, 5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val ivf = Similarity.ivfTopK(vecs, 5, cells = 8, probes = 2).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(ivf.nonEmpty)
+    // every query vector must get neighbours (probing its own home cell)
+    assert(ivf.map(_._1._1).distinct.length == 40)
+    for ((pair, sim) <- ivf if bf.contains(pair))
+      assert(math.abs(bf(pair) - sim) < 1e-9, pair.toString)
+  }
+
+  test("simhash banded pairs have FULL recall for hamming <= bands-1") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again"),
+      (4L, "completely different content about spark catalyst expressions"),
+      (5L, "totally unrelated words concerning volcanic melt compositions")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(docs, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth from the signatures themselves
+    val sigs = docs.select(col("doc_id"),
+      Dedup.simhash(split(col("text"), " ")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 3
+    } yield (a, b)).toSet
+    assert(pairs == want, s"got $pairs want $want")
+    assert(pairs.contains((1L, 2L))) // exact dup pair must be found
+  }
+
   test("text quality expressions evaluate on constructed docs") {
     import graft.expr.{E, C}
     import graft.ext.{TextAnalysis => TA}
