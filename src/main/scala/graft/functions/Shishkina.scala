@@ -69,37 +69,32 @@ object Shishkina {
     catch { case _: Throwable => Double.NaN }
   }
 
+  /** Partial CO2 pressure (bar) holding `co2` wt.% — eq. 13 inverts in
+    * closed form (pure power law in fCO2). */
+  private def co2PartialPressure(piStar: Double, co2: Double): Double =
+    math.exp((math.log(co2 * 1e4) + 1.345 - 6.71 * piStar) / 1.150) * 10.0
+
   def co2Saturation(c: Comp, xFluid: Double = 0.0): Double = {
     val co2 = c("CO2")
     if (co2 == 0.0) return 0.0
-    val piStar = piStarOf(anhydrousCations(c))
-    try Solver.brent(p => co2 - co2SolubilityPi(piStar, xFluid, p), 1e-15, 1.5e4)
-    catch { case _: Throwable => Double.NaN }
+    co2PartialPressure(piStarOf(anhydrousCations(c)), co2) / (1.0 - xFluid)
   }
 
-  /** Mixed-fluid saturation (P_sat, x_fluid), seeded at the sum of the
-    * pure-species pressures (`shishkina2014.py:300-420`). */
+  /** Mixed-fluid saturation (P_sat, x_fluid) (`shishkina2014.py:300-420`).
+    * Unlike IaconoMarziano/Allison, BOTH Shishkina laws depend on their
+    * species' PARTIAL pressure only, so the reference's 2-D root solve
+    * decouples exactly: invert each law for its partial pressure (CO2 in
+    * closed form, H2O a bracketed 1-D solve), then P = pH2O + pCO2 and
+    * x_fluid = pH2O / P. Identical solution, ~10x fewer model evaluations
+    * per row — this was the most expensive solver in the whole registry. */
   def mixedSaturation(c: Comp): (Double, Double) = {
     val pH2O = h2oSaturation(c)
     val pCO2 = co2Saturation(c)
     if (c("H2O") <= 0.0) return (pCO2, 0.0)
     if (c("CO2") <= 0.0) return (pH2O, 1.0)
-    val cat = anhydrousCations(c)
-    val b = alkali(cat); val piStar = piStarOf(cat)
-    val h2oObs = c("H2O"); val co2Obs = c("CO2")
-    val pGuess = (if (pH2O.isFinite) pH2O else 0.0) +
-      (if (pCO2.isFinite) pCO2 else 0.0)
-    def objective(p: Double, xfl: Double): (Double, Double) = {
-      val pc = math.max(p, 1e-15)
-      val xc = math.min(1.0, math.max(0.0, xfl))
-      (h2oSolubilityB(b, xc, pc) - h2oObs, co2SolubilityPi(piStar, xc, pc) - co2Obs)
-    }
-    val (p, xflRaw) = Solver.newton2d(objective, pGuess, 0.01,
-      clampX = x => math.max(x, 1e-15),
-      clampY = y => math.min(1.0, math.max(0.0, y)))
-    val xfl = math.min(1.0, math.max(0.0, xflRaw))
-    if (xflRaw <= 0.0) (pCO2, xfl)
-    else if (xflRaw >= 1.0) (pH2O, xfl)
-    else (p, xfl)
+    if (!pH2O.isFinite || !pCO2.isFinite) return (Double.NaN, Double.NaN)
+    // at x_fluid = 1 / 0 the pure saturations ARE the partial pressures
+    val p = pH2O + pCO2
+    (p, pH2O / p)
   }
 }

@@ -138,7 +138,11 @@ class ApiSpec extends SparkSpec {
         val sat = melt.volatileSaturationPressure(tCol = "T_K_calc").collect()
           .map(r => r.getAs[String]("sample_id") ->
             r.getAs[Double]("P_sat_bar")).toMap
-        assert(sat.values.forall(_ > 0), s"$model: $sat")
+        // Shishkina's H2O law has no root below ~1 wt.% H2O (polynomial
+        // fit artifact); the reference raises there, we return NaN — so
+        // low-H2O samples may legitimately be NaN for that model.
+        assert(sat.values.forall(v => v > 0 || v.isNaN), s"$model: $sat")
+        assert(sat.values.exists(_ > 0), s"$model all-NaN: $sat")
         model -> sat
       } finally MagmaConfig.reset()
     }
