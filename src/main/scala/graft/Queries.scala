@@ -202,12 +202,18 @@ object Queries {
     val errorRecal = {
       val fr = 15
       val yExpr: E = C("x") * (Lit(1.0) + HashGauss.gauss(5L) * Lit(0.1))
+      // calibration datasets are thousands of rows (the reference runs
+      // this offline on its compiled validation set), so the query runs on
+      // a deterministic ~1% key-hash subset of the melts, not the fact
+      // table — the global window sort is capped by construction
+      val subset = "(\"sample_id\" % 101) = 7"
       val build = (s: SparkSession, dir: String) => {
         import org.apache.spark.sql.expressions.Window
         import org.apache.spark.sql.functions.{abs => sabs, count, expr,
           round => sround, row_number, sequence, stddev_pop}
         val pts = Pipeline.applySpark(Tables.read(s, dir, "lineitem"),
             Tables.melts.stages)
+          .filter(col("sample_id") % 101 === 7)
           .select(col("sample_id"),
             E.toColumn(round(fe3fe2E, 6)).as("x"))
           .withColumn("y", E.toColumn(yExpr))
@@ -238,7 +244,7 @@ object Queries {
       val oracleSql =
         s"""WITH melts AS ($meltsSql),
            |base AS (SELECT "sample_id", ${E.toSql(round(fe3fe2E, 6))} AS x
-           |  FROM melts),
+           |  FROM melts WHERE $subset),
            |pts AS (SELECT "sample_id", x, ${E.toSql(yExpr)} AS y FROM base),
            |st AS (SELECT "sample_id", x, y,
            |  row_number() OVER (ORDER BY x, "sample_id") AS rn,

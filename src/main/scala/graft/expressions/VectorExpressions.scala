@@ -100,6 +100,44 @@ case class MinHashSig(child: Expression, k: Int, shingleSize: Int)
     copy(child = newChild)
 }
 
+/** One-pass 64-bit SimHash of a token array: xxhash64 (seed 42, matching
+  * `F.xxhash64`) per token, per-bit +1/-1 majority vote. The column-HOF
+  * formulation (`transform` + 64 `aggregate`s) re-evaluates the hash
+  * lambda per BIT after projection collapse — 64x recompute, same trap as
+  * the MinHash shingles. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(tokensRaw: Any): Any = {
+    val tokens = tokensRaw.asInstanceOf[ArrayData]
+    val n = tokens.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      if (t != null) {
+        val h = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset,
+          t.numBytes(), 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= 1L << b; b += 1 }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 /** Distinct word-shingle hash set (sorted array<long>), one pass: the
   * verification payload for n-gram Jaccard — set ops on longs instead of
   * repeated string shingle construction. */
@@ -146,6 +184,8 @@ object VectorExpressions {
     column(DotProduct(expression(a), expression(b)))
   def minhashSig(tokens: Column, k: Int, shingleSize: Int): Column =
     column(MinHashSig(expression(tokens), k, shingleSize))
+  def simhash64(tokens: Column): Column =
+    column(SimHash64(expression(tokens)))
   def shingleHashes(tokens: Column, shingleSize: Int): Column =
     column(ShingleHashes(expression(tokens), shingleSize))
 }

@@ -73,8 +73,16 @@ object Dedup {
   }
 
   /** 64-bit SimHash from the token array: per-bit majority vote of token
-    * hashes, as pure column expressions (bit tests via shiftright & 1). */
-  def simhash(tokens: Column): Column = {
+    * xxhash64 hashes, as a native one-pass expression ([[graft.expressions
+    * .SimHash64]] — the HOF formulation re-evaluated the hash lambda per
+    * bit after projection collapse, 64x). */
+  def simhash(tokens: Column): Column =
+    graft.expressions.VectorExpressions.simhash64(tokens)
+
+  /** The original column-HOF SimHash formulation — kept as the equivalence
+    * oracle for [[simhash]] in ExtOpsSpec (identical hashes and vote
+    * semantics, 64 array passes). */
+  private[graft] def simhashHof(tokens: Column): Column = {
     val hashes = transform(tokens, t => xxhash64(t))
     val bits = (0 until 64).map { b =>
       val votes = aggregate(hashes, lit(0L),

@@ -119,6 +119,21 @@ class ExtOpsSpec extends SparkSpec {
       assert(math.abs(bf(pair) - sim) < 1e-9, pair.toString)
   }
 
+  test("native SimHash64 equals the column-HOF formulation bit-for-bit") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "x"),
+      (4L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val both = docs.select(col("doc_id"),
+        Dedup.simhash(split(col("text"), " ")).as("native"),
+        Dedup.simhashHof(split(col("text"), " ")).as("hof"))
+      .collect()
+    for (r <- both)
+      assert(r.getLong(1) == r.getLong(2), s"doc ${r.getLong(0)}")
+  }
+
   test("simhash banded pairs have FULL recall for hamming <= bands-1") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
