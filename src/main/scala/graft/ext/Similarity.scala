@@ -137,12 +137,14 @@ object Similarity {
         col("v").as("vb"), col("nrm").as("nb"))
     val sim = round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
     val wq = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    // no distinct needed: each neighbour has exactly ONE home cell, so a
+    // (qid, nid) pair appears at most once across the probed cells
     ranked.filter(col("crk") <= probes)
       .select(col("cid").as("cell"), col("vec_id").as("qid"),
         col("v").as("va"), col("nrm").as("na"))
       .join(home, Seq("cell"))
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), sim.as("sim")).distinct()
+      .select(col("qid"), col("nid"), sim.as("sim"))
       .withColumn("rk", row_number().over(wq))
       .filter(col("rk") <= k)
       .select(col("qid"), col("nid"), col("sim"))
