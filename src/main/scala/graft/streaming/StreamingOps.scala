@@ -45,6 +45,58 @@ object StreamingOps {
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark(Seq("fp"))
 
+  /** Streaming NEAR-duplicate detection: SimHash banding with explicit
+    * per-bucket state (the streaming counterpart of
+    * [[graft.ext.Dedup.simhashNearDupPairs]]). Each doc's 64-bit signature
+    * is split into `bands` bit-bands; state is keyed by (band, value), so
+    * any arriving doc within Hamming distance < bands of a seen doc hits
+    * at least one populated bucket (pigeonhole) and the exact bit-count
+    * check runs against that bucket's remembered signatures only. Emits
+    * (doc_id, dup_of, hamming) for detected near-dups. Per-bucket state is
+    * capped at `maxPerBucket` signatures (FIFO) to bound memory. */
+  final case class BucketState(ids: List[Long], sigs: List[Long])
+  final case class NearDup(doc_id: Long, dup_of: Long, hamming: Int)
+
+  def streamingSimhashNearDup(docs: DataFrame, maxHamming: Int = 3,
+                              bands: Int = 4,
+                              maxPerBucket: Int = 64): DataFrame = {
+    import docs.sparkSession.implicits._
+    require(maxHamming < bands)
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val banded = docs.select(col("doc_id").cast("long"),
+        graft.ext.Dedup.simhash(split(col("text"), " ")).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+          shiftright(col("sig"), b * width).bitwiseAND(lit(mask))
+            .as("value"))): _*)).as("bv"))
+      .select(col("doc_id"), col("sig"), col("bv.band"), col("bv.value"))
+      .as[(Long, Long, Int, Long)]
+    banded.groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState[BucketState, NearDup](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[BucketState]) =>
+          var st = state.getOption.getOrElse(BucketState(Nil, Nil))
+          val out = Seq.newBuilder[NearDup]
+          for ((id, sig, _, _) <- rows.toSeq.sortBy(_._1)) {
+            val hit = st.ids.zip(st.sigs).find { case (_, s) =>
+              java.lang.Long.bitCount(s ^ sig) <= maxHamming }
+            hit match {
+              case Some((origId, s)) =>
+                out += NearDup(id, origId, java.lang.Long.bitCount(s ^ sig))
+              case None =>
+                st = BucketState((id :: st.ids).take(maxPerBucket),
+                  (sig :: st.sigs).take(maxPerBucket))
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }.toDF()
+    // NOTE: a doc within range of a seen doc in several bands reports once
+    // per matching band — consumers collapse per doc_id (a second stateful
+    // aggregation would need its own watermark in append mode)
+  }
+
   /** Per-user session aggregation with explicit state
     * (flatMapGroupsWithState): emits (user_id, session_start_ms,
     * session_end_ms, n_events) when a session closes after `gapMs` of

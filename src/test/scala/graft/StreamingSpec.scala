@@ -50,6 +50,34 @@ class StreamingSpec extends SparkSpec {
     assert(ids.size == 2 && ids.contains(3L), ids.toString)
   }
 
+  test("streaming simhash near-dup flags arriving near-duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val out = StreamingOps.streamingSimhashNearDup(docs, maxHamming = 3)
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    mem.addData(
+      (1L, base),
+      (2L, base), // exact dup of 1
+      (3L, base.replace("dog", "cat")), // near dup of 1
+      (4L, "completely different content about spark catalyst expressions"))
+    val q = out.writeStream.format("memory").queryName("neardup")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    q.stop()
+    val dups = spark.table("neardup").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_of")).toMap
+    assert(dups.contains(2L) && dups(2L) == 1L, dups.toString)
+    assert(!dups.contains(4L), dups.toString)
+    // doc 3 flags iff its signature lands within hamming 3 of doc 1
+    val sigs = Seq((1L, base), (3L, base.replace("dog", "cat")))
+      .toDF("doc_id", "text")
+      .select(graft.ext.Dedup.simhash(split(col("text"), " ")))
+      .collect().map(_.getLong(0))
+    val near = java.lang.Long.bitCount(sigs(0) ^ sigs(1)) <= 3
+    assert(dups.contains(3L) == near, s"$dups near=$near")
+  }
+
   test("scalar model expressions lift to streams unchanged") {
     implicit val sqlCtx = spark.sqlContext
     import graft.models.{CompCtx, Thermometers}
