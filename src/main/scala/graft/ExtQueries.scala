@@ -45,7 +45,8 @@ object ExtQueries {
       "avg_token_len" -> TA.avgTokenLength(text),
       "stopword_ratio" -> TA.stopwordRatio(text),
       "quality" -> TA.qualityScore(text)),
-    docQ("q_token_count", "n_tokens" -> TA.tokenCount(text)),
+    docQ("q_token_count", "n_tokens" -> TA.tokenCount(text),
+      "n_tokens_bpe" -> E.round(TA.bpeTokenEstimate(text), 6)),
     docQ("q_lang_id", "lang_pred" -> TA.langId(text),
       "score_en" -> TA.langScore(text, "en"),
       "score_de" -> TA.langScore(text, "de")),

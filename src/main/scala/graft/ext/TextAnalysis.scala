@@ -30,6 +30,24 @@ object TextAnalysis {
   def avgTokenLength(text: E): E =
     CastD(length(replace(text, SLit(" "), SLit("")))) / tokenCount(text)
 
+  private val punctMarks = Seq(".", ",", "!", "?", ";", ":")
+
+  def punctCount(text: E): E =
+    sumAll(punctMarks.map(m => countOccurrences(text, m)))
+
+  /** BPE-ish subword token ESTIMATE without a vocabulary, mirroring what a
+    * GPT-2-style pre-tokenizer + merges produce on prose: whitespace words
+    * count one each, punctuation marks split off as their own tokens, and
+    * words fragment roughly every 4 characters beyond the first 6 (BPE
+    * merges rarely span word boundaries). Deterministic closed form over
+    * length/replace arithmetic — identical in Spark and DuckDB. */
+  def bpeTokenEstimate(text: E): E = {
+    val words = tokenCount(text)
+    val chars = CastD(length(replace(text, SLit(" "), SLit(""))))
+    words + punctCount(text) +
+      greatest(Lit(0.0), (chars - Lit(6.0) * words) / Lit(4.0))
+  }
+
   /** English stopword occurrences per token — a quality signal
     * (real-corpus heuristics: too-low stopword density flags non-prose). */
   val stopwords: Seq[String] = Seq(" the ", " a ", " and ", " of ", " to ", " in ")
