@@ -184,6 +184,18 @@ object SolverQueries {
           col("out_width"), col("out_height"))
         .orderBy("doc_id")
     }, None),
+    // Frame-sampling plan for video-like payloads: every 3rd frame of 10
+    // as (doc_id, frame_idx) work units — lateral explode, no shuffle.
+    Q("q_multimodal_frames", (s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      graft.ext.Multimodal.frameSamplePlan(
+          graft.ext.Multimodal.decodeFeatures(docs), everyNth = 3, frames = 10)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"))
+        .orderBy("doc_id", "frame_idx")
+    }, Some("""SELECT "doc_id", CAST(unnest(generate_series(0, 9, 3)) AS BIGINT)
+              | AS "frame_idx" FROM documents ORDER BY 1, 2""".stripMargin
+      .replace("\n", " "))),
     // Smooth isobar curve assembly (reference isobars.py:107-141):
     // distributed grid -> driver-side spline -> unioned segments.
     Q("q_isobar_curves", (s, dir) => {
