@@ -530,6 +530,30 @@ class GoldenSpec extends SparkSpec {
     check("fo2_iw_oneill1993", Fo2Buffers.iwOneill1993(C("T_K")))
   }
 
+  test("multi-span De Boor matches an independent Cox-de-Boor basis sum") {
+    // borisov2018's HP error fit has 5 coefficients (2 spans) — the only
+    // multi-span spline in the registry; evaluate it with the textbook
+    // basis-function recursion as an algorithm-independent cross-check.
+    def basis(i: Int, k: Int, x: Double, t: Array[Double]): Double =
+      if (k == 0) {
+        if (t(i) <= x && x < t(i + 1)) 1.0 else 0.0
+      } else {
+        val left = if (t(i + k) == t(i)) 0.0
+          else (x - t(i)) / (t(i + k) - t(i)) * basis(i, k - 1, x, t)
+        val right = if (t(i + k + 1) == t(i + 1)) 0.0
+          else (t(i + k + 1) - x) / (t(i + k + 1) - t(i + 1)) *
+            basis(i + 1, k - 1, x, t)
+        left + right
+      }
+    val (t, c) = ErrorModels.fe3fe2SplineHP("borisov2018")
+    for (x <- Seq(0.06, 0.2, 0.4, 0.59, 0.8, 1.2, 1.8, 2.1)) {
+      val independent = c.indices.map(i => c(i) * basis(i, 3, x, t)).sum
+      val deBoor = ErrorModels.splev(x, t, c)
+      assert(math.abs(independent - deBoor) < 1e-12,
+        s"x=$x: basis=$independent deBoor=$deBoor")
+    }
+  }
+
   test("closed-form HP error spline matches scalar De Boor evaluation") {
     val df = fixtureDf(Seq(Map("x" -> 0.0)), Seq("x"))
     for (x <- Seq(0.06, 0.1, 0.3, 0.5, 1.0, 1.5, 2.0, 2.16, 3.0)) {
