@@ -152,6 +152,28 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("SQL-registered model functions evaluate through spark.sql") {
+    SqlFunctions.register(spark)
+    val melt = new Melt(MagmaDFWithCols(MagmaIO.readMelt(spark, meltCsv)))
+      .temperature()
+    melt.df.createOrReplaceTempView("melts_sql_test")
+    val arr = SqlFunctions.elements.map(e => s"`$e`").mkString("array(", ", ", ")")
+    val rows = spark.sql(
+      s"""SELECT sample_id,
+         |  qfm_log10_fo2(T_K_calc, P_bar) AS logf,
+         |  saturation_pressure_im($arr, T_K_calc) AS psat,
+         |  fe3fe2_sun2024($arr, T_K_calc, P_bar,
+         |    power(10.0, qfm_log10_fo2(T_K_calc, P_bar))) AS fe3fe2
+         |FROM melts_sql_test""".stripMargin).collect()
+    assert(rows.length == 3)
+    for (r <- rows) {
+      assert(r.getAs[Double]("logf") < 0 && r.getAs[Double]("logf") > -15)
+      assert(r.getAs[Double]("psat") > 0)
+      val f = r.getAs[Double]("fe3fe2")
+      assert(f > 0 && f < 10, s"fe3fe2=$f")
+    }
+  }
+
   test("clinopyroxene wrapper computes Mg# and 6-oxygen formula") {
     val cpxCsv = writeCsv("cpx.csv",
       """name,SiO2,TiO2,Al2O3,FeO,MnO,MgO,CaO,Na2O,Cr2O3,total
