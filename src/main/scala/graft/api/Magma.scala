@@ -30,6 +30,9 @@ object MagmaConfig {
     Set("oneill2006", "armstrong2019", "deng2020", "sun2024")
   val solubilityModels: Set[String] =
     Set("iaconomarziano2012", "allison2022", "shishkina2014")
+  val kdModels: Set[String] = Set("toplis2005", "putirka2016_8a",
+    "putirka2016_8b", "putirka2016_8c", "putirka2016_8d", "sun2020",
+    "blundy2020", "saper2022")
 
   @volatile private var current = MagmaConfig()
   def get: MagmaConfig = current
@@ -42,6 +45,7 @@ object MagmaConfig {
       s"unknown thermometer ${c.meltThermometer}")
     require(solubilityModels.contains(c.volatileSolubility),
       s"unknown volatile-solubility model ${c.volatileSolubility}")
+    require(kdModels.contains(c.kdModel), s"unknown Kd model ${c.kdModel}")
     require(Set("qfm", "iw", "nno").contains(c.fO2Buffer),
       s"unknown fO2 buffer ${c.fO2Buffer}")
     current = c
@@ -161,6 +165,41 @@ final class Melt(val mdf: MagmaDF, config: MagmaConfig = MagmaConfig.get) {
   /** Split total Fe into FeO/Fe2O3 from a ratio column (`melt.py:225-274`). */
   def feSpeciation(fe3fe2Col: String = "Fe3Fe2"): Melt =
     new Melt(mdf.feSplit(C(fe3fe2Col)), config)
+
+  /** Equilibrium olivine-melt Fe-Mg Kd via the configured model
+    * (`melt.py:276-317` `Kd_olivine_FeMg_eq`; registry
+    * `Kd/Ol_melt/FeMg/Kd_models.py`). Closed-form models compile to
+    * expressions; toplis2005 (the reference default), blundy2020 and
+    * saper2022 run their Fo/Kd iteration in a narrow per-row UDF.
+    * blundy2020 forces borisov2018 Fe3Fe2 internally like the reference. */
+  def kdOlivineFeMg(tCol: String = "T_K", pCol: String = "P_bar",
+                    fO2Col: String = "fO2", fe3fe2Col: String = "Fe3Fe2",
+                    as: String = "Kd"): Melt = {
+    def molCol(ox: String): Column = E.toColumn(ctx.molNorm(ox))
+    def molPc(ox: String): Column = E.toColumn(ctx.molNorm(ox)) * lit(100.0)
+    val c: Column = config.kdModel match {
+      case "toplis2005" =>
+        Kd.toplis2005(molPc("SiO2"), molPc("Na2O"), molPc("K2O"),
+          molPc("H2O"), molCol("FeO"), molCol("MgO"), col(fe3fe2Col),
+          col(tCol), col(pCol))
+      case "putirka2016_8a" => E.toColumn(Kd.putirka2016_8a)
+      case "putirka2016_8b" => E.toColumn(Kd.putirka2016_8b(ctx, C(pCol)))
+      case "putirka2016_8c" => E.toColumn(Kd.putirka2016_8c(ctx))
+      case "putirka2016_8d" => E.toColumn(Kd.putirka2016_8d(ctx, C(pCol)))
+      case "sun2020" => E.toColumn(Kd.sun2020(ctx, C(fe3fe2Col)))
+      case "blundy2020" =>
+        val borisov = E.toColumn(
+          Fe3Fe2.borisov2018(ctx, C(tCol), C(fO2Col)))
+        Kd.blundy2020(molCol("FeO"), molCol("MgO"), borisov, col(tCol))
+      case "saper2022" =>
+        Kd.saper2022(molCol("FeO"), molCol("MgO"),
+          E.toColumn(ctx.cat("Si")), E.toColumn(ctx.cat("Ti")),
+          E.toColumn(ctx.cat("Na") + ctx.cat("K")),
+          col(fe3fe2Col), col(tCol))
+      case other => throw new IllegalArgumentException(s"Kd model $other")
+    }
+    addCol(as, c)
+  }
 
   def density(tCol: String = "T_K", pCol: String = "P_bar",
               as: String = "density"): Melt = {

@@ -152,6 +152,27 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("config dispatches every Kd model through Melt.kdOlivineFeMg") {
+    val byModel = for (model <- MagmaConfig.kdModels.toSeq.sorted) yield {
+      MagmaConfig.set(MagmaConfig(kdModel = model))
+      try {
+        val melt = new Melt(MagmaDFWithCols(MagmaIO.readMelt(spark, meltCsv)))
+          .temperature()
+          .withFO2(tCol = "T_K_calc", pCol = "P_bar")
+          .fe3Fe2(tCol = "T_K_calc", pCol = "P_bar")
+          .kdOlivineFeMg(tCol = "T_K_calc", pCol = "P_bar")
+        val kd = melt.df.collect().map(_.getAs[Double]("Kd"))
+        assert(kd.forall(k => k > 0.1 && k < 0.8), s"$model: ${kd.toSeq}")
+        model -> kd.toSeq
+      } finally MagmaConfig.reset()
+    }
+    // constant 8a aside, models must differ from each other
+    assert(byModel.map(_._2).distinct.size == byModel.size, byModel.toString)
+    intercept[IllegalArgumentException] {
+      MagmaConfig.set(MagmaConfig(kdModel = "nope"))
+    }
+  }
+
   test("SQL-registered model functions evaluate through spark.sql") {
     SqlFunctions.register(spark)
     val melt = new Melt(MagmaDFWithCols(MagmaIO.readMelt(spark, meltCsv)))
