@@ -237,6 +237,13 @@ final class Melt(val mdf: MagmaDF, config: MagmaConfig = MagmaConfig.get) {
       .withColumn("X_fluid", col("sat._2")).drop("sat")
   }
 
+  /** Tetrahedral cations / NBO / NBO_T columns (`melt.py:113-161`). */
+  def polymerisation: DataFrame = {
+    val st = graft.core.Staged(mdf.staged.schema, Vector.empty)
+      .meltPolymerisation
+    Pipeline.applySpark(df, st.stages)
+  }
+
   def moles: MagmaDF = mdf.moles()
   def cations: MagmaDF = mdf.cations()
 }

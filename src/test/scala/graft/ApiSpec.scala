@@ -195,6 +195,16 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("melt polymerisation exposes NBO columns through the API") {
+    val rows = new Melt(MagmaDFWithCols(MagmaIO.readMelt(spark, meltCsv)))
+      .polymerisation.collect()
+    assert(rows.length == 3)
+    for (r <- rows) {
+      val nboT = r.getAs[Double]("NBO_T")
+      assert(nboT > 0 && nboT < 3, s"NBO_T=$nboT")
+    }
+  }
+
   test("clinopyroxene wrapper computes Mg# and 6-oxygen formula") {
     val cpxCsv = writeCsv("cpx.csv",
       """name,SiO2,TiO2,Al2O3,FeO,MnO,MgO,CaO,Na2O,Cr2O3,total
