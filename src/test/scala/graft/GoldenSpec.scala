@@ -499,6 +499,19 @@ class GoldenSpec extends SparkSpec {
     }
     for (name <- Thermometers.all.keys.toSeq.sorted)
       check(s"th_$name", Thermometers.all(name)(mctx))
+    // offset = 1 sigma pins the SEE error constants too
+    val withOffset: Map[String, (CompCtx, Double) => E] = Map(
+      "putirka2008_13" -> (Thermometers.putirka2008_13(_, _)),
+      "putirka2008_14" -> (Thermometers.putirka2008_14(_, _)),
+      "putirka2008_15" -> (Thermometers.putirka2008_15(_, _)),
+      "putirka2008_16" -> (Thermometers.putirka2008_16(_, _)),
+      "putirka2008_22" -> (Thermometers.putirka2008_22(_, _)),
+      "sun2020" -> (Thermometers.sun2020(_, _)),
+      "shea2022" -> (Thermometers.shea2022(_, _)),
+      "sugawara2000_3" -> (Thermometers.sugawara2000_3(_, _)),
+      "sugawara2000_6a" -> (Thermometers.sugawara2000_6a(_, _)))
+    for ((name, f) <- withOffset.toSeq.sortBy(_._1))
+      check(s"th_${name}_off1", f(mctx, 1.0))
     // the AST sun2024 is the dV="parameterised" variant; the reference
     // DEFAULT dV="deng" is the scalar sun2024DengVdP, checked below
     for (name <- Fe3Fe2.closedForm.keys.toSeq.sorted) {
