@@ -543,6 +543,21 @@ class GoldenSpec extends SparkSpec {
     check("fo2_iw_oneill1993", Fo2Buffers.iwOneill1993(C("T_K")))
   }
 
+  test("all 12 Fe3Fe2 1-bar error curves match the reference (parity fixture)") {
+    // ref_fe3fe2_errors_parity.csv = reference get_error(Fe3Fe2=x) at
+    // 1 bar (pressure omitted) — pins every model's fitted (a, b, c, d)
+    // error parameters against transcription mistakes.
+    val ms = rows("ref_fe3fe2_errors_parity.csv")
+    for (model <- ErrorModels.fe3fe2ErrorParams1Bar.keys.toSeq.sorted) {
+      val devs = ms.toSeq.map { m =>
+        val got = ErrorModels.fe3fe2Error(model, m("fe3fe2"), 1.0)
+        math.abs(got - m(s"err_$model")) / m(s"err_$model")
+      }
+      info(f"err_$model: max rel dev = ${maxAbs(devs)}%.2e")
+      assert(maxAbs(devs) < 1e-12, f"$model ${maxAbs(devs)}%.2e")
+    }
+  }
+
   test("multi-span De Boor matches an independent Cox-de-Boor basis sum") {
     // borisov2018's HP error fit has 5 coefficients (2 spans) — the only
     // multi-span spline in the registry; evaluate it with the textbook
