@@ -533,6 +533,8 @@ class GoldenSpec extends SparkSpec {
     check("kd_putirka2016_8c", Kd.putirka2016_8c(mctx))
     check("kd_putirka2016_8d", Kd.putirka2016_8d(mctx, C("P_bar")))
     check("kd_sun2020", Kd.sun2020(mctx, Lit(0.2)))
+    check("rheo_density", Rheology.density(mctx, C("T_K"), C("P_bar")))
+    check("rheo_viscosity", Rheology.viscosity(mctx, C("T_K")))
     check("fo2_nno", Fo2Buffers.nno(C("T_K"), C("P_bar")))
     check("fo2_nno_1bar", Fo2Buffers.nno1bar(C("T_K")))
     check("fo2_nno_frost", Fo2Buffers.nnoFrost(C("T_K"), C("P_bar")))
