@@ -545,6 +545,58 @@ class GoldenSpec extends SparkSpec {
     check("fo2_iw_oneill1993", Fo2Buffers.iwOneill1993(C("T_K")))
   }
 
+  test("mineral endmembers match the reference (parity fixture)") {
+    // ref_endmembers_parity.csv = reference Magnetite/Ilmenite/Plagioclase
+    // .endmembers executed on representative compositions — pins the
+    // cation-basis endmember recipes the oracle cannot distinguish from a
+    // consistently-wrong transcription.
+    val (h, rs) = load("ref_endmembers_parity.csv")
+    val kindIdx = h.indexOf("kind")
+    def casesFor(kind: String): Seq[Map[String, Double]] =
+      rs.filter(_(kindIdx) == kind).map(r => h.zip(r.map(num)).toMap).toSeq
+    def checkKind(kind: String, elements: Vector[String],
+                  op: graft.core.Staged => graft.core.Staged,
+                  emCols: Seq[String]): Unit = {
+      val ms = casesFor(kind)
+      val df = fixtureDf(ms, elements)
+      val staged = op(graft.core.Staged(graft.core.MagmaSchema(elements,
+        Vector("row_id"), graft.core.CUnit.WtPc, graft.core.CType.Oxide),
+        Vector.empty))
+      val out = Pipeline.applySpark(df, staged.stages)
+        .collect().sortBy(_.getAs[Int]("row_id"))
+      for ((row, m) <- out.zip(ms); col <- emCols) {
+        val got = row.getAs[Double](col)
+        val want = m(s"em_$col")
+        assert(math.abs(got - want) < 1e-9 * math.max(1.0, math.abs(want)),
+          s"$kind $col: $got vs $want")
+      }
+    }
+    checkKind("magnetite",
+      Vector("SiO2", "TiO2", "Al2O3", "FeO", "MnO", "MgO", "Cr2O3"),
+      _.magnetiteEndmembers, Seq("magnetite", "ulvospinel"))
+    checkKind("ilmenite",
+      Vector("SiO2", "TiO2", "Al2O3", "FeO", "MnO", "MgO"),
+      _.ilmeniteEndmembers,
+      Seq("hematite", "ilmenite", "geikielite", "pyrophanite"))
+    checkKind("plagioclase",
+      Vector("SiO2", "Al2O3", "FeO", "CaO", "Na2O", "K2O"),
+      _.plagEndmembers, Seq("anorthite", "albite", "orthoclase"))
+  }
+
+  test("reservoir constants match the reference's McDonough & Sun table") {
+    // Mcdonough_sun_1995.csv copied verbatim from the reference's geoplot
+    // data package — pins the C1-chondrite / primitive-mantle literals the
+    // REE-normalisation expressions fold into plans.
+    val (h, rs) = load("Mcdonough_sun_1995.csv")
+    val byRes = rs.map(r => r(0) -> h.zip(r.map(num)).toMap).toMap
+    for ((el, v) <- models.TraceElements.c1Chondrite if el != "Y")
+      assert(byRes("C1")(el) == v, s"C1 $el: file ${byRes("C1")(el)} vs $v")
+    assert(byRes("C1")("Y") == models.TraceElements.c1Chondrite("Y"))
+    for ((el, v) <- models.TraceElements.primitiveMantle)
+      assert(byRes("Pyrolite")(el) == v,
+        s"PM $el: file ${byRes("Pyrolite")(el)} vs $v")
+  }
+
   test("all 12 Fe3Fe2 1-bar error curves match the reference (parity fixture)") {
     // ref_fe3fe2_errors_parity.csv = reference get_error(Fe3Fe2=x) at
     // 1 bar (pressure omitted) — pins every model's fitted (a, b, c, d)
