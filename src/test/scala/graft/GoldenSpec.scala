@@ -545,6 +545,47 @@ class GoldenSpec extends SparkSpec {
     check("fo2_iw_oneill1993", Fo2Buffers.iwOneill1993(C("T_K")))
   }
 
+  test("conversion semantics match the reference (parity fixture)") {
+    // ref_conversions_parity.csv = reference moles()/cations() on a melt
+    // and forsterite/4-oxygen formula on olivines — pins normalisation
+    // choices (what sums to 1, which columns join the denominator).
+    val (h, rs) = load("ref_conversions_parity.csv")
+    val kindIdx = h.indexOf("kind")
+    val byKind = rs.map(r => r(kindIdx) -> h.zip(r.map(num)).toMap).toMap
+    val meltEls = Vector("SiO2", "TiO2", "Al2O3", "FeO", "MnO", "MgO",
+      "CaO", "Na2O", "K2O", "P2O5", "H2O", "CO2")
+    def staged(els: Vector[String]) = graft.core.Staged(
+      graft.core.MagmaSchema(els, Vector("row_id"),
+        graft.core.CUnit.WtPc, graft.core.CType.Oxide), Vector.empty)
+    val m = byKind("melt")
+    val meltDf = fixtureDf(Seq(meltEls.map(e => e -> m(s"in_$e")).toMap), meltEls)
+    val molRow = Pipeline.applySpark(meltDf, staged(meltEls).moles().stages)
+      .collect().head
+    for (e <- meltEls)
+      assert(math.abs(molRow.getAs[Double](e) - m(s"mol_$e")) < 1e-12,
+        s"mol $e: ${molRow.getAs[Double](e)} vs ${m(s"mol_$e")}")
+    val catRow = Pipeline.applySpark(meltDf, staged(meltEls).cations().stages)
+      .collect().head
+    for (c <- Seq("Si", "Ti", "Al", "Fe", "Mn", "Mg", "Ca", "Na", "K", "P"))
+      assert(math.abs(catRow.getAs[Double](c) - m(s"cat_$c")) < 1e-12,
+        s"cat $c: ${catRow.getAs[Double](c)} vs ${m(s"cat_$c")}")
+
+    val olEls = Vector("SiO2", "FeO", "MnO", "MgO", "CaO", "NiO")
+    val olRows = Seq("olivine0", "olivine1").map(k => byKind(k))
+    val olDf = fixtureDf(olRows.map(r => olEls.map(e =>
+      e -> r(s"in_$e")).toMap), olEls)
+    val fo = Pipeline.applySpark(olDf, staged(olEls).withMgNumber("Fo").stages)
+      .collect().sortBy(_.getAs[Int]("row_id"))
+    for ((row, r) <- fo.zip(olRows))
+      assert(math.abs(row.getAs[Double]("Fo") - r("forsterite")) < 1e-12,
+        s"Fo: ${row.getAs[Double]("Fo")} vs ${r("forsterite")}")
+    val fm = Pipeline.applySpark(olDf, staged(olEls).mineralFormula(4.0).stages)
+      .collect().sortBy(_.getAs[Int]("row_id"))
+    for ((row, r) <- fm.zip(olRows); c <- Seq("Si", "Fe", "Mn", "Mg", "Ca", "Ni"))
+      assert(math.abs(row.getAs[Double](c) - r(s"fm_$c")) < 1e-12,
+        s"formula $c: ${row.getAs[Double](c)} vs ${r(s"fm_$c")}")
+  }
+
   test("mineral endmembers match the reference (parity fixture)") {
     // ref_endmembers_parity.csv = reference Magnetite/Ilmenite/Plagioclase
     // .endmembers executed on representative compositions — pins the
