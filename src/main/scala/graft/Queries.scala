@@ -446,33 +446,48 @@ object Queries {
       observedKdJoinQ)
   }
 
+  /** putirka2007_4 melt-side derived columns over `ctx` (anhydrous-basis
+    * cations; raw-wt.% H2O term) — shared by the query and GoldenSpec's
+    * reference-parity anchor. */
+  private[graft] def olMeltMeltDerives(ctx: CompCtx): Seq[(String, E)] = {
+    val a = ctx.anhydrous
+    Seq(
+      "m_cnm" -> E.sumAll(Seq("Fe", "Mn", "Mg", "Ca", "Co", "Ni")
+        .map(a.cat(_): E)),
+      "m_al" -> a.cat("Al"), "m_ti" -> a.cat("Ti"),
+      "m_si_mol" -> a.molNorm("SiO2"),
+      "m_mg_cat" -> a.cat("Mg"),
+      "m_h2o" -> ctx.wt("H2O"))
+  }
+
+  /** putirka2007_4 temperature over the derived melt columns + ol_mg_cat +
+    * P_bar (`thermometers/ol_melt.py:95-119`). */
+  private[graft] def olMeltTExpr: E = {
+    val pGPa = C("P_bar") / Lit(1e4)
+    val nf = Lit(7.0 / 2.0) * ln(Lit(1.0) - C("m_al")) +
+      Lit(7.0) * ln(Lit(1.0) - C("m_ti"))
+    round(
+      (Lit(15294.6) + Lit(1318.8) * pGPa + Lit(2.4834) * pGPa * pGPa) /
+        (Lit(8.048) + Lit(2.8532) * ln(C("ol_mg_cat") / C("m_mg_cat")) +
+          Lit(2.097) * ln(Lit(1.5) * C("m_cnm")) +
+          Lit(2.575) * ln(Lit(3.0) * C("m_si_mol")) - Lit(1.41) * nf +
+          Lit(0.222) * C("m_h2o") + Lit(0.5) * pGPa) + Lit(273.15), 6)
+  }
+
   /** Olivine-liquid thermometer putirka2007_4 (`thermometers/ol_melt.py:
     * 22-119`): the J1 join with measured D_Mg = Mg_cat(ol)/Mg_cat(liq).
     * Closed-form on both sides of the join -> full oracle. */
   private def olMeltThermoQ: Q = {
-    val a = mctx.anhydrous
-    val meltSide = Tables.meltsWithOrder
-      .derive("m_cnm", E.sumAll(Seq("Fe", "Mn", "Mg", "Ca", "Co", "Ni")
-        .map(a.cat(_): E)))
-      .derive("m_al", a.cat("Al")).derive("m_ti", a.cat("Ti"))
-      .derive("m_si_mol", a.molNorm("SiO2"))
-      .derive("m_mg_cat", a.cat("Mg"))
-      .derive("m_h2o", mctx.wt("H2O"))
+    val meltSide = olMeltMeltDerives(mctx).foldLeft(Tables.meltsWithOrder) {
+        case (st, (n, e)) => st.derive(n, e)
+      }
       .select("sample_id", "order_id", "P_bar", "m_cnm", "m_al", "m_ti",
         "m_si_mol", "m_mg_cat", "m_h2o")
     val olCtx = CompCtx(Tables.olivineElements)
     val olSide = Tables.olivines
       .derive("ol_mg_cat", olCtx.cat("Mg"))
       .select("sample_id", "ol_mg_cat")
-    val pGPa = C("P_bar") / Lit(1e4)
-    val nf = Lit(7.0 / 2.0) * ln(Lit(1.0) - C("m_al")) +
-      Lit(7.0) * ln(Lit(1.0) - C("m_ti"))
-    val tExpr = round(
-      (Lit(15294.6) + Lit(1318.8) * pGPa + Lit(2.4834) * pGPa * pGPa) /
-        (Lit(8.048) + Lit(2.8532) * ln(C("ol_mg_cat") / C("m_mg_cat")) +
-          Lit(2.097) * ln(Lit(1.5) * C("m_cnm")) +
-          Lit(2.575) * ln(Lit(3.0) * C("m_si_mol")) - Lit(1.41) * nf +
-          Lit(0.222) * C("m_h2o") + Lit(0.5) * pGPa) + Lit(273.15), 6)
+    val tExpr = olMeltTExpr
     val sql =
       s"""WITH melt AS (${meltSide.sql("lineitem", Seq.empty)}),
          | ol AS (${olSide.sql("orders", Seq.empty)})

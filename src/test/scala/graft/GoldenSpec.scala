@@ -545,6 +545,34 @@ class GoldenSpec extends SparkSpec {
     check("fo2_iw_oneill1993", Fo2Buffers.iwOneill1993(C("T_K")))
   }
 
+  test("olivine-melt thermometer matches the reference (parity fixture)") {
+    // ref_olmelt_parity.csv = reference putirka2007_4 on melt+olivine
+    // pairs; evaluates the PRODUCT's factored expression (olMeltTExpr +
+    // olMeltMeltDerives) on the same compositions.
+    import org.apache.spark.sql.functions.col
+    val ms = rows("ref_olmelt_parity.csv")
+    val meltEls = Vector("SiO2", "TiO2", "Al2O3", "FeO", "MnO", "MgO",
+      "CaO", "Na2O", "K2O", "P2O5", "H2O", "CO2", "CoO", "NiO")
+    val olEls = Vector("SiO2", "FeO", "MnO", "MgO", "CaO", "NiO")
+    val ctx = CompCtx(meltEls)
+    val olCtx = CompCtx(olEls)
+    val meltDf = fixtureDf(ms.toIndexedSeq.map(m =>
+      meltEls.map(e => e -> m(s"melt_$e")).toMap + ("P_bar" -> m("P_bar"))),
+      meltEls :+ "P_bar")
+    val derived = Queries.olMeltMeltDerives(ctx).foldLeft(meltDf) {
+      case (d, (n, e)) => d.withColumn(n, E.toColumn(e))
+    }
+    val olDf = fixtureDf(ms.toIndexedSeq.map(m =>
+      olEls.map(e => e -> m(s"ol_$e")).toMap), olEls)
+      .select(col("row_id").as("ol_row_id"),
+        E.toColumn(olCtx.cat("Mg")).as("ol_mg_cat"))
+    val got = derived.join(olDf, col("row_id") === col("ol_row_id"))
+      .select(col("row_id"), E.toColumn(Queries.olMeltTExpr).as("t"))
+      .collect().sortBy(_.getAs[Int]("row_id")).map(_.getAs[Double]("t"))
+    for ((g, m) <- got.zip(ms))
+      assert(math.abs(g - m("T_K")) < 1e-5, s"$g vs ${m("T_K")}")
+  }
+
   test("conversion semantics match the reference (parity fixture)") {
     // ref_conversions_parity.csv = reference moles()/cations() on a melt
     // and forsterite/4-oxygen formula on olivines — pins normalisation
