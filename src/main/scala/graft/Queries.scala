@@ -509,6 +509,19 @@ object Queries {
   /** Fe3Fe2 error model queries: 1-bar fitted curve (oracle-able
     * expression) + the high-pressure B-spline branch (UDF, rows-only). */
   private def errorModelQueries: Seq[Q] = Seq(
+    // MC offset wrapper (`Fe_redox/Fe3Fe2_baseclass.py:51-91`): Fe3Fe2 +
+    // draw x model error, floored at 1e-6 — the reference's per-sample MC
+    // error propagation, fully oracle-able with hash Gaussians and the
+    // closed-form error spline.
+    meltQ("q_fe3fe2_mc_offset") { m =>
+      m.derive("Fe3Fe2", round(Fe3Fe2.sun2024(mctx, C("T_K"),
+          Fo2Buffers.qfm1bar(C("T_K")), C("P_bar")), 6))
+        .derive("err", round(
+          ErrorModels.fe3fe2ErrorExpr("sun2024", C("Fe3Fe2"), C("P_bar")), 6))
+        .derive("Fe3Fe2_mc", round(ErrorModels.withOffset(C("Fe3Fe2"),
+          HashGauss.gauss(9L), C("err")), 6))
+        .select("sample_id", "Fe3Fe2_mc")
+    },
     meltQ("q_fe3fe2_error_1bar") { m =>
       val fe3fe2 = round(Fe3Fe2.sun2024(mctx, C("T_K"),
         Fo2Buffers.qfm1bar(C("T_K")), C("P_bar")), 6)
