@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.expr.{E, Pipeline, Stage, C, Lit, SLit, CastD, If, ILit}
 import graft.expr.E._
-import graft.ext.{Dedup, Similarity, TextAnalysis => TA}
+import graft.ext.{Dedup, DualHash, Similarity, TextAnalysis => TA}
+import graft.expressions.SimHash64
 import graft.Queries.Q
 
 /** Beyond-reference operators for large-scale training-data pipelines
@@ -25,6 +26,47 @@ object ExtQueries {
       val arr = p.map(E.formatDouble).mkString("[", ", ", "]")
       s"(CASE WHEN list_dot_product(v, $arr) >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  // ---- DuckDB renderings of the dedup hash pipeline ---------------------
+  // The Spark side computes the identical arithmetic inside native
+  // one-pass expressions (MinHashSig / SimHash64 / ShingleHashes, all on
+  // the DualHash md5-base60 + affine-family scheme); these CTEs rebuild it
+  // from DuckDB primitives: string_split -> word 3-shingles -> md5 base
+  // hash -> affine families / bit votes. Every dedup query below carries a
+  // full hash-match oracle.
+  private val tokCte =
+    """tok AS (SELECT "doc_id", string_split("text", ' ') AS toks FROM documents)"""
+  private val shCte =
+    "sh AS (SELECT \"doc_id\", list_transform(range(1, greatest(len(toks) - 2, 1) + 1), " +
+      s"i -> ${DualHash.base60Sql("array_to_string(list_slice(toks, i, i + 2), ' ')")}) AS hs FROM tok)"
+  private def sigCte(k: Int): String =
+    "sig AS (SELECT \"doc_id\", [" +
+      (0 until k).map(i =>
+        s"list_min(list_transform(hs, x -> ${DualHash.familySql(i, "x")}))").mkString(", ") +
+      "] AS sg FROM sh)"
+  /** LSH band-bucket rows: one (doc, band, bucket) per band via a lateral
+    * range join; the bucket key is the DualHash combine over the band's
+    * signature slice — same fold as [[Dedup.minhashLsh]]. */
+  private def bkCte(k: Int, rowsPerBand: Int): String =
+    s"bk AS (SELECT \"doc_id\", b, ${DualHash.combineSql("b",
+      (1 to rowsPerBand).map(r => s"sg[b * $rowsPerBand + $r]"))} AS bucket " +
+      s"FROM sig CROSS JOIN range(0, ${k / rowsPerBand}) t(b))"
+  private val candCte =
+    "cand AS (SELECT DISTINCT a.\"doc_id\" AS doc_a, c.\"doc_id\" AS doc_b FROM bk a " +
+      "JOIN bk c ON a.b = c.b AND a.bucket = c.bucket AND a.\"doc_id\" < c.\"doc_id\")"
+  /** SimHash signature CTE chain: per-token base hash, 60 conditional-sum
+    * bit votes, signature reassembled from the vote signs. */
+  private val simhashCtes: String = {
+    val votes = (0 until SimHash64.Bits).map(b =>
+      s"sum(CASE WHEN ((hv >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS v$b").mkString(", ")
+    val sigBits = (0 until SimHash64.Bits).map(b =>
+      s"(CASE WHEN v$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END)").mkString(" + ")
+    tokCte + ", " +
+      "tk AS (SELECT \"doc_id\", unnest(toks) AS t FROM tok), " +
+      s"h AS (SELECT \"doc_id\", ${DualHash.base60Sql("t")} AS hv FROM tk), " +
+      s"v AS (SELECT \"doc_id\", $votes FROM h GROUP BY 1), " +
+      s"s2 AS (SELECT \"doc_id\", CAST($sigBits AS BIGINT) AS sig FROM v)"
+  }
 
   /** Per-document scalar pipeline: one projection stage over `documents`. */
   private def docQ(name: String, cols: (String, E)*): Q = {
@@ -66,23 +108,48 @@ object ExtQueries {
              | CAST(count(*) AS DOUBLE) AS "dup_count"
              | FROM documents GROUP BY 1 ORDER BY "fp"""".stripMargin
         .replace("\n", " "))),
-    Q("q_dedup_minhash_sig", (s, dir) =>
-      Dedup.minhashLsh(Tables.read(s, dir, "documents"))
-        .select(col("doc_id"), col("sig").getItem(0).as("sig0"),
-          xxhash64(concat_ws(",", col("sig"))).as("sig_hash"))
-        .orderBy("doc_id"), None),
+    // Full signature + band-key dump: 16 family minima and 4 LSH bucket
+    // keys per doc, every value hash-checked against the DuckDB rendering.
+    Q("q_dedup_minhash_sig", (s, dir) => {
+      val lsh = Dedup.minhashLsh(Tables.read(s, dir, "documents"))
+      val cols = col("doc_id") +:
+        ((0 until 16).map(i => col("sig").getItem(i).as(s"sig$i")) ++
+          (0 until 4).map(b => col("bands").getItem(b).as(s"band$b")))
+      lsh.select(cols: _*).orderBy("doc_id")
+    },
+      Some {
+        val sigCols = (0 until 16).map(i => s"sg[${i + 1}] AS \"sig$i\"").mkString(", ")
+        val bandCols = (0 until 4).map(b =>
+          DualHash.combineSql(b.toString,
+            (1 to 4).map(r => s"sg[${b * 4 + r}]")) + s" AS \"band$b\"").mkString(", ")
+        s"WITH $tokCte, $shCte, ${sigCte(16)} " +
+          s"SELECT \"doc_id\", $sigCols, $bandCols FROM sig ORDER BY \"doc_id\""
+      }),
     Q("q_dedup_minhash_pairs", (s, dir) =>
       Dedup.minhashCandidates(Tables.read(s, dir, "documents"), k = 16, rowsPerBand = 2)
-        .orderBy("doc_a", "doc_b"), None),
+        .orderBy("doc_a", "doc_b"),
+      Some(s"WITH $tokCte, $shCte, ${sigCte(16)}, ${bkCte(16, 2)}, $candCte " +
+        "SELECT doc_a AS \"doc_a\", doc_b AS \"doc_b\" FROM cand ORDER BY 1, 2")),
     Q("q_dedup_simhash", (s, dir) =>
       Tables.read(s, dir, "documents")
         .select(col("doc_id"), Dedup.simhash(split(col("text"), " ")).as("simhash"))
-        .orderBy("doc_id"), None),
+        .orderBy("doc_id"),
+      Some(s"WITH $simhashCtes " +
+        "SELECT \"doc_id\", sig AS \"simhash\" FROM s2 ORDER BY \"doc_id\"")),
     Q("q_dedup_ngram_jaccard", (s, dir) =>
       Dedup.ngramJaccardPairs(Tables.read(s, dir, "documents"),
         threshold = 0.0, k = 16, rowsPerBand = 2)
         .select(col("doc_a"), col("doc_b"), org.apache.spark.sql.functions.round(col("jaccard"), 6).as("jaccard"))
-        .orderBy("doc_a", "doc_b"), None),
+        .orderBy("doc_a", "doc_b"),
+      Some(s"WITH $tokCte, $shCte, ${sigCte(16)}, ${bkCte(16, 2)}, $candCte, " +
+        "st AS (SELECT \"doc_id\", list_distinct(hs) AS sh2 FROM sh), " +
+        "j AS (SELECT cand.doc_a, cand.doc_b, " +
+        "round(CAST(len(list_intersect(x.sh2, y.sh2)) AS DOUBLE) / " +
+        "CAST(len(list_distinct(list_concat(x.sh2, y.sh2))) AS DOUBLE), 6) AS jaccard " +
+        "FROM cand JOIN st x ON x.\"doc_id\" = cand.doc_a " +
+        "JOIN st y ON y.\"doc_id\" = cand.doc_b) " +
+        "SELECT doc_a AS \"doc_a\", doc_b AS \"doc_b\", jaccard AS \"jaccard\" " +
+        "FROM j WHERE jaccard >= 0.0e0 ORDER BY 1, 2")),
     // Embedding-cosine near-dup: thresholded unordered pair set over the
     // embeddings table (the LSH-bucketed form is the 100 TB path).
     Q("q_dedup_embedding_cosine",
@@ -124,18 +191,45 @@ object ExtQueries {
              | ORDER BY qid, nid""".stripMargin.replace("\n", " ")
         .replace("BUCKET", lshBucketSql(8, 42L, 64)))),
     // IVF inverted-file ANN: data-adaptive cells (vs lshTopK's random
-    // hyperplanes); probes its 2 nearest cells per query.
+    // hyperplanes); probes its 2 nearest cells per query. Centroid
+    // sampling, cell assignment and ranking are all dual-compilable, so
+    // the whole pipeline is hash-checked.
     Q("q_knn_ivf", (s, dir) =>
       Similarity.ivfTopK(Tables.read(s, dir, "embeddings"), 5)
         .orderBy("qid", "nid"),
-      None),
+      Some("""WITH e AS (SELECT "vec_id", CAST("embedding" AS DOUBLE[]) AS v FROM embeddings),
+             | n AS (SELECT "vec_id", v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+             | cent AS (SELECT "vec_id" AS cid, v AS cv, nrm AS cn FROM n
+             |   ORDER BY CENTHASH, "vec_id" LIMIT 16),
+             | sc AS (SELECT n."vec_id" AS vid, n.v, n.nrm, c.cid,
+             |   round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) AS csim
+             |   FROM n CROSS JOIN cent c),
+             | rk AS (SELECT vid, v, nrm, cid,
+             |   row_number() OVER (PARTITION BY vid ORDER BY csim DESC, cid) AS crk FROM sc),
+             | home AS (SELECT cid AS cell, vid AS nid, v AS vb, nrm AS nb FROM rk WHERE crk = 1),
+             | pr AS (SELECT cid AS cell, vid AS qid, v AS va, nrm AS na FROM rk WHERE crk <= 2),
+             | p AS (SELECT qid, nid, round(list_dot_product(va, vb) / (na * nb), 6) AS sim
+             |   FROM pr JOIN home USING (cell) WHERE qid <> nid),
+             | r AS (SELECT qid, nid, sim,
+             |   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk2 FROM p)
+             | SELECT qid AS "qid", nid AS "nid", sim AS "sim" FROM r WHERE rk2 <= 5
+             | ORDER BY "qid", "nid"""".stripMargin.replace("\n", " ")
+        .replace("CENTHASH",
+          DualHash.base60Sql("concat(CAST(\"vec_id\" AS VARCHAR), ':42')")))),
     // SimHash banded near-dup pairs: full recall for hamming <= bands-1 by
     // pigeonhole; exact bit_count(xor) check on candidates only.
     Q("q_dedup_simhash_pairs", (s, dir) =>
       Dedup.simhashNearDupPairs(Tables.read(s, dir, "documents")
           .select(col("doc_id"), col("text")), maxHamming = 3)
         .orderBy("doc_a", "doc_b"),
-      None),
+      Some(s"WITH $simhashCtes, " +
+        "bd AS (SELECT \"doc_id\", sig, b, ((sig >> (b * 16)) & 65535) AS val " +
+        "FROM s2 CROSS JOIN range(0, 4) t(b)), " +
+        "p AS (SELECT DISTINCT a.\"doc_id\" AS doc_a, c.\"doc_id\" AS doc_b, " +
+        "CAST(bit_count(xor(a.sig, c.sig)) AS BIGINT) AS hamming " +
+        "FROM bd a JOIN bd c ON a.b = c.b AND a.val = c.val AND a.\"doc_id\" < c.\"doc_id\") " +
+        "SELECT doc_a AS \"doc_a\", doc_b AS \"doc_b\", hamming AS \"hamming\" " +
+        "FROM p WHERE hamming <= 3 ORDER BY 1, 2")),
     // LSH-bucketed near-dup decision set: the production-scale form of
     // q_dedup_embedding_cosine (pairs are a subset of its exact output).
     Q("q_dedup_embedding_lsh",

@@ -60,8 +60,10 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 /** One-pass MinHash signature: word `shingleSize`-shingles of the token
-  * array hashed with `k` xxhash64 seed families, min per family. Single
-  * traversal of the shingles regardless of k. */
+  * array hashed with the `k` affine [[graft.ext.DualHash]] families over a
+  * shared md5 base hash, min per family. Single traversal of the shingles
+  * regardless of k, one md5 per shingle — and the identical arithmetic is
+  * expressible in DuckDB, so the MinHash queries carry full oracles. */
 case class MinHashSig(child: Expression, k: Int, shingleSize: Int)
     extends UnaryExpression with CodegenFallback {
 
@@ -83,11 +85,10 @@ case class MinHashSig(child: Expression, k: Int, shingleSize: Int)
         if (t != null) sb.append(t.toString)
         j += 1
       }
-      val utf8 = UTF8String.fromString(sb.toString)
+      val base = graft.ext.DualHash.base60(sb.toString)
       var seed = 0
       while (seed < k) {
-        val h = XXH64.hashUnsafeBytes(utf8.getBaseObject, utf8.getBaseOffset,
-          utf8.numBytes(), seed.toLong)
+        val h = graft.ext.DualHash.family(seed, base)
         if (h < mins(seed)) mins(seed) = h
         seed += 1
       }
@@ -100,11 +101,13 @@ case class MinHashSig(child: Expression, k: Int, shingleSize: Int)
     copy(child = newChild)
 }
 
-/** One-pass 64-bit SimHash of a token array: xxhash64 (seed 42, matching
-  * `F.xxhash64`) per token, per-bit +1/-1 majority vote. The column-HOF
-  * formulation (`transform` + 64 `aggregate`s) re-evaluates the hash
-  * lambda per BIT after projection collapse — 64x recompute, same trap as
-  * the MinHash shingles. */
+/** One-pass SimHash of a token array: the 60-bit [[graft.ext.DualHash]]
+  * md5 base hash per token, per-bit +1/-1 majority vote over bits 0-59
+  * (bits 60-63 of the signature are always clear). The column-HOF
+  * formulation (`transform` + per-bit `aggregate`s) re-evaluates the hash
+  * lambda per BIT after projection collapse — same trap as the MinHash
+  * shingles. The identical votes are expressible in DuckDB (unnest +
+  * 60 conditional sums), so the SimHash queries carry full oracles. */
 case class SimHash64(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
@@ -113,15 +116,14 @@ case class SimHash64(child: Expression)
   override protected def nullSafeEval(tokensRaw: Any): Any = {
     val tokens = tokensRaw.asInstanceOf[ArrayData]
     val n = tokens.numElements()
-    val votes = new Array[Int](64)
+    val votes = new Array[Int](SimHash64.Bits)
     var i = 0
     while (i < n) {
       val t = tokens.getUTF8String(i)
       if (t != null) {
-        val h = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset,
-          t.numBytes(), 42L)
+        val h = graft.ext.DualHash.base60(t.toString)
         var b = 0
-        while (b < 64) {
+        while (b < SimHash64.Bits) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
           b += 1
         }
@@ -130,12 +132,17 @@ case class SimHash64(child: Expression)
     }
     var sig = 0L
     var b = 0
-    while (b < 64) { if (votes(b) > 0) sig |= 1L << b; b += 1 }
+    while (b < SimHash64.Bits) { if (votes(b) > 0) sig |= 1L << b; b += 1 }
     sig
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
+}
+
+object SimHash64 {
+  /** Signature width: the dual-compilable base hash carries 60 bits. */
+  val Bits = 60
 }
 
 /** Distinct word-shingle hash set (sorted array<long>), one pass: the
@@ -162,9 +169,7 @@ case class ShingleHashes(child: Expression, shingleSize: Int)
         if (t != null) sb.append(t.toString)
         j += 1
       }
-      val utf8 = UTF8String.fromString(sb.toString)
-      set.add(XXH64.hashUnsafeBytes(utf8.getBaseObject, utf8.getBaseOffset,
-        utf8.numBytes(), 0L))
+      set.add(graft.ext.DualHash.base60(sb.toString))
       s += 1
     }
     val out = new Array[Long](set.size)

@@ -39,14 +39,16 @@ object Dedup {
     graft.expressions.VectorExpressions.minhashSig(tokens, k, shingleSize)
 
   /** doc_id + minhash signature (k hashes) + LSH band keys (k/rows bands of
-    * `rowsPerBand` hashes, each hashed to one bucket key). */
+    * `rowsPerBand` hashes, each folded to one bucket key with the
+    * [[DualHash]] modular combine — same arithmetic the DuckDB oracle
+    * runs). */
   def minhashLsh(docs: DataFrame, k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val nBands = k / rowsPerBand
     val sig = docs.select(col("doc_id"),
       minhashSignature(split(col("text"), " "), k).as("sig"))
     val bands = array((0 until nBands).map { b =>
-      xxhash64(lit(b) +: (0 until rowsPerBand).map(r =>
-        col("sig").getItem(b * rowsPerBand + r)): _*)
+      DualHash.combineCol(lit(b.toLong), (0 until rowsPerBand).map(r =>
+        col("sig").getItem(b * rowsPerBand + r)))
     }: _*)
     sig.select(col("doc_id"), col("sig"), bands.as("bands"))
   }
@@ -72,19 +74,25 @@ object Dedup {
       .distinct()
   }
 
-  /** 64-bit SimHash from the token array: per-bit majority vote of token
-    * xxhash64 hashes, as a native one-pass expression ([[graft.expressions
-    * .SimHash64]] — the HOF formulation re-evaluated the hash lambda per
-    * bit after projection collapse, 64x). */
+  /** 60-bit SimHash from the token array: per-bit majority vote of the
+    * [[DualHash]] md5 base hash per token, as a native one-pass expression
+    * ([[graft.expressions.SimHash64]] — the HOF formulation re-evaluates
+    * the hash lambda per bit after projection collapse). */
   def simhash(tokens: Column): Column =
     graft.expressions.VectorExpressions.simhash64(tokens)
 
-  /** The original column-HOF SimHash formulation — kept as the equivalence
-    * oracle for [[simhash]] in ExtOpsSpec (identical hashes and vote
-    * semantics, 64 array passes). */
+  /** Spark-builtin column form of the [[DualHash]] base hash: md5 hex →
+    * first 15 nibbles as a long. Same value as `DualHash.base60` and the
+    * DuckDB `base60Sql` rendering. */
+  private[graft] def base60Col(s: Column): Column =
+    conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** The column-HOF SimHash formulation — kept as the equivalence oracle
+    * for [[simhash]] in ExtOpsSpec (identical hashes and vote semantics,
+    * one array pass per bit). */
   private[graft] def simhashHof(tokens: Column): Column = {
-    val hashes = transform(tokens, t => xxhash64(t))
-    val bits = (0 until 64).map { b =>
+    val hashes = transform(tokens, t => base60Col(t))
+    val bits = (0 until graft.expressions.SimHash64.Bits).map { b =>
       val votes = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L)
           .otherwise(-1L))
@@ -94,6 +102,7 @@ object Dedup {
   }
 
   /** SimHash near-duplicate pairs via banding: split the 64-bit signature
+    * lanes (bits 60-63 always clear — see [[graft.expressions.SimHash64]])
     * into `bands` equal bit-bands; by pigeonhole, any pair with Hamming
     * distance < `bands` shares at least one identical band, so the
     * candidate join is an equi-join on (band index, band value) — shuffle
@@ -120,7 +129,7 @@ object Dedup {
     a.join(b, Seq("band", "value"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

@@ -122,14 +122,20 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, k: Int, cells: Int = 16,
               probes: Int = 2, seed: Long = 42L): DataFrame = {
     val e = prepared(embeddings)
-    // deterministic centroid sample: lowest `cells` hashes
-    val cent = e.withColumn("h", xxhash64(col("vec_id"), lit(seed)))
-      .orderBy("h").limit(cells)
+    // deterministic centroid sample: lowest `cells` dual-compilable hashes
+    // of "<vec_id>:<seed>" (md5-based, so the DuckDB oracle picks the
+    // identical centroid set); vec_id tiebreak for full determinism
+    val cent = e.withColumn("h", graft.ext.Dedup.base60Col(
+        concat(col("vec_id").cast("string"), lit(":" + seed))))
+      .orderBy("h", "vec_id").limit(cells)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     // rank centroids per vector by cosine; keep top `probes` for the query
-    // side and the top-1 as the home cell
+    // side and the top-1 as the home cell. The ranking similarity is
+    // 6-decimal rounded (cid tiebreak) so cell assignment is reproducible
+    // across engines — same convention as the final top-k ranking.
     val scored = e.crossJoin(broadcast(cent))
-      .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("csim",
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6))
     val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))
     val ranked = scored.withColumn("crk", row_number().over(w))
     val home = ranked.filter(col("crk") === 1)

@@ -119,6 +119,33 @@ class ExtOpsSpec extends SparkSpec {
       assert(math.abs(bf(pair) - sim) < 1e-9, pair.toString)
   }
 
+  test("DualHash base60 matches DuckDB's hex-cast and Spark's conv/md5") {
+    // Reference value from DuckDB:
+    //   CAST(concat('0x', substr(md5('hello'), 1, 15)) AS BIGINT)
+    assert(graft.ext.DualHash.base60("hello") == 419982666956583591L)
+    // Spark-builtin column rendering agrees (incl. empty + multibyte)
+    val df = Seq("hello", "", "a b c", "的是").toDF("s")
+    for (r <- df.select($"s", Dedup.base60Col($"s").as("h")).collect())
+      assert(r.getLong(1) == graft.ext.DualHash.base60(r.getString(0)),
+        s"mismatch for '${r.getString(0)}'")
+  }
+
+  test("native MinHashSig equals the HOF md5/affine formulation") {
+    import graft.ext.DualHash
+    val hofSig = {
+      val bases = transform(Dedup.shingles(split($"text", " "), 3),
+        sh => Dedup.base60Col(sh))
+      array((0 until 16).map(i => array_min(transform(bases, x =>
+        (lit(DualHash.famA(i)) * (x % lit(DualHash.P)) + lit(DualHash.famB(i)))
+          % lit(DualHash.P)))): _*)
+    }
+    val rows = docs.select(
+      Dedup.minhashSignature(split($"text", " "), 16).as("native"),
+      hofSig.as("hof")).collect()
+    for (r <- rows)
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+  }
+
   test("native SimHash64 equals the column-HOF formulation bit-for-bit") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
