@@ -47,54 +47,95 @@ object StreamingOps {
 
   /** Streaming NEAR-duplicate detection: SimHash banding with explicit
     * per-bucket state (the streaming counterpart of
-    * [[graft.ext.Dedup.simhashNearDupPairs]]). Each doc's 64-bit signature
-    * is split into `bands` bit-bands; state is keyed by (band, value), so
+    * [[graft.ext.Dedup.simhashNearDupPairs]]). Each doc's signature is
+    * split into `bands` bit-bands; state is keyed by (band, value), so
     * any arriving doc within Hamming distance < bands of a seen doc hits
     * at least one populated bucket (pigeonhole) and the exact bit-count
     * check runs against that bucket's remembered signatures only. Emits
-    * (doc_id, dup_of, hamming) for detected near-dups. Per-bucket state is
-    * capped at `maxPerBucket` signatures (FIFO) to bound memory. */
-  final case class BucketState(ids: List[Long], sigs: List[Long])
-  final case class NearDup(doc_id: Long, dup_of: Long, hamming: Int)
+    * (doc_id, dup_of, hamming, event_time) for detected near-dups.
+    *
+    * State is bounded on BOTH axes — the 100 TB/day requirement:
+    *  - per-bucket: at most `maxPerBucket` signatures (FIFO);
+    *  - across buckets: event-time timeout. A bucket whose last activity
+    *    is `retentionMs` behind the watermark is evicted, so the
+    *    (band, value) key space cannot grow without bound on an unbounded
+    *    stream (a doc can only match near-dups within the retention
+    *    horizon — same contract as [[streamingDedup]]).
+    *
+    * A doc matching the same stored doc in several bands is emitted once,
+    * collapsed IN-operator (Spark rejects stateful operators downstream
+    * of flatMapGroupsWithState): every bucket that sees a matching pair
+    * derives, from the two signatures alone, the pair's MINIMAL colliding
+    * band, and only that band's bucket emits — the standard banded-LSH
+    * ownership rule, needing no cross-bucket communication. A doc can
+    * still be reported once per DISTINCT earlier near-duplicate it
+    * matches in disjoint buckets, which is a different event, not a
+    * banding artifact. */
+  final case class BucketState(ids: List[Long], sigs: List[Long], lastMs: Long)
+  final case class NearDup(doc_id: Long, dup_of: Long, hamming: Int,
+                           event_time: java.sql.Timestamp)
 
-  def streamingSimhashNearDup(docs: DataFrame, maxHamming: Int = 3,
-                              bands: Int = 4,
+  def streamingSimhashNearDup(docs: DataFrame, eventTimeCol: String,
+                              watermark: String = "1 hour",
+                              retentionMs: Long = 3600L * 1000L,
+                              maxHamming: Int = 3, bands: Int = 4,
                               maxPerBucket: Int = 64): DataFrame = {
     import docs.sparkSession.implicits._
     require(maxHamming < bands)
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
     val banded = docs.select(col("doc_id").cast("long"),
-        graft.ext.Dedup.simhash(split(col("text"), " ")).as("sig"))
-      .select(col("doc_id"), col("sig"),
+        graft.ext.Dedup.simhash(split(col("text"), " ")).as("sig"),
+        col(eventTimeCol).cast("timestamp").as("event_time"))
+      .withWatermark("event_time", watermark)
+      .select(col("doc_id"), col("sig"), col("event_time"),
         explode(array((0 until bands).map(b => struct(lit(b).as("band"),
           shiftright(col("sig"), b * width).bitwiseAND(lit(mask))
             .as("value"))): _*)).as("bv"))
-      .select(col("doc_id"), col("sig"), col("bv.band"), col("bv.value"))
-      .as[(Long, Long, Int, Long)]
-    banded.groupByKey(r => (r._3, r._4))
+      .select(col("doc_id"), col("sig"), col("event_time"),
+        col("bv.band"), col("bv.value"))
+      .as[(Long, Long, java.sql.Timestamp, Int, Long)]
+    // smallest band index where the two signatures agree — exists for any
+    // pair within hamming < bands (pigeonhole); that band OWNS the pair
+    def ownerBand(a: Long, b: Long): Int = {
+      var bd = 0
+      while (bd < bands && ((a >>> (bd * width)) & mask) != ((b >>> (bd * width)) & mask)) bd += 1
+      bd
+    }
+    banded.groupByKey(r => (r._4, r._5))
       .flatMapGroupsWithState[BucketState, NearDup](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (_, rows, state: GroupState[BucketState]) =>
-          var st = state.getOption.getOrElse(BucketState(Nil, Nil))
-          val out = Seq.newBuilder[NearDup]
-          for ((id, sig, _, _) <- rows.toSeq.sortBy(_._1)) {
-            val hit = st.ids.zip(st.sigs).find { case (_, s) =>
-              java.lang.Long.bitCount(s ^ sig) <= maxHamming }
-            hit match {
-              case Some((origId, s)) =>
-                out += NearDup(id, origId, java.lang.Long.bitCount(s ^ sig))
-              case None =>
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case ((thisBand, _), rows, state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove() // watermark passed last activity + retention
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(BucketState(Nil, Nil, 0L))
+            val out = Seq.newBuilder[NearDup]
+            for ((id, sig, ts, _, _) <- rows.toSeq.sortBy(_._1)) {
+              val hits = st.ids.zip(st.sigs).filter { case (_, s) =>
+                java.lang.Long.bitCount(s ^ sig) <= maxHamming }
+              if (hits.isEmpty) {
                 st = BucketState((id :: st.ids).take(maxPerBucket),
-                  (sig :: st.sigs).take(maxPerBucket))
+                  (sig :: st.sigs).take(maxPerBucket), st.lastMs)
+              } else {
+                // emit only pairs this band owns; other matching bands of
+                // the same pair stay silent
+                hits.find { case (_, s) => ownerBand(sig, s) == thisBand }
+                  .foreach { case (origId, s) =>
+                    out += NearDup(id, origId,
+                      java.lang.Long.bitCount(s ^ sig), ts)
+                  }
+              }
+              st = st.copy(lastMs = math.max(st.lastMs, ts.getTime))
             }
+            state.update(st)
+            // timeout must stay ahead of the current watermark
+            state.setTimeoutTimestamp(math.max(st.lastMs + retentionMs,
+              state.getCurrentWatermarkMs() + 1L))
+            out.result().iterator
           }
-          state.update(st)
-          out.result().iterator
       }.toDF()
-    // NOTE: a doc within range of a seen doc in several bands reports once
-    // per matching band — consumers collapse per doc_id (a second stateful
-    // aggregation would need its own watermark in append mode)
   }
 
   /** Per-user session aggregation with explicit state

@@ -52,21 +52,24 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming simhash near-dup flags arriving near-duplicates") {
     implicit val sqlCtx = spark.sqlContext
-    val mem = MemoryStream[(Long, String)]
-    val docs = mem.toDF().toDF("doc_id", "text")
-    val out = StreamingOps.streamingSimhashNearDup(docs, maxHamming = 3)
+    val mem = MemoryStream[(Long, String, Long)]
+    val docs = mem.toDF().toDF("doc_id", "text", "ts_ms")
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+    val out = StreamingOps.streamingSimhashNearDup(docs, "event_time")
     val base = "the quick brown fox jumps over the lazy dog again and again"
     mem.addData(
-      (1L, base),
-      (2L, base), // exact dup of 1
-      (3L, base.replace("dog", "cat")), // near dup of 1
-      (4L, "completely different content about spark catalyst expressions"))
+      (1L, base, 1000L),
+      (2L, base, 2000L), // exact dup of 1
+      (3L, base.replace("dog", "cat"), 3000L), // near dup of 1
+      (4L, "completely different content about spark catalyst expressions", 4000L))
     val q = out.writeStream.format("memory").queryName("neardup")
       .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
     q.processAllAvailable()
     q.stop()
-    val dups = spark.table("neardup").collect()
-      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_of")).toMap
+    val rows = spark.table("neardup").collect()
+    val dups = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_of")).toMap
+    // an exact dup matches in ALL bands — but must be emitted exactly once
+    assert(rows.count(_.getAs[Long]("doc_id") == 2L) == 1, rows.mkString(","))
     assert(dups.contains(2L) && dups(2L) == 1L, dups.toString)
     assert(!dups.contains(4L), dups.toString)
     // doc 3 flags iff its signature lands within hamming 3 of doc 1
@@ -76,6 +79,36 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     val near = java.lang.Long.bitCount(sigs(0) ^ sigs(1)) <= 3
     assert(dups.contains(3L) == near, s"$dups near=$near")
+  }
+
+  test("streaming simhash near-dup evicts bucket state past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val docs = mem.toDF().toDF("doc_id", "text", "ts_ms")
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+    // 1 s watermark delay + 1 s retention: buckets older than ~2 s of
+    // event time are evicted
+    val out = StreamingOps.streamingSimhashNearDup(docs, "event_time",
+      watermark = "1 second", retentionMs = 1000L)
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val q = out.writeStream.format("memory").queryName("neardup_evict")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData((1L, base, 1000L))
+    q.processAllAvailable()
+    // advance the watermark far past doc 1's bucket retention
+    mem.addData((2L, "unrelated filler words to advance the stream clock", 60000L))
+    q.processAllAvailable()
+    // identical text arrives after eviction: bucket is gone, NOT flagged
+    mem.addData((3L, base, 61000L))
+    q.processAllAvailable()
+    // but doc 3 re-seeds state: an immediate dup of it IS flagged
+    mem.addData((4L, base, 61500L))
+    q.processAllAvailable()
+    q.stop()
+    val dups = spark.table("neardup_evict").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_of")).toMap
+    assert(!dups.contains(3L), s"bucket state not evicted: $dups")
+    assert(dups.get(4L).contains(3L), s"re-seeded state missed: $dups")
   }
 
   test("scalar model expressions lift to streams unchanged") {
