@@ -46,7 +46,7 @@ object MagmaConfig {
     require(solubilityModels.contains(c.volatileSolubility),
       s"unknown volatile-solubility model ${c.volatileSolubility}")
     require(kdModels.contains(c.kdModel), s"unknown Kd model ${c.kdModel}")
-    require(Set("qfm", "iw", "nno").contains(c.fO2Buffer),
+    require(Fo2Buffers.allBuffers.contains(c.fO2Buffer),
       s"unknown fO2 buffer ${c.fO2Buffer}")
     current = c
   }
@@ -112,17 +112,19 @@ final class Melt(val mdf: MagmaDF, config: MagmaConfig = MagmaConfig.get) {
     addCol(as, E.toColumn(t))
   }
 
-  /** fO2 at the configured buffer + dfO2 shift. QFM uses the full
-    * EOS-pressure UDF over distinct (T,P). */
+  /** fO2 at the configured buffer + dfO2 shift. Every buffer in
+    * [[Fo2Buffers.allBuffers]] dispatches by name, mirroring the
+    * reference's `calculate_fO2` (`fO2/fO2_calculate.py:11-25`): the
+    * full-EOS "qfm"/"iw" run as per-row memoised UDFs; the closed-form
+    * buffers compile to a single codegen'd expression. */
   def withFO2(tCol: String = "T_K", pCol: String = "P_bar",
               as: String = "fO2"): Melt = {
     val out = config.fO2Buffer match {
       case "qfm" => QfmFull.withQfm(df, tCol, pCol, config.dfO2, as)
-      case "iw" => df.withColumn(as,
-        E.toColumn(Fo2Buffers.iwZhang(C(tCol), C(pCol), config.dfO2)))
-      case "nno" => df.withColumn(as,
-        E.toColumn(Fo2Buffers.nno(C(tCol), C(pCol), config.dfO2)))
-      case other => throw new IllegalArgumentException(s"buffer $other")
+      case "iw" =>
+        graft.functions.IwFull.withIw(df, tCol, pCol, config.dfO2, as)
+      case other => df.withColumn(as,
+        E.toColumn(Fo2Buffers.dispatch(other, C(tCol), C(pCol), config.dfO2)))
     }
     val sch = mdf.staged.schema
     val st = mdf.staged.copy(schema =

@@ -203,4 +203,16 @@ object IwFull {
     cache.put(key, base)
     base * math.pow(10.0, logshift)
   }
+
+  import org.apache.spark.sql.{functions => F, DataFrame}
+
+  val fO2Udf = F.udf((tK: Double, pBar: Double, shift: Double) =>
+    fO2(tK, pBar, shift))
+
+  /** Attach an IW-buffer `fO2` column: one narrow per-row UDF stage with
+    * the per-executor (T,P) memo cache — same scale shape as
+    * [[QfmFull.withQfm]]. */
+  def withIw(df: DataFrame, tCol: String, pCol: String,
+             logshift: Double = 0.0, as: String = "fO2"): DataFrame =
+    df.withColumn(as, fO2Udf(F.col(tCol), F.col(pCol), F.lit(logshift)))
 }

@@ -102,4 +102,31 @@ object Fo2Buffers {
         Lit(-550915.0) + Lit(269.106) * tK - Lit(16.9484) * ln(tK) * tK))
     exp(mu / (Lit(R) * tK)) * Lit(math.pow(10, logshift))
   }
+
+  /** Every buffer reachable through `Melt.withFO2` — the closed-form
+    * expressions above plus the two full-EOS solvers ("qfm" / "iw"), which
+    * dispatch at the DataFrame level ([[graft.functions.QfmFull.withQfm]] /
+    * [[graft.functions.IwFull.withIw]]). Mirrors the reference's by-name
+    * buffer resolution (`fO2/fO2_calculate.py:11-25`). */
+  val allBuffers: Set[String] = Set("qfm", "iw", "qfm_1bar", "nno",
+    "nno_1bar", "nno_frost", "ruruo2", "iw_campbell", "iw_zhang",
+    "iw_oneill1993", "fefeo_oneill_huebner")
+
+  /** Name → expression for the closed-form buffers (absolute fO2 in bar,
+    * dfO2 shift applied). "qfm"/"iw" are NOT here — they need the
+    * DataFrame-level memoised-UDF dispatch. */
+  def dispatch(name: String, tK: E, pBar: E, logshift: Double): E =
+    name match {
+      case "qfm_1bar" => qfm1bar(tK, logshift)
+      case "nno" => nno(tK, pBar, logshift)
+      case "nno_1bar" => nno1bar(tK, logshift)
+      case "nno_frost" => nnoFrost(tK, pBar, logshift)
+      case "ruruo2" => ruRuO2(tK, pBar, logshift)
+      case "iw_campbell" => iwCampbell(tK, pBar, logshift)
+      case "iw_zhang" => iwZhang(tK, pBar, logshift)
+      case "iw_oneill1993" => iwOneill1993(tK, logshift)
+      case "fefeo_oneill_huebner" => feFeO94OneillHuebner(tK, pBar, logshift)
+      case other =>
+        throw new IllegalArgumentException(s"unknown fO2 buffer $other")
+    }
 }

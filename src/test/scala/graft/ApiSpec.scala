@@ -94,6 +94,33 @@ class ApiSpec extends SparkSpec {
     assert(sat.forall(r => r.getAs[Double]("P_sat_bar") > 0))
   }
 
+  test("every registered fO2 buffer dispatches through withFO2 with dfO2") {
+    def fo2At(buffer: String, dfO2: Double): Map[String, Double] = {
+      MagmaConfig.set(MagmaConfig(fO2Buffer = buffer, dfO2 = dfO2))
+      try {
+        new Melt(MagmaDFWithCols(MagmaIO.readMelt(spark, meltCsv)))
+          .temperature()
+          .withFO2(tCol = "T_K_calc", pCol = "P_bar")
+          .df.collect()
+          .map(r => r.getAs[String]("sample_id") -> r.getAs[Double]("fO2"))
+          .toMap
+      } finally MagmaConfig.reset()
+    }
+    for (buffer <- graft.models.Fo2Buffers.allBuffers) {
+      val base = fo2At(buffer, 0.0)
+      val shifted = fo2At(buffer, 1.0)
+      assert(base.size == 3 && base.values.forall(v => v > 0 && !v.isNaN),
+        s"$buffer: $base")
+      // dfO2 = +1 log unit means exactly 10x the buffer's absolute fO2
+      for ((k, v) <- base)
+        assert(math.abs(shifted(k) / v - 10.0) < 1e-9, s"$buffer $k")
+    }
+    // unknown names are rejected at config time
+    intercept[IllegalArgumentException] {
+      MagmaConfig.set(MagmaConfig(fO2Buffer = "not_a_buffer"))
+    }
+  }
+
   test("config switches the dispatched model") {
     MagmaConfig.set(MagmaConfig(fe3fe2Model = "borisov2018",
       meltThermometer = "putirka2008_13", fO2Buffer = "nno"))
