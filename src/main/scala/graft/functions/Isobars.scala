@@ -13,39 +13,69 @@ import org.apache.spark.sql.functions._
   * one-stage job — compositions x isobars x fluid fractions exploded into
   * rows. The INTERPOLATION touches only `n_isobars x n_points` tiny curves
   * per sample; like the reference (scipy interp1d on a collected frame) it
-  * runs driver-side on the collected grid. Natural cubic splines stand in
-  * for scipy's not-a-knot cubic / quadratic interpolants — same knots,
-  * same continuity class; values differ only between knots.
+  * runs driver-side on the collected grid, guarded by a row cap. The
+  * spline is NOT-A-KNOT cubic — the boundary condition scipy's
+  * `interp1d(kind="cubic")` uses — so interior values match scipy, not
+  * just the knots (GoldenSpec anchors this against an independent
+  * B-spline-collocation evaluation).
   */
 object Isobars {
 
-  /** Natural cubic spline through (xs, ys), xs strictly increasing;
-    * returns the interpolant. */
+  /** Not-a-knot cubic spline through (xs, ys), xs strictly increasing;
+    * returns the interpolant. scipy semantics (`isobars.py:114`): third
+    * derivative continuous across the first and last interior knots. With
+    * exactly 3 points the conditions degenerate and the interpolant is the
+    * parabola through the points (scipy's interp1d would refuse n=3;
+    * accepting it is a documented extension). */
   private[graft] def cubicSpline(xs: Array[Double], ys: Array[Double]): Double => Double = {
     val n = xs.length
     require(n >= 3, s"spline needs >= 3 points, got $n")
     val h = Array.tabulate(n - 1)(i => xs(i + 1) - xs(i))
     require(h.forall(_ > 0), "spline abscissae must be strictly increasing")
-    // tridiagonal solve for second derivatives, natural BCs (m0 = mn = 0)
+    // second-derivative (moment) system: interior rows are the standard
+    // continuity equations; end rows impose not-a-knot
     val m = new Array[Double](n)
-    val diag = new Array[Double](n)
-    val rhs = new Array[Double](n)
-    diag(0) = 1.0; diag(n - 1) = 1.0
-    for (i <- 1 until n - 1) {
-      diag(i) = 2.0 * (h(i - 1) + h(i))
-      rhs(i) = 6.0 * ((ys(i + 1) - ys(i)) / h(i) - (ys(i) - ys(i - 1)) / h(i - 1))
+    if (n == 3) {
+      // single parabola: constant second derivative
+      val a2 = ((ys(2) - ys(0)) / (xs(2) - xs(0)) -
+        (ys(1) - ys(0)) / (xs(1) - xs(0))) / (xs(2) - xs(1))
+      java.util.Arrays.fill(m, 2.0 * a2)
+    } else {
+      val a = Array.ofDim[Double](n, n)
+      val b = new Array[Double](n)
+      // d3 continuity at x1: (M1-M0)/h0 = (M2-M1)/h1
+      a(0)(0) = -h(1); a(0)(1) = h(0) + h(1); a(0)(2) = -h(0)
+      for (i <- 1 until n - 1) {
+        a(i)(i - 1) = h(i - 1)
+        a(i)(i) = 2.0 * (h(i - 1) + h(i))
+        a(i)(i + 1) = h(i)
+        b(i) = 6.0 * ((ys(i + 1) - ys(i)) / h(i) - (ys(i) - ys(i - 1)) / h(i - 1))
+      }
+      // d3 continuity at x_{n-2}
+      a(n - 1)(n - 3) = -h(n - 2)
+      a(n - 1)(n - 2) = h(n - 3) + h(n - 2)
+      a(n - 1)(n - 1) = -h(n - 3)
+      // dense partial-pivot Gaussian elimination — n is one curve's knot
+      // count (~11), never data-sized
+      for (k <- 0 until n) {
+        var p = k
+        for (r <- k + 1 until n) if (math.abs(a(r)(k)) > math.abs(a(p)(k))) p = r
+        if (p != k) {
+          val tr = a(p); a(p) = a(k); a(k) = tr
+          val tb = b(p); b(p) = b(k); b(k) = tb
+        }
+        for (r <- k + 1 until n if a(r)(k) != 0.0) {
+          val f = a(r)(k) / a(k)(k)
+          for (c <- k until n) a(r)(c) -= f * a(k)(c)
+          b(r) -= f * b(k)
+        }
+      }
+      for (i <- n - 1 to 0 by -1) {
+        var s = b(i)
+        for (j <- i + 1 until n) s -= a(i)(j) * m(j)
+        m(i) = s / a(i)(i)
+      }
     }
-    // forward sweep (sub/super diagonals are h; natural rows have none)
-    val cPrime = new Array[Double](n)
-    val dPrime = new Array[Double](n)
-    cPrime(0) = 0.0; dPrime(0) = 0.0
-    for (i <- 1 until n - 1) {
-      val denom = diag(i) - h(i - 1) * cPrime(i - 1)
-      cPrime(i) = h(i) / denom
-      dPrime(i) = (rhs(i) - h(i - 1) * dPrime(i - 1)) / denom
-    }
-    m(n - 1) = 0.0
-    for (i <- (n - 2) to 1 by -1) m(i) = dPrime(i) - cPrime(i) * m(i + 1)
     (x: Double) => {
       val j0 = java.util.Arrays.binarySearch(xs, x)
       val j = if (j0 >= 0) math.min(j0, n - 2)
@@ -95,12 +125,20 @@ object Isobars {
   /** Smooth isobar curves (`_isobar_interpolate`, `isobars.py:107-120`):
     * per (sample, P) spline of CO2 over H2O sampled at 10x density, all
     * segments unioned. The grid job is distributed; interpolation runs on
-    * the collected grid (isobar curves are metadata-sized by construction). */
+    * the collected grid — isobar curves are metadata-sized by construction,
+    * and `maxRows` enforces that contract: the collect is bounded by
+    * `limit(maxRows + 1)` (one job, bounded driver memory) and rejects
+    * anything larger, so an accidentally-unfiltered fact table fails fast
+    * instead of OOMing the driver. */
   def isobarCurves(spark: SparkSession, grid: DataFrame,
-                   pointsPerKnot: Int = 10): DataFrame = {
+                   pointsPerKnot: Int = 10, maxRows: Int = 1 << 20): DataFrame = {
     import scala.jdk.CollectionConverters._
     val rows = grid.select("sample_id", "P_bar", "xfl", "H2O", "CO2")
-      .collect()
+      .limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"isobarCurves interpolates driver-side (reference isobars.py:107-120) " +
+        s"and the grid exceeds maxRows=$maxRows — pass a metadata-sized " +
+        "(sample x isobar x x_fluid) grid or raise maxRows explicitly")
     val segments = rows.groupBy(r => (r.getLong(0), r.getDouble(1))).toSeq
       .sortBy(_._1).flatMap { case ((sid, p), pts) =>
         val sorted = pts.sortBy(_.getDouble(2)) // by xfl -> H2O ascending
@@ -115,7 +153,8 @@ object Isobars {
           val n = kx.length * pointsPerKnot
           (0 until n).map { i =>
             val h2o = kx.head + (kx.last - kx.head) * i / (n - 1)
-            org.apache.spark.sql.Row(sid, p, h2o, math.max(f(h2o), 0.0))
+            // raw spline value, no clamping — scipy/interp1d parity
+            org.apache.spark.sql.Row(sid, p, h2o, f(h2o))
           }
         }
       }

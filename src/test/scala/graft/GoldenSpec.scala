@@ -25,9 +25,11 @@ import graft.models._
   *  - putirka2008 / sun2020 thermometers vs the authors' Excel sheets
   *  - sun2020 / saper2022 / blundy2020 Kd vs Excel + measured values
   *
-  * Volatile-saturation models have NO published fixture in the reference
-  * (its benchmark suite is fO2/Fe3Fe2/Kd/thermometers only) and remain
-  * covered by the inverse/self-consistency properties in SolverSpec.
+  * Volatile-saturation models have no fixture in the reference's own
+  * benchmark suite (fO2/Fe3Fe2/Kd/thermometers only) but ARE anchored
+  * bit-level here against the reference's executed output
+  * (`ref_saturation_parity.csv` — see golden/README.md provenance), on
+  * top of the inverse/self-consistency properties in SolverSpec.
   */
 object Golden {
   /** Parse a plain (unquoted) CSV resource: (header, rows). */
@@ -715,6 +717,45 @@ class GoldenSpec extends SparkSpec {
         ErrorModels.fe3fe2SplineHP("sun2024")._2)
       assert(math.abs(got - want) < 1e-12, s"x=$x: $got vs $want")
     }
+  }
+
+  test("not-a-knot spline matches independent B-spline collocation interior values") {
+    // Fixture: numpy-only Cox-de Boor collocation on the not-a-knot knot
+    // vector — the construction scipy's interp1d(kind="cubic") uses —
+    // validated by exact cubic-polynomial reproduction (3e-14); see
+    // golden/README.md. Anchors INTERIOR values, not just knots.
+    val (h, rws) = Golden.load("notaknot_spline.csv")
+    val col = h.zipWithIndex.toMap
+    for (ds <- Seq("d7", "d11")) {
+      val mine = rws.filter(_(col("dataset")) == ds)
+      val knots = mine.filter(_(col("role")) == "knot")
+      val f = Isobars.cubicSpline(
+        knots.map(_(col("x")).toDouble), knots.map(_(col("y")).toDouble))
+      for (r <- mine.filter(_(col("role")) == "eval")) {
+        val x = r(col("x")).toDouble; val want = r(col("y")).toDouble
+        assert(math.abs(f(x) - want) < 1e-9, s"$ds x=$x: ${f(x)} vs $want")
+      }
+    }
+    // the defining not-a-knot property: a cubic polynomial is reproduced
+    // EXACTLY between knots (a natural spline fails this)
+    val xs = Array(0.0, 0.7, 1.1, 1.9, 3.2, 4.0, 5.3)
+    def cubic(x: Double) = x * x * x - 2.0 * x * x + 3.0 * x - 1.0
+    val g = Isobars.cubicSpline(xs, xs.map(cubic))
+    for (i <- 0 to 53; x = i * 0.1)
+      assert(math.abs(g(x) - cubic(x)) < 1e-9, s"x=$x")
+  }
+
+  test("isobarCurves rejects a grid larger than its maxRows contract") {
+    import spark.implicits._
+    val big = (1L to 50L).flatMap(s => (0 until 10).map(i =>
+      (s, 2000.0, i / 10.0, i * 0.5, 3.0 - i * 0.2)))
+      .toDF("sample_id", "P_bar", "xfl", "H2O", "CO2")
+    val ex = intercept[IllegalArgumentException] {
+      Isobars.isobarCurves(spark, big, maxRows = 100)
+    }
+    assert(ex.getMessage.contains("maxRows"))
+    // and passes when the cap accommodates the grid
+    assert(Isobars.isobarCurves(spark, big, maxRows = 1000).count() > 0)
   }
 
   test("isobar curves pass through their knots and track direct solubility") {
