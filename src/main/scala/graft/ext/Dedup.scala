@@ -156,4 +156,57 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Connected components over an undirected pair graph: every node gets
+    * `cluster_id` = the minimum doc_id reachable from it — the dedup
+    * DECISION step (keep one doc per cluster) that turns pairwise near-dup
+    * verdicts into group assignments.
+    *
+    * Iterative min-label propagation with per-round localCheckpoint (cuts
+    * the exploding lineage iterative plans otherwise build). Rounds needed
+    * = component diameter; dedup components are near-cliques by
+    * construction (every member pair passed the same similarity test), so
+    * convergence is a handful of rounds. At 100 TB each round shuffles
+    * (doc_id, label) + the edge list only — never documents — and the
+    * label sum is a cheap monotone convergence witness (labels only ever
+    * decrease). */
+  def clusterPairs(nodes: DataFrame, pairs: DataFrame,
+                   maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = nodes.select(col("doc_id"),
+      col("doc_id").cast("long").as("cluster_id")).localCheckpoint(true)
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum("cluster_id")).head().getLong(0)
+    var prevSum = labelSum(labels)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val nbr = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .select(col("dst").as("doc_id"), col("cluster_id"))
+      val next = labels.union(nbr)
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint(true)
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Near-duplicate clusters over a document table: MinHash-LSH candidates
+    * verified by shingle Jaccard >= `threshold`, then [[clusterPairs]].
+    * Output (doc_id, cluster_id); `doc_id == cluster_id` marks the kept
+    * canonical doc of each cluster. */
+  def nearDupClusters(docs: DataFrame, threshold: Double,
+                      k: Int = 16, rowsPerBand: Int = 4,
+                      maxIters: Int = 20): DataFrame =
+    clusterPairs(docs.select(col("doc_id")),
+      ngramJaccardPairs(docs, threshold, k, rowsPerBand)
+        .select(col("doc_a"), col("doc_b")),
+      maxIters)
 }
