@@ -150,6 +150,23 @@ object ExtQueries {
         "JOIN st y ON y.\"doc_id\" = cand.doc_b) " +
         "SELECT doc_a AS \"doc_a\", doc_b AS \"doc_b\", jaccard AS \"jaccard\" " +
         "FROM j WHERE jaccard >= 0.0e0 ORDER BY 1, 2")),
+    // Connected-components dedup clustering: the DECISION step — MinHash-LSH
+    // candidate pairs (same chain as q_dedup_minhash_pairs; Jaccard-verified
+    // at threshold 0) collapsed into groups, cluster_id = min reachable
+    // doc_id, doc_id == cluster_id marks the kept canonical doc. Oracle:
+    // DuckDB recursive-CTE transitive closure over the same pair set —
+    // full hash-match on the label assignment.
+    Q("q_dedup_clusters", (s, dir) =>
+      Dedup.nearDupClusters(Tables.read(s, dir, "documents"),
+        threshold = 0.0, k = 16, rowsPerBand = 2)
+        .orderBy("doc_id"),
+      Some(s"WITH RECURSIVE $tokCte, $shCte, ${sigCte(16)}, ${bkCte(16, 2)}, $candCte, " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand " +
+        "UNION ALL SELECT doc_b, doc_a FROM cand), " +
+        "reach AS (SELECT \"doc_id\" AS id, CAST(\"doc_id\" AS BIGINT) AS lbl FROM documents " +
+        "UNION SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id) " +
+        "SELECT id AS \"doc_id\", min(lbl) AS \"cluster_id\" FROM reach " +
+        "GROUP BY 1 ORDER BY 1")),
     // Embedding-cosine near-dup: thresholded unordered pair set over the
     // embeddings table (the LSH-bucketed form is the 100 TB path).
     Q("q_dedup_embedding_cosine",

@@ -106,9 +106,10 @@ final class Melt(val mdf: MagmaDF, config: MagmaConfig = MagmaConfig.get) {
     new Melt(MagmaDF(df.withColumn(as, c), st), config)
   }
 
-  /** Liquidus temperature via the configured thermometer. */
+  /** Liquidus temperature via the configured thermometer; `offset` shifts
+    * by offset·SEE (reference `thermometers/melt.py:104` `offset_SEE`). */
   def temperature(as: String = "T_K_calc", offset: Double = 0.0): Melt = {
-    val t = Thermometers.all(config.meltThermometer)(ctx)
+    val t = Thermometers.all(config.meltThermometer)(ctx, offset)
     addCol(as, E.toColumn(t))
   }
 

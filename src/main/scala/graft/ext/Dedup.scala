@@ -1,7 +1,58 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Observability for the LSH bucket-size caps: every dropped row is
+  * counted through `Dataset.observe` (zero extra passes over the data) and
+  * surfaced by a query-execution listener — no silent truncation. An
+  * oversized bucket is a degenerate band value (e.g. the band every
+  * short/empty doc shares), not near-dup signal, but the drop must be
+  * visible to the operator. */
+object DedupMetrics {
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  private[ext] val MetricPrefix = "graft_lsh_drops_"
+  private val counter = new java.util.concurrent.atomic.AtomicLong()
+  private val dropped = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val sessions = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Unique observation name per call site (duplicate observation names in
+    * one query are an analysis error). */
+  private[ext] def nextName(tag: String): String =
+    s"$MetricPrefix${tag}_${counter.incrementAndGet()}"
+
+  /** Total rows dropped from oversized buckets for a tag ("minhash" /
+    * "simhash") since the last [[reset]] — test hook + ops counter. */
+  def totalDropped(tag: String): Long =
+    Option(dropped.get(tag)).map(_.longValue).getOrElse(0L)
+  def reset(): Unit = dropped.clear()
+
+  private[ext] def ensure(spark: SparkSession): Unit = sessions.synchronized {
+    if (sessions.add(spark)) spark.listenerManager.register(new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith(MetricPrefix)) {
+            val tag = name.stripPrefix(MetricPrefix).takeWhile(_ != '_')
+            val n = if (row.isNullAt(0)) 0L else row.getLong(0)
+            if (n > 0) {
+              dropped.merge(tag, java.lang.Long.valueOf(n),
+                (a: java.lang.Long, b: java.lang.Long) =>
+                  java.lang.Long.valueOf(a.longValue + b.longValue))
+              log.warn(s"$tag LSH: dropped $n row(s) in oversized buckets " +
+                "(> maxBucketSize) — degenerate band values, not near-dup signal")
+            }
+          }
+        }
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = ()
+    })
+  }
+}
 
 /** Deduplication operators for web-scale corpora, Spark-first:
   *
@@ -16,6 +67,13 @@ import org.apache.spark.sql.functions._
   *  - n-gram Jaccard: verification metric on candidate pairs.
   */
 object Dedup {
+
+  /** Default cap on LSH bucket size for batch candidate generation. A
+    * bucket above this is a degenerate band value whose pair space is
+    * quadratic in one task — the classic LSH skew blowup at 100 TB.
+    * Mirrors the streaming twin's `maxPerBucket`. 512 keeps the sf0.01
+    * oracle corpus (500 docs) provably uncapped. */
+  val DefaultMaxBucketSize: Int = 512
 
   /** Exact dedup: keep the smallest doc_id per fingerprint, count members.
     * Shuffles md5(16B)+id, not text. */
@@ -55,15 +113,25 @@ object Dedup {
 
   /** Candidate near-dup pairs: documents sharing at least one LSH bucket.
     * One shuffle of (band, bucket, doc_id); pairs generated per bucket from
-    * the grouped id list (no self-join — bucket sizes are bounded, and at
-    * 100 TB an oversized bucket means a degenerate band, not a bigger
-    * join). */
-  def minhashCandidates(docs: DataFrame, k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    * the grouped id list (no self-join). Buckets larger than
+    * `maxBucketSize` are dropped BEFORE the id list is built (window count
+    * over the bucket key — spills, never collects the oversized list), with
+    * the dropped row count observed and logged via [[DedupMetrics]]: an
+    * oversized bucket is a degenerate band value whose pair space would be
+    * quadratic in one task at 100 TB, not near-dup signal. */
+  def minhashCandidates(docs: DataFrame, k: Int = 16, rowsPerBand: Int = 4,
+                        maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    DedupMetrics.ensure(docs.sparkSession)
     val lsh = minhashLsh(docs, k, rowsPerBand)
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bucket")))
-    val buckets = lsh.groupBy("band", "bucket")
+    val sized = lsh
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .observe(DedupMetrics.nextName("minhash"),
+        sum(when(col("bucket_n") > maxBucketSize, 1L).otherwise(0L)).as("dropped"))
+    val buckets = sized
+      .filter(col("bucket_n") > 1 && col("bucket_n") <= maxBucketSize)
+      .groupBy("band", "bucket")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
     // all i<j pairs from each bucket's sorted id list
     val pairs = flatten(transform(col("ids"), (a, i) =>
       transform(slice(col("ids"), i + lit(2),
@@ -111,17 +179,27 @@ object Dedup {
     * production SimHash dedup shape; guarantees full recall for
     * maxHamming <= bands - 1. */
   def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3,
-                          bands: Int = 4): DataFrame = {
+                          bands: Int = 4,
+                          maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     require(maxHamming < bands, s"pigeonhole needs maxHamming < bands")
+    DedupMetrics.ensure(docs.sparkSession)
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
     val sigs = docs.select(col("doc_id"),
       simhash(split(col("text"), " ")).as("sig"))
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    val bandedAll = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until bands).map(b => struct(lit(b).as("band"),
         shiftright(col("sig"), b * width).bitwiseAND(lit(mask)).as("value"))): _*))
         .as("bv"))
       .select(col("doc_id"), col("sig"), col("bv.band"), col("bv.value"))
+    // cap the (band, value) hot keys before the equi-join — same rationale
+    // and observability as minhashCandidates
+    val banded = bandedAll
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "value")))
+      .observe(DedupMetrics.nextName("simhash"),
+        sum(when(col("bucket_n") > maxBucketSize, 1L).otherwise(0L)).as("dropped"))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
     val a = banded.select(col("band"), col("value"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("value"),
@@ -145,11 +223,12 @@ object Dedup {
     * with exact shingle-set Jaccard >= threshold. The verify join re-reads
     * only candidate docs (semi-join pattern). */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
-                        k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+                        k: Int = 16, rowsPerBand: Int = 4,
+                        maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val sets = docs.select(col("doc_id"),
       graft.expressions.VectorExpressions
         .shingleHashes(split(col("text"), " "), 3).as("sh"))
-    val cands = minhashCandidates(docs, k, rowsPerBand)
+    val cands = minhashCandidates(docs, k, rowsPerBand, maxBucketSize)
     cands
       .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
       .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")

@@ -121,15 +121,17 @@ object Thermometers {
     t + Lit(errors("sugawara2000_6a") * offset)
   }
 
-  /** Registry (reference collects by reflection, `melt.py:619-624`). */
-  val all: Map[String, CompCtx => E] = Map(
-    "putirka2008_13" -> (putirka2008_13(_)),
-    "putirka2008_14" -> (putirka2008_14(_)),
-    "putirka2008_15" -> (putirka2008_15(_)),
-    "putirka2008_16" -> (putirka2008_16(_)),
-    "putirka2008_22" -> (putirka2008_22(_)),
-    "sun2020" -> (sun2020(_)),
-    "shea2022" -> (shea2022(_)),
-    "sugawara2000_3" -> (sugawara2000_3(_)),
-    "sugawara2000_6a" -> (sugawara2000_6a(_)))
+  /** Registry (reference collects by reflection, `melt.py:619-624`).
+    * Every entry takes `(ctx, offset)` so the `offset_SEE` shift of
+    * `melt.py:104` (T + offset·SEE) is reachable through the public API. */
+  val all: Map[String, (CompCtx, Double) => E] = Map(
+    "putirka2008_13" -> (putirka2008_13(_, _)),
+    "putirka2008_14" -> (putirka2008_14(_, _)),
+    "putirka2008_15" -> (putirka2008_15(_, _)),
+    "putirka2008_16" -> (putirka2008_16(_, _)),
+    "putirka2008_22" -> (putirka2008_22(_, _)),
+    "sun2020" -> (sun2020(_, _)),
+    "shea2022" -> (shea2022(_, _)),
+    "sugawara2000_3" -> (sugawara2000_3(_, _)),
+    "sugawara2000_6a" -> (sugawara2000_6a(_, _)))
 }

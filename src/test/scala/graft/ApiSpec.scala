@@ -232,6 +232,31 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("Melt.temperature(offset) shifts by exactly offset x SEE for every thermometer") {
+    def tempAt(model: String, offset: Double): Map[String, Double] = {
+      MagmaConfig.set(MagmaConfig(meltThermometer = model))
+      try {
+        new Melt(MagmaDFWithCols(MagmaIO.readMelt(spark, meltCsv)))
+          .temperature(offset = offset)
+          .df.collect()
+          .map(r => r.getAs[String]("sample_id") ->
+            r.getAs[Double]("T_K_calc")).toMap
+      } finally MagmaConfig.reset()
+    }
+    for (model <- graft.models.Thermometers.all.keys.toSeq.sorted) {
+      val see = graft.models.Thermometers.errors(model)
+      val base = tempAt(model, 0.0)
+      val up = tempAt(model, 1.0)
+      val down = tempAt(model, -0.5)
+      for ((k, t0) <- base) {
+        assert(math.abs((up(k) - t0) - see) < 1e-9,
+          s"$model $k: T(1)-T(0) = ${up(k) - t0}, SEE = $see")
+        assert(math.abs((down(k) - t0) + 0.5 * see) < 1e-9,
+          s"$model $k: T(-0.5)-T(0) = ${down(k) - t0}")
+      }
+    }
+  }
+
   test("clinopyroxene wrapper computes Mg# and 6-oxygen formula") {
     val cpxCsv = writeCsv("cpx.csv",
       """name,SiO2,TiO2,Al2O3,FeO,MnO,MgO,CaO,Na2O,Cr2O3,total

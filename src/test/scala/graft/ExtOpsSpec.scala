@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Similarity}
+import graft.ext.{Dedup, DedupMetrics, Similarity}
 
 /** Behavioural tests for dedup + similarity on constructed corpora. */
 class ExtOpsSpec extends SparkSpec {
@@ -181,6 +181,108 @@ class ExtOpsSpec extends SparkSpec {
     } yield (a, b)).toSet
     assert(pairs == want, s"got $pairs want $want")
     assert(pairs.contains((1L, 2L))) // exact dup pair must be found
+  }
+
+  test("batch LSH bucket cap bounds degenerate bands and records the drop") {
+    // 1000 identical short docs: one degenerate bucket per band whose pair
+    // space would be ~500k pairs per band without the cap
+    val degenerate = (101L to 1100L).map(i => (i, "tiny doc same text every time"))
+      .toDF("doc_id", "text")
+    val mixed = docs.union(degenerate)
+    DedupMetrics.reset()
+
+    val minhashPairs = Dedup.minhashCandidates(mixed, k = 16, rowsPerBand = 4,
+      maxBucketSize = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // bounded: nothing from the degenerate block survives, normal dups do
+    assert(minhashPairs.contains((1L, 2L)), minhashPairs.toString)
+    assert(!minhashPairs.exists(p => p._1 > 100L || p._2 > 100L),
+      s"degenerate-bucket pairs leaked: ${minhashPairs.size}")
+
+    val simhashPairs = Dedup.simhashNearDupPairs(mixed, maxHamming = 3,
+      bands = 4, maxBucketSize = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(simhashPairs.contains((1L, 2L)), simhashPairs.toString)
+    assert(!simhashPairs.exists(p => p._1 > 100L || p._2 > 100L),
+      s"degenerate-bucket pairs leaked: ${simhashPairs.size}")
+
+    // the drop is observed and counted — no silent truncation (the
+    // QueryExecutionListener fires asynchronously: poll briefly)
+    def awaitDropped(tag: String, atLeast: Long): Long = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var n = DedupMetrics.totalDropped(tag)
+      while (n < atLeast && System.nanoTime() < deadline) {
+        Thread.sleep(50); n = DedupMetrics.totalDropped(tag)
+      }
+      n
+    }
+    assert(awaitDropped("minhash", 1000L) >= 1000L,
+      s"minhash dropped = ${DedupMetrics.totalDropped("minhash")}")
+    assert(awaitDropped("simhash", 1000L) >= 1000L,
+      s"simhash dropped = ${DedupMetrics.totalDropped("simhash")}")
+
+    // default cap leaves the normal corpus untouched (oracle unchanged)
+    DedupMetrics.reset()
+    val defaultPairs = Dedup.minhashCandidates(docs, k = 16, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(defaultPairs.contains((1L, 2L)))
+    Thread.sleep(500) // give the async listener a chance to (not) fire
+    assert(DedupMetrics.totalDropped("minhash") == 0L)
+  }
+
+  test("clusterPairs: labels = min reachable id; chain converges in diameter rounds") {
+    val nodes = (1L to 10L).toDF("doc_id")
+    // path 1-2-3-4-5 (diameter 4), cyclic triangle 6-7-8, singletons 9, 10
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (6L, 7L), (7L, 8L), (6L, 8L)).toDF("doc_a", "doc_b")
+    val labels = Dedup.clusterPairs(nodes, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 6L, 7L -> 6L, 8L -> 6L, 9L -> 9L, 10L -> 10L), labels.toString)
+
+    // a path of diameter 8 must be fully labelled within 8 propagation
+    // rounds (label 1 walks one hop per round)
+    val chainNodes = (1L to 9L).toDF("doc_id")
+    val chainPairs = (1L to 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val chain = Dedup.clusterPairs(chainNodes, chainPairs, maxIters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chain.values.forall(_ == 1L), chain.toString)
+  }
+
+  test("clusterPairs agrees with driver-side union-find on a hashed random graph") {
+    val n = 200
+    // deterministic pseudo-random edge list (hash arithmetic, no RNG)
+    val edges = (0 until 300).map { i =>
+      val a = (i.toLong * 48271 % n) + 1
+      val b = (i.toLong * 69621 % n) + 1
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct
+    // union-find with path compression as the independent oracle
+    val parent = Array.tabulate(n + 1)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    for ((a, b) <- edges) parent(find(a.toInt)) = find(b.toInt)
+    val expected = (1 to n).map { i =>
+      val root = find(i)
+      i.toLong -> (1 to n).filter(j => find(j) == root).min.toLong
+    }.toMap
+    val got = Dedup.clusterPairs((1L to n.toLong).toDF("doc_id"),
+        edges.toDF("doc_a", "doc_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("nearDupClusters keeps one canonical doc per near-dup group") {
+    val out = Dedup.nearDupClusters(docs, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1, 2 exact dups (and 3 a near dup): one cluster rooted at 1
+    assert(out(1L) == 1L && out(2L) == 1L)
+    assert(out(4L) == 4L && out(5L) == 5L)
+    val canonical = out.filter { case (id, c) => id == c }.keySet
+    assert(canonical.contains(1L) && !canonical.contains(2L))
   }
 
   test("text quality expressions evaluate on constructed docs") {

@@ -296,7 +296,7 @@ class GoldenSpec extends SparkSpec {
     val mctx = CompCtx(elements)
     for (name <- Seq("putirka2008_13", "putirka2008_14", "putirka2008_15",
         "putirka2008_16", "putirka2008_22")) {
-      val got = evalCol(df, E.toColumn(Thermometers.all(name)(mctx)))
+      val got = evalCol(df, E.toColumn(Thermometers.all(name)(mctx, 0.0)))
       // golden sheet records Celsius
       val devs = got.zip(runs).map { case (g, run) =>
         g - 273.15 - golden(run)(name)
@@ -500,7 +500,7 @@ class GoldenSpec extends SparkSpec {
       assert(maxAbs(devs) < 1e-9, f"$tag max rel dev ${maxAbs(devs)}%.2e")
     }
     for (name <- Thermometers.all.keys.toSeq.sorted)
-      check(s"th_$name", Thermometers.all(name)(mctx))
+      check(s"th_$name", Thermometers.all(name)(mctx, 0.0))
     // offset = 1 sigma pins the SEE error constants too
     val withOffset: Map[String, (CompCtx, Double) => E] = Map(
       "putirka2008_13" -> (Thermometers.putirka2008_13(_, _)),

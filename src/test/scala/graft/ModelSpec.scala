@@ -34,7 +34,7 @@ class ModelSpec extends SparkSpec {
 
   test("thermometers produce liquidus-range temperatures") {
     for ((name, f) <- Thermometers.all) {
-      val t = eval(f(mctx))
+      val t = eval(f(mctx, 0.0))
       assert(t > 1200 && t < 1800, s"$name: $t K")
     }
   }
