@@ -90,6 +90,9 @@ object SolverQueries {
         .orderBy("sample_id")
     }, None),
     // Second solubility model family (config-dispatchable alternative).
+    // Full oracle: the decoupled partial-pressure solve is deterministic
+    // straight-line arithmetic (closed-form CO2 + fixed-step H2O bisection),
+    // replicated op-for-op by ShishkinaSql's recursive-CTE rendering.
     Q("q_saturation_shishkina", (s, dir) => {
       val sat = udf((wt: Seq[Double]) => {
         val (p, x) = graft.functions.Shishkina
@@ -101,7 +104,7 @@ object SolverQueries {
         .select(col("sample_id"), round(col("sat._1"), 4).as("P_sat_bar"),
           round(col("sat._2"), 6).as("X_fluid"))
         .orderBy("sample_id")
-    }, None),
+    }, Some(ShishkinaSql.sql)),
     Q("q_saturation_allison", (s, dir) => {
       val sat = udf((wt: Seq[Double], tK: Double) => {
         val (p, x) = graft.functions.Allison

@@ -20,7 +20,9 @@ object Shishkina {
       Elements.cationName(ox) ->
         w / Elements.chemicalWeight(ox).get * Elements.cationAmount(ox)
     }
-    val tot = terms.map(_._2).sum
+    // left-to-right input-order sum: the DuckDB oracle rendering of these
+    // scalars (ShishkinaSql) replicates this exact fold order bit-for-bit
+    val tot = terms.foldLeft(0.0)(_ + _._2)
     terms.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum / tot }
   }
 
@@ -39,7 +41,8 @@ object Shishkina {
 
   private def h2oSolubilityB(b: Double, xFluid: Double, pBar: Double): Double = {
     val fH2O = xFluid * pBar / 10.0 // MPa partial pressure
-    val a = 3.36e-7 * math.pow(fH2O, 3) - 2.33e-4 * fH2O * fH2O +
+    // f*f*f (not pow): pure IEEE multiplies render identically in SQL
+    val a = 3.36e-7 * (fH2O * fH2O * fH2O) - 2.33e-4 * fH2O * fH2O +
       0.0711 * fH2O - 1.1309
     val cc = -1.2e-5 * fH2O * fH2O + 0.0196 * fH2O + 1.1297
     a * b + cc
@@ -60,13 +63,29 @@ object Shishkina {
   def co2Solubility(c: Comp, xFluid: Double, pBar: Double): Double =
     co2SolubilityPi(piStarOf(anhydrousCations(c)), xFluid, pBar)
 
+  /** H2O saturation pressure (bar). The solubility law is a cubic in the
+    * H2O partial pressure; the root is found by 60 fixed bisection steps on
+    * the reference's brentq bracket — deterministic straight-line IEEE
+    * arithmetic (no convergence branches), so the DuckDB oracle's
+    * recursive-CTE twin ([[graft.ShishkinaSql]]) computes bit-identical
+    * pressures and `q_saturation_shishkina` hash-matches. 1.5e4/2^60 bar
+    * resolution is far below machine epsilon of any root in range. */
   def h2oSaturation(c: Comp, xFluid: Double = 1.0): Double = {
     val h2o = c("H2O")
     if (h2o == 0.0) return 0.0
     val b = alkali(anhydrousCations(c))
     if (h2o < h2oSolubilityB(b, xFluid, 0.0)) return Double.NaN
-    try Solver.brent(p => h2o - h2oSolubilityB(b, xFluid, p), 1e-15, 1.5e4)
-    catch { case _: Throwable => Double.NaN }
+    if (h2o - h2oSolubilityB(b, xFluid, 1.5e4) > 0.0) return Double.NaN // unbracketed
+    var lo = 1e-15
+    var hi = 1.5e4
+    var it = 0
+    while (it < 60) {
+      val mid = (lo + hi) * 0.5
+      val g = h2o - h2oSolubilityB(b, xFluid, mid)
+      if (g > 0.0) lo = mid else hi = mid
+      it += 1
+    }
+    (lo + hi) * 0.5
   }
 
   /** Partial CO2 pressure (bar) holding `co2` wt.% — eq. 13 inverts in
