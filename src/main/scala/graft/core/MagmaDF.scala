@@ -342,6 +342,11 @@ final case class MagmaDF(df: DataFrame, staged: Staged) {
   def elements: Seq[String] = staged.schema.elements
   def units: CUnit = staged.schema.units
   def datatype: CType = staged.schema.datatype
+  /** Re-derive the row total from the current element columns — the same
+    * recompute the reference does at read time (`parse_io/readers.py:59-61`
+    * `df["total"] = df[elements].sum(axis=1)`; any stale input total was
+    * already dropped at wrap). */
+  def total: MagmaDF = run(_.withTotal)
   def moles(normalise: Boolean = true): MagmaDF = run(_.moles(normalise))
   def wtPc(normalise: Boolean = true): MagmaDF = run(_.wtPc(normalise))
   def ppm: MagmaDF = run(_.ppm)

@@ -38,6 +38,34 @@ class ApiSpec extends SparkSpec {
     assert(m.df.count() == 3)
   }
 
+  test("ingest drops a stale Total and re-derives it like the reference") {
+    // stale Total values are deliberately wrong (reference read_file drops
+    // the incoming column and recomputes total = sum of element columns,
+    // `parse_io/readers.py:50-67`); junk columns go unless kept
+    val csv = writeCsv("stale_total.csv",
+      """name,SiO2,TiO2,Al2O3,FeO,MgO,CaO,Na2O,K2O,H2O,Total,operator,run_id
+        |a1,48.5,1.2,15.3,9.0,7.8,11.0,2.6,0.7,1.5,123.45,alice,7
+        |a2,51.0,0.9,14.1,9.8,6.2,9.9,3.0,1.1,3.1,0.0,bob,8
+        |""".stripMargin)
+    val m = MagmaIO.readFile(spark, csv, keepColumns = Seq("operator"))
+    // classification: every oxide column, nothing else
+    assert(m.elements.toSet == Set("SiO2", "TiO2", "Al2O3", "FeO", "MgO",
+      "CaO", "Na2O", "K2O", "H2O"))
+    // stale total dropped; junk dropped unless in keep_columns
+    assert(!m.df.columns.exists(_.toLowerCase.contains("total")))
+    assert(m.df.columns.contains("operator") && !m.df.columns.contains("run_id"))
+    // re-derived total = sum of element columns (readers.py:59-61), NOT the
+    // stale input values
+    val rows = m.total.df.collect()
+      .map(r => r.getAs[String]("sample_id") -> r.getAs[Double]("total")).toMap
+    val expected = Map(
+      "a1" -> (48.5 + 1.2 + 15.3 + 9.0 + 7.8 + 11.0 + 2.6 + 0.7 + 1.5),
+      "a2" -> (51.0 + 0.9 + 14.1 + 9.8 + 6.2 + 9.9 + 3.0 + 1.1 + 3.1))
+    for ((k, want) <- expected)
+      assert(math.abs(rows(k) - want) < 1e-9, s"$k: ${rows(k)} vs $want")
+    assert(math.abs(rows("a1") - 123.45) > 1.0, "stale Total leaked through")
+  }
+
   test("EP3 chain through the public API") {
     import org.apache.spark.sql.functions.{col, lit}
     val melt0 = MagmaIO.readMelt(spark, meltCsv)
