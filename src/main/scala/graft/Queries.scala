@@ -415,7 +415,7 @@ object Queries {
             E.toColumn(mctx.molNorm("MgO")), E.toColumn(fe3fe2), col("T_K")), 6)
             .as("Kd"))
           .orderBy("sample_id")
-      }, None),
+      }, Some(KdIterSql.blundy2020)),
       // saper2022: cation-fraction interaction terms + Fo iteration.
       Q("q_kd_saper2022", (s, dir) => {
         import org.apache.spark.sql.functions.{col, round => sround}
@@ -426,10 +426,11 @@ object Queries {
             E.toColumn(mctx.cat("Na") + mctx.cat("K")),
             org.apache.spark.sql.functions.lit(0.2), col("T_K")), 6).as("Kd"))
           .orderBy("sample_id")
-      }, None),
+      }, Some(KdIterSql.saper2022)),
       olMeltThermoQ) ++ errorModelQueries ++ Seq(
-      // Iterative toplis2005 (Kd<->Fo fixed point in a UDF): rows-only check,
-      // the convergent loop is not expressible as plain SQL.
+      // Iterative toplis2005 (Kd<->Fo fixed point in a UDF). Full oracle:
+      // the fixed point is deterministic straight-line arithmetic, rendered
+      // as a recursive CTE by KdIterSql.
       Q("q_kd_toplis2005_iterative", (s, dir) => {
         import org.apache.spark.sql.functions.{col, round => sround}
         val base = Tables.meltsDF(s, dir)
@@ -441,7 +442,7 @@ object Queries {
             org.apache.spark.sql.functions.lit(0.2), col("T_K"), col("P_bar")), 6)
             .as("Kd"))
           .orderBy("sample_id")
-      }, None),
+      }, Some(KdIterSql.toplis2005)),
       // J1 join: observed Kd from melt (lineitem) x olivine (orders) pair.
       observedKdJoinQ)
   }

@@ -118,8 +118,9 @@ object SolverQueries {
         .orderBy("sample_id")
     }, None),
     // Iterative Fe3Fe2 models: per-row fixed point (activities depend on
-    // speciation), fO2 from QFM 1-bar. Rows-only checks; ScalaTest covers
-    // the fixed-point invariant.
+    // speciation), fO2 from QFM 1-bar. oneill2006/armstrong2019 carry full
+    // recursive-CTE oracles (Fe3Fe2IterSql); deng2020/sun2024-deng need the
+    // numeric EOS volume integral and stay rows-only + golden-anchored.
     Q("q_fe3fe2_oneill2006_iterative", (s, dir) => {
       val f = udf((wt: Seq[Double], tK: Double, pBar: Double, fO2: Double) =>
         graft.functions.Fe3Fe2Iterative.oneill2006(
@@ -130,7 +131,7 @@ object SolverQueries {
         .select(col("sample_id"),
           round(f(wtArray, col("T_K"), col("P_bar"), fO2), 6).as("Fe3Fe2"))
         .orderBy("sample_id")
-    }, None),
+    }, Some(Fe3Fe2IterSql.oneill2006)),
     Q("q_fe3fe2_armstrong2019_iterative", (s, dir) => {
       val f = udf((wt: Seq[Double], tK: Double, pBar: Double, fO2: Double) =>
         graft.functions.Fe3Fe2Iterative.armstrong2019(
@@ -141,7 +142,7 @@ object SolverQueries {
         .select(col("sample_id"),
           round(f(wtArray, col("T_K"), col("P_bar"), fO2), 6).as("Fe3Fe2"))
         .orderBy("sample_id")
-    }, None),
+    }, Some(Fe3Fe2IterSql.armstrong2019)),
     // Reference-default sun2024 (dV="deng": EOS-integral Gamma). The
     // oracle-checked q_fe3fe2_sun2024 is the dV="parameterised" variant.
     Q("q_fe3fe2_sun2024_deng", (s, dir) => {

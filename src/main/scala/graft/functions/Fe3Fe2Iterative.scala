@@ -170,10 +170,29 @@ object Fe3Fe2Iterative {
       (math.log10(fO2) - omega - phi - h * gamma) / (4.0 + a0 * math.sqrt(fe)))
   }
 
+  /** Solve r = f(r) by 60 fixed bisection steps on g(r) = f(r) - r over
+    * the reference's fsolve-equivalent bracket. Both callers' f are
+    * strictly decreasing in r (the Fe2-Fe3 redistribution term enters with
+    * a negative derivative), so g is strictly decreasing and the root is
+    * unique; 60 steps reach ~1e-15 relative — far inside the golden parity
+    * tolerances. Deterministic straight-line IEEE arithmetic with no
+    * convergence branches, so the DuckDB oracle's recursive-CTE twin
+    * ([[graft.Fe3Fe2IterSql]]) computes bit-identical ratios (the earlier
+    * secant-then-brent hybrid had data-dependent branch paths no SQL
+    * rendering could follow). */
   private def fixedPoint(f: Double => Double): Double = {
     def g(r: Double): Double = f(r) - r
-    val s = Solver.secant(g, 0.3, 0.31, tol = 1e-10)
-    if (s.isFinite && s > 0.0 && math.abs(g(s)) < 1e-8) s
-    else try Solver.brent(g, 1e-8, 100.0) catch { case _: Throwable => Double.NaN }
+    val lo0 = 1e-8
+    val hi0 = 100.0
+    if (!(g(lo0) > 0.0) || !(g(hi0) < 0.0)) return Double.NaN // unbracketed
+    var lo = lo0
+    var hi = hi0
+    var it = 0
+    while (it < 60) {
+      val mid = (lo + hi) * 0.5
+      if (g(mid) > 0.0) lo = mid else hi = mid
+      it += 1
+    }
+    (lo + hi) * 0.5
   }
 }
