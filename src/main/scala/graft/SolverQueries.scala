@@ -30,6 +30,8 @@ object SolverQueries {
 
   def all: Seq[Q] = Seq(
     // EP2 flagship: volatile saturation pressure (mixed H2O-CO2 fluid).
+    // Full oracle: closed inner fixed point -> pure-species bisections +
+    // branch-free Picard, rendered as recursive CTEs (SaturationSql).
     Q("q_saturation_mixed", (s, dir) => {
       val sat = udf((wt: Seq[Double], tK: Double) => {
         val (p, x) = IaconoMarziano
@@ -41,22 +43,24 @@ object SolverQueries {
         .select(col("sample_id"), round(col("sat._1"), 4).as("P_sat_bar"),
           round(col("sat._2"), 6).as("X_fluid"))
         .orderBy("sample_id")
-    }, None),
+    }, Some(SaturationSql.mixed)),
     Q("q_saturation_h2o", (s, dir) => {
       val sat = compUdf((c, t) => IaconoMarziano.h2oSaturation(c, t))
       spread(Tables.meltsDF(s, dir))
         .select(col("sample_id"),
           round(sat(wtArray, col("T_K")), 4).as("P_sat_bar"))
         .orderBy("sample_id")
-    }, None),
+    }, Some(SaturationSql.h2o)),
     Q("q_saturation_co2", (s, dir) => {
       val sat = compUdf((c, t) => IaconoMarziano.co2Saturation(c, t))
       spread(Tables.meltsDF(s, dir))
         .select(col("sample_id"),
           round(sat(wtArray, col("T_K")), 4).as("P_sat_bar"))
         .orderBy("sample_id")
-    }, None),
-    // Dissolved volatiles at in-table (P, T), x_fluid = 0.5.
+    }, Some(SaturationSql.co2)),
+    // Dissolved volatiles at in-table (P, T), x_fluid = 0.5. Full oracle:
+    // secant + bisection-fallback fixed point rendered as recursive CTEs
+    // (SolubilitySql), CO2 closed-form from the solved H2O.
     Q("q_solubility_mixed", (s, dir) => {
       val sol = udf((wt: Seq[Double], p: Double, tK: Double) => {
         val c = IaconoMarziano.Comp(meltEls, wt.toArray)
@@ -69,7 +73,7 @@ object SolverQueries {
         .select(col("sample_id"), round(col("sol._1"), 6).as("H2O_dissolved"),
           round(col("sol._2"), 6).as("CO2_dissolved"))
         .orderBy("sample_id")
-    }, None),
+    }, Some(SolubilitySql.sql)),
     // Full QFM with EOS pressure terms: one narrow per-row UDF stage with
     // per-executor (T,P) memo caches — no shuffle, no unbounded broadcast
     // (see the scale note on QfmFull).

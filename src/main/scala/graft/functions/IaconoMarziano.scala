@@ -131,16 +131,30 @@ object IaconoMarziano {
   }
 
   /** Dissolved H2O: inner fixed point because the hydrous parameterisation
-    * feeds H2O back into NBO/O — secant from x0=1, x1=2 (`:196-205`). */
+    * feeds H2O back into NBO/O — secant from x0=1, x1=2 (`:196-205`).
+    * The divergence fallback is 60 fixed bisection steps on the same
+    * bracket (f(0+) < 0 < f(high)): deterministic straight-line IEEE
+    * arithmetic with no convergence branches, so both the secant path and
+    * the fallback render op-for-op in the DuckDB oracle
+    * ([[graft.SolubilitySql]]) — the earlier Brent fallback's
+    * data-dependent branch paths could not. */
   def h2oSolubility(prep: Prep, xFluid: Double, pBar: Double, tK: Double): Double = {
     if (pBar <= 0 || xFluid <= 0) return 0.0
     def f(h: Double): Double =
       h - h2oSolubilityAt(prep, h / prep.wH2O, xFluid, pBar, tK)
     val s = Solver.secant(f, 1.0, 2.0)
-    // secant can diverge far from the root at bracket-endpoint pressures;
-    // fall back to a bracketed solve (f(0+) < 0 < f(high))
-    if (s.isFinite && s >= 0.0 && math.abs(f(s)) < 1e-6) s
-    else try Solver.brent(f, 1e-12, 1e4) catch { case _: Throwable => Double.NaN }
+    // secant can diverge far from the root at bracket-endpoint pressures
+    if (s.isFinite && s >= 0.0 && math.abs(f(s)) < 1e-6) return s
+    if (!(f(1e-12) < 0.0) || !(f(1e4) > 0.0)) return Double.NaN // unbracketed
+    var lo = 1e-12
+    var hi = 1e4
+    var it = 0
+    while (it < 60) {
+      val mid = (lo + hi) * 0.5
+      if (f(mid) < 0.0) lo = mid else hi = mid
+      it += 1
+    }
+    (lo + hi) * 0.5
   }
 
   def h2oSolubility(c: Comp, xFluid: Double, pBar: Double, tK: Double): Double =
@@ -167,51 +181,91 @@ object IaconoMarziano {
   def co2Solubility(c: Comp, xFluid: Double, pBar: Double, tK: Double): Double =
     co2Solubility(prepare(c), xFluid, pBar, tK)
 
-  /** H2O saturation pressure: bracketed Brent on [1e-15, 15 kbar]
-    * (`:205-246`). */
+  /** H2O saturation pressure (`:205-246`). At saturation the dissolved
+    * H2O equals the observed H2O, so the inner NBO/O fixed point closes:
+    * NBO/O is a per-row constant and the pressure is the unique root of a
+    * monotone 1-D equation — the same root the reference's nested
+    * brentq-over-secant formulation finds, but without the inner solve.
+    * 60 fixed bisection steps on the reference bracket: deterministic
+    * straight-line IEEE arithmetic, rendered op-for-op by the DuckDB
+    * oracle ([[graft.SaturationSql]]). */
   def h2oSaturation(c: Comp, tK: Double, xFluid: Double = 1.0): Double = {
     val h2o = c("H2O")
     if (h2o == 0.0) return 0.0
     val prep = prepare(c)
-    try Solver.brent(p => h2o - h2oSolubility(prep, xFluid, p, tK), 1e-15, 1.5e4)
-    catch { case _: Throwable => Double.NaN }
+    val hMol = h2o / prep.wH2O
+    def q(p: Double): Double = h2o - h2oSolubilityAt(prep, hMol, xFluid, p, tK)
+    if (!(q(1e-15) > 0.0) || !(q(1.5e4) < 0.0)) return Double.NaN // unbracketed
+    var lo = 1e-15
+    var hi = 1.5e4
+    var it = 0
+    while (it < 60) {
+      val mid = (lo + hi) * 0.5
+      if (q(mid) > 0.0) lo = mid else hi = mid
+      it += 1
+    }
+    (lo + hi) * 0.5
   }
 
-  /** CO2 saturation pressure: bracketed Brent on [1e-10, 100 kbar]
-    * (`:377-430`). */
+  /** CO2 saturation pressure (`:377-430`). At xFluid = 0 the dissolved H2O
+    * is exactly 0, so the carbonate law closes over per-row constants and
+    * the pressure is again a monotone 1-D root — 60 fixed bisection steps
+    * on the reference bracket (see [[h2oSaturation]]). */
   def co2Saturation(c: Comp, tK: Double, xFluid: Double = 0.0): Double = {
     val co2 = c("CO2")
     if (co2 == 0.0) return 0.0
     val prep = prepare(c)
-    try Solver.brent(p => co2 - co2Solubility(prep, xFluid, p, tK), 1e-10, 1e5)
-    catch { case _: Throwable => Double.NaN }
+    def q(p: Double): Double = co2 - co2Solubility(prep, xFluid, p, tK)
+    if (!(q(1e-10) > 0.0) || !(q(1e5) < 0.0)) return Double.NaN // unbracketed
+    var lo = 1e-10
+    var hi = 1e5
+    var it = 0
+    while (it < 60) {
+      val mid = (lo + hi) * 0.5
+      if (q(mid) > 0.0) lo = mid else hi = mid
+      it += 1
+    }
+    (lo + hi) * 0.5
   }
 
-  /** Mixed-fluid saturation: (P_sat, x_fluid) 2-D solve seeded at the sum
-    * of the pure-species pressures, with pure-species fallbacks when the
-    * fluid fraction leaves [0,1] (`:434-562`). */
+  /** Mixed-fluid saturation (P_sat, x_fluid) (`:434-562`). At the mixed
+    * solution the dissolved amounts equal the observed ones, so BOTH laws
+    * close over per-row constants and each inverts for its species'
+    * partial pressure in closed form given the total pressure:
+    * u(P) = exp((ln h2o - B nbo - BB - C P/T)/A) and
+    * v(P) = exp(ln(co2e4) - terms - C2 P/T). P is then the fixed point
+    * P = u(P) + v(P) — a contraction at magmatic conditions
+    * (|d(u+v)/dP| << 1) — run for 60 fixed Picard rounds with NO branches,
+    * so the DuckDB twin computes bit-identical values even on non-physical
+    * rows where the iteration diverges to inf/NaN. Same solution as the
+    * reference's 2-D MINPACK solve (which hunts the identical root). */
   def mixedSaturation(c: Comp, tK: Double): (Double, Double) = {
     val pH2O = h2oSaturation(c, tK)
     val pCO2 = co2Saturation(c, tK)
     if (c("H2O") <= 0.0) return (pCO2, 0.0)
     if (c("CO2") <= 0.0) return (pH2O, 1.0)
     val prep = prepare(c)
-    val pGuess = (if (pH2O.isFinite) pH2O else 0.0) +
-      (if (pCO2.isFinite) pCO2 else 0.0)
     val h2oObs = c("H2O"); val co2Obs = c("CO2")
-    def objective(p: Double, xfl: Double): (Double, Double) = {
-      val pc = math.max(p, 1e-15)
-      val xc = math.min(1.0, math.max(0.0, xfl))
-      val h = h2oSolubility(prep, xc, pc, tK)
-      val co = co2Solubility(prep, xc, pc, tK)
-      (h - h2oObs, co - co2Obs)
+    val hMol = h2oObs / prep.wH2O
+    val nbo = prep.nboO(hMol)
+    val tot = prep.tot0 + hMol
+    val xAI = prep.molAl / prep.molCaNaK
+    val xFM = prep.molFM0 / tot
+    val xNK = prep.molNK / tot
+    val xH2O = hMol / tot
+    // ln(u) = (ln h2o - B nbo - BB - C P/T)/A  (eq. 13 inverted for pH2O)
+    val k1 = math.log(h2oObs) - h2oB * nbo - h2oBB
+    // ln(v) = ln(co2 ppm) - comp terms - B2 nbo - BB2 - C2 P/T (eq. 12)
+    val k2 = math.log(co2Obs * 1e4) - xH2O * co2DH2O - xAI * co2DAI -
+      xFM * co2DFM - xNK * co2DNK - co2B * nbo - co2BB
+    var u = 0.0; var v = 0.0; var p = 0.0
+    var it = 0
+    while (it < 60) {
+      u = math.exp((k1 - h2oC * p / tK) / h2oA)
+      v = math.exp(k2 - co2C * p / tK)
+      p = u + v
+      it += 1
     }
-    val (p, xflRaw) = Solver.newton2d(objective, pGuess, 0.0,
-      clampX = x => math.max(x, 1e-15),
-      clampY = y => math.min(1.0, math.max(0.0, y)))
-    val xfl = math.min(1.0, math.max(0.0, xflRaw))
-    if (xflRaw <= 0.0) (pCO2, xfl)
-    else if (xflRaw >= 1.0) (pH2O, xfl)
-    else (p, xfl)
+    (p, u / p)
   }
 }
