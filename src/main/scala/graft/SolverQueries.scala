@@ -217,6 +217,8 @@ object SolverQueries {
         .orderBy("sample_id", "P_bar", "H2O")
     }, None),
     // Isobar grid (J2 cross-join pattern): a few compositions x P x x_fluid.
+    // Full oracle: the same solubility fixed point keyed per grid cell
+    // (IsobarSql).
     Q("q_isobars", (s, dir) => {
       val comps = Tables.meltsDF(s, dir).filter(col("sample_id") % 997 === 3)
       val pGrid = explode(array((1 to 5).map(i => lit(i * 1000.0)): _*)).as("P_grid")
@@ -232,6 +234,6 @@ object SolverQueries {
         .select(col("sample_id"), col("P_grid"), col("x_fluid"),
           round(col("sol._1"), 6).as("H2O"), round(col("sol._2"), 6).as("CO2"))
         .orderBy("sample_id", "P_grid", "x_fluid")
-    }, None)
+    }, Some(IsobarSql.sql))
   )
 }
