@@ -76,13 +76,14 @@ object SolverQueries {
     }, Some(SolubilitySql.sql)),
     // Full QFM with EOS pressure terms: one narrow per-row UDF stage with
     // per-executor (T,P) memo caches — no shuffle, no unbounded broadcast
-    // (see the scale note on QfmFull).
+    // (see the scale note on QfmFull). Full oracle: bisection transition
+    // solve + Tait/Landau VdP replicated op-for-op by QfmSql.
     Q("q_fo2_qfm_full", (s, dir) => {
       QfmFull.withQfm(spread(Tables.meltsDF(s, dir)), "T_K", "P_bar",
           logshift = 0.0)
         .select(col("sample_id"), round(log10(col("fO2")), 6).as("log10_fO2"))
         .orderBy("sample_id")
-    }, None),
+    }, Some(QfmSql.sql)),
     // Full IW buffer (Hirschmann 2021): Vinet EOS + wustite equilibrium;
     // same per-row memoised-UDF shape (IwFull caches per (T,P) internally).
     Q("q_fo2_iw_full", (s, dir) => {

@@ -45,10 +45,23 @@ object QfmFull {
   def transitionPressures(tK: Double): (Double, Double, Double) = {
     val cached = transitionCache.get(tK)
     if (cached != null) return cached
-    def solve(p1: String, p2: String): Double =
-      Solver.brentWithExpansion(
-        p => Eos.phaseTransition(p, tK, p1, p2), guess = 8.0,
-        lo = 1e-3, hi = 500.0)
+    // 60 fixed bisection steps on [1e-3, 500] kbar: the transition Gibbs
+    // difference is monotone in P (the downstream polymorph is denser), so
+    // the root is unique; deterministic straight-line arithmetic lets the
+    // DuckDB oracle ([[graft.QfmSql]]) replicate the solve bit-for-bit
+    // (the earlier bracket-expanding Brent had data-dependent branch
+    // paths no SQL rendering could follow).
+    def solve(p1: String, p2: String): Double = {
+      var lo = 1e-3
+      var hi = 500.0
+      var it = 0
+      while (it < 60) {
+        val mid = (lo + hi) * 0.5
+        if (Eos.phaseTransition(mid, tK, p1, p2) < 0.0) lo = mid else hi = mid
+        it += 1
+      }
+      (lo + hi) * 0.5
+    }
     val result = (solve("quartz", "coesite"), solve("coesite", "stishovite"),
       solve("fayalite", "ringwoodite"))
     if (transitionCache.size() > 100000) transitionCache.clear()
