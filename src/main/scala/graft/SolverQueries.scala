@@ -174,7 +174,11 @@ object SolverQueries {
     }, None),
     // Multimodal plumbing: opaque binary payload -> per-partition decode
     // stub -> typed metadata + feature vector (schema/batching real, codec
-    // stubbed — no image libs in this container).
+    // stubbed — no image libs in this container). The stub is deterministic
+    // byte arithmetic, so even it carries a full oracle: the corpus is
+    // ASCII, where ascii(substr(text, j, 1)) equals byte j of the UTF-8
+    // payload, and list_reduce keeps the feature sum in the Scala loop's
+    // order.
     Q("q_multimodal_decode", (s, dir) => {
       val docs = Tables.read(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -183,7 +187,19 @@ object SolverQueries {
           col("width"), col("height"),
           round(element_at(col("feature"), 1), 6).as("f0"))
         .orderBy("doc_id")
-    }, None),
+    }, Some("""WITH d AS (SELECT "doc_id", "text",
+             | octet_length(CAST("text" AS BLOB)) AS n FROM documents),
+             | f AS (SELECT "doc_id", n,
+             |   list_reduce(list_transform(range(1, n + 1, 8),
+             |     j -> (ascii(substr("text", CAST(j AS INTEGER), 1)) / 255.0e0)),
+             |     (x, y) -> (x + y)) AS acc FROM d)
+             | SELECT "doc_id", CAST(n AS INTEGER) AS "payload_bytes",
+             |   (CASE WHEN (n % 3) = 0 THEN 'png'
+             |         WHEN (n % 3) = 1 THEN 'jpeg' ELSE 'webp' END) AS "format",
+             |   CAST((16 + (n % 64)) AS INTEGER) AS "width",
+             |   CAST((16 + ((n // 64) % 64)) AS INTEGER) AS "height",
+             |   round((acc / greatest(1, ((n + 7) // 8))), 6) AS "f0"
+             | FROM f ORDER BY "doc_id"""".stripMargin.replace("\n", " "))),
     Q("q_multimodal_resize_plan", (s, dir) => {
       val docs = Tables.read(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -192,7 +208,16 @@ object SolverQueries {
         .select(col("doc_id"), col("width"), col("height"),
           col("out_width"), col("out_height"))
         .orderBy("doc_id")
-    }, None),
+    }, Some("""WITH d AS (SELECT "doc_id",
+             | octet_length(CAST("text" AS BLOB)) AS n FROM documents),
+             | w AS (SELECT "doc_id", CAST((16 + (n % 64)) AS INTEGER) AS width,
+             |   CAST((16 + ((n // 64) % 64)) AS INTEGER) AS height FROM d),
+             | s AS (SELECT "doc_id", width, height,
+             |   least(1.0e0, (32.0e0 / greatest(width, height))) AS scale FROM w)
+             | SELECT "doc_id", width AS "width", height AS "height",
+             |   CAST(ceil((width * scale)) AS INTEGER) AS "out_width",
+             |   CAST(ceil((height * scale)) AS INTEGER) AS "out_height"
+             | FROM s ORDER BY "doc_id"""".stripMargin.replace("\n", " "))),
     // Frame-sampling plan for video-like payloads: every 3rd frame of 10
     // as (doc_id, frame_idx) work units — lateral explode, no shuffle.
     Q("q_multimodal_frames", (s, dir) => {
