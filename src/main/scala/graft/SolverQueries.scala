@@ -86,6 +86,8 @@ object SolverQueries {
     }, Some(QfmSql.sql)),
     // Full IW buffer (Hirschmann 2021): Vinet EOS + wustite equilibrium;
     // same per-row memoised-UDF shape (IwFull caches per (T,P) internally).
+    // Full oracle: bisection volume/wustite solves + trapezoid VdP
+    // replicated by IwSql (grids on DISTINCT P, mirroring the cache).
     Q("q_fo2_iw_full", (s, dir) => {
       val f = udf((tK: Double, pBar: Double) =>
         graft.functions.IwFull.fO2(tK, pBar))
@@ -93,7 +95,7 @@ object SolverQueries {
         .withColumn("fO2_iw", f(col("T_K"), col("P_bar")))
         .select(col("sample_id"), round(log10(col("fO2_iw")), 6).as("log10_fO2"))
         .orderBy("sample_id")
-    }, None),
+    }, Some(IwSql.sql)),
     // Second solubility model family (config-dispatchable alternative).
     // Full oracle: the decoupled partial-pressure solve is deterministic
     // straight-line arithmetic (closed-form CO2 + fixed-step H2O bisection),

@@ -87,19 +87,27 @@ object IwFull {
     3.0 * k0 / (x * x) * (1.0 - x) * math.exp(1.5 * (kp0 - 1.0) * (1.0 - x))
   }
 
-  /** Room-T volume at pressure `pGPa`: Vinet inversion. Seeded secant from
-    * the previous grid point's solution (the volume varies smoothly along
-    * the integration grid, so ~5 evals replace a full [0.3 v0, 1.5 v0]
-    * Brent per point); bracketed Brent as the fallback. */
-  private def vinetVRoom(pGPa: Double, p: EosP, seed: Double): Double = {
+  /** Room-T volume at pressure `pGPa`: Vinet inversion by 60 fixed
+    * bisection steps on [0.3 v0, 1.5 v0] — vinetP is strictly decreasing
+    * in V, so the root is unique. Deterministic straight-line IEEE
+    * arithmetic with no convergence branches, so the DuckDB oracle
+    * ([[graft.IwSql]]) replicates the solve exactly (the earlier seeded
+    * secant chained each grid point's start on the previous solution —
+    * fast, but a data-dependent path no SQL rendering could follow).
+    * Unbracketed inputs return v0, mirroring the old Brent fallback. */
+  private def vinetVRoom(pGPa: Double, p: EosP): Double = {
     val (v0, k0, kp0, _, _, _) = p
     def f(v: Double): Double = vinetP(v, v0, k0, kp0) - pGPa
-    val s = Solver.secant(f, seed, seed * 0.995)
-    if (s.isFinite && s > v0 * 0.2 && s < v0 * 1.6 &&
-        math.abs(f(s)) < 1e-10 * math.max(1.0, pGPa)) s
-    else
-      try Solver.brent(f, v0 * 0.3, v0 * 1.5)
-      catch { case _: Throwable => v0 }
+    if (!(f(v0 * 0.3) > 0.0) || !(f(v0 * 1.5) < 0.0)) return v0
+    var lo = v0 * 0.3
+    var hi = v0 * 1.5
+    var it = 0
+    while (it < 60) {
+      val mid = (lo + hi) * 0.5
+      if (f(mid) > 0.0) lo = mid else hi = mid
+      it += 1
+    }
+    (lo + hi) * 0.5
   }
 
   /** The T-independent part of the 100-point V(P) integration grid for one
@@ -119,14 +127,13 @@ object IwFull {
     val step = (pGPa - 1e-4) / (n - 1)
     val vRoom = new Array[Double](n)
     val alpha = new Array[Double](n)
-    var seed = v0
     var i = 0
     while (i < n) {
       val pi = 1e-4 + i * step
-      seed = vinetVRoom(pi, p, seed)
-      vRoom(i) = seed
+      val v = vinetVRoom(pi, p)
+      vRoom(i) = v
       alpha(i) = alpha0 * math.exp((-delta0 / kappa) *
-        (1.0 - math.pow(seed / v0, kappa)))
+        (1.0 - math.pow(v / v0, kappa)))
       i += 1
     }
     // Bound must exceed the working set (7 phases x ~10k distinct pressures
@@ -193,9 +200,24 @@ object IwFull {
         R * tK * math.log(math.pow(1.0 - x, 1.5) / x)
       part1 + 1.5 * gammaFeO(x) - gammaFeO1p5(x)
     }
-    val x =
-      try Solver.brent(eqFn, 1e-6, 1.0 - 1e-6, tol = 1e-9)
-      catch { case _: Throwable => 1e-6 }
+    // 60 fixed bisection steps: eqFn is strictly decreasing in x (the
+    // ln((1-x)^1.5/x) term) and always bracketed (+inf at 0+, -inf at 1-);
+    // deterministic for the DuckDB oracle, unbracketed mirror of the old
+    // catch -> 1e-6
+    val x = {
+      if (!(eqFn(1e-6) > 0.0) || !(eqFn(1.0 - 1e-6) < 0.0)) 1e-6
+      else {
+        var lo = 1e-6
+        var hi = 1.0 - 1e-6
+        var it = 0
+        while (it < 60) {
+          val mid = (lo + hi) * 0.5
+          if (eqFn(mid) > 0.0) lo = mid else hi = mid
+          it += 1
+        }
+        (lo + hi) * 0.5
+      }
+    }
     val muO2 = 4.0 * (dGFeOFeO1p5 + R * tK * math.log(x / (1.0 - x)) +
       gammaFeO1p5(x) - gammaFeO(x))
     val base = math.exp(muO2 / (R * tK))
