@@ -125,9 +125,9 @@ object SolverQueries {
         .orderBy("sample_id")
     }, None),
     // Iterative Fe3Fe2 models: per-row fixed point (activities depend on
-    // speciation), fO2 from QFM 1-bar. oneill2006/armstrong2019 carry full
-    // recursive-CTE oracles (Fe3Fe2IterSql); deng2020/sun2024-deng need the
-    // numeric EOS volume integral and stay rows-only + golden-anchored.
+    // speciation), fO2 from QFM 1-bar. oneill2006/armstrong2019 carry
+    // recursive-CTE oracles (Fe3Fe2IterSql); deng2020/sun2024-deng mirror
+    // their EOS-integral dVdP lattice + solvers through DengSql.
     Q("q_fe3fe2_oneill2006_iterative", (s, dir) => {
       val f = udf((wt: Seq[Double], tK: Double, pBar: Double, fO2: Double) =>
         graft.functions.Fe3Fe2Iterative.oneill2006(
@@ -162,7 +162,7 @@ object SolverQueries {
         .select(col("sample_id"),
           round(f(wtArray, col("T_K"), col("P_bar"), fO2), 6).as("Fe3Fe2"))
         .orderBy("sample_id")
-    }, None),
+    }, Some(DengSql.sun2024)),
     Q("q_fe3fe2_deng2020", (s, dir) => {
       val f = udf((wt: Seq[Double], tK: Double, pBar: Double, fO2: Double) =>
         graft.functions.Deng2020.fe3Fe2(
@@ -173,7 +173,7 @@ object SolverQueries {
         .select(col("sample_id"),
           round(f(wtArray, col("T_K"), col("P_bar"), fO2), 6).as("Fe3Fe2"))
         .orderBy("sample_id")
-    }, None),
+    }, Some(DengSql.deng2020)),
     // Multimodal plumbing: opaque binary payload -> per-partition decode
     // stub -> typed metadata + feature vector (schema/batching real, codec
     // stubbed — no image libs in this container). The stub is deterministic

@@ -67,9 +67,27 @@ object Deng2020 {
         thermalPressureCoeff(v, eos._1, therm) * (tK - tRef) - pGPa
     val vInit = eos._1 - 6.0 * pGPa
     val s = Solver.secant(f, vInit, vInit * 1.01, tol = 1e-10)
+    // divergence fallback: 60 fixed bisection steps on the old Brent
+    // bracket — deterministic, so the DuckDB oracle ([[graft.DengSql]])
+    // mirrors both solver paths exactly (NaN when unbracketed)
     val vSol =
       if (s.isFinite && s > 0 && math.abs(f(s)) < 1e-8) s
-      else Solver.brent(f, eos._1 * 0.3, eos._1 * 2.0)
+      else {
+        val lo0 = eos._1 * 0.3
+        val hi0 = eos._1 * 2.0
+        if (!(f(lo0) > 0.0) || !(f(hi0) < 0.0)) Double.NaN
+        else {
+          var lo = lo0
+          var hi = hi0
+          var it = 0
+          while (it < 60) {
+            val mid = (lo + hi) * 0.5
+            if (f(mid) > 0.0) lo = mid else hi = mid
+            it += 1
+          }
+          (lo + hi) * 0.5
+        }
+      }
     vSol / formulaUnits * Avogadro * a3ToCm3
   }
 
@@ -144,6 +162,22 @@ object Deng2020 {
     }
     val s = Solver.secant(g, 0.3, 0.31, tol = 1e-10)
     if (s.isFinite && s > 0.0 && math.abs(g(s)) < 1e-8) s
-    else try Solver.brent(g, 1e-8, 100.0) catch { case _: Throwable => Double.NaN }
+    else {
+      // g is strictly decreasing in r (feMinusFe3 decreasing x negative
+      // Margules coefficient): 60 fixed bisection steps replace the Brent
+      // fallback so the DuckDB oracle mirrors both paths
+      if (!(g(1e-8) > 0.0) || !(g(100.0) < 0.0)) Double.NaN
+      else {
+        var lo = 1e-8
+        var hi = 100.0
+        var it = 0
+        while (it < 60) {
+          val mid = (lo + hi) * 0.5
+          if (g(mid) > 0.0) lo = mid else hi = mid
+          it += 1
+        }
+        (lo + hi) * 0.5
+      }
+    }
   }
 }
