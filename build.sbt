@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness parses the LAST stdout line as JSON: route the
+// forked JVM's stdout straight through (no "[info] " decoration) and drop
+// sbt's trailing "[success] Total time" status line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / showTiming := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -50,7 +50,6 @@ object Bench {
     val totalWarm = warm.map(_._2).sum
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(cold)},"total_warm":$totalWarm%.3f,"queries_warm":${jsonMap(warm)},"sf":"$sfDir"}"""
-    println(line)
     // full per-query map (cold + warm) as the sole content of a known file
     try java.nio.file.Files.writeString(java.nio.file.Path.of("BENCH_LAST.json"), line)
     catch { case _: Throwable => () }
@@ -70,7 +69,12 @@ object Bench {
     }
     val compact =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{${entries.toString}},"queries_omitted":${cold.size - kept},"queries_full":"BENCH_LAST.json","total_warm":$totalWarm%.3f,"n_queries":${cold.size},"sf":"$sfDir"}"""
-    println(compact)
+    // Stop Spark BEFORE printing so shutdown chatter (block-manager /
+    // context-cleaner log lines) cannot land after the JSON: the harness
+    // parses the LAST stdout line, so these two prints must be final.
     spark.stop()
+    println(line)
+    println(compact)
+    System.out.flush()
   }
 }
