@@ -112,6 +112,10 @@ object SolverQueries {
           round(col("sat._2"), 6).as("X_fluid"))
         .orderBy("sample_id")
     }, Some(ShishkinaSql.sql)),
+    // Third solubility model family. Full oracle: the 2-D fsolve decouples
+    // into three monotone 1-D bisections (see Allison.mixedSaturation);
+    // AllisonSql renders them — including the MRK cubic-root branches and
+    // the >4 kbar Saxena correction — as recursive CTEs.
     Q("q_saturation_allison", (s, dir) => {
       val sat = udf((wt: Seq[Double], tK: Double) => {
         val (p, x) = graft.functions.Allison
@@ -123,7 +127,7 @@ object SolverQueries {
         .select(col("sample_id"), round(col("sat._1"), 4).as("P_sat_bar"),
           round(col("sat._2"), 6).as("X_fluid"))
         .orderBy("sample_id")
-    }, None),
+    }, Some(AllisonSql.sql)),
     // Iterative Fe3Fe2 models: per-row fixed point (activities depend on
     // speciation), fO2 from QFM 1-bar. oneill2006/armstrong2019 carry
     // recursive-CTE oracles (Fe3Fe2IterSql); deng2020/sun2024-deng mirror

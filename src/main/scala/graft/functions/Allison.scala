@@ -110,8 +110,25 @@ object Allison {
   // ---- solubility -------------------------------------------------------
 
   private val R = 8.31446261815324
-  private val fw = 36.594 // alkali basalt formula weight per 1 oxygen
-  private val p0 = 1e3
+  private[graft] val Ra = R * 10.0 // cm3.bar.K-1.mol-1
+  private[graft] val fw = 36.594 // alkali basalt formula weight per 1 oxygen
+  private[graft] val p0 = 1e3
+
+  /** Fixed 60-step bisection for a DECREASING objective with
+    * q(lo) > 0 > q(hi): deterministic straight-line IEEE arithmetic with no
+    * convergence branches, rendered op-for-op by the DuckDB oracle
+    * ([[graft.AllisonSql]]) — the same dual-compilation discipline as
+    * [[IaconoMarziano.h2oSaturation]]. Final interval width is
+    * (hi-lo)/2^60 ≈ 1.3e-14 bar, below the 4-decimal output rounding. */
+  private def bisect60(q: Double => Double, lo0: Double, hi0: Double): Double = {
+    var lo = lo0; var hi = hi0; var it = 0
+    while (it < 60) {
+      val mid = (lo + hi) * 0.5
+      if (q(mid) > 0.0) lo = mid else hi = mid
+      it += 1
+    }
+    (lo + hi) * 0.5
+  }
 
   /** H2O solubility, eq. 8: H2O = (fH2O/104.98)^(1/1.83). */
   def h2oSolubility(tK: Double, pBar: Double, xFluid: Double = 1.0): Double = {
@@ -184,62 +201,90 @@ object Allison {
   }
 
   /** H2O saturation pressure: invert the fugacity EOS against
-    * fH2O = 104.98 H2O^1.83 (`allison2022.py:133-170`). */
+    * fH2O = 104.98 H2O^1.83 (`allison2022.py:133-170`). fH2O(P) is strictly
+    * increasing, so the reference's bracketed root_scalar on [1e-50, 1.5e4]
+    * finds the unique root — replicated as a fixed 60-step bisection (same
+    * bracket) for the DuckDB oracle twin. */
   def h2oSaturation(c: Comp, tK: Double, xFluid: Double = 1.0): Double = {
     val h2o = c("H2O")
     if (h2o == 0.0) return 0.0
     val fH2OPure = 104.98 * math.pow(h2o, 1.83) / xFluid
-    try Solver.brent(p => fH2OPure - fugacity(tK, p, co2Species = false),
-      1e-50, 1.5e4)
-    catch { case _: Throwable => Double.NaN }
+    def q(p: Double): Double = fH2OPure - fugacity(tK, p, co2Species = false)
+    if (!(q(1e-50) > 0.0) || !(q(1.5e4) < 0.0)) return Double.NaN // unbracketed
+    bisect60(q, 1e-50, 1.5e4)
   }
 
-  /** CO2 saturation pressure (`allison2022.py:210-270`). */
+  /** CO2 saturation pressure (`allison2022.py:210-270`): the root of
+    * K_fugacity(p) - K_solubility(p) on the reference bracket, as a fixed
+    * 60-step bisection. */
   def co2Saturation(c: Comp, tK: Double, xFluid: Double = 0.0): Double = {
     val co2 = c("CO2")
     if (co2 == 0.0) return 0.0
     val cat = cationFractions(c)
     val dv = deltaV(cat); val lk0 = lnK0(cat)
-    val ra = R * 10.0
     val xCO3 = co2 * (1.0 / 44.01) / ((100.0 / fw) - (co2 / fw))
     val kfTarget = xCO3 / (1.0 + xCO3)
-    val pCO2 =
-      try Solver.brent(p =>
-        kfTarget / fugacity(tK, p, co2Species = true) -
-          math.exp(lk0) * math.exp(-dv * (p - p0) / (ra * tK)), 1e-50, 1.5e4)
-      catch { case _: Throwable => return Double.NaN }
+    def q(p: Double): Double =
+      kfTarget / fugacity(tK, p, co2Species = true) -
+        math.exp(lk0) * math.exp(-dv * (p - p0) / (Ra * tK))
+    if (!(q(1e-50) > 0.0) || !(q(1.5e4) < 0.0)) return Double.NaN // unbracketed
+    val pCO2 = bisect60(q, 1e-50, 1.5e4)
     if (xFluid <= 0) pCO2
     else {
       val fCO2Pure = fugacity(tK, pCO2, co2Species = true) / (1.0 - xFluid)
-      try Solver.brent(p => fCO2Pure - fugacity(tK, p, co2Species = true),
-        1e-50, 1.5e4)
-      catch { case _: Throwable => Double.NaN }
+      def q2(p: Double): Double = fCO2Pure - fugacity(tK, p, co2Species = true)
+      if (!(q2(1e-50) > 0.0) || !(q2(1.5e4) < 0.0)) return Double.NaN
+      bisect60(q2, 1e-50, 1.5e4)
     }
   }
 
-  /** Mixed-fluid saturation (P_sat, x_fluid) (`allison2022.py:409-531`). */
+  /** Mixed-fluid saturation (P_sat, x_fluid) (`allison2022.py:409-531`).
+    *
+    * The reference solves the 2-D system {H2O_sol(P,x) = H2O_obs,
+    * CO2_sol(P,x) = CO2_obs} with MINPACK. The system decouples exactly:
+    * eq. 8 inverts to x(P) = fH2Ostar / fH2O_pure(P) with fH2Ostar = 104.98
+    * H2O_obs^1.83, and the CO2 law pins Kf = K(p_CO2) f(p_CO2) to the value
+    * that makes the FORWARD solubility formula (`allison2022.py:330-335`)
+    * return CO2_obs: Kf = CO2 FW / (4401 - 44.01 CO2 + 2 FW CO2). (The
+    * pure-species saturation solve uses a slightly different target,
+    * `allison2022.py:246-248`, which drops the 2 FW CO2 term — an
+    * approximation the reference itself does not use inside the mixed
+    * objective, so the mixed CO2 partial pressure is NOT the pure-species
+    * root; conflating them costs ~1e-3 relative on P_sat.) That leaves a
+    * single monotone equation fCO2(P)(1 - x(P)) = fCO2(p_CO2mix): fCO2 is
+    * increasing and x(P) decreasing, so one fixed 60-step bisection finds
+    * the root the reference's fsolve hunts, and the straight-line
+    * arithmetic renders op-for-op in the DuckDB oracle.
+    *
+    * The solved P always exceeds pH2Osat (the objective is negative
+    * there), so x lands strictly inside (0,1) and the reference's
+    * post-solve boundary substitutions (x<=0 -> pCO2sat, x>=1 -> pH2Osat)
+    * cannot trigger on a converged interior root. */
   def mixedSaturation(c: Comp, tK: Double): (Double, Double) = {
     val pH2O = h2oSaturation(c, tK)
     val pCO2 = co2Saturation(c, tK)
     if (c("H2O") <= 0.0) return (pCO2, 0.0)
     if (c("CO2") <= 0.0) return (pH2O, 1.0)
-    val pGuess = (if (pH2O.isFinite) pH2O else 0.0) +
-      (if (pCO2.isFinite) pCO2 else 0.0)
+    val fstar = 104.98 * math.pow(c("H2O"), 1.83)
     val cat = cationFractions(c)
-    val lk0 = lnK0(cat); val dv = deltaV(cat)
-    val h2oObs = c("H2O"); val co2Obs = c("CO2")
-    def objective(p: Double, xfl: Double): (Double, Double) = {
-      val pc = math.max(p, 1e-15)
-      val xc = math.min(1.0, math.max(0.0, xfl))
-      (h2oSolubility(tK, pc, xc) - h2oObs,
-        co2SolubilityK(lk0, dv, tK, pc, xc) - co2Obs)
-    }
-    val (p, xflRaw) = Solver.newton2d(objective, pGuess, 0.1,
-      clampX = x => math.max(x, 1e-15),
-      clampY = y => math.min(1.0, math.max(0.0, y)))
-    val xfl = math.min(1.0, math.max(0.0, xflRaw))
-    if (xflRaw <= 0.0) (pCO2, xfl)
-    else if (xflRaw >= 1.0) (pH2O, xfl)
-    else (p, xfl)
+    val dv = deltaV(cat); val lk0 = lnK0(cat)
+    val co2Obs = c("CO2")
+    // exact inverse of the forward eq. 5 conversion for the mixed system
+    val kfTarget = co2Obs * fw /
+      (4401.0 - 44.01 * co2Obs + 2.0 * fw * co2Obs)
+    def qc(p: Double): Double =
+      kfTarget / fugacity(tK, p, co2Species = true) -
+        math.exp(lk0) * math.exp(-dv * (p - p0) / (Ra * tK))
+    if (!(qc(1e-50) > 0.0) || !(qc(1.5e4) < 0.0))
+      return (Double.NaN, Double.NaN)
+    val pCO2Mix = bisect60(qc, 1e-50, 1.5e4)
+    val fCO2Target = fugacity(tK, pCO2Mix, co2Species = true)
+    def q(p: Double): Double =
+      fCO2Target - fugacity(tK, p, co2Species = true) *
+        (1.0 - fstar / fugacity(tK, p, co2Species = false))
+    if (!(q(1e-15) > 0.0) || !(q(1.5e4) < 0.0))
+      return (Double.NaN, Double.NaN) // unbracketed (incl. pCO2sat = NaN)
+    val p = bisect60(q, 1e-15, 1.5e4)
+    (p, fstar / fugacity(tK, p, co2Species = false))
   }
 }
