@@ -258,6 +258,14 @@ object Dedup {
       col("doc_id").cast("long").as("cluster_id")).localCheckpoint(true)
     def labelSum(df: DataFrame): Long =
       df.agg(sum("cluster_id")).head().getLong(0)
+    // The block-manager handle behind an eager localCheckpoint: unpersist
+    // it once the NEXT round's checkpoint has materialised, or a
+    // billion-id job pins one full (doc_id, label) copy per round until
+    // the ContextCleaner happens to GC it.
+    def checkpointRdd(df: DataFrame) = df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
+    }
     var prevSum = labelSum(labels)
     var it = 0
     var converged = false
@@ -267,7 +275,8 @@ object Dedup {
       val next = labels.union(nbr)
         .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
         .localCheckpoint(true)
-      val s = labelSum(next)
+      val s = labelSum(next) // action: `next`'s checkpoint is materialised
+      checkpointRdd(labels).foreach(_.unpersist(blocking = false))
       converged = s == prevSum
       prevSum = s
       labels = next

@@ -103,34 +103,34 @@ object Deng2020 {
     * per row without the cache). */
   private val volCache =
     new java.util.concurrent.ConcurrentHashMap[(Double, Double, Boolean, String), java.lang.Double]()
+  // computeIfAbsent, not get/put: with plain get/put every task on a cold
+  // executor solves the SAME grid volumes concurrently before the first
+  // put lands (32 threads x ~11k entries = O(distinct x cores) duplicate
+  // EOS solves, the 3.6 s first-run spike the round-4 probe measured).
+  // computeIfAbsent serialises per key, so cold cost is paid once per
+  // executor; the lock is per hash bin and the steady state is pure reads.
   private def volumeCached(tK: Double, p: Double, fe3: Boolean,
                            meltFe: String): Double = {
-    val key = (tK, p, fe3, meltFe)
-    val hit = volCache.get(key)
-    if (hit != null) return hit.doubleValue
-    val v = volume(tK, p, fe3, meltFe)
     if (volCache.size() > 500000) volCache.clear()
-    volCache.put(key, v)
-    v
+    volCache.computeIfAbsent((tK, p, fe3, meltFe),
+      _ => volume(tK, p, fe3, meltFe)).doubleValue
   }
 
   def dVdP(tK: Double, pBar: Double, meltFe: String = "12.5molpc"): Double = {
-    val key = (tK, pBar, meltFe)
-    val cached = dVdPCache.get(key)
-    if (cached != null) return cached.doubleValue
-    val step = 5e2
-    val grid = Iterator.iterate(1.0)(_ + step).takeWhile(_ < pBar + step).toArray
-    val dv = grid.map(p => (volumeCached(tK, p, fe3 = true, meltFe) -
-      volumeCached(tK, p, fe3 = false, meltFe)) * 1e-6)
-    var integral = 0.0
-    var i = 1
-    while (i < grid.length) {
-      integral += 0.5 * (dv(i) + dv(i - 1)) * (grid(i) - grid(i - 1)) * 1e5
-      i += 1
-    }
     if (dVdPCache.size() > 100000) dVdPCache.clear()
-    dVdPCache.put(key, integral)
-    integral
+    dVdPCache.computeIfAbsent((tK, pBar, meltFe), { _ =>
+      val step = 5e2
+      val grid = Iterator.iterate(1.0)(_ + step).takeWhile(_ < pBar + step).toArray
+      val dv = grid.map(p => (volumeCached(tK, p, fe3 = true, meltFe) -
+        volumeCached(tK, p, fe3 = false, meltFe)) * 1e-6)
+      var integral = 0.0
+      var i = 1
+      while (i < grid.length) {
+        integral += 0.5 * (dv(i) + dv(i - 1)) * (grid(i) - grid(i - 1)) * 1e5
+        i += 1
+      }
+      integral
+    }).doubleValue
   }
 
   /** Gibbs free energy at reference P (`Fe3Fe2_models.py:599-612`). */

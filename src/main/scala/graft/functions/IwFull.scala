@@ -117,10 +117,14 @@ object IwFull {
     * so across the many (T, P) conditions sharing a pressure the expensive
     * EOS inversions happen once (at sf0.1 each pressure recurs across ~250
     * temperatures). Bounded like the fO2 cache. */
+  // computeIfAbsent, not get/put: plain get/put lets every cold-executor
+  // task invert the same 100-point Vinet grid concurrently before the
+  // first put lands; computeIfAbsent pays each grid once per executor.
   private def vdpGrid(phase: String, pGPa: Double): (Array[Double], Array[Double]) = {
-    val key = (phase, pGPa)
-    val hit = gridCache.get(key)
-    if (hit != null) return hit
+    // Bound must exceed the working set (7 phases x ~10k distinct pressures
+    // in the driver tables = 70k entries, ~110 MB) or the cache thrashes.
+    if (gridCache.size() > 200000) gridCache.clear()
+    gridCache.computeIfAbsent((phase, pGPa), { _ =>
     val p = eos(phase)
     val (v0, _, _, alpha0, delta0, kappa) = p
     val n = 100
@@ -136,11 +140,8 @@ object IwFull {
         (1.0 - math.pow(v / v0, kappa)))
       i += 1
     }
-    // Bound must exceed the working set (7 phases x ~10k distinct pressures
-    // in the driver tables = 70k entries, ~110 MB) or the cache thrashes.
-    if (gridCache.size() > 200000) gridCache.clear()
-    gridCache.put(key, (vRoom, alpha))
     (vRoom, alpha)
+    })
   }
 
   private val gridCache = new java.util.concurrent.ConcurrentHashMap[
@@ -185,9 +186,8 @@ object IwFull {
   /** Absolute fO2 (bar) at IW + logshift (`fO2/IW.py:383-471`),
     * suppress_Fe_liquid = false (the reference default). */
   def fO2(tK: Double, pBar: Double, logshift: Double = 0.0): Double = {
-    val key = (tK, pBar)
-    val hit = cache.get(key)
-    if (hit != null) return hit.doubleValue * math.pow(10.0, logshift)
+    if (cache.size() > 100000) cache.clear()
+    val base = cache.computeIfAbsent((tK, pBar), { _ =>
     val gFeO = gibbsPhase("FeO", tK, pBar)
     val gFeO1p5 = gibbsPhase("FeO1.5", tK, pBar)
     val gO2 = gibbsPhase("O2", tK, pBar)
@@ -220,9 +220,8 @@ object IwFull {
     }
     val muO2 = 4.0 * (dGFeOFeO1p5 + R * tK * math.log(x / (1.0 - x)) +
       gammaFeO1p5(x) - gammaFeO(x))
-    val base = math.exp(muO2 / (R * tK))
-    if (cache.size() > 100000) cache.clear()
-    cache.put(key, base)
+    math.exp(muO2 / (R * tK))
+    }).doubleValue
     base * math.pow(10.0, logshift)
   }
 

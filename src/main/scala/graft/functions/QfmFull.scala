@@ -43,8 +43,16 @@ object QfmFull {
     new java.util.concurrent.ConcurrentHashMap[Double, (Double, Double, Double)]()
 
   def transitionPressures(tK: Double): (Double, Double, Double) = {
-    val cached = transitionCache.get(tK)
-    if (cached != null) return cached
+    if (transitionCache.size() > 100000) transitionCache.clear()
+    transitionCache.computeIfAbsent(tK, transitionsAt)
+  }
+
+  // computeIfAbsent, not get/put: plain get/put lets every task on a cold
+  // executor run the same three 60-step solves concurrently before the
+  // first put lands (O(distinct T x cores) duplicate work on every fresh
+  // executor); computeIfAbsent pays the cold cost once per executor.
+  private val transitionsAt: java.util.function.Function[
+    Double, (Double, Double, Double)] = { tK =>
     // 60 fixed bisection steps on [1e-3, 500] kbar: the transition Gibbs
     // difference is monotone in P (the downstream polymorph is denser), so
     // the root is unique; deterministic straight-line arithmetic lets the
@@ -62,11 +70,8 @@ object QfmFull {
       }
       (lo + hi) * 0.5
     }
-    val result = (solve("quartz", "coesite"), solve("coesite", "stishovite"),
+    (solve("quartz", "coesite"), solve("coesite", "stishovite"),
       solve("fayalite", "ringwoodite"))
-    if (transitionCache.size() > 100000) transitionCache.clear()
-    transitionCache.put(tK, result)
-    result
   }
 
   /** VdP of the three buffer phases WITH polymorph transitions
@@ -100,17 +105,15 @@ object QfmFull {
   /** Absolute fO2 (bar) at QFM + logshift, T (K), P (bar)
     * (`fO2/QFM.py:187-239`). */
   def fO2(tK: Double, pBar: Double, logshift: Double = 0.0): Double = {
-    val key = (tK, pBar)
-    val hit = fO2Cache.get(key)
-    if (hit != null) return hit.doubleValue * math.pow(10.0, logshift)
-    val (q, m, f) = vdpWithTransitions(tK, pBar)
-    val muP = 1e3 * (3.0 * q + 2.0 * m - 3.0 * f)
-    val (q1, m1, f1) = vdpNoTransitions(tK, 1.0)
-    val mu1barEos = 1e3 * (3.0 * q1 + 2.0 * m1 - 3.0 * f1)
-    val mu = muO2OneBar(tK) + (muP - mu1barEos)
-    val base = math.exp(mu / (R * tK))
     if (fO2Cache.size() > 100000) fO2Cache.clear()
-    fO2Cache.put(key, base)
+    val base = fO2Cache.computeIfAbsent((tK, pBar), { _ =>
+      val (q, m, f) = vdpWithTransitions(tK, pBar)
+      val muP = 1e3 * (3.0 * q + 2.0 * m - 3.0 * f)
+      val (q1, m1, f1) = vdpNoTransitions(tK, 1.0)
+      val mu1barEos = 1e3 * (3.0 * q1 + 2.0 * m1 - 3.0 * f1)
+      val mu = muO2OneBar(tK) + (muP - mu1barEos)
+      math.exp(mu / (R * tK))
+    }).doubleValue
     base * math.pow(10.0, logshift)
   }
 

@@ -249,6 +249,22 @@ class ExtOpsSpec extends SparkSpec {
     assert(chain.values.forall(_ == 1L), chain.toString)
   }
 
+  test("clusterPairs releases each round's checkpoint: persistent RDDs stay bounded") {
+    val sc = spark.sparkContext
+    // a diameter-8 chain forces 8+ propagation rounds; each round
+    // checkpoints a labels copy that MUST be unpersisted when the next
+    // round's checkpoint lands, leaving at most edges + final labels (+
+    // whatever was persisted before the call) in the block manager.
+    val before = sc.getPersistentRDDs.size
+    val nodes = (1L to 9L).toDF("doc_id")
+    val pairs = (1L to 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.clusterPairs(nodes, pairs, maxIters = 12)
+    assert(labels.collect().map(_.getLong(1)).forall(_ == 1L))
+    val after = sc.getPersistentRDDs.size
+    assert(after - before <= 1,
+      s"persistent RDDs grew $before -> $after; per-round checkpoints leaked")
+  }
+
   test("clusterPairs agrees with driver-side union-find on a hashed random graph") {
     val n = 200
     // deterministic pseudo-random edge list (hash arithmetic, no RNG)
