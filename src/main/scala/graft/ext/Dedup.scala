@@ -75,6 +75,22 @@ object Dedup {
     * oracle corpus (500 docs) provably uncapped. */
   val DefaultMaxBucketSize: Int = 512
 
+  /** Spark conf key overriding [[DefaultMaxBucketSize]] at deploy time —
+    * the right cap depends on the corpus (band width, doc count, dup
+    * rate), so a 100 TB job must be able to tune it without recompiling.
+    * The [[DedupMetrics]] `observe` counters are the monitoring hook for
+    * choosing a value. */
+  val MaxBucketSizeConfKey = "spark.graft.dedup.maxBucketSize"
+
+  /** Sentinel default for `maxBucketSize` parameters: resolve from
+    * [[MaxBucketSizeConfKey]], falling back to [[DefaultMaxBucketSize]]. */
+  val ConfiguredBucketSize: Int = -1
+
+  private def resolveCap(docs: DataFrame, cap: Int): Int =
+    if (cap != ConfiguredBucketSize) cap
+    else docs.sparkSession.conf.getOption(MaxBucketSizeConfKey)
+      .map(_.toInt).getOrElse(DefaultMaxBucketSize)
+
   /** Exact dedup: keep the smallest doc_id per fingerprint, count members.
     * Shuffles md5(16B)+id, not text. */
   def exact(docs: DataFrame): DataFrame =
@@ -120,16 +136,17 @@ object Dedup {
     * oversized bucket is a degenerate band value whose pair space would be
     * quadratic in one task at 100 TB, not near-dup signal. */
   def minhashCandidates(docs: DataFrame, k: Int = 16, rowsPerBand: Int = 4,
-                        maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+                        maxBucketSize: Int = ConfiguredBucketSize): DataFrame = {
+    val cap = resolveCap(docs, maxBucketSize)
     DedupMetrics.ensure(docs.sparkSession)
     val lsh = minhashLsh(docs, k, rowsPerBand)
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bucket")))
     val sized = lsh
       .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "bucket")))
       .observe(DedupMetrics.nextName("minhash"),
-        sum(when(col("bucket_n") > maxBucketSize, 1L).otherwise(0L)).as("dropped"))
+        sum(when(col("bucket_n") > cap, 1L).otherwise(0L)).as("dropped"))
     val buckets = sized
-      .filter(col("bucket_n") > 1 && col("bucket_n") <= maxBucketSize)
+      .filter(col("bucket_n") > 1 && col("bucket_n") <= cap)
       .groupBy("band", "bucket")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
     // all i<j pairs from each bucket's sorted id list
@@ -180,8 +197,9 @@ object Dedup {
     * maxHamming <= bands - 1. */
   def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3,
                           bands: Int = 4,
-                          maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+                          maxBucketSize: Int = ConfiguredBucketSize): DataFrame = {
     require(maxHamming < bands, s"pigeonhole needs maxHamming < bands")
+    val cap = resolveCap(docs, maxBucketSize)
     DedupMetrics.ensure(docs.sparkSession)
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
@@ -197,8 +215,8 @@ object Dedup {
     val banded = bandedAll
       .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "value")))
       .observe(DedupMetrics.nextName("simhash"),
-        sum(when(col("bucket_n") > maxBucketSize, 1L).otherwise(0L)).as("dropped"))
-      .filter(col("bucket_n") <= maxBucketSize)
+        sum(when(col("bucket_n") > cap, 1L).otherwise(0L)).as("dropped"))
+      .filter(col("bucket_n") <= cap)
       .drop("bucket_n")
     val a = banded.select(col("band"), col("value"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
@@ -224,7 +242,7 @@ object Dedup {
     * only candidate docs (semi-join pattern). */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
                         k: Int = 16, rowsPerBand: Int = 4,
-                        maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+                        maxBucketSize: Int = ConfiguredBucketSize): DataFrame = {
     val sets = docs.select(col("doc_id"),
       graft.expressions.VectorExpressions
         .shingleHashes(split(col("text"), " "), 3).as("sh"))

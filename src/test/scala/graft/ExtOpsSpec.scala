@@ -183,6 +183,31 @@ class ExtOpsSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L))) // exact dup pair must be found
   }
 
+  test("LSH bucket cap resolves from spark conf without recompiling") {
+    // 30 identical docs: every band has a 30-member degenerate bucket.
+    val degenerate = (101L to 130L).map(i => (i, "tiny doc same text every time"))
+      .toDF("doc_id", "text")
+    val mixed = docs.union(degenerate)
+    try {
+      // cap below the degenerate bucket size -> its pairs are dropped
+      spark.conf.set(Dedup.MaxBucketSizeConfKey, "16")
+      val capped = Dedup.minhashCandidates(mixed).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!capped.exists(p => p._1 > 100L || p._2 > 100L),
+        s"conf cap ignored: degenerate pairs ${capped.size}")
+      assert(capped.contains((1L, 2L)), capped.toString)
+      // cap above it -> the degenerate pairs flow again
+      spark.conf.set(Dedup.MaxBucketSizeConfKey, "64")
+      val open = Dedup.minhashCandidates(mixed).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(open.exists(p => p._1 > 100L && p._2 > 100L), open.size.toString)
+    } finally spark.conf.unset(Dedup.MaxBucketSizeConfKey)
+    // unset again -> back to the compiled default (512: everything flows)
+    val dflt = Dedup.minhashCandidates(mixed).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dflt.exists(p => p._1 > 100L && p._2 > 100L))
+  }
+
   test("batch LSH bucket cap bounds degenerate bands and records the drop") {
     // 1000 identical short docs: one degenerate bucket per band whose pair
     // space would be ~500k pairs per band without the cap
