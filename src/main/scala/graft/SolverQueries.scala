@@ -4,8 +4,10 @@ import org.apache.spark.sql.functions._
 import graft.functions.{IaconoMarziano, QfmFull}
 import graft.Queries.Q
 
-/** Solver-backed operators (no SQL oracle — convergent loops aren't plain
-  * SQL; the driver records rows-only checks, ScalaTest covers values).
+/** Solver-backed operators. Every query carries a full DuckDB oracle: the
+  * solver loops are deterministic fixed-step bisections / Picard
+  * iterations dual-compiled as recursive CTEs (`*Sql.scala`), including
+  * the driver-side not-a-knot spline assembly ([[IsobarCurveSql]]).
   */
 object SolverQueries {
 
@@ -237,7 +239,10 @@ object SolverQueries {
               | AS "frame_idx" FROM documents ORDER BY 1, 2""".stripMargin
       .replace("\n", " "))),
     // Smooth isobar curve assembly (reference isobars.py:107-141):
-    // distributed grid -> driver-side spline -> unioned segments.
+    // distributed grid -> driver-side spline -> unioned segments. Full
+    // oracle: grid cells via the shared solubility fixed point, then the
+    // whole spline pipeline (knot filter, pivoted elimination, piecewise
+    // evaluation) op-for-op over DuckDB LIST columns (IsobarCurveSql).
     Q("q_isobar_curves", (s, dir) => {
       val comps = spread(Tables.meltsDF(s, dir)
         .filter(col("sample_id") % 997 === 3))
@@ -247,7 +252,7 @@ object SolverQueries {
         .select(col("sample_id"), col("P_bar"),
           round(col("H2O"), 6).as("H2O"), round(col("CO2"), 6).as("CO2"))
         .orderBy("sample_id", "P_bar", "H2O")
-    }, None),
+    }, Some(IsobarCurveSql.sql)),
     // Isobar grid (J2 cross-join pattern): a few compositions x P x x_fluid.
     // Full oracle: the same solubility fixed point keyed per grid cell
     // (IsobarSql).
