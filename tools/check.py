@@ -6,12 +6,42 @@ Usage: python3 tools/check.py /tmp/verify_out /root/testdata/sf0.001
 """
 import json
 import math
+import os
 import sys
+import threading
 
 import duckdb
 import pyarrow.parquet as pq
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+# A generated oracle that DuckDB cannot bind/optimize in reasonable time
+# (e.g. a lateral-alias chain the binder expands exponentially) must show
+# up as a named FAIL, not hang the whole gate — that failure mode zeroed
+# one driver round before the per-query cap existed.
+TIMEOUT_S = float(os.environ.get("GRAFT_ORACLE_TIMEOUT", "120"))
+
+
+def run_with_timeout(con, sql):
+    """Execute sql, interrupting the connection after TIMEOUT_S seconds."""
+    result = {}
+
+    def work():
+        try:
+            result["table"] = con.execute(sql).fetch_arrow_table()
+        except Exception as exc:  # surfaced by the caller
+            result["error"] = exc
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    t.join(TIMEOUT_S)
+    if t.is_alive():
+        con.interrupt()
+        t.join(30)
+        raise TimeoutError(f"oracle exceeded {TIMEOUT_S:.0f}s (interrupted)")
+    if "error" in result:
+        raise result["error"]
+    return result["table"]
 
 
 def main(outdir: str, sfdir: str) -> int:
@@ -30,7 +60,7 @@ def main(outdir: str, sfdir: str) -> int:
             n_fail += 1
             continue
         try:
-            want = con.execute(sql).fetch_arrow_table()
+            want = run_with_timeout(con, sql)
         except Exception as exc:
             print(f"FAIL {name}: oracle sql error: {exc}")
             n_fail += 1
