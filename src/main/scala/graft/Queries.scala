@@ -507,8 +507,9 @@ object Queries {
     }, Some(sql))
   }
 
-  /** Fe3Fe2 error model queries: 1-bar fitted curve (oracle-able
-    * expression) + the high-pressure B-spline branch (UDF, rows-only). */
+  /** Fe3Fe2 error model queries: 1-bar fitted curve + the high-pressure
+    * B-spline branch — both full-oracle (the B-spline collocation renders
+    * closed-form per segment). */
   private def errorModelQueries: Seq[Q] = Seq(
     // MC offset wrapper (`Fe_redox/Fe3Fe2_baseclass.py:51-91`): Fe3Fe2 +
     // draw x model error, floored at 1e-6 — the reference's per-sample MC

@@ -261,10 +261,11 @@ object Allison {
     * post-solve boundary substitutions (x<=0 -> pCO2sat, x>=1 -> pH2Osat)
     * cannot trigger on a converged interior root. */
   def mixedSaturation(c: Comp, tK: Double): (Double, Double) = {
-    val pH2O = h2oSaturation(c, tK)
-    val pCO2 = co2Saturation(c, tK)
-    if (c("H2O") <= 0.0) return (pCO2, 0.0)
-    if (c("CO2") <= 0.0) return (pH2O, 1.0)
+    // pure-species roots only matter on the single-volatile edges; the
+    // decoupled main path below never reads them, so computing them
+    // eagerly would double the fugacity-chain work of every mixed row
+    if (c("H2O") <= 0.0) return (co2Saturation(c, tK), 0.0)
+    if (c("CO2") <= 0.0) return (h2oSaturation(c, tK), 1.0)
     val fstar = 104.98 * math.pow(c("H2O"), 1.83)
     val cat = cationFractions(c)
     val dv = deltaV(cat); val lk0 = lnK0(cat)
