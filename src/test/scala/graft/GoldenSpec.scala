@@ -745,6 +745,18 @@ class GoldenSpec extends SparkSpec {
       assert(math.abs(g(x) - cubic(x)) < 1e-9, s"x=$x")
   }
 
+  test("3-knot spline degenerates to the exact parabola (documented extension)") {
+    // scipy's CubicSpline refuses n=3 under not-a-knot; the engine (and
+    // the IsobarCurveSql n=3 CASE arm mirroring it) returns the unique
+    // parabola through the points — verify it reproduces one exactly,
+    // including outside the knot hull (a parabola has one global form).
+    def parab(x: Double): Double = 2.0 * x * x - 3.0 * x + 1.0
+    val xs = Array(0.0, 1.0, 3.0) // deliberately non-uniform spacing
+    val f = Isobars.cubicSpline(xs, xs.map(parab))
+    for (x <- Seq(0.0, 0.5, 1.0, 1.7, 2.9, 3.0))
+      assert(math.abs(f(x) - parab(x)) < 1e-12, s"x=$x: ${f(x)} vs ${parab(x)}")
+  }
+
   test("isobarCurves rejects a grid larger than its maxRows contract") {
     import spark.implicits._
     val big = (1L to 50L).flatMap(s => (0 until 10).map(i =>
