@@ -88,8 +88,14 @@ object Dedup {
 
   private def resolveCap(docs: DataFrame, cap: Int): Int =
     if (cap != ConfiguredBucketSize) cap
-    else docs.sparkSession.conf.getOption(MaxBucketSizeConfKey)
-      .map(_.toInt).getOrElse(DefaultMaxBucketSize)
+    else docs.sparkSession.conf.getOption(MaxBucketSizeConfKey).map { v =>
+      val n = try v.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$MaxBucketSizeConfKey must be a positive integer, got '$v'")
+      }
+      require(n > 0, s"$MaxBucketSizeConfKey must be positive, got $n")
+      n
+    }.getOrElse(DefaultMaxBucketSize)
 
   /** Exact dedup: keep the smallest doc_id per fingerprint, count members.
     * Shuffles md5(16B)+id, not text. */
