@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.expr.{E, Pipeline, Stage, C, Lit, SLit, CastD, If, ILit}
 import graft.expr.E._
-import graft.ext.{Dedup, DualHash, Similarity, TextAnalysis => TA}
+import graft.ext.{CorpusIO, Dedup, DualHash, Similarity, TextAnalysis => TA}
 import graft.expressions.SimHash64
 import graft.Queries.Q
 
@@ -333,6 +333,65 @@ object ExtQueries {
              | JOIN supplier ON "l_suppkey" = "s_suppkey"
              | JOIN nation ON "s_nationkey" = "n_nationkey"
              | JOIN region ON "n_regionkey" = "r_regionkey"
-             | GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")))
+             | GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "))),
+    // ---- corpus ingest/egress (CorpusIO) --------------------------------
+    // JSONL round-trip: documents -> JSONL sink -> explicit-schema source
+    // -> per-doc token count + md5 fingerprint. The oracle computes the
+    // same projection on the ORIGINAL parquet, so the hash-match proves
+    // the JSONL escaping round-trips every byte of text (quotes, unicode,
+    // control chars) — a corrupted or normalised round-trip flips fp.
+    Q("q_jsonl_roundtrip", (s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructType}
+      val path = corpusTmp("jsonl", dir)
+      CorpusIO.writeJsonl(
+        Tables.read(s, dir, "documents").select(col("doc_id"), col("text")),
+        path)
+      val schema = new StructType().add("doc_id", LongType).add("text", StringType)
+      Pipeline.applySpark(CorpusIO.readJsonl(s, path, schema), jsonlStages)
+        .orderBy("doc_id")
+    }, Some(Pipeline.toSql("documents", jsonlStages, Seq("doc_id")))),
+    // Partitioned corpus sink: language-ID -> parquet partitioned by
+    // lang_pred -> read back -> per-language rollup. Exercises the
+    // hive-layout write + directory-pruned read; the oracle aggregates the
+    // same lang/token expressions straight off documents, so partition
+    // encode/decode of the group key is value-checked too.
+    Q("q_corpus_partitioned", (s, dir) => {
+      val path = corpusTmp("bylang", dir)
+      CorpusIO.writePartitioned(
+        Pipeline.applySpark(Tables.read(s, dir, "documents"), langStages),
+        path, Seq("lang_pred"))
+      CorpusIO.readPartitioned(s, path)
+        .groupBy("lang_pred")
+        .agg(count(lit(1)).cast("double").as("n_docs"),
+          sum("n_tokens").as("sum_tokens"))
+        .orderBy("lang_pred")
+    }, Some {
+      val inner = Pipeline.toSql("documents", langStages, Seq.empty)
+      s"""WITH base AS ($inner) SELECT "lang_pred",
+         | CAST(count(*) AS DOUBLE) AS "n_docs",
+         | sum("n_tokens") AS "sum_tokens"
+         | FROM base GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
+    })
   )
+
+  /** Projection applied after the JSONL read-back (and, in the oracle, to
+    * the original table). */
+  private val jsonlStages = Vector(Stage(Seq[(String, E)](
+    "doc_id" -> C("doc_id"),
+    "n_tokens" -> TA.tokenCount(text),
+    "fp" -> TA.fingerprint(text))))
+
+  /** doc_id + language + token count, the partitioned sink's payload. */
+  private val langStages = Vector(Stage(Seq[(String, E)](
+    "doc_id" -> C("doc_id"),
+    "n_tokens" -> TA.tokenCount(text),
+    "lang_pred" -> TA.langId(text))))
+
+  /** Deterministic per-sf scratch dir for the sink queries (overwritten on
+    * every run; cold+warm bench runs and Verify share it safely because
+    * each query run rewrites before reading). */
+  private def corpusTmp(name: String, dir: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_corpusio_${name}_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+      .getAbsolutePath
 }
