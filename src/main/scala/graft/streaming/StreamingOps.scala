@@ -22,6 +22,33 @@ object StreamingOps {
         "value DOUBLE, props STRING")
       .parquet(s"$dir/events.parquet")
 
+  /** JSONL drop-folder ingest as a stream: the streaming twin of
+    * [[graft.ext.CorpusIO.readJsonl]]. Schema is explicit (a streaming
+    * source cannot infer, and at corpus scale we would not want it to);
+    * `maxFilesPerTrigger` bounds each micro-batch so a backlog of
+    * thousands of dropped files drains in bounded-memory steps instead of
+    * one giant batch. */
+  def jsonlCorpusStream(spark: SparkSession, path: String,
+                        schema: org.apache.spark.sql.types.StructType,
+                        maxFilesPerTrigger: Int = 64): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(path)
+
+  /** Quality gate at the ingest edge: language-ID + composite quality
+    * score from the SAME codegen'd expression trees as the batch queries
+    * (the scalar library lifts onto streams unchanged), low-quality rows
+    * dropped before any stateful operator holds them. */
+  def corpusQualityGate(docs: DataFrame, minQuality: Double): DataFrame = {
+    import graft.expr.{C, E}
+    import graft.ext.{TextAnalysis => TA}
+    docs
+      .withColumn("quality", E.toColumn(TA.qualityScore(C("text"))))
+      .withColumn("lang_pred", E.toColumn(TA.langId(C("text"))))
+      .filter(col("quality") >= minQuality)
+  }
+
   /** Hourly tumbling-window counts per event type with a 2-hour watermark:
     * late rows beyond the watermark are dropped, state is bounded. */
   def hourlyCounts(events: DataFrame): DataFrame = {

@@ -128,4 +128,29 @@ class StreamingSpec extends SparkSpec {
     val t = spark.table("thermo").collect()(0).getAs[Double]("T_K")
     assert(math.abs(t - (26.3 * 8.0 + 994.4 + 273.15)) < 1e-9)
   }
+
+  test("JSONL drop-folder stream with quality gate at the ingest edge") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    import graft.ext.CorpusIO
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_jsonl").toString
+    import spark.implicits._
+    CorpusIO.writeJsonl(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs into the woods " * 3),
+      (2L, "zzzzzzzz"), // no stopwords, short: quality 0
+      // passes the (English-stopword) quality gate yet argmaxes German:
+      // 5 de-markers vs 3 en-markers per repetition
+      (3L, "der hund und die katze liefen in the park und der garten and the old trees " * 3)
+    ).toDF("doc_id", "text"), dir)
+    val schema = new StructType().add("doc_id", LongType).add("text", StringType)
+    val stream = StreamingOps.jsonlCorpusStream(spark, dir, schema,
+      maxFilesPerTrigger = 1)
+    val gated = StreamingOps.corpusQualityGate(stream, minQuality = 0.1)
+    val q = gated.writeStream.format("memory").queryName("jsonl_gate")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000L)
+    val rows = spark.table("jsonl_gate").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    assert(rows.keySet == Set(1L, 3L), rows.toString) // junk doc gated out
+    assert(rows(1L) == "en" && rows(3L) == "de", rows.toString)
+  }
 }
