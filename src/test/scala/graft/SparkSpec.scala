@@ -16,6 +16,9 @@ object SparkSpec {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // the production wiring under test in GraftExtensionsSpec: native
+    // kernels injected into the SQL function registry at session build
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .getOrCreate()
