@@ -239,7 +239,7 @@ object SolverQueries {
               | AS "frame_idx" FROM documents ORDER BY 1, 2""".stripMargin
       .replace("\n", " "))),
     // Smooth isobar curve assembly (reference isobars.py:107-141):
-    // distributed grid -> driver-side spline -> unioned segments. Full
+    // distributed grid -> per-group distributed spline fit. Full
     // oracle: grid cells via the shared solubility fixed point, then the
     // whole spline pipeline (knot filter, pivoted elimination, piecewise
     // evaluation) op-for-op over DuckDB LIST columns (IsobarCurveSql).

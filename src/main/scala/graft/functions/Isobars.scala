@@ -123,50 +123,41 @@ object Isobars {
   }
 
   /** Smooth isobar curves (`_isobar_interpolate`, `isobars.py:107-120`):
-    * per (sample, P) spline of CO2 over H2O sampled at 10x density, all
-    * segments unioned. The grid job is distributed; interpolation runs on
-    * the collected grid — isobar curves are metadata-sized by construction,
-    * and `maxRows` enforces that contract: the collect is bounded by
-    * `limit(maxRows + 1)` (one job, bounded driver memory) and rejects
-    * anything larger, so an accidentally-unfiltered fact table fails fast
-    * instead of OOMing the driver. */
+    * per (sample, P) spline of CO2 over H2O sampled at 10x knot density,
+    * all segments unioned. Fully distributed, unlike the reference's
+    * driver-side loop: one shuffle groups the grid by (sample, P), each
+    * curve is fitted inside its task from the collected knot list, and the
+    * sampled points explode back out — per-group state is one curve's
+    * knots (metadata-sized by construction), so any number of samples x
+    * isobars scales out with no driver collect and no row cap. */
   def isobarCurves(spark: SparkSession, grid: DataFrame,
-                   pointsPerKnot: Int = 10, maxRows: Int = 1 << 20): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    val rows = grid.select("sample_id", "P_bar", "xfl", "H2O", "CO2")
-      .limit(maxRows + 1).collect()
-    require(rows.length <= maxRows,
-      s"isobarCurves interpolates driver-side (reference isobars.py:107-120) " +
-        s"and the grid exceeds maxRows=$maxRows — pass a metadata-sized " +
-        "(sample x isobar x x_fluid) grid or raise maxRows explicitly")
-    val segments = rows.groupBy(r => (r.getLong(0), r.getDouble(1))).toSeq
-      .sortBy(_._1).flatMap { case ((sid, p), pts) =>
-        val sorted = pts.sortBy(_.getDouble(2)) // by xfl -> H2O ascending
-        val xs = sorted.map(_.getDouble(3))
-        val ys = sorted.map(_.getDouble(4))
-        // drop non-increasing duplicates at curve ends (xfl=0 -> H2O=0)
-        val keep = xs.indices.filter(i => i == 0 || xs(i) > xs(i - 1))
-        val (kx, ky) = (keep.map(xs).toArray, keep.map(ys).toArray)
-        if (kx.length < 3) Seq.empty
-        else {
-          val f = cubicSpline(kx, ky)
-          val n = kx.length * pointsPerKnot
-          (0 until n).map { i =>
-            val h2o = kx.head + (kx.last - kx.head) * i / (n - 1)
-            // raw spline value, no clamping — scipy/interp1d parity
-            org.apache.spark.sql.Row(sid, p, h2o, f(h2o))
-          }
+                   pointsPerKnot: Int = 10): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val fit = udf((pts: Seq[org.apache.spark.sql.Row]) => {
+      // pts arrive sorted by (xfl, H2O, CO2); xfl is unique per group
+      val xs = pts.map(_.getDouble(1)).toArray
+      val ys = pts.map(_.getDouble(2)).toArray
+      // drop non-increasing duplicates at curve ends (xfl=0 -> H2O=0)
+      val keep = xs.indices.filter(i => i == 0 || xs(i) > xs(i - 1))
+      val (kx, ky) = (keep.map(xs).toArray, keep.map(ys).toArray)
+      if (kx.length < 3) Seq.empty[(Double, Double)]
+      else {
+        val f = cubicSpline(kx, ky)
+        val n = kx.length * pointsPerKnot
+        (0 until n).map { i =>
+          val h2o = kx.head + (kx.last - kx.head) * i / (n - 1)
+          // raw spline value, no clamping — scipy/interp1d parity
+          (h2o, f(h2o))
         }
       }
-    spark.createDataFrame(segments.asJava,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("sample_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("P_bar",
-          org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("H2O",
-          org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("CO2",
-          org.apache.spark.sql.types.DoubleType))))
+    })
+    grid
+      .select(col("sample_id"), col("P_bar"),
+        struct(col("xfl"), col("H2O"), col("CO2")).as("pt"))
+      .groupBy(col("sample_id"), col("P_bar"))
+      .agg(sort_array(collect_list(col("pt"))).as("pts"))
+      .select(col("sample_id"), col("P_bar"), explode(fit(col("pts"))).as("c"))
+      .select(col("sample_id"), col("P_bar"),
+        col("c._1").as("H2O"), col("c._2").as("CO2"))
   }
 }

@@ -757,17 +757,18 @@ class GoldenSpec extends SparkSpec {
       assert(math.abs(f(x) - parab(x)) < 1e-12, s"x=$x: ${f(x)} vs ${parab(x)}")
   }
 
-  test("isobarCurves rejects a grid larger than its maxRows contract") {
+  test("isobarCurves is distributed: per-group fit, no driver collect") {
     import spark.implicits._
     val big = (1L to 50L).flatMap(s => (0 until 10).map(i =>
       (s, 2000.0, i / 10.0, i * 0.5, 3.0 - i * 0.2)))
       .toDF("sample_id", "P_bar", "xfl", "H2O", "CO2")
-    val ex = intercept[IllegalArgumentException] {
-      Isobars.isobarCurves(spark, big, maxRows = 100)
-    }
-    assert(ex.getMessage.contains("maxRows"))
-    // and passes when the cap accommodates the grid
-    assert(Isobars.isobarCurves(spark, big, maxRows = 1000).count() > 0)
+    val curves = Isobars.isobarCurves(spark, big)
+    // 50 groups x 10 knots x 10 points each
+    assert(curves.count() == 50L * 100)
+    // plan shape: one grouping aggregate, no CollectLimit/driver loop
+    val plan = curves.queryExecution.executedPlan.toString
+    assert(!plan.contains("CollectLimit"), plan.take(400))
+    assert(plan.contains("Aggregate"), plan.take(400))
   }
 
   test("isobar curves pass through their knots and track direct solubility") {
