@@ -84,4 +84,19 @@ object CorpusIO {
     * names; filters on those columns prune before any file is opened. */
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Persist a table bucketed (and optionally sorted) by join keys, the
+    * co-located-join layout for 100 TB fact tables: two tables bucketed
+    * by the same keys into the same bucket count join with NO shuffle on
+    * either side — each task reads matching bucket files directly
+    * (`BucketingSpec` pins the exchange-free plan). Catalog-backed
+    * because bucket metadata lives in the table catalog, not the files. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    nBuckets: Int, sorted: Boolean = true): Unit = {
+    require(bucketCols.nonEmpty, "writeBucketed: bucketCols must be non-empty")
+    val w = df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    val ws = if (sorted) w.sortBy(bucketCols.head, bucketCols.tail: _*) else w
+    ws.format("parquet").saveAsTable(table)
+  }
 }

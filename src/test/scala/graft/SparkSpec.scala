@@ -19,6 +19,9 @@ object SparkSpec {
     // the production wiring under test in GraftExtensionsSpec: native
     // kernels injected into the SQL function registry at session build
     .config("spark.sql.extensions", "graft.GraftExtensions")
+    // catalog-backed bucketed tables (BucketingSpec) go to a temp warehouse
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .getOrCreate()
