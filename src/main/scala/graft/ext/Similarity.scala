@@ -86,14 +86,35 @@ object Similarity {
   private def resolveDim(embeddings: DataFrame, dim: Int): Int =
     if (dim > 0) dim else inferDim(embeddings)
 
+  /** Drop rows in LSH buckets larger than `cap` before any self-join —
+    * the same skew guard as [[Dedup.minhashCandidates]]: a degenerate
+    * bucket (e.g. a zero/constant embedding cluster) would otherwise put
+    * a quadratic pair space in one task. Dropped-row counts flow through
+    * the shared [[DedupMetrics]] `observe` hook (tag "emblsh"); the
+    * default cap is [[Dedup.MaxBucketSizeConfKey]]-tunable and far above
+    * any healthy bucket (`PlanAuditSpec` proves it inert on the oracle
+    * corpora, so capped and uncapped results coincide there). */
+  private def capBuckets(withBucket: DataFrame, cap: Int): DataFrame = {
+    DedupMetrics.ensure(withBucket.sparkSession)
+    withBucket
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("bucket")))
+      .observe(DedupMetrics.nextName("emblsh"),
+        sum(when(col("bucket_n") > cap, 1L).otherwise(0L)).as("dropped"))
+      .filter(col("bucket_n") <= cap)
+      .drop("bucket_n")
+  }
+
   /** Approximate top-k: neighbours restricted to the same LSH bucket.
     * Returns (qid, nid, sim) — a subset of brute force's pairs. `dim` is
     * inferred from the data when not given. */
   def lshTopK(embeddings: DataFrame, k: Int, planes: Int = 8,
-              seed: Long = 42L, dim: Int = -1): DataFrame = {
+              seed: Long = 42L, dim: Int = -1,
+              maxBucketSize: Int = Dedup.ConfiguredBucketSize): DataFrame = {
     val e = prepared(embeddings)
     val hp = hyperplanes(resolveDim(embeddings, dim), planes, seed)
-    val withBucket = e.withColumn("bucket", lshBucket(col("v"), hp))
+    val withBucket = capBuckets(
+      e.withColumn("bucket", lshBucket(col("v"), hp)),
+      Dedup.resolveCap(embeddings, maxBucketSize))
     val a = withBucket.select(col("bucket"), col("vec_id").as("qid"),
       col("v").as("va"), col("nrm").as("na"))
     val b = withBucket.select(col("bucket"), col("vec_id").as("nid"),
@@ -164,10 +185,13 @@ object Similarity {
     * recall rises with fewer planes or multiple seed rounds. */
   def lshNearDupPairs(embeddings: DataFrame, threshold: Double,
                       planes: Int = 8, seed: Long = 42L,
-                      dim: Int = -1): DataFrame = {
+                      dim: Int = -1,
+                      maxBucketSize: Int = Dedup.ConfiguredBucketSize): DataFrame = {
     val e = prepared(embeddings)
     val hp = hyperplanes(resolveDim(embeddings, dim), planes, seed)
-    val withBucket = e.withColumn("bucket", lshBucket(col("v"), hp))
+    val withBucket = capBuckets(
+      e.withColumn("bucket", lshBucket(col("v"), hp)),
+      Dedup.resolveCap(embeddings, maxBucketSize))
     val a = withBucket.select(col("bucket"), col("vec_id").as("id_a"),
       col("v").as("va"), col("nrm").as("na"))
     val b = withBucket.select(col("bucket"), col("vec_id").as("id_b"),

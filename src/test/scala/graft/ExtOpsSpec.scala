@@ -255,6 +255,33 @@ class ExtOpsSpec extends SparkSpec {
     assert(DedupMetrics.totalDropped("minhash") == 0L)
   }
 
+  test("embedding LSH bucket cap bounds a degenerate constant-vector cluster") {
+    // 200 identical embeddings share one bucket (every projection has the
+    // same sign): a quadratic pair space in one task without the cap
+    val base = Seq(
+      (1L, Array(1.0, 0.0, 0.0, 0.0)), (2L, Array(0.99, 0.1, 0.0, 0.0)),
+      (3L, Array(0.0, 1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val degenerate = (101L to 300L)
+      .map(i => (i, Array(0.5, 0.5, 0.5, 0.5))).toDF("vec_id", "embedding")
+    val mixed = base.union(degenerate)
+    DedupMetrics.reset()
+    val capped = Similarity.lshNearDupPairs(mixed, threshold = 0.9,
+      maxBucketSize = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists(p => p._1 > 100L || p._2 > 100L),
+      s"degenerate-bucket pairs leaked: ${capped.size}")
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var n = DedupMetrics.totalDropped("emblsh")
+    while (n < 200L && System.nanoTime() < deadline) {
+      Thread.sleep(50); n = DedupMetrics.totalDropped("emblsh")
+    }
+    assert(n >= 200L, s"emblsh dropped = $n")
+    // default cap (512) leaves the corpus untouched: near-dup pair flows
+    val open = Similarity.lshNearDupPairs(mixed, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(open.contains((1L, 2L)), open.toString)
+  }
+
   test("clusterPairs: labels = min reachable id; chain converges in diameter rounds") {
     val nodes = (1L to 10L).toDF("doc_id")
     // path 1-2-3-4-5 (diameter 4), cyclic triangle 6-7-8, singletons 9, 10

@@ -56,42 +56,46 @@ class PlanAuditSpec extends SparkSpec {
     * batch cap (so the cap provably never changes oracle results here) and
     * (b) the cap machinery itself stays wired (a degenerate corpus IS
     * capped — covered in ExtOpsSpec). */
-  test("LSH/ANN join keys are not skewed on the test corpus") {
+  test("LSH/ANN join keys are not skewed on the oracle corpora (both scales)") {
     import org.apache.spark.sql.functions._
     import graft.ext.{Dedup, Similarity}
-    val docs = Tables.read(spark, sfDir, "documents")
-    val emb = Tables.read(spark, sfDir, "embeddings")
 
     def maxKey(df: org.apache.spark.sql.DataFrame, keys: Seq[String]): Long =
       df.groupBy(keys.map(col): _*).count()
         .agg(max("count")).head().getLong(0)
 
-    // MinHash LSH: (band, bucket) after explode
-    val mh = Dedup.minhashLsh(docs, k = 16, rowsPerBand = 2)
-      .select(posexplode(col("bands")).as(Seq("band", "bucket")))
-    val mhMax = maxKey(mh, Seq("band", "bucket"))
-    assert(mhMax <= Dedup.DefaultMaxBucketSize,
-      s"minhash hot bucket $mhMax exceeds cap — oracle rows would change")
+    // both the local-iteration scale AND the driver's t2 gate scale: a cap
+    // is only provably inert on a corpus that was actually measured
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = Tables.read(spark, dir, "documents")
+      val emb = Tables.read(spark, dir, "embeddings")
 
-    // SimHash banding: (band, 16-bit lane value)
-    val sig = docs.select(Dedup.simhash(split(col("text"), " ")).as("sig"))
-    val sh = sig.select(explode(array((0 until 4).map(b =>
-      struct(lit(b).as("band"),
-        shiftright(col("sig"), b * 16).bitwiseAND(lit(65535L)).as("value"))): _*))
-        .as("bv"))
-      .select(col("bv.band"), col("bv.value"))
-    val shMax = maxKey(sh, Seq("band", "value"))
-    assert(shMax <= Dedup.DefaultMaxBucketSize,
-      s"simhash hot bucket $shMax exceeds cap — oracle rows would change")
+      // MinHash LSH: (band, bucket) after explode
+      val mh = Dedup.minhashLsh(docs, k = 16, rowsPerBand = 2)
+        .select(posexplode(col("bands")).as(Seq("band", "bucket")))
+      val mhMax = maxKey(mh, Seq("band", "bucket"))
+      assert(mhMax <= Dedup.DefaultMaxBucketSize,
+        s"$dir minhash hot bucket $mhMax exceeds cap — oracle rows would change")
 
-    // Embedding LSH: hyperplane bucket key of the ANN equi-join
-    val hp = Similarity.hyperplanes(Similarity.inferDim(emb), 8, 42L)
-    val bucketed = emb.select(Similarity.lshBucket(
-      col("embedding").cast("array<double>"), hp).as("bucket"))
-    val lshMax = maxKey(bucketed, Seq("bucket"))
-    // no cap on this path yet — bound it to a skew alarm relative to corpus
-    val n = emb.count()
-    assert(lshMax <= math.max(64L, n / 2),
-      s"embedding LSH hot bucket $lshMax of $n rows — degenerate hyperplanes?")
+      // SimHash banding: (band, 16-bit lane value)
+      val sig = docs.select(Dedup.simhash(split(col("text"), " ")).as("sig"))
+      val sh = sig.select(explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * 16).bitwiseAND(lit(65535L)).as("value"))): _*))
+          .as("bv"))
+        .select(col("bv.band"), col("bv.value"))
+      val shMax = maxKey(sh, Seq("band", "value"))
+      assert(shMax <= Dedup.DefaultMaxBucketSize,
+        s"$dir simhash hot bucket $shMax exceeds cap — oracle rows would change")
+
+      // Embedding LSH: hyperplane bucket key of the ANN equi-join (capped
+      // since round 6 with the same machinery as minhash/simhash)
+      val hp = Similarity.hyperplanes(Similarity.inferDim(emb), 8, 42L)
+      val bucketed = emb.select(Similarity.lshBucket(
+        col("embedding").cast("array<double>"), hp).as("bucket"))
+      val lshMax = maxKey(bucketed, Seq("bucket"))
+      assert(lshMax <= Dedup.DefaultMaxBucketSize,
+        s"$dir embedding LSH hot bucket $lshMax exceeds cap — oracle rows would change")
+    }
   }
 }
