@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.expr.{E, Pipeline, Stage, C, Lit, SLit, CastD, If, ILit}
 import graft.expr.E._
-import graft.ext.{CorpusIO, Dedup, DualHash, Similarity, TextAnalysis => TA}
+import graft.ext.{CorpusIO, Dedup, DualHash, PipelineOps, Similarity, TextAnalysis => TA}
 import graft.expressions.SimHash64
 import graft.Queries.Q
 
@@ -334,6 +334,88 @@ object ExtQueries {
              | JOIN nation ON "s_nationkey" = "n_nationkey"
              | JOIN region ON "n_regionkey" = "r_regionkey"
              | GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "))),
+    // ---- training-data pipeline stages -----------------------------------
+    // Benchmark decontamination: docs sharing any 3-shingle with the eval
+    // subset (doc_id % 50 = 0 stands in for a benchmark table) are flagged.
+    // Spark side broadcasts the eval shingle-hash set so the corpus scan
+    // never shuffles; oracle recomputes the same overlap in DuckDB.
+    Q("q_decontaminate", (s, dir) =>
+      PipelineOps.decontaminate(Tables.read(s, dir, "documents"),
+          col("doc_id") % 50 === 0)
+        .orderBy("doc_id"),
+      Some(s"WITH $tokCte, $shCte, " +
+        "ds AS (SELECT \"doc_id\", list_distinct(hs) AS hs2 FROM sh), " +
+        "ev AS (SELECT DISTINCT unnest(hs2) AS h FROM ds WHERE \"doc_id\" % 50 = 0), " +
+        "tr AS (SELECT \"doc_id\", unnest(hs2) AS h FROM ds WHERE \"doc_id\" % 50 <> 0), " +
+        "m AS (SELECT tr.\"doc_id\", count(*) AS n_shared FROM tr JOIN ev USING (h) GROUP BY 1) " +
+        "SELECT d.\"doc_id\", coalesce(m.n_shared, 0) AS \"n_shared\", " +
+        "CAST(CASE WHEN coalesce(m.n_shared, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS \"contaminated\" " +
+        "FROM documents d LEFT JOIN m ON d.\"doc_id\" = m.\"doc_id\" " +
+        "WHERE d.\"doc_id\" % 50 <> 0 ORDER BY 1")),
+    // Domain mixing: per-source keep rates with a deterministic hash draw —
+    // reproducible sampling (same rows on any cluster/partitioning/rerun).
+    Q("q_domain_mix", (s, dir) =>
+      PipelineOps.weightedSample(Tables.read(s, dir, "documents"),
+          Map("src0" -> 0.9, "src1" -> 0.7, "src2" -> 0.5, "src3" -> 0.3),
+          default = 0.15)
+        .select(col("doc_id"), col("source"),
+          org.apache.spark.sql.functions.round(
+            PipelineOps.hashUniform(col("doc_id"), ":mix"), 6).as("u"))
+        .orderBy("doc_id"),
+      Some {
+        val u = PipelineOps.hashUniformSql("\"doc_id\"", ":mix")
+        s"SELECT \"doc_id\", \"source\", round($u, 6) AS \"u\" FROM documents " +
+          s"WHERE $u < (CASE WHEN \"source\" = 'src0' THEN 0.9 " +
+          "WHEN \"source\" = 'src1' THEN 0.7 WHEN \"source\" = 'src2' THEN 0.5 " +
+          "WHEN \"source\" = 'src3' THEN 0.3 ELSE 0.15 END) ORDER BY 1"
+      }),
+    // Gopher-style repetition signals: top-word fraction + duplicate-bigram
+    // fraction, flag = either over threshold. Array higher-order functions
+    // keep the whole stage shuffle-free and codegen'd.
+    Q("q_repetition_filter", (s, dir) => {
+      val toks = split(col("text"), " ")
+      Tables.read(s, dir, "documents").select(col("doc_id"),
+          PipelineOps.topWordFrac(toks).as("top_word_frac"),
+          PipelineOps.dupBigramFrac(toks).as("dup_bigram_frac"))
+        .withColumn("flagged",
+          org.apache.spark.sql.functions
+            .when(col("top_word_frac") > 0.2 || col("dup_bigram_frac") > 0.4, 1L)
+            .otherwise(0L))
+        .orderBy("doc_id")
+    },
+      Some(s"WITH $tokCte, " +
+        "bg AS (SELECT \"doc_id\", toks, list_transform(range(1, greatest(len(toks) - 1, 1) + 1), " +
+        "i -> array_to_string(list_slice(toks, i, i + 1), ' ')) AS bgs FROM tok), " +
+        "m AS (SELECT \"doc_id\", " +
+        "round(CAST(list_max(list_transform(list_distinct(toks), t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE) " +
+        "/ CAST(len(toks) AS DOUBLE), 6) AS top_word_frac, " +
+        "round(1.0 - CAST(len(list_distinct(bgs)) AS DOUBLE) / CAST(len(bgs) AS DOUBLE), 6) AS dup_bigram_frac " +
+        "FROM bg) " +
+        "SELECT \"doc_id\", top_word_frac AS \"top_word_frac\", dup_bigram_frac AS \"dup_bigram_frac\", " +
+        "CAST(CASE WHEN top_word_frac > 0.2 OR dup_bigram_frac > 0.4 THEN 1 ELSE 0 END AS BIGINT) AS \"flagged\" " +
+        "FROM m ORDER BY 1")),
+    // End-to-end corpus clean: quality gate -> language filter -> exact
+    // dedup (keep smallest doc_id per fingerprint). The one shuffle is the
+    // dedup window on fp — hash-partitioned, carries (id, fp, 2 doubles),
+    // never text.
+    Q("q_pipeline_clean", (s, dir) => {
+      val base = Pipeline.applySpark(Tables.read(s, dir, "documents"), cleanStages)
+      val w = Window.partitionBy("fp").orderBy("doc_id")
+      base.filter(col("quality") >= 0.2 && col("lang_pred") === "en")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("n_tokens"),
+          org.apache.spark.sql.functions.round(col("quality"), 6).as("quality"))
+        .orderBy("doc_id")
+    }, Some {
+      val inner = Pipeline.toSql("documents", cleanStages, Seq.empty)
+      s"""WITH b AS ($inner),
+         | f AS (SELECT * FROM b WHERE "quality" >= 0.2e0 AND "lang_pred" = 'en'),
+         | r AS (SELECT "doc_id", "n_tokens", round("quality", 6) AS "quality",
+         |   row_number() OVER (PARTITION BY "fp" ORDER BY "doc_id") AS rn FROM f)
+         | SELECT "doc_id", "n_tokens", "quality" FROM r WHERE rn = 1
+         | ORDER BY "doc_id"""".stripMargin.replace("\n", " ")
+    }),
     // ---- corpus ingest/egress (CorpusIO) --------------------------------
     // JSONL round-trip: documents -> JSONL sink -> explicit-schema source
     // -> per-doc token count + md5 fingerprint. The oracle computes the
@@ -379,6 +461,15 @@ object ExtQueries {
   private val jsonlStages = Vector(Stage(Seq[(String, E)](
     "doc_id" -> C("doc_id"),
     "n_tokens" -> TA.tokenCount(text),
+    "fp" -> TA.fingerprint(text))))
+
+  /** Per-doc quality/language/fingerprint projection feeding the
+    * corpus-clean composite (and its oracle, via [[Pipeline.toSql]]). */
+  private val cleanStages = Vector(Stage(Seq[(String, E)](
+    "doc_id" -> C("doc_id"),
+    "n_tokens" -> TA.tokenCount(text),
+    "quality" -> TA.qualityScore(text),
+    "lang_pred" -> TA.langId(text),
     "fp" -> TA.fingerprint(text))))
 
   /** doc_id + language + token count, the partitioned sink's payload. */

@@ -1,0 +1,108 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data pipeline stages beyond similarity/dedup: benchmark
+  * decontamination, deterministic weighted source mixing, repetition-based
+  * quality filters, and the composed corpus-clean flagship. All stages are
+  * deterministic (hash-driven sampling, no RNG state) so a 100 TB run is
+  * reproducible and resumable, and every one carries a full DuckDB oracle
+  * in [[graft.ExtQueries]].
+  */
+object PipelineOps {
+
+  /** Benchmark decontamination: flag training documents sharing any word
+    * n-shingle with an evaluation set (the standard n-gram-overlap
+    * decontamination used for LLM training corpora).
+    *
+    * Scale shape: the eval side of the join is an evaluation benchmark —
+    * thousands of documents, not billions — so its distinct shingle-hash
+    * set is broadcast and the 100 TB training side never shuffles: one
+    * scan, a per-row shingle explode, a broadcast semi-join, and a
+    * partial-aggregated count per doc. Shuffled bytes are (doc_id,
+    * n_shared) pairs only.
+    *
+    * @param docs     corpus with `doc_id` and `text`
+    * @param evalPred predicate selecting the evaluation subset
+    * @return one row per NON-eval doc: doc_id, n_shared (distinct shingle
+    *         hashes shared with the eval set), contaminated (0/1)
+    */
+  def decontaminate(docs: DataFrame, evalPred: Column,
+                    shingleSize: Int = 3): DataFrame = {
+    val hashed = docs.select(col("doc_id"), evalPred.as("is_eval"),
+      array_distinct(graft.expressions.VectorExpressions
+        .shingleHashes(split(col("text"), " "), shingleSize)).as("hs"))
+    val evalHashes = hashed.filter(col("is_eval"))
+      .select(explode(col("hs")).as("h")).distinct()
+    val train = hashed.filter(!col("is_eval"))
+    val shared = train.select(col("doc_id"), explode(col("hs")).as("h"))
+      .join(broadcast(evalHashes), "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    train.select(col("doc_id"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(coalesce(col("n_shared"), lit(0L)) > 0, 1L).otherwise(0L)
+          .as("contaminated"))
+  }
+
+  /** Uniform-in-[0,1) draw for a row key, deterministic across runs and
+    * engines: the DualHash base60 of `key || salt`, reduced mod 1e6.
+    * Million-bucket resolution keeps rate quantization below 1e-6 —
+    * invisible next to sampling variance at any corpus size. */
+  def hashUniform(key: Column, salt: String): Column =
+    (Dedup.base60Col(concat(key.cast("string"), lit(salt))) % lit(1000000L))
+      .cast("double") / lit(1000000.0)
+
+  /** DuckDB rendering of [[hashUniform]] (same md5-base60 arithmetic). */
+  def hashUniformSql(keyExpr: String, salt: String): String =
+    s"(CAST(${DualHash.base60Sql(s"concat(CAST($keyExpr AS VARCHAR), '$salt')")} " +
+      "% 1000000 AS DOUBLE) / 1000000.0)"
+
+  /** Domain mixing: down/up-weight sources to target sampling rates with a
+    * deterministic per-doc Bernoulli draw. `rates` maps source name ->
+    * keep probability; absent sources use `default`. The draw is a pure
+    * hash of (doc_id, salt): re-running the job, or running it on a
+    * different cluster/partitioning, keeps exactly the same rows —
+    * reproducible corpus mixing with no RNG state to checkpoint. One scan,
+    * one filter, shuffle-free.
+    */
+  def weightedSample(docs: DataFrame, rates: Map[String, Double],
+                     default: Double, salt: String = ":mix"): DataFrame = {
+    val rate = rates.foldLeft(lit(default)) { case (acc, (src, r)) =>
+      when(col("source") === src, lit(r)).otherwise(acc)
+    }
+    docs.filter(hashUniform(col("doc_id"), salt) < rate)
+  }
+
+  /** Fraction of tokens taken by the single most frequent token — the
+    * Gopher-style "top word" repetition signal. Computed with array
+    * higher-order functions (no explode, no shuffle): per-doc cost is
+    * O(distinct x tokens), fine for bounded document length; corpora with
+    * multi-megabyte outliers should length-truncate upstream (the
+    * quality-filter stage already drops such docs).
+    */
+  def topWordFrac(tokens: Column): Column = {
+    val top = array_max(transform(array_distinct(tokens),
+      t => size(filter(tokens, x => x === t))))
+    round(top.cast("double") / size(tokens).cast("double"), 6)
+  }
+
+  /** Word bigrams as an array column (n=2 sibling of [[Dedup.shingles]];
+    * a 1-token doc yields its single token, mirroring the shingle CTE's
+    * greatest(len-1, 1) floor). */
+  def bigrams(tokens: Column): Column = {
+    val idx = sequence(lit(0), greatest(size(tokens) - lit(2), lit(0)))
+    transform(idx, i => concat_ws(" ", slice(tokens, i + lit(1), lit(2))))
+  }
+
+  /** Fraction of bigrams that are repeats of an earlier bigram — the
+    * Gopher-style duplicate-n-gram repetition signal. */
+  def dupBigramFrac(tokens: Column): Column = {
+    val bg = bigrams(tokens)
+    round(lit(1.0) - size(array_distinct(bg)).cast("double") /
+      size(bg).cast("double"), 6)
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.PipelineOps
+
+/** Behavioural tests for the training-data pipeline stages
+  * (decontamination, domain mixing, repetition filters). */
+class PipelineOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  lazy val corpus = Seq(
+    // doc 0 = "eval" doc under the %50 predicate used below
+    (0L, "alpha beta gamma delta epsilon zeta eta theta", "src0"),
+    (1L, "alpha beta gamma delta epsilon zeta eta theta", "src0"), // full overlap
+    (2L, "alpha beta gamma something else entirely here now", "src1"), // partial
+    (3L, "totally disjoint words with no shared shingles at all", "src1"),
+    (4L, "spark spark spark spark spark spark spark spark spark one", "src2") // repetitive
+  ).toDF("doc_id", "text", "source")
+
+  test("decontaminate flags exact and partial shingle overlap, not disjoint docs") {
+    val out = PipelineOps.decontaminate(corpus, col("doc_id") % 50 === 0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L)) // eval doc 0 excluded
+    // doc 1 duplicates doc 0: shares all 6 of its distinct 3-shingles
+    assert(out(1L) == ((6L, 1L)), out.toString)
+    // doc 2 shares exactly the "alpha beta gamma" shingle
+    assert(out(2L) == ((1L, 1L)), out.toString)
+    assert(out(3L) == ((0L, 0L)), out.toString)
+    assert(out(4L) == ((0L, 0L)), out.toString)
+  }
+
+  test("weightedSample is deterministic and monotone in the rate") {
+    val lo = PipelineOps.weightedSample(corpus, Map.empty, default = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    val lo2 = PipelineOps.weightedSample(corpus, Map.empty, default = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    val hi = PipelineOps.weightedSample(corpus, Map.empty, default = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(lo == lo2)              // rerun keeps exactly the same rows
+    assert(lo.subsetOf(hi))        // raising the rate only adds rows
+    val all = PipelineOps.weightedSample(corpus, Map.empty, default = 1.0)
+    assert(all.count() == 5)       // rate 1.0 keeps everything
+  }
+
+  test("weightedSample applies per-source rates over the default") {
+    // src2 rate 1.0 forces doc 4 in; src0/src1 rate 0.0 forces docs 0-3 out
+    val kept = PipelineOps.weightedSample(corpus,
+        Map("src0" -> 0.0, "src1" -> 0.0, "src2" -> 1.0), default = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(4L), kept.toString)
+  }
+
+  test("repetition metrics: uniform text low, degenerate text high") {
+    val m = corpus.select(col("doc_id"),
+        PipelineOps.topWordFrac(split(col("text"), " ")).as("twf"),
+        PipelineOps.dupBigramFrac(split(col("text"), " ")).as("dbf"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(m(0L)._1 == 0.125)   // 8 distinct tokens of 8
+    assert(m(0L)._2 == 0.0)     // all 7 bigrams distinct
+    assert(m(4L)._1 == 0.9)     // "spark" is 9 of 10 tokens
+    // 9 bigrams, distinct = {"spark spark", "spark one"} -> 1 - 2/9
+    assert(math.abs(m(4L)._2 - (1.0 - 2.0 / 9.0)) < 1e-6)
+  }
+
+  test("hashUniform draws are uniform-ish and salt-decorrelated") {
+    val n = 2000
+    val ids = spark.range(n).select(col("id").as("doc_id"))
+    val u = ids.select(
+        PipelineOps.hashUniform(col("doc_id"), ":a").as("ua"),
+        PipelineOps.hashUniform(col("doc_id"), ":b").as("ub"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val meanA = u.map(_._1).sum / n
+    assert(math.abs(meanA - 0.5) < 0.05, s"mean $meanA")
+    assert(u.forall { case (a, b) => a >= 0.0 && a < 1.0 && b >= 0.0 && b < 1.0 })
+    // different salts give (near-)independent draws: agreement on < below
+    // 0.5 +/- noise, not ~1.0
+    val agree = u.count { case (a, b) => (a < 0.3) == (b < 0.3) }.toDouble / n
+    assert(agree < 0.8, s"salts correlated: $agree")
+  }
+}
