@@ -394,6 +394,24 @@ object ExtQueries {
         "SELECT \"doc_id\", top_word_frac AS \"top_word_frac\", dup_bigram_frac AS \"dup_bigram_frac\", " +
         "CAST(CASE WHEN top_word_frac > 0.2 OR dup_bigram_frac > 0.4 THEN 1 ELSE 0 END AS BIGINT) AS \"flagged\" " +
         "FROM m ORDER BY 1")),
+    // Token-budget subset: keep docs in hash-priority order until the
+    // running token total hits the budget. Spark runs the two-phase
+    // bucketed equivalent (global windows don't scale); the oracle runs
+    // the literal global cumulative window — row-identical by construction.
+    Q("q_token_budget", (s, dir) =>
+      PipelineOps.tokenBudget(Tables.read(s, dir, "documents"), 6000L)
+        .orderBy("doc_id"),
+      Some {
+        val u = PipelineOps.hashUniformSql("\"doc_id\"", ":budget")
+        s"""WITH b AS (SELECT "doc_id",
+           | CAST(len(string_split("text", ' ')) AS BIGINT) AS n_tokens,
+           | $u AS pri FROM documents),
+           | c AS (SELECT "doc_id", n_tokens, pri, sum(n_tokens) OVER
+           |   (ORDER BY pri, "doc_id" ROWS UNBOUNDED PRECEDING) AS cum FROM b)
+           | SELECT "doc_id", n_tokens AS "n_tokens", round(pri, 6) AS "pri"
+           | FROM c WHERE cum <= 6000 ORDER BY "doc_id"""".stripMargin
+          .replace("\n", " ")
+      }),
     // End-to-end corpus clean: quality gate -> language filter -> exact
     // dedup (keep smallest doc_id per fingerprint). The one shuffle is the
     // dedup window on fp — hash-partitioned, carries (id, fp, 2 doubles),

@@ -77,6 +77,59 @@ object PipelineOps {
     docs.filter(hashUniform(col("doc_id"), salt) < rate)
   }
 
+  /** Token-budget subset selection: keep documents in deterministic
+    * priority order (hash of doc_id — a reproducible shuffle of the
+    * corpus) until the running token total reaches `budgetTokens` — the
+    * "give me exactly N tokens" stage of assembling a training mix.
+    *
+    * The naive form is a single global cumulative-sum window, which Spark
+    * executes on ONE partition — a non-starter at 100 TB. This is the
+    * scale-correct two-phase equivalent:
+    *
+    *  1. bucket docs by priority range (`buckets` ranges), aggregate token
+    *     sums per bucket — a tiny table (≤ `buckets` rows) collected to
+    *     the driver to locate the budget-crossing bucket and its prefix
+    *     offset;
+    *  2. buckets strictly before the crossing are kept whole (no window at
+    *     all); only the one crossing bucket — 1/`buckets` of the corpus —
+    *     runs a per-bucket cumulative window, partitioned so it never
+    *     gathers to a single task beyond that slice.
+    *
+    * The result is row-identical to the global window (bucket index is
+    * monotone in priority, ties broken by doc_id), which is exactly what
+    * the DuckDB oracle computes.
+    *
+    * @return kept docs: doc_id, n_tokens, pri (the priority draw, rounded)
+    */
+  def tokenBudget(docs: DataFrame, budgetTokens: Long, salt: String = ":budget",
+                  buckets: Int = 1024): DataFrame = {
+    val base = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        hashUniform(col("doc_id"), salt).as("pri"))
+      .withColumn("bucket", floor(col("pri") * buckets).cast("long"))
+    val sums = base.groupBy("bucket").agg(sum("n_tokens").as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var running = 0L
+    var cut = -1L
+    var offset = 0L
+    for (b <- 0L until buckets.toLong if cut < 0) {
+      val t = sums.getOrElse(b, 0L)
+      if (running + t > budgetTokens) { cut = b; offset = running }
+      else running += t
+    }
+    val out =
+      if (cut < 0) base // whole corpus fits the budget
+      else {
+        val whole = base.filter(col("bucket") < cut)
+        val w = Window.partitionBy("bucket").orderBy("pri", "doc_id")
+        val boundary = base.filter(col("bucket") === cut)
+          .withColumn("cum", sum("n_tokens").over(w))
+          .filter(col("cum") + lit(offset) <= budgetTokens)
+        whole.unionByName(boundary.drop("cum"))
+      }
+    out.select(col("doc_id"), col("n_tokens"), round(col("pri"), 6).as("pri"))
+  }
+
   /** Fraction of tokens taken by the single most frequent token — the
     * Gopher-style "top word" repetition signal. Computed with array
     * higher-order functions (no explode, no shuffle): per-doc cost is

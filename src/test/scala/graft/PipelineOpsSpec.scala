@@ -63,6 +63,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(m(4L)._2 - (1.0 - 2.0 / 9.0)) < 1e-6)
   }
 
+  test("tokenBudget matches the naive global cumulative sum at any budget") {
+    val n = 300
+    val docs = spark.range(n).selectExpr("id AS doc_id",
+      // 3..12 tokens per doc, deterministic
+      "concat('w', array_join(transform(sequence(1, CAST(3 + id % 10 AS INT)), x -> 'w'), ' ')) AS text",
+      "'srcX' AS source")
+    // naive reference: global sort by (pri, doc_id), running sum
+    val rows = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("nt"),
+        PipelineOps.hashUniform(col("doc_id"), ":budget").as("pri"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(r => (r._3, r._1))
+    def naive(budget: Long): Set[Long] = {
+      var cum = 0L
+      rows.iterator.takeWhile { r => cum += r._2; cum <= budget }
+        .map(_._1).toSet
+    }
+    for (budget <- Seq(0L, 10L, 500L, 1200L, 100000L)) {
+      val got = PipelineOps.tokenBudget(docs, budget, buckets = 16)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == naive(budget), s"budget $budget")
+    }
+  }
+
   test("hashUniform draws are uniform-ish and salt-decorrelated") {
     val n = 2000
     val ids = spark.range(n).select(col("id").as("doc_id"))
