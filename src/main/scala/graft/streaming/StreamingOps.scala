@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -60,6 +60,26 @@ object StreamingOps {
       .agg(count("*").as("n"), sum("value").as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
+  }
+
+  /** Decontamination at the ingest edge: drop arriving documents that
+    * share any word shingle with a STATIC evaluation set — the streaming
+    * twin of [[graft.ext.PipelineOps.decontaminate]].
+    *
+    * The eval set is an evaluation benchmark (KBs-to-MBs), so its distinct
+    * shingle hashes are collected once at plan-build time and shipped as
+    * an array literal: the check is a stateless per-row `arrays_overlap`
+    * (hash-set probe) — no stream-side join, no state store, nothing for
+    * a watermark to bound. Contaminated docs never reach downstream
+    * stateful operators. */
+  def streamingDecontaminate(docs: DataFrame, evalDocs: DataFrame,
+                             shingleSize: Int = 3): DataFrame = {
+    val shingles = (text: Column) => array_distinct(
+      graft.expressions.VectorExpressions
+        .shingleHashes(split(text, " "), shingleSize))
+    val evalHashes = evalDocs.select(explode(shingles(col("text"))).as("h"))
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    docs.filter(!arrays_overlap(shingles(col("text")), typedLit(evalHashes)))
   }
 
   /** Streaming exact dedup on a content fingerprint with watermarked state:

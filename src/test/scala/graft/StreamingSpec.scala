@@ -50,6 +50,33 @@ class StreamingSpec extends SparkSpec {
     assert(ids.size == 2 && ids.contains(3L), ids.toString)
   }
 
+  test("streaming decontamination drops overlapping docs, agrees with batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val evalDocs = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingOps.streamingDecontaminate(
+      mem.toDF().toDF("doc_id", "text"), evalDocs)
+    mem.addData(
+      (1L, "alpha beta gamma delta epsilon zeta"), // full overlap: dropped
+      (2L, "prefix words then alpha beta gamma suffix"), // one shared shingle
+      (3L, "completely unrelated clean document text here"))
+    val q = out.writeStream.format("memory").queryName("decon")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("decon").collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(3L), kept.toString)
+    // batch operator marks exactly the complement as contaminated
+    val corpus = evalDocs.union(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "prefix words then alpha beta gamma suffix"),
+      (3L, "completely unrelated clean document text here")).toDF("doc_id", "text"))
+    val batch = graft.ext.PipelineOps.decontaminate(corpus, col("doc_id") === 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(batch == Map(1L -> 1L, 2L -> 1L, 3L -> 0L), batch.toString)
+  }
+
   test("streaming simhash near-dup flags arriving near-duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Long)]
