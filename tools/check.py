@@ -9,6 +9,7 @@ import math
 import os
 import sys
 import threading
+import time
 
 import duckdb
 import pyarrow.parquet as pq
@@ -59,12 +60,18 @@ def main(outdir: str, sfdir: str) -> int:
             print(f"FAIL {name}: no spark output ({exc})")
             n_fail += 1
             continue
+        t0 = time.monotonic()
         try:
             want = run_with_timeout(con, sql)
         except Exception as exc:
             print(f"FAIL {name}: oracle sql error: {exc}")
             n_fail += 1
             continue
+        oracle_s = time.monotonic() - t0
+        # A slow-but-passing oracle is the round-5 hang in embryo: surface
+        # it long before it reaches the driver's (uncapped) gate.
+        if oracle_s > 10.0:
+            print(f"WARN {name}: oracle took {oracle_s:.1f}s")
         g_cols = sorted(got.column_names)
         w_cols = sorted(want.column_names)
         if g_cols != w_cols:
