@@ -94,6 +94,56 @@ class PropertySpec extends SparkSpec {
     assert(out.map(_._1).distinct.length == out.length) // one row per fingerprint
   }
 
+  test("tokenBudget is monotone in the budget and never overspends on a random corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.ext.PipelineOps
+    val rng = new scala.util.Random(11L)
+    val vocab = Vector("one", "two", "three", "four", "five", "six", "seven")
+    val docs = (1L to 250L).map(id => (id,
+        Vector.fill(1 + rng.nextInt(12))(vocab(rng.nextInt(vocab.size)))
+          .mkString(" ")))
+      .toDF("doc_id", "text")
+    val tokens = docs.select(col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var prev = Set.empty[Long]
+    for (budget <- Seq(0L, 50L, 200L, 700L, 1300L, 100000L)) {
+      val kept = PipelineOps.tokenBudget(docs, budget, buckets = 32)
+        .select("doc_id").as[Long].collect().toSet
+      assert(prev.subsetOf(kept), s"budget $budget lost rows")
+      assert(kept.toSeq.map(tokens).sum <= budget || budget == 0L,
+        s"budget $budget overspent")
+      prev = kept
+    }
+    assert(prev == tokens.keySet) // a huge budget keeps the whole corpus
+  }
+
+  test("decontamination is monotone in the eval set on a random corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.ext.PipelineOps
+    val rng = new scala.util.Random(13L)
+    val vocab = Vector("red", "green", "blue", "cyan", "teal", "plum", "gold")
+    val docs = (0L until 120L).map(id => (id,
+        Vector.fill(4 + rng.nextInt(10))(vocab(rng.nextInt(vocab.size)))
+          .mkString(" ")))
+      .toDF("doc_id", "text")
+    def contaminated(mod: Long): Set[Long] =
+      PipelineOps.decontaminate(docs, col("doc_id") % mod === 0)
+        .filter(col("contaminated") === 1L)
+        .select("doc_id").as[Long].collect().toSet
+    // eval(%20) ⊇ eval(%40): a larger eval set can only flag more docs
+    // (restricted to docs outside both eval sets, where both are defined)
+    val small = contaminated(40L)
+    val large = contaminated(20L)
+    val commonTrain = (0L until 120L).filter(id => id % 20 != 0).toSet
+    assert((small & commonTrain).subsetOf(large & commonTrain),
+      s"small=${small & commonTrain} large=${large & commonTrain}")
+    assert(large.nonEmpty) // dense vocab guarantees shared shingles
+  }
+
   // ---- hash kernels -----------------------------------------------------
 
   test("base60 stays in [0, 2^60) and is deterministic on arbitrary strings") {
