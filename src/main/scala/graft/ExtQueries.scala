@@ -394,6 +394,22 @@ object ExtQueries {
         "SELECT \"doc_id\", top_word_frac AS \"top_word_frac\", dup_bigram_frac AS \"dup_bigram_frac\", " +
         "CAST(CASE WHEN top_word_frac > 0.2 OR dup_bigram_frac > 0.4 THEN 1 ELSE 0 END AS BIGINT) AS \"flagged\" " +
         "FROM m ORDER BY 1")),
+    // Corpus-wide bigram heavy hitters: explode -> partial-aggregated
+    // count -> global top-k (TakeOrderedAndProject: per-partition top-k,
+    // then a k-row merge on the driver — no global sort materialises).
+    // Ties break on the bigram string so the result is deterministic.
+    Q("q_ngram_topk", (s, dir) =>
+      Tables.read(s, dir, "documents")
+        .select(explode(PipelineOps.bigrams(split(col("text"), " "))).as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram"))
+        .limit(20),
+      Some(s"WITH $tokCte, " +
+        "bg AS (SELECT list_transform(range(1, greatest(len(toks) - 1, 1) + 1), " +
+        "i -> array_to_string(list_slice(toks, i, i + 1), ' ')) AS bgs FROM tok), " +
+        "x AS (SELECT unnest(bgs) AS ngram FROM bg) " +
+        "SELECT ngram AS \"ngram\", count(*) AS \"n\" FROM x " +
+        "GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20")),
     // Token-budget subset: keep docs in hash-priority order until the
     // running token total hits the budget. Spark runs the two-phase
     // bucketed equivalent (global windows don't scale); the oracle runs
