@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.expr.{E, Pipeline, Stage, C, Lit, SLit, CastD, If, ILit}
 import graft.expr.E._
-import graft.ext.{CorpusIO, Dedup, DualHash, PipelineOps, Similarity, TextAnalysis => TA}
+import graft.ext.{CorpusIO, CorpusStats, Dedup, DualHash, KMeansDet, PipelineOps, Similarity, TextAnalysis => TA}
 import graft.expressions.SimHash64
 import graft.Queries.Q
 
@@ -487,7 +487,47 @@ object ExtQueries {
          | CAST(count(*) AS DOUBLE) AS "n_docs",
          | sum("n_tokens") AS "sum_tokens"
          | FROM base GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
-    })
+    }),
+    // ---- corpus statistics (CorpusStats) --------------------------------
+    // Best-quality docs per language, ranked by the identical quality
+    // arithmetic on both engines. Spark runs the two-phase salted rank
+    // (no language ever gathers into one window task); the oracle runs
+    // the literal global window — row-identical by construction.
+    Q("q_grouped_topk", (s, dir) => {
+      val base = Tables.read(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          E.toColumn(TA.qualityScore(text)).as("quality"))
+      CorpusStats.groupedTopK(base, Seq(col("lang")),
+          Seq(col("quality").desc, col("doc_id")), col("doc_id"), k = 5)
+        .select(col("lang"), col("doc_id"),
+          org.apache.spark.sql.functions.round(col("quality"), 6).as("quality"),
+          col("rk"))
+        .orderBy("lang", "rk")
+    }, Some {
+      val qs = E.toSql(TA.qualityScore(text))
+      s"""WITH q AS (SELECT "lang", "doc_id", $qs AS quality FROM documents),
+         | r AS (SELECT *, row_number() OVER (PARTITION BY "lang"
+         |   ORDER BY quality DESC, "doc_id") AS rk FROM q)
+         | SELECT "lang", "doc_id", round(quality, 6) AS "quality", rk AS "rk"
+         | FROM r WHERE rk <= 5 ORDER BY "lang", rk""".stripMargin
+        .replace("\n", " ")
+    }),
+    Q("q_tfidf_topterms", (s, dir) =>
+      CorpusStats.tfidfTopTerms(Tables.read(s, dir, "documents"), k = 3)
+        .orderBy("doc_id", "rk"),
+      Some(CorpusStats.tfidfOracleSql(3))),
+    Q("q_lang_quantiles", (s, dir) =>
+      CorpusStats.langQuantiles(Tables.read(s, dir, "documents"))
+        .orderBy("lang"),
+      Some(CorpusStats.langQuantilesOracleSql)),
+    // Deterministic fixed-point k-means: the full 2-iteration fit is
+    // hash-matched — quantized coordinates make every distance, argmin
+    // and centroid mean exact, so the oracle reproduces the fit
+    // bit-for-bit (see KMeansDet scaladoc for why this matters at scale).
+    Q("q_kmeans_embed", (s, dir) =>
+      KMeansDet.fit(Tables.read(s, dir, "embeddings"), k = 4, iters = 2)
+        .orderBy("vec_id"),
+      Some(KMeansDet.oracleSql(k = 4, iters = 2, dim = 64)))
   )
 
   /** Projection applied after the JSONL read-back (and, in the oracle, to

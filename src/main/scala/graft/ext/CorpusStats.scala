@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level statistics operators for training-data curation:
+  * per-group top-k selection, TF-IDF term weighting, and exact
+  * per-group quantiles.
+  */
+object CorpusStats {
+
+  /** Scale-safe per-group top-k. A single `Window.partitionBy(group)` is
+    * the textbook form but gathers EVERY row of a group into one task —
+    * with 5 languages over 100 TB that is a straight OOM. Instead rank in
+    * two phases: a local top-k within (group, salt mod buckets), then the
+    * real rank over the <= k*buckets survivors per group. Row-identical
+    * to the global window (any global top-k row is also top-k in its
+    * bucket), but no task ever sees more than its bucket slice.
+    *
+    * @param order ranking columns (the window ORDER BY; include an id
+    *              tiebreak so ranks are total)
+    * @param salt  any well-distributed integer column (e.g. the doc id)
+    */
+  def groupedTopK(df: DataFrame, group: Seq[Column], order: Seq[Column],
+                  salt: Column, k: Int, buckets: Int = 64): DataFrame = {
+    val local = Window.partitionBy(group :+ pmod(salt, lit(buckets)): _*)
+      .orderBy(order: _*)
+    val global = Window.partitionBy(group: _*).orderBy(order: _*)
+    df.withColumn("rk", row_number().over(local)).filter(col("rk") <= k)
+      .withColumn("rk", row_number().over(global)).filter(col("rk") <= k)
+  }
+
+  /** Top-k terms per document by TF-IDF (idf = ln((N+1)/(df+1)) + 1, the
+    * smoothed sklearn form). Two aggregations — (doc, term) counts and
+    * per-term doc frequencies — then a term-keyed join AQE can broadcast
+    * when the post-threshold vocabulary is small, and the per-doc top-k
+    * window (bounded by the doc's distinct-term count, never corpus
+    * size). N comes from a driver count — one scalar, same value the
+    * oracle's COUNT(*) subquery computes. */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    val n = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log((lit(n.toDouble) + lit(1.0)) /
+      (col("df").cast("double") + lit(1.0))) + lit(1.0)
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term")
+      .withColumn("tfidf", col("tf").cast("double") * idf)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"),
+        round(col("tfidf"), 6).as("tfidf"), col("rk"))
+  }
+
+  /** DuckDB rendering of [[tfidfTopTerms]] — identical tokenization,
+    * counts, idf arithmetic and (tfidf DESC, term) ranking. */
+  def tfidfOracleSql(k: Int): String =
+    s"""WITH tok AS (SELECT "doc_id", string_split("text", ' ') AS toks FROM documents),
+       | tk AS (SELECT "doc_id", unnest(toks) AS term FROM tok),
+       | tf AS (SELECT "doc_id", term, count(*) AS tf FROM tk GROUP BY 1, 2),
+       | df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       | sc AS (SELECT tf."doc_id", tf.term,
+       |   CAST(tf.tf AS DOUBLE) * (ln((CAST((SELECT count(*) FROM documents) AS DOUBLE) + 1.0e0)
+       |     / (CAST(df.df AS DOUBLE) + 1.0e0)) + 1.0e0) AS tfidf
+       |   FROM tf JOIN df USING (term)),
+       | r AS (SELECT *, row_number() OVER (PARTITION BY "doc_id"
+       |   ORDER BY tfidf DESC, term) AS rk FROM sc)
+       | SELECT "doc_id", term AS "term", round(tfidf, 6) AS "tfidf", rk AS "rk"
+       | FROM r WHERE rk <= $k ORDER BY "doc_id", rk""".stripMargin
+      .replace("\n", " ")
+
+  /** Exact per-language length quantiles. Spark's `percentile` holds a
+    * value->count map per group — bounded by DISTINCT lengths (small
+    * ints), not row count, so it survives scale; corpora with unbounded
+    * continuous keys should switch to approx_percentile. */
+  def langQuantiles(docs: DataFrame): DataFrame =
+    docs.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      round(expr("percentile(n_chars, 0.5D)"), 6).as("p50"),
+      round(expr("percentile(n_chars, 0.9D)"), 6).as("p90"),
+      round(expr("percentile(n_chars, 0.99D)"), 6).as("p99"))
+
+  val langQuantilesOracleSql: String =
+    """SELECT "lang", count(*) AS "n_docs",
+      | round(quantile_cont("n_chars", 0.5), 6) AS "p50",
+      | round(quantile_cont("n_chars", 0.9), 6) AS "p90",
+      | round(quantile_cont("n_chars", 0.99), 6) AS "p99"
+      | FROM documents GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
+}
