@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.expr.{E, Pipeline, Stage, C, Lit, SLit, CastD, If, ILit}
 import graft.expr.E._
-import graft.ext.{CorpusIO, CorpusStats, Dedup, DualHash, KMeansDet, PipelineOps, Similarity, TextAnalysis => TA}
+import graft.ext.{CorpusIO, CorpusStats, Dedup, DualHash, KMeansDet, PipelineOps, SemDedup, Similarity, TextAnalysis => TA}
 import graft.expressions.SimHash64
 import graft.Queries.Q
 
@@ -527,7 +527,25 @@ object ExtQueries {
     Q("q_kmeans_embed", (s, dir) =>
       KMeansDet.fit(Tables.read(s, dir, "embeddings"), k = 4, iters = 2)
         .orderBy("vec_id"),
-      Some(KMeansDet.oracleSql(k = 4, iters = 2, dim = 64)))
+      Some(KMeansDet.oracleSql(k = 4, iters = 2, dim = 64))),
+    // SemDeDup (arXiv:2303.09540): k-means blocks the all-pairs cosine;
+    // near-dup pairs are found within clusters only. Same pair semantics
+    // as q_dedup_embedding_cosine but the candidate space is k bounded
+    // blocks instead of n² — the semantic sibling of the LSH path. The
+    // full fit + pairing is hash-matched (quantized exact arithmetic).
+    Q("q_semdedup", (s, dir) =>
+      SemDedup.pairs(Tables.read(s, dir, "embeddings"),
+          k = 4, iters = 2, threshold = 0.35)
+        .orderBy("keep_id", "drop_id"),
+      Some(SemDedup.pairsOracleSql(k = 4, iters = 2, dim = 64,
+        threshold = 0.35))),
+    // Concat-and-chunk sequence packing: the (doc, seq) overlap index for
+    // fixed-length pretraining batches. Two-phase bucketed cumsum on the
+    // Spark side; the oracle runs the literal global window.
+    Q("q_seq_pack", (s, dir) =>
+      PipelineOps.seqPack(Tables.read(s, dir, "documents"), 512L)
+        .orderBy("seq_id", "doc_id"),
+      Some(PipelineOps.seqPackOracleSql(512L)))
   )
 
   /** Projection applied after the JSONL read-back (and, in the oracle, to

@@ -73,20 +73,28 @@ object KMeansDet {
     }.toArray
   }
 
-  /** Fixed-iteration fit; returns (vec_id, cid, dist2 rounded). */
-  def fit(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+  /** Fixed-iteration fit keeping the quantized vector; returns
+    * (vec_id, v, cid, dist2) — the raw surface SemDedup pairs on. */
+  def fitFull(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
     val e = prepared(embeddings)
     var cents: Array[Array[Double]] = e.orderBy("vec_id").limit(k)
       .collect().map(_.getSeq[Double](1).toArray)
     for (_ <- 1 to iters) cents = update(assign(e, cents), cents)
     assign(e, cents)
-      .select(col("vec_id"), col("cid"), round(col("dist2"), 6).as("dist2"))
   }
+
+  /** Fixed-iteration fit; returns (vec_id, cid, dist2 rounded). */
+  def fit(embeddings: DataFrame, k: Int, iters: Int): DataFrame =
+    fitFull(embeddings, k, iters)
+      .select(col("vec_id"), col("cid"), round(col("dist2"), 6).as("dist2"))
 
   /** DuckDB rendering of the identical fit: same quantization, same dot
     * identity, same long-sum centroid mean, iterations unrolled as CTE
-    * stages. Dim is fixed by the caller (Spark infers it from the data). */
-  def oracleSql(k: Int, iters: Int, dim: Int): String = {
+    * stages. Dim is fixed by the caller (Spark infers it from the data).
+    * Returns the full `WITH ...` prefix whose last stage `fin` holds
+    * (vec_id, v, cid, dist2) — callers append their own SELECT (SemDedup
+    * composes within-cluster pairing on top of it). */
+  def oracleStages(k: Int, iters: Int, dim: Int): String = {
     val q = "list_transform(CAST(\"embedding\" AS DOUBLE[]), " +
       s"x -> round(x * ${Scale}e0) / ${Scale}e0)"
     def assignCte(out: String, cn: String) =
@@ -116,8 +124,11 @@ object KMeansDet {
       stages += updateCte(s"a$i", s"c${i - 1}", s"c$i")
     }
     stages += assignCte("fin", s"c$iters")
-    (s"WITH ${stages.mkString(", ")} " +
-      "SELECT \"vec_id\", cid AS \"cid\", round(dist2, 6) AS \"dist2\" " +
-      "FROM fin ORDER BY \"vec_id\"").replace("\n", " ")
+    s"WITH ${stages.mkString(", ")}".replace("\n", " ")
   }
+
+  def oracleSql(k: Int, iters: Int, dim: Int): String =
+    oracleStages(k, iters, dim) +
+      " SELECT \"vec_id\", cid AS \"cid\", round(dist2, 6) AS \"dist2\"" +
+      " FROM fin ORDER BY \"vec_id\""
 }

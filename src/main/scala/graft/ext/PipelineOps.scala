@@ -130,6 +130,76 @@ object PipelineOps {
     out.select(col("doc_id"), col("n_tokens"), round(col("pri"), 6).as("pri"))
   }
 
+  /** Concat-and-chunk sequence packing — the standard pretraining layout:
+    * documents are laid end-to-end in a deterministic shuffled order
+    * (hash priority, ties by doc_id) and the resulting token stream is
+    * cut into fixed `seqLen` training sequences. Emits one row per
+    * (document, sequence) overlap with the document's offset and token
+    * count inside that sequence — the index a sequence-builder needs to
+    * materialize packed batches without ever shuffling text.
+    *
+    * The global token cumsum uses the same two-phase bucket scheme as
+    * [[tokenBudget]]: per-bucket totals → driver prefix (`buckets`
+    * longs) → per-bucket windows joined to a broadcast offset table.
+    * Row-identical to the literal global window (bucket index is monotone
+    * in priority) with no single-task stage. The explode is bounded: a
+    * document spans at most ceil(n/seqLen)+1 sequences, and every
+    * shuffled row carries (doc_id, 3 longs), never text.
+    */
+  def seqPack(docs: DataFrame, seqLen: Long, salt: String = ":pack",
+              buckets: Int = 1024): DataFrame = {
+    val base = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        hashUniform(col("doc_id"), salt).as("pri"))
+      .withColumn("bucket", floor(col("pri") * buckets).cast("long"))
+    val sums = base.groupBy("bucket").agg(sum("n_tokens").as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val offsets = Array.iterate((0L, 0L), buckets) { case (b, acc) =>
+      (b + 1, acc + sums.getOrElse(b, 0L))
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("bucket", "off")
+    val w = Window.partitionBy("bucket").orderBy("pri", "doc_id")
+    val spans = base
+      .withColumn("cumb", sum("n_tokens").over(w))
+      .join(broadcast(offDf), Seq("bucket"))
+      .withColumn("en", col("cumb") + col("off"))
+      .withColumn("st", col("en") - col("n_tokens"))
+    spans
+      .select(col("doc_id"), col("st"), col("en"),
+        explode(sequence(
+          floor(col("st") / lit(seqLen.toDouble)).cast("long"),
+          floor((col("en") - 1) / lit(seqLen.toDouble)).cast("long")))
+          .as("seq_id"))
+      .withColumn("seq0", col("seq_id") * seqLen)
+      .select(col("doc_id"), col("seq_id"),
+        (greatest(col("st"), col("seq0")) - col("seq0")).as("off_in_seq"),
+        (least(col("en"), col("seq0") + seqLen) -
+          greatest(col("st"), col("seq0"))).as("n_in_seq"))
+  }
+
+  /** DuckDB mirror of [[seqPack]]: the literal global cumsum window plus
+    * a lateral generate_series over the spanned sequence ids. */
+  def seqPackOracleSql(seqLen: Long, salt: String = ":pack"): String = {
+    val u = hashUniformSql("\"doc_id\"", salt)
+    val L = s"${seqLen}"
+    s"""WITH b AS (SELECT "doc_id",
+       | CAST(len(string_split("text", ' ')) AS BIGINT) AS n,
+       | $u AS pri FROM documents),
+       | c AS (SELECT "doc_id", n, sum(n) OVER
+       |   (ORDER BY pri, "doc_id" ROWS UNBOUNDED PRECEDING) AS cum FROM b),
+       | e AS (SELECT "doc_id", CAST(cum - n AS BIGINT) AS st,
+       |   CAST(cum AS BIGINT) AS en FROM c),
+       | x AS (SELECT "doc_id", st, en,
+       |   unnest(generate_series(CAST(floor(st / ${L}.0e0) AS BIGINT),
+       |     CAST(floor((en - 1) / ${L}.0e0) AS BIGINT))) AS seq FROM e)
+       | SELECT "doc_id", seq AS "seq_id",
+       |   greatest(st, seq * $L) - seq * $L AS "off_in_seq",
+       |   least(en, (seq + 1) * $L) - greatest(st, seq * $L) AS "n_in_seq"
+       | FROM x ORDER BY "seq_id", "doc_id"""".stripMargin.replace("\n", " ")
+  }
+
   /** Fraction of tokens taken by the single most frequent token — the
     * Gopher-style "top word" repetition signal. Computed with array
     * higher-order functions (no explode, no shuffle): per-doc cost is
