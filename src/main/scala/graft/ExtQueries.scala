@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.expr.{E, Pipeline, Stage, C, Lit, SLit, CastD, If, ILit}
 import graft.expr.E._
-import graft.ext.{CorpusIO, CorpusStats, Dedup, DualHash, KMeansDet, PipelineOps, SemDedup, Similarity, TextAnalysis => TA}
+import graft.ext.{CorpusIO, CorpusStats, Dedup, DualHash, KMeansDet, PipelineOps, SemDedup, Similarity, Sketches, TextAnalysis => TA}
 import graft.expressions.SimHash64
 import graft.Queries.Q
 
@@ -545,7 +545,53 @@ object ExtQueries {
     Q("q_seq_pack", (s, dir) =>
       PipelineOps.seqPack(Tables.read(s, dir, "documents"), 512L)
         .orderBy("seq_id", "doc_id"),
-      Some(PipelineOps.seqPackOracleSql(512L)))
+      Some(PipelineOps.seqPackOracleSql(512L))),
+    // RAG-style overlapping token chunking: 64-token windows advancing by
+    // 48 (16-token overlap), last window shortened to the doc end. Pure
+    // per-row explode — no shuffle; chunk text compared byte-for-byte.
+    Q("q_chunk_overlap", (s, dir) =>
+      PipelineOps.chunkOverlap(Tables.read(s, dir, "documents"),
+          chunkSize = 64, stride = 48)
+        .orderBy("doc_id", "chunk_id"),
+      Some(PipelineOps.chunkOverlapOracleSql(chunkSize = 64, stride = 48))),
+    // Stratified per-language sample: fixed count per stratum, selected
+    // by deterministic hash rank (reproducible + resumable, like
+    // q_domain_mix but count-exact). Rank runs through the salted
+    // two-phase groupedTopK, so no language gathers into one task.
+    Q("q_stratified_sample", (s, dir) => {
+      val base = Tables.read(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          PipelineOps.hashUniform(col("doc_id"), ":strat").as("pri"))
+      CorpusStats.groupedTopK(base, Seq(col("lang")),
+          Seq(col("pri"), col("doc_id")), col("doc_id"), k = 25)
+        .select(col("lang"), col("doc_id"),
+          org.apache.spark.sql.functions.round(col("pri"), 6).as("pri"),
+          col("rk"))
+        .orderBy("lang", "rk")
+    }, Some {
+      val u = PipelineOps.hashUniformSql("\"doc_id\"", ":strat")
+      s"""WITH b AS (SELECT "lang", "doc_id", $u AS pri FROM documents),
+         | r AS (SELECT *, row_number() OVER (PARTITION BY "lang"
+         |   ORDER BY pri, "doc_id") AS rk FROM b)
+         | SELECT "lang", "doc_id", round(pri, 6) AS "pri", rk AS "rk"
+         | FROM r WHERE rk <= 25 ORDER BY "lang", rk""".stripMargin
+        .replace("\n", " ")
+    }),
+    // KMV distinct-count sketch: bounded mergeable state (k=256 hash
+    // minima) instead of count(DISTINCT)'s full shuffle of distinct
+    // keys. Order-independent state -> the estimate is bit-reproducible
+    // and the oracle hash-matches it (see Sketches scaladoc).
+    Q("q_kmv_distinct", (s, dir) =>
+      Tables.read(s, dir, "lineitem")
+        .select(Sketches.hashUnit(col("l_orderkey"), ":kmv").as("h"),
+          col("l_orderkey"))
+        .agg(
+          org.apache.spark.sql.functions
+            .round(Sketches.kmvEstimate(col("h"), 256), 6)
+            .as("est_distinct"),
+          countDistinct(col("l_orderkey")).cast("double")
+            .as("exact_distinct")),
+      Some(Sketches.kmvOracleSql("lineitem", "\"l_orderkey\"", ":kmv", 256)))
   )
 
   /** Projection applied after the JSONL read-back (and, in the oracle, to

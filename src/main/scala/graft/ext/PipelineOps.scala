@@ -200,6 +200,49 @@ object PipelineOps {
        | FROM x ORDER BY "seq_id", "doc_id"""".stripMargin.replace("\n", " ")
   }
 
+  /** Overlapping token-window chunking — the RAG / long-context prep
+    * stage: each document becomes ceil-spaced windows of `chunkSize`
+    * tokens advancing by `stride` (overlap = chunkSize - stride), the
+    * last window shortened to the document end. Pure per-row explode:
+    * no shuffle at all, chunk count per doc is bounded by
+    * n/stride + 1, and the output carries the chunk text a retrieval
+    * indexer embeds next. */
+  def chunkOverlap(docs: DataFrame, chunkSize: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunkSize > stride,
+      "chunkSize must exceed stride so windows cover every token")
+    val base = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+      .withColumn("kmax", when(col("n") <= chunkSize, lit(0L)).otherwise(
+        floor((col("n") - chunkSize + stride - 1) / lit(stride.toDouble))
+          .cast("long")))
+    base
+      .select(col("doc_id"), col("t"), col("n"),
+        explode(sequence(lit(0L), col("kmax"))).as("chunk_id"))
+      .withColumn("st", col("chunk_id") * stride)
+      .select(col("doc_id"), col("chunk_id"),
+        least(col("n") - col("st"), lit(chunkSize.toLong)).as("n_chunk"),
+        array_join(slice(col("t"), (col("st") + 1).cast("int"),
+          lit(chunkSize)), " ").as("chunk"))
+  }
+
+  /** DuckDB mirror of [[chunkOverlap]] (unnest(generate_series) explode,
+    * list_slice window, identical ceil arithmetic). */
+  def chunkOverlapOracleSql(chunkSize: Int, stride: Int): String =
+    s"""WITH b AS (SELECT "doc_id", string_split("text", ' ') AS t,
+       |   CAST(len(string_split("text", ' ')) AS BIGINT) AS n FROM documents),
+       | k AS (SELECT "doc_id", t, n, CASE WHEN n <= $chunkSize THEN 0
+       |   ELSE CAST(floor((n - $chunkSize + $stride - 1) / ${stride}.0e0) AS BIGINT)
+       |   END AS kmax FROM b),
+       | x AS (SELECT "doc_id", t, n,
+       |   unnest(generate_series(0, kmax)) AS chunk_id FROM k)
+       | SELECT "doc_id", chunk_id AS "chunk_id",
+       |   least(n - chunk_id * $stride, $chunkSize) AS "n_chunk",
+       |   array_to_string(list_slice(t, CAST(chunk_id * $stride + 1 AS BIGINT),
+       |     CAST(least(chunk_id * $stride + $chunkSize, n) AS BIGINT)), ' ')
+       |     AS "chunk"
+       | FROM x ORDER BY "doc_id", chunk_id""".stripMargin.replace("\n", " ")
+
   /** Fraction of tokens taken by the single most frequent token — the
     * Gopher-style "top word" repetition signal. Computed with array
     * higher-order functions (no explode, no shuffle): per-doc cost is

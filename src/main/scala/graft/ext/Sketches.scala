@@ -1,0 +1,86 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Mergeable sketches as typed Spark [[Aggregator]]s.
+  *
+  * The point at 100 TB: a KMV (k-minimum-values) distinct-count sketch
+  * aggregates map-side to a bounded k-value state and merges
+  * associatively, so estimating distinct cardinality costs one partial
+  * aggregation — never the full shuffle of distinct keys that
+  * count(DISTINCT) pays. Unlike HLL (Spark's approx_count_distinct,
+  * whose register layout no external oracle reproduces), KMV over a
+  * deterministic hash has an ORDER-INDEPENDENT state — the k smallest
+  * distinct hash values are the same set under any partitioning, merge
+  * tree, or task retry — so the estimate is bit-for-bit reproducible and
+  * the DuckDB oracle (DISTINCT → ORDER BY → LIMIT k) hash-matches it
+  * exactly. Estimator: (k-1)/h_(k) for uniform hashes on (0,1]
+  * (Bar-Yossef et al. 2002; Beyer et al. SIGMOD 2007).
+  */
+object Sketches {
+
+  /** 13 hex digits = 52 bits: the hash integer stays exactly
+    * representable in a double, and the (0,1] normalization divides by a
+    * power of two — both engines compute the identical value. */
+  val HexDigits = 13
+  val Denom: Double = 4503599627370496.0 // 2^52
+
+  def hashUnit(key: Column, salt: String): Column =
+    (conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, HexDigits),
+      16, 10).cast("double") + lit(1.0)) / lit(Denom)
+
+  def hashUnitSql(keyExpr: String, salt: String): String =
+    s"(CAST(CAST(concat('0x', substr(md5(concat(CAST($keyExpr AS VARCHAR), " +
+      s"'$salt')), 1, $HexDigits)) AS BIGINT) AS DOUBLE) + 1.0e0) / " +
+      s"${Denom.toLong}.0e0"
+
+  /** KMV state = the k smallest DISTINCT hash values seen, kept sorted
+    * ascending. reduce is O(1) for the overwhelmingly common case (value
+    * above the current k-th minimum once the buffer fills). */
+  class KMV(k: Int) extends Aggregator[Double, Seq[Double], Double] {
+    require(k >= 2, "KMV needs k >= 2")
+
+    def zero: Seq[Double] = Vector.empty
+
+    def reduce(b: Seq[Double], a: Double): Seq[Double] =
+      if (b.size >= k && a >= b.last) b else insert(b, a)
+
+    def merge(b1: Seq[Double], b2: Seq[Double]): Seq[Double] =
+      b2.foldLeft(b1)(reduce)
+
+    private def insert(b: Seq[Double], a: Double): Seq[Double] = {
+      val i = b.search(a).insertionPoint
+      if (i < b.size && b(i) == a) b // duplicate hash: already counted
+      else {
+        val nb = (b.take(i) :+ a) ++ b.drop(i)
+        if (nb.size > k) nb.take(k) else nb
+      }
+    }
+
+    def finish(b: Seq[Double]): Double =
+      if (b.size < k) b.size.toDouble // fewer distincts than k: exact
+      else (k - 1).toDouble / b.last
+
+    def bufferEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** The sketch as an untyped aggregate column over a hashUnit column. */
+  def kmvEstimate(h: Column, k: Int): Column = udaf(new KMV(k)).apply(h)
+
+  /** DuckDB mirror: distinct hashes → k smallest → same estimator. */
+  def kmvOracleSql(table: String, keyExpr: String, salt: String,
+                   k: Int): String =
+    s"""WITH h AS (SELECT DISTINCT ${hashUnitSql(keyExpr, salt)} AS h
+       | FROM $table),
+       | tk AS (SELECT h FROM h ORDER BY h LIMIT $k),
+       | s AS (SELECT count(*) AS nk, max(h) AS th FROM tk)
+       | SELECT round(CASE WHEN nk < $k THEN CAST(nk AS DOUBLE)
+       |   ELSE ${k - 1}.0e0 / th END, 6) AS "est_distinct",
+       |   CAST((SELECT count(DISTINCT $keyExpr) FROM $table) AS DOUBLE)
+       |     AS "exact_distinct"
+       | FROM s""".stripMargin.replace("\n", " ")
+}

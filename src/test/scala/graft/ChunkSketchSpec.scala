@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{PipelineOps, Sketches}
+
+/** Laws for overlapping chunking and the KMV distinct sketch. */
+class ChunkSketchSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = Tables.read(spark, sf, "documents")
+
+  // ---- chunkOverlap ------------------------------------------------------
+
+  private lazy val chunks = PipelineOps.chunkOverlap(docs, 64, 48)
+
+  test("chunking covers every token: stitching strided chunks rebuilds the doc") {
+    // drop the overlapping head (chunkSize-stride tokens) of every chunk
+    // after the first, concatenate in chunk order -> original text
+    val rebuilt = chunks
+      .withColumn("part", when(col("chunk_id") === 0, col("chunk"))
+        .otherwise(array_join(
+          slice(split(col("chunk"), " "), 64 - 48 + 1, 48), " ")))
+      .groupBy("doc_id")
+      .agg(array_join(array_sort(collect_list(struct(col("chunk_id"),
+        col("part")))).getField("part"), " ").as("rebuilt"))
+    val bad = rebuilt.join(docs.select("doc_id", "text"), "doc_id")
+      .filter(col("rebuilt") =!= col("text"))
+    assert(bad.isEmpty, "stitched chunks must reproduce the document")
+  }
+
+  test("interior chunks are exactly chunkSize tokens and stride apart") {
+    val interior = chunks.join(
+      chunks.groupBy("doc_id").agg(max("chunk_id").as("last")), "doc_id")
+      .filter(col("chunk_id") < col("last"))
+      .filter(col("n_chunk") =!= 64L)
+    assert(interior.isEmpty)
+  }
+
+  test("short documents produce exactly one chunk") {
+    val short = docs.filter(size(split(col("text"), " ")) <= 64)
+    val n = PipelineOps.chunkOverlap(short, 64, 48)
+      .groupBy("doc_id").count().filter(col("count") =!= 1L)
+    assert(n.isEmpty)
+    assert(short.count() > 0, "corpus should contain short docs")
+  }
+
+  // ---- KMV sketch --------------------------------------------------------
+
+  test("KMV estimate is invariant under repartitioning (merge order)") {
+    val h = Tables.read(spark, sf, "lineitem")
+      .select(Sketches.hashUnit(col("l_orderkey"), ":kmv").as("h"))
+    val ests = Seq(1, 7, 32).map { p =>
+      h.repartition(p).agg(Sketches.kmvEstimate(col("h"), 128)).head.getDouble(0)
+    }
+    assert(ests.distinct.size == 1,
+      s"order-independent state must give one estimate, got $ests")
+  }
+
+  test("KMV is exact below k") {
+    val small = (1 to 57).toDF("id")
+      .select(Sketches.hashUnit(col("id"), ":t").as("h"))
+    val est = small.agg(Sketches.kmvEstimate(col("h"), 128)).head.getDouble(0)
+    assert(est == 57.0)
+  }
+
+  test("KMV duplicate keys do not inflate the estimate") {
+    val dups = (1 to 57).flatMap(i => Seq.fill(5)(i)).toDF("id")
+      .select(Sketches.hashUnit(col("id"), ":t").as("h"))
+    val est = dups.agg(Sketches.kmvEstimate(col("h"), 128)).head.getDouble(0)
+    assert(est == 57.0)
+  }
+
+  test("KMV relative error stays inside 4 standard deviations") {
+    val li = Tables.read(spark, sf, "lineitem")
+    val r = li.select(Sketches.hashUnit(col("l_orderkey"), ":kmv").as("h"),
+        col("l_orderkey"))
+      .agg(Sketches.kmvEstimate(col("h"), 256).as("est"),
+        countDistinct("l_orderkey").cast("double").as("exact"))
+      .head
+    val (est, exact) = (r.getDouble(0), r.getDouble(1))
+    val sigma = 1.0 / math.sqrt(255.0)
+    assert(math.abs(est - exact) / exact < 4 * sigma,
+      s"est $est vs exact $exact")
+  }
+}
