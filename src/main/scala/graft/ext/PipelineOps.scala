@@ -200,6 +200,32 @@ object PipelineOps {
        | FROM x ORDER BY "seq_id", "doc_id"""".stripMargin.replace("\n", " ")
   }
 
+  /** PII patterns for [[scrubPii]]. Deliberately conservative,
+    * well-understood regexes (emails, dotted-quad IPs, phone-like digit
+    * runs) — the shapes production corpus scrubbers start from. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val PhoneRe = "\\+?\\d[\\d() -]{6,}\\d"
+
+  /** PII redaction: replace emails / IPv4s / phone-like runs with typed
+    * placeholder tokens and count each category. A pure per-row codegen'd
+    * projection — shuffle-free, order-insensitive, safe at any scale.
+    * Emails are scrubbed first (an address would otherwise feed partial
+    * matches to the IP/phone patterns). The synthetic test corpus
+    * contains no PII, so this stage is verified by `PiiScrubSpec` on
+    * constructed rows rather than a driver query. */
+  def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, EmailRe, "<EMAIL>")
+    val t2 = regexp_replace(t1, Ipv4Re, "<IP>")
+    val t3 = regexp_replace(t2, PhoneRe, "<PHONE>")
+    docs
+      .withColumn("n_emails", regexp_count(t0, lit(EmailRe)))
+      .withColumn("n_ips", regexp_count(t1, lit(Ipv4Re)))
+      .withColumn("n_phones", regexp_count(t2, lit(PhoneRe)))
+      .withColumn(textCol, t3)
+  }
+
   /** Overlapping token-window chunking — the RAG / long-context prep
     * stage: each document becomes ceil-spaced windows of `chunkSize`
     * tokens advancing by `stride` (overlap = chunkSize - stride), the
