@@ -581,16 +581,18 @@ object ExtQueries {
     // minima) instead of count(DISTINCT)'s full shuffle of distinct
     // keys. Order-independent state -> the estimate is bit-reproducible
     // and the oracle hash-matches it (see Sketches scaladoc).
+    // Estimate only — adding a countDistinct companion column would
+    // reintroduce the very distinct-key shuffle the sketch avoids (the
+    // accuracy-vs-exact law lives in ChunkSketchSpec instead). Plan:
+    // partial ObjectHashAggregate with the bounded k-value buffer, one
+    // exchange of one buffer row, final merge.
     Q("q_kmv_distinct", (s, dir) =>
       Tables.read(s, dir, "lineitem")
-        .select(Sketches.hashUnit(col("l_orderkey"), ":kmv").as("h"),
-          col("l_orderkey"))
+        .select(Sketches.hashUnit(col("l_orderkey"), ":kmv").as("h"))
         .agg(
           org.apache.spark.sql.functions
             .round(Sketches.kmvEstimate(col("h"), 256), 6)
-            .as("est_distinct"),
-          countDistinct(col("l_orderkey")).cast("double")
-            .as("exact_distinct")),
+            .as("est_distinct")),
       Some(Sketches.kmvOracleSql("lineitem", "\"l_orderkey\"", ":kmv", 256)))
   )
 

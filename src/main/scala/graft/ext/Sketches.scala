@@ -79,8 +79,6 @@ object Sketches {
        | tk AS (SELECT h FROM h ORDER BY h LIMIT $k),
        | s AS (SELECT count(*) AS nk, max(h) AS th FROM tk)
        | SELECT round(CASE WHEN nk < $k THEN CAST(nk AS DOUBLE)
-       |   ELSE ${k - 1}.0e0 / th END, 6) AS "est_distinct",
-       |   CAST((SELECT count(DISTINCT $keyExpr) FROM $table) AS DOUBLE)
-       |     AS "exact_distinct"
+       |   ELSE ${k - 1}.0e0 / th END, 6) AS "est_distinct"
        | FROM s""".stripMargin.replace("\n", " ")
 }
