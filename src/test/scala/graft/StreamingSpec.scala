@@ -138,6 +138,24 @@ class StreamingSpec extends SparkSpec {
     assert(dups.get(4L).contains(3L), s"re-seeded state missed: $dups")
   }
 
+  test("chunking and PII scrub lift to streams unchanged (stateless stages)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.PipelineOps
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val out = PipelineOps.chunkOverlap(PipelineOps.scrubPii(stream), 4, 3)
+    mem.addData((1L, "a b c d e f mail bob@x.io end"))
+    val q = out.writeStream.format("memory").queryName("chunks")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("chunks").orderBy("chunk_id").collect()
+    // 9 tokens -> kmax = ceil((9-4)/3) = 2 -> 3 chunks; email redacted
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[String]("chunk")).toSeq ==
+      Seq("a b c d", "d e f mail", "mail <EMAIL> end"))
+  }
+
   test("scalar model expressions lift to streams unchanged") {
     implicit val sqlCtx = spark.sqlContext
     import graft.models.{CompCtx, Thermometers}
