@@ -593,7 +593,98 @@ object ExtQueries {
           org.apache.spark.sql.functions
             .round(Sketches.kmvEstimate(col("h"), 256), 6)
             .as("est_distinct")),
-      Some(Sketches.kmvOracleSql("lineitem", "\"l_orderkey\"", ":kmv", 256)))
+      Some(Sketches.kmvOracleSql("lineitem", "\"l_orderkey\"", ":kmv", 256))),
+    // Model-based quality filtering: fixed-weight logistic score over the
+    // heuristic text features — a codegen'd closed-form projection.
+    docQ("q_quality_logit",
+      "score" -> E.round(TA.qualityLogit(text), 6),
+      "keep" -> If(TA.qualityLogit(text) >= Lit(0.5), Lit(1.0), Lit(0.0))),
+    // PII redaction over deterministically injected PII (the synthetic
+    // corpus contains none, so each doc gets a doc_id-derived email, IP
+    // and phone appended on BOTH sides before scrubbing — making the
+    // regex-scrub arithmetic itself oracle-checked, like the multimodal
+    // decode stub). Java regex and DuckDB RE2 agree on these patterns;
+    // redacted text is compared by md5.
+    Q("q_scrub_pii", (s, dir) => {
+      val injected = Tables.read(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact "), col("doc_id").cast("string"),
+          lit("@ex.com at 10.0."), (col("doc_id") % 250 + 1).cast("string"),
+          lit(".7 or +1 555 010 "),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+      PipelineOps.scrubPii(injected)
+        .select(col("doc_id"),
+          col("n_emails").cast("long").as("n_emails"),
+          col("n_ips").cast("long").as("n_ips"),
+          col("n_phones").cast("long").as("n_phones"),
+          md5(col("text").cast("binary")).as("scrub_fp"))
+        .orderBy("doc_id")
+    }, Some {
+      val inj = """concat("text", ' contact ', CAST("doc_id" AS VARCHAR),
+        | '@ex.com at 10.0.', CAST("doc_id" % 250 + 1 AS VARCHAR),
+        | '.7 or +1 555 010 ',
+        | lpad(CAST("doc_id" % 10000 AS VARCHAR), 4, '0'))"""
+        .stripMargin.replace("\n", " ")
+      s"""WITH b AS (SELECT "doc_id", $inj AS t FROM documents),
+         | s1 AS (SELECT "doc_id", t,
+         |   regexp_replace(t, '${PipelineOps.EmailRe}', '<EMAIL>', 'g') AS t1
+         |   FROM b),
+         | s2 AS (SELECT "doc_id", t, t1,
+         |   regexp_replace(t1, '${PipelineOps.Ipv4Re}', '<IP>', 'g') AS t2
+         |   FROM s1),
+         | s3 AS (SELECT "doc_id", t, t1, t2,
+         |   regexp_replace(t2, '${PipelineOps.PhoneRe}', '<PHONE>', 'g') AS t3
+         |   FROM s2)
+         | SELECT "doc_id",
+         |   CAST(len(regexp_extract_all(t, '${PipelineOps.EmailRe}')) AS BIGINT)
+         |     AS "n_emails",
+         |   CAST(len(regexp_extract_all(t1, '${PipelineOps.Ipv4Re}')) AS BIGINT)
+         |     AS "n_ips",
+         |   CAST(len(regexp_extract_all(t2, '${PipelineOps.PhoneRe}')) AS BIGINT)
+         |     AS "n_phones",
+         |   md5(t3) AS "scrub_fp"
+         | FROM s3 ORDER BY "doc_id"""".stripMargin.replace("\n", " ")
+    }),
+    // Corpus-wide duplicated-passage removal (RefinedWeb/C4-style "line
+    // dedup" over fixed-width token segments): hot segments found by a
+    // hash-only doc-frequency pass, broadcast, and scrubbed per-row — the
+    // text never shuffles. The full rewrite (counts + cleaned text) is
+    // hash-matched against the join-based DuckDB rebuild.
+    Q("q_segment_dedup", (s, dir) =>
+      PipelineOps.segmentDedup(Tables.read(s, dir, "documents"),
+          segLen = 3, minDocs = 2)
+        .orderBy("doc_id"),
+      Some(PipelineOps.segmentDedupOracleSql(segLen = 3, minDocs = 2))),
+    // Deterministic train/val/test split by doc-id hash: stable under
+    // re-runs, re-partitioning and corpus growth. Shuffle-free.
+    Q("q_split_assign", (s, dir) =>
+      PipelineOps.splitAssign(Tables.read(s, dir, "documents"))
+        .orderBy("doc_id"),
+      Some(PipelineOps.splitAssignOracleSql(0.9, 0.05, ":split"))),
+    // Pairwise source-overlap audit via per-source MinHash signatures:
+    // one partial-aggregated groupBy carrying 32 longs per source; the
+    // pairwise stage is a source-cardinality cross (whitelisted in
+    // PlanAuditSpec — it can never be data-scale).
+    Q("q_source_overlap", (s, dir) =>
+      CorpusStats.sourceOverlap(Tables.read(s, dir, "documents"), perms = 32)
+        .orderBy("src_a", "src_b"),
+      Some(CorpusStats.sourceOverlapOracleSql(perms = 32))),
+    // KMV-backbone quantile sketch: bounded mergeable uniform sample (k
+    // smallest key hashes), nearest-rank read-off — approximate quantiles
+    // with no global sort, bit-reproducible like q_kmv_distinct.
+    Q("q_quantile_sketch", (s, dir) => {
+      val agg = Tables.read(s, dir, "documents")
+        .select(Sketches.hashUnit(col("doc_id"), ":qsk").as("h"),
+          size(split(col("text"), " ")).cast("double").as("v"))
+        .agg(Sketches.kmvQuantiles(col("h"), col("v"), 128,
+          Seq(0.25, 0.5, 0.75, 0.9)).as("qs"))
+      agg.select(
+        org.apache.spark.sql.functions.round(col("qs").getItem(0), 6).as("q25"),
+        org.apache.spark.sql.functions.round(col("qs").getItem(1), 6).as("q50"),
+        org.apache.spark.sql.functions.round(col("qs").getItem(2), 6).as("q75"),
+        org.apache.spark.sql.functions.round(col("qs").getItem(3), 6).as("q90"))
+    }, Some(Sketches.kmvQuantilesOracleSql("documents", "\"doc_id\"",
+      "CAST(len(string_split(\"text\", ' ')) AS DOUBLE)", ":qsk", 128,
+      Seq(0.25 -> "q25", 0.5 -> "q50", 0.75 -> "q75", 0.9 -> "q90"))))
   )
 
   /** Projection applied after the JSONL read-back (and, in the oracle, to

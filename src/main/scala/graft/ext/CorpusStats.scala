@@ -72,6 +72,64 @@ object CorpusStats {
        | FROM r WHERE rk <= $k ORDER BY "doc_id", rk""".stripMargin
       .replace("\n", " ")
 
+  /** Estimated pairwise content overlap (Jaccard over word 3-shingles)
+    * between corpus sources, via per-source MinHash signatures — the
+    * "how much does dataset A repeat dataset B" audit run before mixing
+    * sources into a training corpus.
+    *
+    * Scale shape: a source signature is `perms` affine-family minima
+    * over every shingle hash in the source — each min is an associative
+    * aggregate, so the whole computation is one partial-aggregated
+    * groupBy("source") whose shuffle carries `perms` longs per source
+    * per partition, never shingles or text. The pairwise comparison then
+    * runs on a source-cardinality table (tens of rows at any corpus
+    * size); its non-equi self-join is a deliberate tiny cross, not a
+    * data-scale join. Signature-equality fraction estimates Jaccard with
+    * standard error ~1/sqrt(perms).
+    */
+  def sourceOverlap(docs: DataFrame, perms: Int = 32,
+                    shingleSize: Int = 3): DataFrame = {
+    require(perms >= 1 && perms <= 64, "perms must be in [1, 64]")
+    def family(i: Int, h: Column): Column =
+      (lit(DualHash.famA(i)) * (h % lit(DualHash.P)) + lit(DualHash.famB(i))) %
+        lit(DualHash.P)
+    val hs = docs.select(col("source"),
+      explode(array_distinct(graft.expressions.VectorExpressions
+        .shingleHashes(split(col("text"), " "), shingleSize))).as("h"))
+    val aggs = (0 until perms).map(i => min(family(i, col("h"))).as(s"m$i"))
+    val sig = hs.groupBy("source").agg(aggs.head, aggs.tail: _*)
+    val eq = (0 until perms).map(i =>
+      when(col(s"a.m$i") === col(s"b.m$i"), 1.0).otherwise(0.0))
+      .reduce(_ + _)
+    sig.as("a").join(sig.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        round(eq / lit(perms.toDouble), 6).as("est_jaccard"))
+  }
+
+  /** DuckDB mirror of [[sourceOverlap]]: same shingle hashes, affine
+    * minima and signature-equality fraction. */
+  def sourceOverlapOracleSql(perms: Int, shingleSize: Int = 3): String = {
+    val n = shingleSize
+    val sl = DualHash.base60Sql(
+      s"array_to_string(list_slice(toks, i, i + ${n - 1}), ' ')")
+    val mins = (0 until perms).map(i =>
+      s"min(${DualHash.familySql(i, "h")}) AS m$i").mkString(", ")
+    val eq = (0 until perms).map(i =>
+      s"(CASE WHEN a.m$i = b.m$i THEN 1.0e0 ELSE 0.0e0 END)")
+      .mkString("(", " + ", ")")
+    s"""WITH tok AS (SELECT "source", string_split("text", ' ') AS toks
+       |   FROM documents),
+       | sh AS (SELECT "source",
+       |   list_transform(range(1, greatest(len(toks) - ${n - 1}, 1) + 1),
+       |     i -> $sl) AS hs FROM tok),
+       | eh AS (SELECT "source", unnest(hs) AS h FROM sh),
+       | sg AS (SELECT "source", $mins FROM eh GROUP BY 1)
+       | SELECT a."source" AS "src_a", b."source" AS "src_b",
+       |   round($eq / ${perms}.0e0, 6) AS "est_jaccard"
+       | FROM sg a JOIN sg b ON a."source" < b."source"
+       | ORDER BY "src_a", "src_b"""".stripMargin.replace("\n", " ")
+  }
+
   /** Exact per-language length quantiles. Spark's `percentile` holds a
     * value->count map per group — bounded by DISTINCT lengths (small
     * ints), not row count, so it survives scale; corpora with unbounded

@@ -269,6 +269,122 @@ object PipelineOps {
        |     AS "chunk"
        | FROM x ORDER BY "doc_id", chunk_id""".stripMargin.replace("\n", " ")
 
+  /** Corpus-wide duplicated-passage removal (the RefinedWeb / C4 "line
+    * dedup" stage, expressed over fixed-width token segments because the
+    * corpus is single-line): cut each document into non-overlapping
+    * `segLen`-token segments, find segments occurring in at least
+    * `minDocs` DISTINCT documents, and rewrite every document with those
+    * boilerplate segments removed.
+    *
+    * Scale shape — the text never shuffles: pass 1 explodes per-doc
+    * DISTINCT segment hashes (longs, not text) into a partial-aggregated
+    * doc-frequency count; the resulting hot-segment set is the
+    * boilerplate dictionary, which is small by construction (it is the
+    * set of passages repeated across documents — headers, footers,
+    * licence blocks) and is broadcast to every executor. Pass 2 is a
+    * per-row projection probing that broadcast set — no join, no
+    * shuffle. `maxHotSegments` guards the broadcast the same way the LSH
+    * bucket caps guard their joins: a corpus whose "boilerplate" set
+    * explodes past it needs a higher `minDocs`, not a silent 100 GB
+    * broadcast.
+    *
+    * The rewrite probe is a Scala UDF (a broadcast set-membership test
+    * has no Column form); it is the only non-codegen step and runs
+    * inside the same narrow stage as the scan.
+    *
+    * @return doc_id, n_segs, n_removed, text_clean
+    */
+  def segmentDedup(docs: DataFrame, segLen: Int = 3, minDocs: Int = 2,
+                   maxHotSegments: Int = 1 << 24): DataFrame = {
+    require(segLen >= 1, "segLen must be positive")
+    require(minDocs >= 2, "minDocs < 2 would remove every segment")
+    val toks = split(col("text"), " ")
+    val nSeg = ceil(size(toks) / lit(segLen.toDouble)).cast("int")
+    val segs = transform(sequence(lit(0), nSeg - 1), k =>
+      array_join(slice(toks, k * segLen + 1, lit(segLen)), " "))
+    val base = docs.select(col("doc_id"), segs.as("segs"))
+    val hotRows = base
+      .select(explode(array_distinct(
+        transform(col("segs"), s => Dedup.base60Col(s)))).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("h").collect()
+    require(hotRows.length <= maxHotSegments,
+      s"hot-segment set ${hotRows.length} exceeds $maxHotSegments — raise minDocs")
+    val bc = docs.sparkSession.sparkContext
+      .broadcast(hotRows.map(_.getLong(0)).toSet)
+    val clean = udf((ss: Seq[String]) => {
+      val hot = bc.value
+      var removed = 0L
+      val b = new StringBuilder
+      ss.foreach { s =>
+        if (hot.contains(DualHash.base60(s))) removed += 1L
+        else { if (b.nonEmpty) b.append(' '); b.append(s) }
+      }
+      (ss.size.toLong, removed, b.toString)
+    })
+    base.select(col("doc_id"), clean(col("segs")).as("r"))
+      .select(col("doc_id"), col("r._1").as("n_segs"),
+        col("r._2").as("n_removed"), col("r._3").as("text_clean"))
+  }
+
+  /** DuckDB mirror of [[segmentDedup]]: identical segmentation, the same
+    * base60 doc-frequency count, and a join-based rewrite (the oracle can
+    * afford the join; the Spark side broadcasts instead). */
+  def segmentDedupOracleSql(segLen: Int, minDocs: Int): String = {
+    val L = segLen
+    val b60 = DualHash.base60Sql("segs[k]")
+    s"""WITH tok AS (SELECT "doc_id", string_split("text", ' ') AS toks
+       |   FROM documents),
+       | seg AS (SELECT "doc_id",
+       |   list_transform(range(0, CAST(ceil(len(toks) / ${L}.0e0) AS BIGINT)),
+       |     k -> array_to_string(list_slice(toks, k * $L + 1,
+       |       least(k * $L + $L, len(toks))), ' ')) AS segs FROM tok),
+       | ex AS (SELECT "doc_id", segs,
+       |   unnest(generate_series(1, len(segs))) AS k FROM seg),
+       | eh AS (SELECT "doc_id", k, segs[k] AS s, $b60 AS h FROM ex),
+       | cnt AS (SELECT h, count(DISTINCT "doc_id") AS nd FROM eh GROUP BY 1),
+       | hot AS (SELECT h FROM cnt WHERE nd >= $minDocs)
+       | SELECT eh."doc_id",
+       |   CAST(count(*) AS BIGINT) AS "n_segs",
+       |   CAST(sum(CASE WHEN hot.h IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+       |     AS "n_removed",
+       |   coalesce(string_agg(CASE WHEN hot.h IS NULL THEN s END,
+       |     ' ' ORDER BY k), '') AS "text_clean"
+       | FROM eh LEFT JOIN hot ON eh.h = hot.h
+       | GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
+  }
+
+  /** Deterministic train/val/test assignment by document-id hash — the
+    * split stage of corpus assembly. A pure per-row projection
+    * (shuffle-free); the same document lands in the same split on every
+    * run, cluster, and partitioning, and adding documents never moves an
+    * existing one between splits (the property RNG-based splitting
+    * lacks). */
+  def splitAssign(docs: DataFrame, trainFrac: Double = 0.9,
+                  valFrac: Double = 0.05, salt: String = ":split"): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1,
+      "need 0 < trainFrac, 0 <= valFrac, trainFrac + valFrac < 1")
+    val u = hashUniform(col("doc_id"), salt)
+    docs.select(col("doc_id"), round(u, 6).as("u"),
+      when(u < trainFrac, "train")
+        .when(u < trainFrac + valFrac, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** DuckDB mirror of [[splitAssign]]. */
+  def splitAssignOracleSql(trainFrac: Double, valFrac: Double,
+                           salt: String): String = {
+    val u = hashUniformSql("\"doc_id\"", salt)
+    val tf = graft.expr.E.formatDouble(trainFrac)
+    val tv = graft.expr.E.formatDouble(trainFrac + valFrac)
+    s"""SELECT "doc_id", round($u, 6) AS "u",
+       | CASE WHEN $u < $tf THEN 'train'
+       |   WHEN $u < $tv THEN 'val'
+       |   ELSE 'test' END AS "split"
+       | FROM documents ORDER BY "doc_id"""".stripMargin.replace("\n", " ")
+  }
+
   /** Fraction of tokens taken by the single most frequent token — the
     * Gopher-style "top word" repetition signal. Computed with array
     * higher-order functions (no explode, no shuffle): per-doc cost is

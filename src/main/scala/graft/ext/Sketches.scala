@@ -71,6 +71,86 @@ object Sketches {
   /** The sketch as an untyped aggregate column over a hashUnit column. */
   def kmvEstimate(h: Column, k: Int): Column = udaf(new KMV(k)).apply(h)
 
+  /** Quantile sketch on the same KMV backbone: the k rows with the
+    * smallest key hashes form a deterministic uniform sample (the k-min
+    * set is partitioning/merge-order independent, exactly like [[KMV]]),
+    * and quantiles are read off the sample by nearest rank
+    * (index ceil(q*m) of the value-sorted sample). Bounded mergeable
+    * state — approximate quantiles over 100 TB cost one partial
+    * aggregation, never a global sort — and unlike approx_percentile's
+    * heap-order-dependent GK sketch, the result is bit-reproducible and
+    * the DuckDB oracle (ORDER BY hash LIMIT k → same rank arithmetic)
+    * hash-matches it. Error is the sampling error of k uniform draws
+    * (~1/(2*sqrt(k)) rank error at k=128; ChunkSketchSpec pins a 4σ
+    * accuracy law against the exact quantiles). */
+  class KMVQuantiles(k: Int, qs: Seq[Double])
+      extends Aggregator[(Double, Double), Seq[(Double, Double)], Seq[Double]] {
+    require(k >= 2, "KMVQuantiles needs k >= 2")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      "quantiles must lie in (0, 1]")
+
+    def zero: Seq[(Double, Double)] = Vector.empty
+
+    def reduce(b: Seq[(Double, Double)],
+               a: (Double, Double)): Seq[(Double, Double)] =
+      if (b.size >= k && a._1 >= b.last._1) b else insert(b, a)
+
+    def merge(b1: Seq[(Double, Double)],
+              b2: Seq[(Double, Double)]): Seq[(Double, Double)] =
+      b2.foldLeft(b1)(reduce)
+
+    private def insert(b: Seq[(Double, Double)],
+                       a: (Double, Double)): Seq[(Double, Double)] = {
+      val i = b.indexWhere(_._1 >= a._1) match {
+        case -1 => b.size
+        case j  => j
+      }
+      if (i < b.size && b(i)._1 == a._1) b // same key hash: one sample slot
+      else {
+        val nb = (b.take(i) :+ a) ++ b.drop(i)
+        if (nb.size > k) nb.take(k) else nb
+      }
+    }
+
+    def finish(b: Seq[(Double, Double)]): Seq[Double] = {
+      val vals = b.map(_._2).sorted
+      val m = vals.size
+      if (m == 0) qs.map(_ => Double.NaN)
+      else qs.map { q =>
+        val idx = math.min(m - 1, math.max(0, math.ceil(q * m).toInt - 1))
+        vals(idx)
+      }
+    }
+
+    def bufferEncoder: Encoder[Seq[(Double, Double)]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
+  }
+
+  /** The quantile sketch as an untyped aggregate column over
+    * (hashUnit, value) pairs. */
+  def kmvQuantiles(h: Column, v: Column, k: Int, qs: Seq[Double]): Column =
+    udaf(new KMVQuantiles(k, qs),
+      ExpressionEncoder[(Double, Double)]()).apply(h, v)
+
+  /** DuckDB mirror: k smallest key hashes → value-sorted sample → the
+    * identical nearest-rank read-off, one aliased column per quantile. */
+  def kmvQuantilesOracleSql(table: String, keyExpr: String, valExpr: String,
+                            salt: String, k: Int,
+                            qs: Seq[(Double, String)]): String = {
+    val cols = qs.map { case (q, name) =>
+      val qLit = graft.expr.E.formatDouble(q)
+      s"""round(max(CASE WHEN rn = least(m, greatest(1,
+         | CAST(ceil($qLit * m) AS BIGINT))) THEN v END), 6) AS "$name""""
+        .stripMargin.replace("\n", " ")
+    }.mkString(", ")
+    s"""WITH b AS (SELECT DISTINCT ON (h) ${hashUnitSql(keyExpr, salt)} AS h,
+       | $valExpr AS v FROM $table ORDER BY h),
+       | tk AS (SELECT h, v FROM b ORDER BY h LIMIT $k),
+       | r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+       |   count(*) OVER () AS m FROM tk)
+       | SELECT $cols FROM r""".stripMargin.replace("\n", " ")
+  }
+
   /** DuckDB mirror: distinct hashes → k smallest → same estimator. */
   def kmvOracleSql(table: String, keyExpr: String, salt: String,
                    k: Int): String =

@@ -67,6 +67,26 @@ object TextAnalysis {
     lenScore * stopScore * tokScore
   }
 
+  /** Punctuation marks per token. */
+  def punctRatio(text: E): E = punctCount(text) / tokenCount(text)
+
+  /** Model-based quality filtering, the stage production pipelines run
+    * after heuristic gates (fastText/linear classifiers over shallow text
+    * features): a logistic model with fixed interpretable weights over
+    * the heuristic signals above. The weights stand in for a fitted
+    * model — what matters for the engine is the operator shape: a fully
+    * codegen'd closed-form projection (ln/exp/arithmetic), shuffle-free
+    * at any scale, identical in both engines. Returns the sigmoid score
+    * in (0, 1). */
+  def qualityLogit(text: E): E = {
+    val z = Lit(-2.0) +
+      Lit(0.6) * ln(Lit(1.0) + charCount(text)) +
+      Lit(5.0) * stopwordRatio(text) -
+      Lit(0.4) * abs(avgTokenLength(text) - Lit(5.0)) -
+      Lit(2.0) * punctRatio(text)
+    Lit(1.0) / (Lit(1.0) + exp(Lit(0.0) - z))
+  }
+
   /** Language-ID: marker-word densities per language, argmax with a fixed
     * precedence order for ties. N-gram/stopword heuristic — deterministic
     * and cheap at 100 TB (no model inference). */
