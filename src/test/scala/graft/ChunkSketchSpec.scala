@@ -84,4 +84,47 @@ class ChunkSketchSpec extends SparkSpec {
     assert(math.abs(est - exact) / exact < 4 * sigma,
       s"est $est vs exact $exact")
   }
+
+  // ---- KMV quantile sketch ----------------------------------------------
+
+  private def qsketch(df: org.apache.spark.sql.DataFrame, k: Int,
+                      qs: Seq[Double]): Seq[Double] = {
+    val r = df.agg(Sketches.kmvQuantiles(col("h"), col("v"), k, qs).as("q")).head
+    r.getSeq[Double](0)
+  }
+
+  test("quantile sketch with k >= n is the exact nearest-rank quantile") {
+    // values 1..100 shuffled by hash; any k >= 100 sees them all
+    val d = (1 to 100).toDF("id").select(
+      Sketches.hashUnit(col("id"), ":q").as("h"), col("id").cast("double").as("v"))
+    val got = qsketch(d, 128, Seq(0.25, 0.5, 0.75, 0.9, 1.0))
+    // nearest-rank on the full set: index ceil(q*100) of 1..100
+    assert(got == Seq(25.0, 50.0, 75.0, 90.0, 100.0), got.toString)
+  }
+
+  test("quantile sketch is invariant under repartitioning (merge order)") {
+    val d = Tables.read(spark, sf, "documents").select(
+      Sketches.hashUnit(col("doc_id"), ":qsk").as("h"),
+      size(split(col("text"), " ")).cast("double").as("v"))
+    val res = Seq(1, 7, 32).map(p => qsketch(d.repartition(p), 64, Seq(0.5, 0.9)))
+    assert(res.distinct.size == 1, s"merge order changed the sample: $res")
+  }
+
+  test("quantile sketch estimates stay inside the 4-sigma rank band") {
+    val vals = Tables.read(spark, sf, "documents")
+      .select(size(split(col("text"), " ")).cast("double").as("v"))
+      .collect().map(_.getDouble(0)).sorted
+    val n = vals.length
+    val d = Tables.read(spark, sf, "documents").select(
+      Sketches.hashUnit(col("doc_id"), ":qsk").as("h"),
+      size(split(col("text"), " ")).cast("double").as("v"))
+    val k = 128
+    val got = qsketch(d, k, Seq(0.25, 0.5, 0.75))
+    for ((q, est) <- Seq(0.25, 0.5, 0.75).zip(got)) {
+      val sd = math.sqrt(q * (1 - q) / k)
+      val lo = vals(math.max(0, math.ceil((q - 4 * sd) * n).toInt - 1))
+      val hi = vals(math.min(n - 1, math.ceil((q + 4 * sd) * n).toInt - 1))
+      assert(est >= lo && est <= hi, s"q=$q est=$est outside [$lo, $hi]")
+    }
+  }
 }

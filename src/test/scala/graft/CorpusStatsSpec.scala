@@ -103,4 +103,38 @@ class CorpusStatsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(got == assignRef)
   }
+
+  // ---- sourceOverlap -----------------------------------------------------
+
+  test("sourceOverlap: identical sources estimate 1, disjoint estimate 0") {
+    val c = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta", "A"),
+      (1L, "alpha beta gamma delta epsilon zeta", "B"),   // B == A
+      (2L, "one two three four five six seven eight", "C") // C disjoint
+    ).toDF("doc_id", "text", "source")
+    val m = CorpusStats.sourceOverlap(c, perms = 32)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(m(("A", "B")) == 1.0, m.toString)
+    assert(m(("A", "C")) == 0.0 && m(("B", "C")) == 0.0, m.toString)
+  }
+
+  test("sourceOverlap estimates track exact shingle Jaccard on the corpus") {
+    // exact per-source distinct 3-shingle sets, driver-side
+    val sets = docs.collect().map(r =>
+        r.getAs[String]("source") ->
+          r.getAs[String]("text").split(" ").sliding(3).map(_.mkString(" ")).toSet)
+      .groupBy(_._1).view.mapValues(_.flatMap(_._2).toSet).toMap
+    val est = CorpusStats.sourceOverlap(docs, perms = 32)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(est.size == sets.size * (sets.size - 1) / 2)
+    // MinHash se ~ sqrt(J(1-J)/32) <= 0.0884; allow 4 sigma + estimator grain
+    for (((a, b), e) <- est) {
+      val j = sets(a).intersect(sets(b)).size.toDouble / sets(a).union(sets(b)).size
+      assert(math.abs(e - j) <= 4 * 0.0884 + 1.0 / 32,
+        s"($a,$b): est $e vs exact $j")
+      assert(e >= 0.0 && e <= 1.0)
+    }
+  }
 }

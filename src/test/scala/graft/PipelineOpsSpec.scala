@@ -87,6 +87,64 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("segmentDedup removes exactly the cross-document passages") {
+    val shared = "common header line one two three"  // 6 tokens = 2 segments
+    val c = Seq(
+      (0L, s"$shared ua ub uc ud ue uf"),
+      (1L, s"$shared va vb vc vd ve vf"),
+      (2L, "entirely different words without any repeats here")
+    ).toDF("doc_id", "text")
+    val out = PipelineOps.segmentDedup(c, segLen = 3, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // docs 0/1 share the two 3-token segments of `shared`; the tails differ
+    assert(out(0L) == ((4L, 2L, "ua ub uc ud ue uf")), out.toString)
+    assert(out(1L) == ((4L, 2L, "va vb vc vd ve vf")), out.toString)
+    // doc 2 shares nothing: rebuilt text is byte-identical to the original
+    assert(out(2L) ==
+      ((3L, 0L, "entirely different words without any repeats here")))
+  }
+
+  test("segmentDedup: clean docs rebuild byte-identical at every segLen") {
+    val lone = Seq((7L, "one two three four five six seven")).toDF("doc_id", "text")
+    for (l <- Seq(1, 2, 3, 5, 50)) {
+      val r = PipelineOps.segmentDedup(lone, segLen = l, minDocs = 2).head()
+      assert(r.getLong(2) == 0L && r.getString(3) == "one two three four five six seven",
+        s"segLen $l")
+    }
+  }
+
+  test("segmentDedup removed counts agree with an independent frequency count") {
+    val out = PipelineOps.segmentDedup(corpus.select("doc_id", "text"),
+      segLen = 2, minDocs = 2)
+    // docs 0 and 1 are identical 8-token texts: all 4 segments of each are
+    // shared, so both are fully scrubbed; doc 2 opens with the same
+    // "alpha beta" segment so loses exactly that one; doc 4's repeated
+    // "spark spark" segment lives in ONE doc only (doc frequency, not
+    // occurrence count) so nothing is removed from it
+    val m = out.collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(m(0L) == ((4L, "")) && m(1L) == ((4L, "")), m.toString)
+    assert(m(2L) == ((1L, "gamma something else entirely here now")), m.toString)
+    assert(m(3L)._1 == 0L && m(4L)._1 == 0L, m.toString)
+  }
+
+  test("splitAssign is deterministic, exhaustive, and growth-stable") {
+    val docs = spark.range(1000).select(col("id").as("doc_id"))
+    val a = PipelineOps.splitAssign(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val b = PipelineOps.splitAssign(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a == b, "same corpus must split identically on re-run")
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    val frac = a.values.count(_ == "train").toDouble / a.size
+    assert(frac > 0.85 && frac < 0.95, s"train fraction $frac")
+    // growing the corpus never moves an existing doc between splits
+    val grown = PipelineOps.splitAssign(
+        spark.range(2000).select(col("id").as("doc_id"))).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a.forall { case (id, s) => grown(id) == s })
+  }
+
   test("hashUniform draws are uniform-ish and salt-decorrelated") {
     val n = 2000
     val ids = spark.range(n).select(col("id").as("doc_id"))
