@@ -104,6 +104,30 @@ object Dedup {
       .groupBy("fp")
       .agg(min("doc_id").as("keep_doc_id"), count("*").cast("double").as("dup_count"))
 
+  /** Incremental (cross-corpus) exact dedup — the resumable-ingestion
+    * stage: from a batch of NEW documents, keep one representative per
+    * fingerprint (smallest doc_id) and drop anything whose fingerprint
+    * already exists in the previously ingested corpus. Per kept doc,
+    * report how many batch members it represented.
+    *
+    * Scale shape: the within-batch pass is [[exact]]'s groupBy (shuffles
+    * fp+id, never text); the cross-corpus pass is a left-anti join on the
+    * 16-byte fingerprint against the existing corpus's fingerprint
+    * column — at 100 TB that existing side is the compact fp index kept
+    * from prior runs (or re-derived by a scan), and the join shuffles
+    * fingerprints only. AQE broadcasts it when the index is small.
+    *
+    * @param newDocs  batch with `doc_id` and `text`
+    * @param existing prior corpus with `text` (only its fingerprints are
+    *                 used)
+    */
+  def incrementalExact(newDocs: DataFrame, existing: DataFrame): DataFrame = {
+    val existingFp = existing
+      .select(md5(col("text").cast("binary")).as("fp")).distinct()
+    exact(newDocs)
+      .join(existingFp, Seq("fp"), "left_anti")
+  }
+
   /** Word shingles of size n as an array column (built from the token array
     * with higher-order functions — stays in whole-stage codegen). */
   def shingles(tokens: Column, n: Int): Column = {

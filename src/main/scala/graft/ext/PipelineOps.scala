@@ -311,8 +311,20 @@ object PipelineOps {
       .select("h").collect()
     require(hotRows.length <= maxHotSegments,
       s"hot-segment set ${hotRows.length} exceeds $maxHotSegments — raise minDocs")
-    val bc = docs.sparkSession.sparkContext
-      .broadcast(hotRows.map(_.getLong(0)).toSet)
+    scrubSegments(docs, hotRows.map(_.getLong(0)).toSet, segLen)
+  }
+
+  /** The rewrite stage of [[segmentDedup]] on its own: scrub a known
+    * hot-segment dictionary from each document. Stateless per-row once the
+    * dictionary is broadcast, so it lifts unchanged to Structured
+    * Streaming — the batch-mined boilerplate set applied at the ingest
+    * edge, exactly like the decontamination probe. */
+  def scrubSegments(docs: DataFrame, hotSet: Set[Long], segLen: Int): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nSeg = ceil(size(toks) / lit(segLen.toDouble)).cast("int")
+    val segs = transform(sequence(lit(0), nSeg - 1), k =>
+      array_join(slice(toks, k * segLen + 1, lit(segLen)), " "))
+    val bc = docs.sparkSession.sparkContext.broadcast(hotSet)
     val clean = udf((ss: Seq[String]) => {
       val hot = bc.value
       var removed = 0L
@@ -323,7 +335,7 @@ object PipelineOps {
       }
       (ss.size.toLong, removed, b.toString)
     })
-    base.select(col("doc_id"), clean(col("segs")).as("r"))
+    docs.select(col("doc_id"), clean(segs).as("r"))
       .select(col("doc_id"), col("r._1").as("n_segs"),
         col("r._2").as("n_removed"), col("r._3").as("text_clean"))
   }
