@@ -28,7 +28,15 @@ package graft
   *    0.0, which is the identity for every IEEE double including -0.0;
   *  - the n = 3 parabola degenerate case and the binarySearch segment
   *    lookup (count of knots < x, +1 on an exact hit, clamped) are
-  *    CASE-resolved.
+  *    CASE-resolved;
+  *  - the final `round(v, 6) + 0.0e0` normalises negative zero: where the
+  *    spline overshoots a hair below 0 (CO2 near the pure-H2O endpoint),
+  *    DuckDB's round keeps the sign (`-0.0`) while Spark's Round goes
+  *    through BigDecimal, which has no signed zero, and returns `0.0`.
+  *    The two compare equal under `=` but hash differently — this was the
+  *    round-6 red cell (19 of 17,160 rows, all CO2, bit pattern only).
+  *    `x + 0.0` maps -0.0 to +0.0 and is the identity for every other
+  *    double including NaN.
   */
 object IsobarCurveSql {
 
@@ -138,8 +146,8 @@ object IsobarCurveSql {
        |    ((mm[jj + 1] - mm[jj]) / (6.0e0 * hs[jj])) AS dd
        |  FROM evj)
        | SELECT "sample_id", pg AS "P_bar",
-       |   round(x, 6) AS "H2O",
-       |   round((aa + (t * (bb + (t * (cc + (t * dd)))))), 6) AS "CO2"
+       |   (round(x, 6) + 0.0e0) AS "H2O",
+       |   (round((aa + (t * (bb + (t * (cc + (t * dd)))))), 6) + 0.0e0) AS "CO2"
        | FROM evv ORDER BY "sample_id", "P_bar", "H2O"""".stripMargin
 
   val sql: String =
