@@ -99,6 +99,11 @@ object PipelineOps {
     * monotone in priority, ties broken by doc_id), which is exactly what
     * the DuckDB oracle computes.
     *
+    * NOTE: unlike most transforms here, this call is EAGER — locating the
+    * budget-crossing bucket runs the per-bucket aggregation (a Spark job)
+    * at call time and snapshots the input as of that run. Compose it at
+    * the end of a pipeline, not inside a lazily re-planned view.
+    *
     * @return kept docs: doc_id, n_tokens, pri (the priority draw, rounded)
     */
   def tokenBudget(docs: DataFrame, budgetTokens: Long, salt: String = ":budget",
@@ -145,6 +150,9 @@ object PipelineOps {
     * in priority) with no single-task stage. The explode is bounded: a
     * document spans at most ceil(n/seqLen)+1 sequences, and every
     * shuffled row carries (doc_id, 3 longs), never text.
+    *
+    * NOTE: EAGER like [[tokenBudget]] — the per-bucket prefix sums run as
+    * a Spark job at call time, snapshotting the input.
     */
   def seqPack(docs: DataFrame, seqLen: Long, salt: String = ":pack",
               buckets: Int = 1024): DataFrame = {
@@ -269,6 +277,40 @@ object PipelineOps {
        |     AS "chunk"
        | FROM x ORDER BY "doc_id", chunk_id""".stripMargin.replace("\n", " ")
 
+  /** Default cap on the hot-segment dictionary materialized to the driver
+    * by [[segmentDedup]]. Below it the dictionary rides a broadcast
+    * `Set[Long]` probed by a per-row projection (zero shuffle); above it
+    * the rewrite switches to [[scrubSegmentsJoin]], which never touches
+    * the driver. 2^20 longs is ~8 MB — comfortably a broadcast, never an
+    * OOM. */
+  val DefaultMaxHotSegments: Int = 1 << 20
+
+  /** Spark conf key overriding [[DefaultMaxHotSegments]] at deploy time
+    * (same pattern as [[Dedup.MaxBucketSizeConfKey]]): the crossover
+    * between the literal-broadcast and join rewrites depends on driver
+    * memory and corpus boilerplate rate, so a 100 TB job must be able to
+    * tune it without recompiling. */
+  val MaxHotSegmentsConfKey = "spark.graft.segmentDedup.maxHotSegments"
+
+  private def resolveMaxHotSegments(docs: DataFrame): Int =
+    docs.sparkSession.conf.getOption(MaxHotSegmentsConfKey).map { v =>
+      val n = try v.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$MaxHotSegmentsConfKey must be a non-negative integer, got '$v'")
+      }
+      require(n >= 0, s"$MaxHotSegmentsConfKey must be >= 0, got $n")
+      n
+    }.getOrElse(DefaultMaxHotSegments)
+
+  /** Non-overlapping `segLen`-token segments of `text` as an array column
+    * (shared by both rewrite paths). */
+  private def segmentsCol(segLen: Int): Column = {
+    val toks = split(col("text"), " ")
+    val nSeg = ceil(size(toks) / lit(segLen.toDouble)).cast("int")
+    transform(sequence(lit(0), nSeg - 1), k =>
+      array_join(slice(toks, k * segLen + 1, lit(segLen)), " "))
+  }
+
   /** Corpus-wide duplicated-passage removal (the RefinedWeb / C4 "line
     * dedup" stage, expressed over fixed-width token segments because the
     * corpus is single-line): cut each document into non-overlapping
@@ -276,42 +318,45 @@ object PipelineOps {
     * `minDocs` DISTINCT documents, and rewrite every document with those
     * boilerplate segments removed.
     *
-    * Scale shape — the text never shuffles: pass 1 explodes per-doc
-    * DISTINCT segment hashes (longs, not text) into a partial-aggregated
-    * doc-frequency count; the resulting hot-segment set is the
-    * boilerplate dictionary, which is small by construction (it is the
-    * set of passages repeated across documents — headers, footers,
-    * licence blocks) and is broadcast to every executor. Pass 2 is a
-    * per-row projection probing that broadcast set — no join, no
-    * shuffle. `maxHotSegments` guards the broadcast the same way the LSH
-    * bucket caps guard their joins: a corpus whose "boilerplate" set
-    * explodes past it needs a higher `minDocs`, not a silent 100 GB
-    * broadcast.
+    * Scale shape — the text never shuffles in pass 1: per-doc DISTINCT
+    * segment hashes (longs, not text) explode into a partial-aggregated
+    * doc-frequency count, yielding the boilerplate dictionary. The
+    * rewrite then takes one of two shapes, decided by a BOUNDED probe of
+    * the dictionary size (`limit(cap + 1)` — the driver never
+    * materializes more than `cap + 1` longs, so the guard protects the
+    * driver rather than reporting an OOM after the fact):
     *
-    * The rewrite probe is a Scala UDF (a broadcast set-membership test
-    * has no Column form); it is the only non-codegen step and runs
-    * inside the same narrow stage as the scan.
+    *  - dictionary <= `maxHotSegments` (the usual case — boilerplate is
+    *    headers/footers/licence blocks, small by construction): broadcast
+    *    `Set[Long]` probed by a per-row projection, zero shuffle
+    *    ([[scrubSegments]]);
+    *  - dictionary larger (pathological boilerplate-heavy crawl): a
+    *    join-based rewrite that keeps the dictionary distributed end to
+    *    end — no driver materialization at any size
+    *    ([[scrubSegmentsJoin]]).
+    *
+    * `maxHotSegments` defaults to [[MaxHotSegmentsConfKey]] /
+    * [[DefaultMaxHotSegments]]; pass an explicit value to pin a path.
     *
     * @return doc_id, n_segs, n_removed, text_clean
     */
   def segmentDedup(docs: DataFrame, segLen: Int = 3, minDocs: Int = 2,
-                   maxHotSegments: Int = 1 << 24): DataFrame = {
+                   maxHotSegments: Int = -1): DataFrame = {
     require(segLen >= 1, "segLen must be positive")
     require(minDocs >= 2, "minDocs < 2 would remove every segment")
-    val toks = split(col("text"), " ")
-    val nSeg = ceil(size(toks) / lit(segLen.toDouble)).cast("int")
-    val segs = transform(sequence(lit(0), nSeg - 1), k =>
-      array_join(slice(toks, k * segLen + 1, lit(segLen)), " "))
-    val base = docs.select(col("doc_id"), segs.as("segs"))
-    val hotRows = base
+    val cap =
+      if (maxHotSegments >= 0) maxHotSegments else resolveMaxHotSegments(docs)
+    val hotDf = docs
       .select(explode(array_distinct(
-        transform(col("segs"), s => Dedup.base60Col(s)))).as("h"))
+        transform(segmentsCol(segLen), s => Dedup.base60Col(s)))).as("h"))
       .groupBy("h").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= minDocs)
-      .select("h").collect()
-    require(hotRows.length <= maxHotSegments,
-      s"hot-segment set ${hotRows.length} exceeds $maxHotSegments — raise minDocs")
-    scrubSegments(docs, hotRows.map(_.getLong(0)).toSet, segLen)
+      .select("h")
+    val probe = hotDf.limit(cap + 1).collect()
+    if (probe.length <= cap)
+      scrubSegments(docs, probe.map(_.getLong(0)).toSet, segLen)
+    else
+      scrubSegmentsJoin(docs, hotDf, segLen)
   }
 
   /** The rewrite stage of [[segmentDedup]] on its own: scrub a known
@@ -320,10 +365,7 @@ object PipelineOps {
     * Streaming — the batch-mined boilerplate set applied at the ingest
     * edge, exactly like the decontamination probe. */
   def scrubSegments(docs: DataFrame, hotSet: Set[Long], segLen: Int): DataFrame = {
-    val toks = split(col("text"), " ")
-    val nSeg = ceil(size(toks) / lit(segLen.toDouble)).cast("int")
-    val segs = transform(sequence(lit(0), nSeg - 1), k =>
-      array_join(slice(toks, k * segLen + 1, lit(segLen)), " "))
+    val segs = segmentsCol(segLen)
     val bc = docs.sparkSession.sparkContext.broadcast(hotSet)
     val clean = udf((ss: Seq[String]) => {
       val hot = bc.value
@@ -338,6 +380,44 @@ object PipelineOps {
     docs.select(col("doc_id"), clean(segs).as("r"))
       .select(col("doc_id"), col("r._1").as("n_segs"),
         col("r._2").as("n_removed"), col("r._3").as("text_clean"))
+  }
+
+  /** Join-based rewrite of [[segmentDedup]] for dictionaries too large to
+    * broadcast as a literal set — the dictionary stays distributed end to
+    * end (no `collect()` anywhere):
+    *
+    *  1. explode each document's segment POSITIONS with their hashes —
+    *     the exchange carries (doc_id, k, h) triples, never segment text;
+    *  2. join those triples against the hot-hash DataFrame (AQE picks a
+    *     broadcast when the dictionary turns out small, a shuffled hash
+    *     join otherwise) and collect the hit positions per doc — one row
+    *     per affected document, holding a small int array;
+    *  3. left-join the marks back to the corpus on doc_id and drop the
+    *     marked positions with a codegen'd array filter.
+    *
+    * Step 3 shuffles the corpus once by doc_id — the unavoidable price of
+    * a dictionary that cannot ride a broadcast; the common small-dict
+    * case never takes this path. Rebuilding `hotDf` here re-runs the
+    * doc-frequency aggregation (the probe in [[segmentDedup]] saw only
+    * its first `cap + 1` rows); one extra pass on the rare path beats
+    * persisting an unbounded hash set.
+    */
+  def scrubSegmentsJoin(docs: DataFrame, hotDf: DataFrame,
+                        segLen: Int): DataFrame = {
+    val hashes = transform(segmentsCol(segLen), s => Dedup.base60Col(s))
+    val marks = docs
+      .select(col("doc_id"), posexplode(hashes).as(Seq("k", "h")))
+      .join(hotDf, "h")
+      .groupBy("doc_id").agg(collect_set(col("k")).as("rm"))
+    val segs = segmentsCol(segLen)
+    docs.join(marks, Seq("doc_id"), "left")
+      .select(col("doc_id"), segs.as("segs"), col("rm"))
+      .select(col("doc_id"),
+        size(col("segs")).cast("long").as("n_segs"),
+        coalesce(size(col("rm")), lit(0)).cast("long").as("n_removed"),
+        array_join(filter(col("segs"), (_, i) =>
+          col("rm").isNull || !array_contains(col("rm"), i)), " ")
+          .as("text_clean"))
   }
 
   /** DuckDB mirror of [[segmentDedup]]: identical segmentation, the same

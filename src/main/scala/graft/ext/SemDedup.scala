@@ -24,14 +24,41 @@ import org.apache.spark.sql.functions._
   */
 object SemDedup {
 
+  /** Default per-cluster population cap for [[pairs]]. */
+  val DefaultClusterCap: Int = 4096
+
+  /** Spark conf key overriding [[DefaultClusterCap]] at deploy time (same
+    * pattern as [[Dedup.MaxBucketSizeConfKey]]): the right cap tracks
+    * n/k, which is a corpus property. The [[DedupMetrics]] "semdedup"
+    * counter is the monitoring hook for choosing a value. */
+  val ClusterCapConfKey = "spark.graft.semdedup.clusterCap"
+
+  /** Sentinel: resolve the cap from [[ClusterCapConfKey]]. */
+  val ConfiguredClusterCap: Int = -1
+
+  private def resolveCap(df: DataFrame, cap: Int): Int =
+    if (cap != ConfiguredClusterCap) cap
+    else df.sparkSession.conf.getOption(ClusterCapConfKey).map { v =>
+      val n = try v.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$ClusterCapConfKey must be a positive integer, got '$v'")
+      }
+      require(n > 0, s"$ClusterCapConfKey must be positive, got $n")
+      n
+    }.getOrElse(DefaultClusterCap)
+
   /** Near-duplicate pairs (keep_id < drop_id, same cluster,
     * cosine >= threshold). */
   def pairs(embeddings: DataFrame, k: Int, iters: Int, threshold: Double,
-            cap: Int = 4096): DataFrame = {
+            cap: Int = ConfiguredClusterCap): DataFrame = {
+    val capN = resolveCap(embeddings, cap)
+    DedupMetrics.ensure(embeddings.sparkSession)
     val capped = KMeansDet.fitFull(embeddings, k, iters)
       .withColumn("rk",
         row_number().over(Window.partitionBy("cid").orderBy("vec_id")))
-      .filter(col("rk") <= cap)
+      .observe(DedupMetrics.nextName("semdedup"),
+        sum(when(col("rk") > capN, 1L).otherwise(0L)).as("dropped"))
+      .filter(col("rk") <= capN)
       .select(col("vec_id"), col("v"), col("cid"))
     val a = capped.select(col("vec_id").as("keep_id"), col("v").as("va"),
       col("cid"))
@@ -49,7 +76,7 @@ object SemDedup {
   /** The dedup decision itself: every vector that has a lower-id
     * near-duplicate in its cluster is dropped; survivors remain. */
   def survivors(embeddings: DataFrame, k: Int, iters: Int,
-                threshold: Double, cap: Int = 4096): DataFrame = {
+                threshold: Double, cap: Int = ConfiguredClusterCap): DataFrame = {
     val drop = pairs(embeddings, k, iters, threshold, cap)
       .select(col("drop_id").as("vec_id")).distinct()
     embeddings.select("vec_id").join(drop, Seq("vec_id"), "left_anti")
@@ -58,7 +85,7 @@ object SemDedup {
   /** DuckDB mirror: the [[KMeansDet]] fit stages verbatim, then the
     * identical capped within-cluster pairing. */
   def pairsOracleSql(k: Int, iters: Int, dim: Int, threshold: Double,
-                     cap: Int = 4096): String =
+                     cap: Int = DefaultClusterCap): String =
     (KMeansDet.oracleStages(k, iters, dim) +
       s""", capped AS (SELECT "vec_id", v, cid FROM (
          |   SELECT "vec_id", v, cid,

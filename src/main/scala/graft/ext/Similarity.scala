@@ -86,6 +86,30 @@ object Similarity {
   private def resolveDim(embeddings: DataFrame, dim: Int): Int =
     if (dim > 0) dim else inferDim(embeddings)
 
+  /** Default number of IVF cells probed per query vector. */
+  val DefaultIvfProbes: Int = 2
+
+  /** Spark conf key overriding [[DefaultIvfProbes]] at deploy time: probe
+    * count is the recall/cost dial of [[ivfTopK]] (more probes = higher
+    * recall, linearly more candidate pairs), and tuning it must not
+    * require recompiling. `SimilaritySpec`'s recall gate is the
+    * quality budget for choosing a value. */
+  val IvfProbesConfKey = "spark.graft.ann.ivfProbes"
+
+  /** Sentinel: resolve probe count from [[IvfProbesConfKey]]. */
+  val ConfiguredIvfProbes: Int = -1
+
+  private def resolveProbes(df: DataFrame, probes: Int): Int =
+    if (probes != ConfiguredIvfProbes) probes
+    else df.sparkSession.conf.getOption(IvfProbesConfKey).map { v =>
+      val n = try v.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$IvfProbesConfKey must be a positive integer, got '$v'")
+      }
+      require(n > 0, s"$IvfProbesConfKey must be positive, got $n")
+      n
+    }.getOrElse(DefaultIvfProbes)
+
   /** Drop rows in LSH buckets larger than `cap` before any self-join —
     * the same skew guard as [[Dedup.minhashCandidates]]: a degenerate
     * bucket (e.g. a zero/constant embedding cluster) would otherwise put
@@ -141,7 +165,8 @@ object Similarity {
     * the candidate join shuffles (cell, id, vec) like the LSH bucket join,
     * and no stage ever materialises the n^2 pair space. */
   def ivfTopK(embeddings: DataFrame, k: Int, cells: Int = 16,
-              probes: Int = 2, seed: Long = 42L): DataFrame = {
+              probes: Int = ConfiguredIvfProbes, seed: Long = 42L): DataFrame = {
+    val nProbes = resolveProbes(embeddings, probes)
     val e = prepared(embeddings)
     // deterministic centroid sample: lowest `cells` dual-compilable hashes
     // of "<vec_id>:<seed>" (md5-based, so the DuckDB oracle picks the
@@ -166,7 +191,7 @@ object Similarity {
     val wq = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
     // no distinct needed: each neighbour has exactly ONE home cell, so a
     // (qid, nid) pair appears at most once across the probed cells
-    ranked.filter(col("crk") <= probes)
+    ranked.filter(col("crk") <= nProbes)
       .select(col("cid").as("cell"), col("vec_id").as("qid"),
         col("v").as("va"), col("nrm").as("na"))
       .join(home, Seq("cell"))

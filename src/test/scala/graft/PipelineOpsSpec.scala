@@ -128,6 +128,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(m(3L)._1 == 0L && m(4L)._1 == 0L, m.toString)
   }
 
+  test("segmentDedup large-dictionary join path matches the broadcast-set " +
+      "path row-for-row and never collects to the driver") {
+    val c = corpus.select("doc_id", "text")
+    val viaSet = PipelineOps.segmentDedup(c, segLen = 2, minDocs = 2,
+      maxHotSegments = 1 << 20)
+    // cap 0: every dictionary is "too large", forcing the join rewrite
+    val viaJoin = PipelineOps.segmentDedup(c, segLen = 2, minDocs = 2,
+      maxHotSegments = 0)
+    assert(viaJoin.orderBy("doc_id").collect().toSeq ==
+      viaSet.orderBy("doc_id").collect().toSeq)
+    // path pinning: the literal path is a pure projection (no join at
+    // all); the join path rewrites through real joins and must never
+    // degrade to a nested-loop/cartesian shape
+    val setPlan = viaSet.queryExecution.executedPlan.toString
+    val joinPlan = viaJoin.queryExecution.executedPlan.toString
+    assert(!setPlan.contains("Join"), setPlan)
+    assert(joinPlan.contains("Join"), joinPlan)
+    assert(!joinPlan.contains("CartesianProduct") &&
+      !joinPlan.contains("BroadcastNestedLoopJoin"), joinPlan)
+  }
+
+  test("segmentDedup cap resolves from spark.graft.segmentDedup.maxHotSegments") {
+    val c = corpus.select("doc_id", "text")
+    spark.conf.set(PipelineOps.MaxHotSegmentsConfKey, "0")
+    try {
+      val out = PipelineOps.segmentDedup(c, segLen = 2, minDocs = 2)
+      assert(out.queryExecution.executedPlan.toString.contains("Join"),
+        "conf cap 0 must route to the join rewrite")
+      assert(out.count() == 5)
+      spark.conf.set(PipelineOps.MaxHotSegmentsConfKey, "banana")
+      intercept[IllegalArgumentException] {
+        PipelineOps.segmentDedup(c, segLen = 2, minDocs = 2)
+      }
+    } finally spark.conf.unset(PipelineOps.MaxHotSegmentsConfKey)
+  }
+
   test("splitAssign is deterministic, exhaustive, and growth-stable") {
     val docs = spark.range(1000).select(col("id").as("doc_id"))
     val a = PipelineOps.splitAssign(docs).collect()

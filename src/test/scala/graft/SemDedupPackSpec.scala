@@ -39,6 +39,95 @@ class SemDedupPackSpec extends SparkSpec {
     assert(capped.count() <= 180)
   }
 
+  test("semdedup cluster cap resolves from spark.graft.semdedup.clusterCap") {
+    spark.conf.set(SemDedup.ClusterCapConfKey, "10")
+    try {
+      // same bound as the explicit cap=10 case: conf value must be live
+      val capped = SemDedup.pairs(emb, k = 4, iters = 2, threshold = -1.0)
+      assert(capped.count() <= 180)
+      spark.conf.set(SemDedup.ClusterCapConfKey, "0")
+      intercept[IllegalArgumentException] {
+        SemDedup.pairs(emb, k = 4, iters = 2, threshold = -1.0)
+      }
+    } finally spark.conf.unset(SemDedup.ClusterCapConfKey)
+  }
+
+  // ---- ANN recall gate ----------------------------------------------------
+
+  /** recall@5 of an approximate (qid, nid) set against the brute-force
+    * truth: averaged per-query overlap fraction. */
+  private def recallAt5(approx: Array[(Long, Long)],
+                        truth: Map[Long, Set[Long]]): Double = {
+    val byQ = approx.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = truth.iterator.map { case (q, t) =>
+      (byQ.getOrElse(q, Set.empty) & t).size
+    }.sum
+    hits.toDouble / truth.iterator.map(_._2.size).sum
+  }
+
+  test("ANN recall gate: lshTopK and ivfTopK hold their recall@5 floors " +
+      "against brute force on the embeddings fixture") {
+    // The fixture's 64-dim embeddings are near-random (no cluster
+    // structure), the hardest case for partition-based ANN: recall tracks
+    // the probed fraction of the corpus. Measured curve (n=500):
+    //   IVF cells=4 probes=3 -> 0.865   cells=16 probes=2 -> 0.332
+    //   LSH planes=2 -> 0.380           planes=8 -> 0.022
+    // Floors sit under those with headroom; they are quality budgets —
+    // a change that breaks the bucket key or centroid assignment drops
+    // recall to the random-candidates baseline (~probed fraction) and
+    // fails here, not in production.
+    val truth = Similarity.bruteForceTopK(emb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rIvfQuality = recallAt5(Similarity.ivfTopK(emb, 5, cells = 4,
+      probes = 3).collect().map(r => (r.getLong(0), r.getLong(1))), truth)
+    val rIvfDefault = recallAt5(Similarity.ivfTopK(emb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))), truth)
+    val rLsh = recallAt5(Similarity.lshTopK(emb, 5, planes = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))), truth)
+    info(f"ivf(4,3)=$rIvfQuality%.3f ivf(16,2)=$rIvfDefault%.3f " +
+      f"lsh(planes=2)=$rLsh%.3f")
+    assert(rIvfQuality >= 0.75, f"ivfTopK(cells=4,probes=3) $rIvfQuality%.3f < 0.75")
+    // default (16,2) probes 1/8 of the corpus; random candidates would
+    // score ~0.125 — 0.25 separates working from broken
+    assert(rIvfDefault >= 0.25, f"ivfTopK defaults $rIvfDefault%.3f < 0.25")
+    assert(rLsh >= 0.3, f"lshTopK(planes=2) $rLsh%.3f < 0.3")
+  }
+
+  test("ivfTopK recall@5 is monotone in the probe count") {
+    val truth = Similarity.bruteForceTopK(emb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rs = Seq(2, 4, 8).map { p =>
+      p -> recallAt5(Similarity.ivfTopK(emb, 5, cells = 8, probes = p)
+        .collect().map(r => (r.getLong(0), r.getLong(1))), truth)
+    }
+    info(rs.map { case (p, r) => f"probes=$p -> $r%.3f" }.mkString(", "))
+    rs.sliding(2).foreach { case Seq((pa, ra), (pb, rb)) =>
+      assert(rb >= ra, f"recall fell from $ra%.3f (probes=$pa) to $rb%.3f (probes=$pb)")
+    }
+  }
+
+  test("ivfTopK probe count resolves from spark.graft.ann.ivfProbes and " +
+      "more probes never lose recall") {
+    val truth = Similarity.bruteForceTopK(emb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rDefault = recallAt5(Similarity.ivfTopK(emb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))), truth)
+    spark.conf.set(Similarity.IvfProbesConfKey, "16")
+    try {
+      // probing every cell makes the search exhaustive: recall must not drop
+      val rAll = recallAt5(Similarity.ivfTopK(emb, 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1))), truth)
+      info(f"probes=2 recall $rDefault%.3f -> probes=16 recall $rAll%.3f")
+      assert(rAll >= rDefault)
+      assert(rAll >= 0.999, f"16-of-16 probes must be exhaustive, got $rAll%.3f")
+      spark.conf.set(Similarity.IvfProbesConfKey, "zero")
+      intercept[IllegalArgumentException] { Similarity.ivfTopK(emb, 5) }
+    } finally spark.conf.unset(Similarity.IvfProbesConfKey)
+  }
+
   // ---- seqPack -----------------------------------------------------------
 
   private lazy val packed = PipelineOps.seqPack(docs, 512L)
