@@ -105,8 +105,14 @@ object Sketches {
         case -1 => b.size
         case j  => j
       }
-      if (i < b.size && b(i)._1 == a._1) b // same key hash: one sample slot
-      else {
+      if (i < b.size && b(i)._1 == a._1) {
+        // same key hash (a 52-bit collision, odds ~n^2/2^53): one sample
+        // slot, and keep the MIN value so the state stays merge-order
+        // independent (total order via Double.compare; the oracle's
+        // DISTINCT ON (h) ... ORDER BY h, v picks the same row)
+        if (java.lang.Double.compare(a._2, b(i)._2) < 0) b.updated(i, a)
+        else b
+      } else {
         val nb = (b.take(i) :+ a) ++ b.drop(i)
         if (nb.size > k) nb.take(k) else nb
       }
@@ -144,7 +150,7 @@ object Sketches {
         .stripMargin.replace("\n", " ")
     }.mkString(", ")
     s"""WITH b AS (SELECT DISTINCT ON (h) ${hashUnitSql(keyExpr, salt)} AS h,
-       | $valExpr AS v FROM $table ORDER BY h),
+       | $valExpr AS v FROM $table ORDER BY h, v),
        | tk AS (SELECT h, v FROM b ORDER BY h LIMIT $k),
        | r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
        |   count(*) OVER () AS m FROM tk)

@@ -110,6 +110,23 @@ class ChunkSketchSpec extends SparkSpec {
     assert(res.distinct.size == 1, s"merge order changed the sample: $res")
   }
 
+  test("quantile sketch breaks hash collisions by min value, any arrival order") {
+    // a 52-bit key-hash collision (same h, different v) is ~n^2/2^53
+    // theoretical, but determinism must not depend on arrival order:
+    // the buffer keeps the MIN value for the slot either way
+    val agg = new Sketches.KMVQuantiles(8, Seq(1.0))
+    val collide = Seq((0.25, 7.0), (0.25, 3.0), (0.5, 9.0))
+    val fwd = collide.foldLeft(agg.zero)(agg.reduce)
+    val rev = collide.reverse.foldLeft(agg.zero)(agg.reduce)
+    assert(fwd == rev, s"$fwd vs $rev")
+    assert(fwd == Vector((0.25, 3.0), (0.5, 9.0)), fwd.toString)
+    // and merge of disagreeing partials resolves the same way
+    val b1 = agg.reduce(agg.zero, (0.25, 7.0))
+    val b2 = agg.reduce(agg.zero, (0.25, 3.0))
+    assert(agg.merge(b1, b2) == agg.merge(b2, b1))
+    assert(agg.merge(b1, b2) == Vector((0.25, 3.0)))
+  }
+
   test("quantile sketch estimates stay inside the 4-sigma rank band") {
     val vals = Tables.read(spark, sf, "documents")
       .select(size(split(col("text"), " ")).cast("double").as("v"))
