@@ -21,12 +21,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // A/B knob: SPARK_GRAFT_EXTENSIONS=1 injects graft.GraftExtensions the
+    // way a production spark-submit would, to measure the injection's cost
+    // (a session-build-time function-registry insert) against the default
+    // no-extensions session the driver benchmarks.
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = (if (sys.env.get("SPARK_GRAFT_EXTENSIONS").exists(_.nonEmpty))
+      builder.config("spark.sql.extensions", "graft.GraftExtensions")
+    else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the session (JVM, codegen, file listing) outside any query's
     // timing window.

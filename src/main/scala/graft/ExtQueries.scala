@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.expr.{E, Pipeline, Stage, C, Lit, SLit, CastD, If, ILit}
 import graft.expr.E._
-import graft.ext.{CorpusIO, CorpusStats, Dedup, DualHash, KMeansDet, PipelineOps, SemDedup, Similarity, Sketches, TextAnalysis => TA}
+import graft.ext.{AsOfJoin, Bloom, CorpusIO, CorpusStats, Dedup, DualHash, KMeansDet, PipelineOps, SemDedup, Similarity, Sketches, TextAnalysis => TA}
 import graft.expressions.SimHash64
 import graft.Queries.Q
 
@@ -684,7 +684,52 @@ object ExtQueries {
         org.apache.spark.sql.functions.round(col("qs").getItem(3), 6).as("q90"))
     }, Some(Sketches.kmvQuantilesOracleSql("documents", "\"doc_id\"",
       "CAST(len(string_split(\"text\", ' ')) AS DOUBLE)", ":qsk", 128,
-      Seq(0.25 -> "q25", 0.5 -> "q50", 0.75 -> "q75", 0.9 -> "q90"))))
+      Seq(0.25 -> "q25", 0.5 -> "q50", 0.75 -> "q75", 0.9 -> "q90")))),
+    // ---- as-of join: the point-in-time operator Spark lacks --------------
+    // Single-shuffle tagged-union rendering (no join node in the plan);
+    // the oracle is DuckDB's NATIVE ASOF LEFT JOIN — what a DuckDB user
+    // would actually write — so the semantics equivalence is checked
+    // against an independent implementation, not a mirrored one.
+    Q("q_asof_join", (s, dir) => {
+      val ev = Tables.eventsWithMs(s, dir)
+      val purchases = AsOfJoin.latestPerKeyTime(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ms"),
+            col("event_id").as("purchase_id"),
+            col("value").as("purchase_value")),
+        Seq("user_id"), "ms", "purchase_id")
+      val probes = ev.filter(col("event_type") =!= "purchase")
+        .select(col("event_id"), col("user_id"), col("ms"), col("event_type"))
+      AsOfJoin.asof(probes, purchases, Seq("user_id"), "ms", "ms",
+          Seq("purchase_id", "purchase_value"))
+        .orderBy("event_id")
+    },
+      Some("""WITH e AS (SELECT "event_id", "user_id", epoch_ms("ts") AS ms,
+             |   "event_type", "value" FROM events),
+             | p0 AS (SELECT "user_id", ms, "event_id" AS purchase_id,
+             |   "value" AS purchase_value, row_number() OVER
+             |     (PARTITION BY "user_id", ms ORDER BY "event_id" DESC) AS rk
+             |  FROM e WHERE "event_type" = 'purchase'),
+             | p AS (SELECT "user_id", ms, purchase_id, purchase_value
+             |  FROM p0 WHERE rk = 1),
+             | l AS (SELECT "event_id", "user_id", ms, "event_type" FROM e
+             |  WHERE "event_type" <> 'purchase')
+             | SELECT l."event_id", l."user_id", l.ms AS "ms", l."event_type",
+             |   p.purchase_id AS "purchase_id",
+             |   p.purchase_value AS "purchase_value"
+             | FROM l ASOF LEFT JOIN p
+             |   ON l."user_id" = p."user_id" AND l.ms >= p.ms
+             | ORDER BY l."event_id"""".stripMargin.replace("\n", " "))),
+    // ---- Bloom-filter decontamination: the unbounded-eval-set scale path.
+    // OR-built bits are merge-order independent, and both engines derive
+    // positions from the same base60 arithmetic, so even the false
+    // positives are identical — the flag column hash-matches exactly.
+    Q("q_bloom_decontaminate", (s, dir) =>
+      Bloom.decontaminate(Tables.read(s, dir, "documents"),
+          col("doc_id") % 50 === 0)
+        .orderBy("doc_id"),
+      Some(s"WITH $tokCte, $shCte" +
+        Bloom.decontaminateOracleSql("\"doc_id\" % 50 = 0")))
   )
 
   /** Projection applied after the JSONL read-back (and, in the oracle, to

@@ -1,0 +1,86 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join — for each left row, the payload of the latest
+  * right row with the same keys and `rightTime <= leftTime` (the classic
+  * point-in-time / attribution join: event → most recent prior purchase,
+  * trade → prevailing quote, reading → last calibration).
+  *
+  * Spark has no ASOF join operator (DuckDB, Pandas and kdb do), and the
+  * naive renderings are scale traps: an inequality theta-join plans as a
+  * broadcast-nested-loop (O(n·m) per key), and the
+  * "window over a joined explosion" form shuffles every candidate pair.
+  * This is the scale-correct SINGLE-SHUFFLE rendering — no join node in
+  * the plan at all:
+  *
+  *  1. tag both sides and union them (right payload columns ride as
+  *     nulls on left rows and vice versa — columnar nulls are free);
+  *  2. hash-partition by the keys and sort each partition by
+  *     (time, side) — right rows sort BEFORE left rows at equal
+  *     timestamps, which is exactly the inclusive `<=` semantics;
+  *  3. a running `last(payload, ignoreNulls)` window (unbounded
+  *     preceding → current row) carries the latest right payload forward
+  *     into every left row;
+  *  4. keep the left rows.
+  *
+  * One exchange of (keys, time, payload) — never a pair explosion — and
+  * the window is a running frame, evaluated in a single forward pass per
+  * partition. Skew bounds are those of the key distribution, identical
+  * to the sessionize operator's.
+  *
+  * Determinism: the right side must be unique per (keys, rightTime) —
+  * two right rows tied on key+time have no defined "latest" (DuckDB's
+  * ASOF join picks one arbitrarily too). [[latestPerKeyTime]] collapses
+  * ties deterministically; the registry query applies it first.
+  */
+object AsOfJoin {
+
+  /** Deterministic tie collapse: keep, per (keys, time), the row with the
+    * greatest `tieBreak` column. Use on the right side before [[asof]]
+    * when key+time duplicates are possible. */
+  def latestPerKeyTime(right: DataFrame, keys: Seq[String], time: String,
+                       tieBreak: String): DataFrame = {
+    val w = Window.partitionBy((keys :+ time).map(col): _*)
+      .orderBy(col(tieBreak).desc)
+    right.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1).drop("__rk")
+  }
+
+  /** @param left     probe side; all its columns survive
+    * @param right    reference side; must be unique per (keys, rightTime)
+    * @param keys     equi-join key column names (present on both sides)
+    * @param leftTime left event-time column name
+    * @param rightTime right event-time column name (same orderable type)
+    * @param payload  right columns carried to the output (null when no
+    *                 right row precedes the left row); names must not
+    *                 collide with left columns
+    * @return left.* ++ payload, one output row per left row
+    */
+  def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTime: String, rightTime: String,
+           payload: Seq[String]): DataFrame = {
+    val lcols = left.columns.toSeq
+    require(payload.nonEmpty, "asof needs at least one payload column")
+    require(!payload.exists(lcols.contains),
+      s"payload ${payload.filter(lcols.contains)} collide with left columns")
+    require(keys.nonEmpty, "asof needs at least one key column")
+    val r = right.select(
+      (keys.map(col) :+ col(rightTime).as("__t")) ++ payload.map(col): _*)
+      .withColumn("__side", lit(0))
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(u) { (df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select((lcols ++ payload).map(col): _*)
+  }
+}

@@ -53,6 +53,43 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  /** Shuffle budgets for the heaviest warm queries (BENCH_r06 top-10 plus
+    * the structural chains): the exact number of shuffle exchanges in the
+    * planned physical tree, pinned so a refactor cannot silently add a
+    * shuffle that sf0.1 absorbs but 100 TB would not. Counts are of the
+    * INITIAL plan (AQE may later elide some at runtime — the budget is the
+    * worst case actually shipped to the scheduler). */
+  // Every registry query pays +1 for its final deterministic orderBy
+  // (rangepartitioning); solver queries pay +1 more for the deliberate
+  // round-robin scan repartition that spreads per-row solves past the
+  // parquet row-group parallelism floor (README "hot-loop discipline").
+  private val exchangeBudgets = Map(
+    "q_monte_carlo_fe3fe2" -> 3, // repartition + 16-draw agg + orderBy
+    "q_saturation_allison" -> 2, // repartition + orderBy; the solve is narrow
+    "q_fe3fe2_deng2020"    -> 2, // repartition + orderBy (memo cache, no distinct+broadcast)
+    "q_fo2_iw_full"        -> 2,
+    "q_fo2_qfm_full"       -> 2,
+    "q_ep3_chain"          -> 2, // thermo->fO2->Fe3Fe2->density fused into ONE narrow stage
+    "q_saturation_mixed"   -> 2,
+    "q_pipeline_clean"     -> 3, // quality chain narrow + the one dedup agg + orderBy
+    "q_dedup_clusters"     -> 1, // per-round localCheckpoint cuts lineage: only the orderBy remains
+    "q_semdedup"           -> 5, // kmeans assign + capped pairing + orderBy
+    "q_tfidf_topterms"     -> 7, // tf agg + df agg + join + top-k window + orderBy
+    "q_dedup_minhash_pairs" -> 4) // band explode agg + bucket self-join + verify + orderBy
+
+  test("shuffle-exchange budgets hold for the heaviest queries") {
+    val exch = raw"(^|[^A-Za-z])Exchange\s".r // not ReusedExchange/Broadcast
+    val over = exchangeBudgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
+      val plan = Queries.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val n = plan.linesIterator.count(l =>
+        exch.findFirstIn(l).isDefined && !l.contains("BroadcastExchange"))
+      info(s"$name: $n shuffle exchange(s), budget $budget")
+      if (n > budget) Some(s"$name: $n exchanges > budget $budget") else None
+    }
+    assert(over.isEmpty, over.mkString("\n"))
+  }
+
   /** Key-skew probe: plan-shape checks cannot see data skew, so measure the
     * actual hot-key cardinality of every LSH/bucket join key on the test
     * corpus. Two invariants: (a) no bucket on the oracle corpus exceeds the
