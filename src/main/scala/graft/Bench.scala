@@ -30,6 +30,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // The generated-class cache defaults to 100 entries; a 130+-query
+      // registry evicts everything between the cold and warm passes, so
+      // "warm" numbers were re-paying janino compilation. Static conf —
+      // must be set before the first session is built (fine here: Bench
+      // owns the JVM).
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
     val spark = (if (sys.env.get("SPARK_GRAFT_EXTENSIONS").exists(_.nonEmpty))
       builder.config("spark.sql.extensions", "graft.GraftExtensions")
     else builder).getOrCreate()
