@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.expr.{E, Pipeline, Stage, C, Lit, SLit, CastD, If, ILit}
 import graft.expr.E._
-import graft.ext.{AsOfJoin, Bloom, CorpusIO, CorpusStats, Dedup, DualHash, KMeansDet, PipelineOps, SemDedup, Similarity, Sketches, TextAnalysis => TA}
+import graft.ext.{AsOfJoin, Bloom, CorpusIO, CorpusStats, CountMin, Dedup, DualHash, KMeansDet, PipelineOps, RangeJoin, SemDedup, SetSimJoin, Similarity, Sketches, TextAnalysis => TA}
 import graft.expressions.SimHash64
 import graft.Queries.Q
 
@@ -729,8 +729,117 @@ object ExtQueries {
           col("doc_id") % 50 === 0)
         .orderBy("doc_id"),
       Some(s"WITH $tokCte, $shCte" +
-        Bloom.decontaminateOracleSql("\"doc_id\" % 50 = 0")))
+        Bloom.decontaminateOracleSql("\"doc_id\" % 50 = 0"))),
+    // ---- generic range join: bucketed equi-join realisation -------------
+    // Five overlapping per-priority price bands derived from the data
+    // itself, then every order range-joined into each band it falls in.
+    // The oracle is the direct theta join (DuckDB plans an IE-join); the
+    // Spark side must reproduce it through the bucket+residual plan.
+    // Sums are in exact integer cents: no float-accumulation-order drift.
+    Q("q_range_join", (s, dir) => {
+      val o = Tables.read(s, dir, "orders")
+        .select(col("o_totalprice"), col("o_orderpriority"))
+      val bands = o.groupBy(col("o_orderpriority").as("band"))
+        .agg(min("o_totalprice").as("lo"),
+          (max("o_totalprice") + lit(1.0)).as("hi"))
+      RangeJoin.rangeJoin(o.select(col("o_totalprice").as("v")), "v",
+          bands, "lo", "hi", 25000.0)
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"),
+          sum(org.apache.spark.sql.functions.round(col("v") * 100)
+            .cast("long")).as("sum_cents"))
+        .orderBy("band")
+    },
+      Some("""WITH b AS (SELECT "o_orderpriority" AS band,
+             |   min("o_totalprice") AS lo, max("o_totalprice") + 1.0e0 AS hi
+             |  FROM orders GROUP BY 1)
+             | SELECT band AS "band", count(*) AS "n",
+             |   sum(CAST(round("o_totalprice" * 100) AS BIGINT)) AS "sum_cents"
+             | FROM orders o JOIN b
+             |   ON o."o_totalprice" >= b.lo AND o."o_totalprice" < b.hi
+             | GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "))),
+    // ---- exact Jaccard-threshold join via prefix filtering ---------------
+    // Token sets are hashed word 3-shingles (the dedup family's unit), so
+    // the output is exactly the near-dup pairs the LSH path approximates —
+    // here with guaranteed recall 1. Output is (pair, |A∩B|, |A∪B|) in
+    // exact integers; the threshold filter compares the SAME IEEE
+    // division on both engines. The oracle is the un-filtered
+    // inverted-index join — an independent realisation with no prefix
+    // pruning — so the prefix filter's exact-recall claim is what the
+    // hash match certifies.
+    Q("q_setsim_join", (s, dir) =>
+      SetSimJoin.jaccardJoin(Tables.read(s, dir, "documents"), "doc_id",
+          graft.expressions.VectorExpressions
+            .shingleHashes(split(col("text"), " "), 3), 0.6)
+        .select(col("a_id"), col("b_id"), col("inter"), col("usz"))
+        .orderBy("a_id", "b_id"),
+      Some(s"WITH $tokCte, $shCte, " +
+        SetSimJoin.jaccardJoinOracleSql(
+          "(SELECT \"doc_id\" AS _id, unnest(list_distinct(hs)) AS _tok FROM sh)",
+          0.6) +
+        " SELECT a_id, b_id, inter, usz FROM _out ORDER BY a_id, b_id")),
+    // ---- JSON metadata extraction --------------------------------------
+    // events.props is a JSON payload column; parse with from_json (typed
+    // struct, codegen'd Jackson parse — never a UDF) and aggregate the
+    // extracted field. The oracle parses independently via DuckDB's JSON
+    // extension.
+    Q("q_json_props", (s, dir) =>
+      Tables.read(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"), "k BIGINT", Map.empty[String, String])
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type"),
+      Some("""SELECT "event_type", count(*) AS "n",
+             | sum(CAST(json_extract_string("props", '$.k') AS BIGINT)) AS "sum_k",
+             | min(CAST(json_extract_string("props", '$.k') AS BIGINT)) AS "min_k",
+             | max(CAST(json_extract_string("props", '$.k') AS BIGINT)) AS "max_k"
+             | FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        .replace("\n", " "))),
+    // ---- count-min sketch ------------------------------------------------
+    // Top-20 exact token counts next to their CMS estimates. Both engines
+    // address buckets with the same DualHash arithmetic, so estimates
+    // (collisions included) hash-match exactly; the ≥-exact law is pinned
+    // in ChunkSketchSpec.
+    Q("q_cms_counts", (s, dir) => {
+      val (d, w) = (CmsD, CmsW)
+      val hashed = Tables.read(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .select(col("tok"), Dedup.base60Col(col("tok")).as("h"))
+      val sk = hashed.agg(CountMin.sketch(col("h"), d, w).as("sk"))
+      hashed.groupBy("tok")
+        .agg(count(lit(1)).as("exact_cnt"), min("h").as("h"))
+        .orderBy(desc("exact_cnt"), col("tok")).limit(20)
+        .crossJoin(broadcast(sk))
+        .select(col("tok"), col("exact_cnt"),
+          CountMin.estimate(col("sk"), col("h"), d, w).as("cms_est"))
+        .orderBy(desc("exact_cnt"), col("tok"))
+    },
+      Some {
+        val (d, w) = (CmsD, CmsW)
+        val sums = (0 until d).map(r =>
+          s"s$r AS (${CountMin.bucketSumsSql(r, w, "hh")})").mkString(", ")
+        val est = (0 until d).map(r =>
+          CountMin.estimateSql(r, w, s"s$r", "h")).mkString("least(", ", ", ")")
+        s"""WITH occ AS (SELECT unnest(string_split("text", ' ')) AS tok
+           |  FROM documents),
+           | hh AS (SELECT tok, ${DualHash.base60Sql("tok")} AS h FROM occ),
+           | $sums,
+           | top AS (SELECT tok, count(*) AS exact_cnt, min(h) AS h FROM hh
+           |   GROUP BY 1 ORDER BY exact_cnt DESC, tok LIMIT 20)
+           | SELECT tok AS "tok", exact_cnt AS "exact_cnt", $est AS "cms_est"
+           | FROM top ORDER BY exact_cnt DESC, tok""".stripMargin
+          .replace("\n", " ")
+      })
   )
+
+  /** CMS query geometry: 4 rows x 512 buckets — small enough that the
+    * oracle's correlated lookups stay cheap, big enough that the sf0.01
+    * corpus still produces real (identical-on-both-engines) collisions. */
+  private val CmsD = 4
+  private val CmsW = 512
 
   /** Projection applied after the JSONL read-back (and, in the oracle, to
     * the original table). */

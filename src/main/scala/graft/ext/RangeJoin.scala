@@ -1,0 +1,87 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Generic interval (range) join — `left.val ∈ [right.lo, right.hi)` —
+  * realised as a bucketed equi-join so Catalyst never falls back to a
+  * BroadcastNestedLoopJoin on the theta predicate.
+  *
+  * Shape: each interval is exploded to the fixed-width buckets it covers
+  * (`floor(lo/w) .. floor(hi/w)`), each left row computes its single
+  * bucket `floor(val/w)`, and the two sides meet in a hash equi-join on
+  * the bucket id with the exact range predicate re-applied as a residual
+  * filter. A left row's bucket intersects an interval's covered-bucket
+  * list at most once, so the join introduces no duplicates and needs no
+  * distinct.
+  *
+  * At 100 TB this is the scale-safe plan: the probe side shuffles (or
+  * broadcasts, when the interval table is dimension-sized — Catalyst
+  * picks) on a dense integer key, and the residual filter touches only
+  * bucket-collocated candidates. The explode factor is
+  * `(hi - lo) / bucketWidth` per interval, guarded by
+  * `spark.graft.rangejoin.maxBucketsPerInterval` (default 4096) with a
+  * hard in-plan `assert_true` — a mis-sized width fails fast with a
+  * named error instead of silently materialising a quadratic bucket
+  * list. Pick `bucketWidth` near the median interval length: one bucket
+  * per interval-length unit of width keeps both the explode factor and
+  * the residual false-positive rate O(1).
+  *
+  * Reference analogue: MagmaPandas realises its only range semantics as
+  * pandas index slicing (`calibration_range` checks,
+  * `thermometers/melt.py` window filters); the generic operator is
+  * beyond-reference surface for the pipeline library.
+  */
+object RangeJoin {
+
+  /** Conf key bounding the per-interval explode factor. */
+  val MaxBucketsKey = "spark.graft.rangejoin.maxBucketsPerInterval"
+
+  private def maxBuckets(df: DataFrame): Long =
+    df.sparkSession.conf.get(MaxBucketsKey, "4096").toLong
+
+  /** Inner range join: rows of `left` paired with every `intervals` row
+    * whose `[loCol, hiCol)` contains `left.valCol`. Output columns =
+    * left columns ++ interval columns (bucket key dropped); callers
+    * project/aggregate on top.
+    *
+    * @param bucketWidth positive bucket width in the value's units.
+    */
+  def rangeJoin(left: DataFrame, valCol: String,
+                intervals: DataFrame, loCol: String, hiCol: String,
+                bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val cap = maxBuckets(left)
+    val lo = col(loCol)
+    val hi = col(hiCol)
+    val bLo = floor(lo / lit(bucketWidth)).cast("long")
+    val bHi = floor(hi / lit(bucketWidth)).cast("long")
+    // The guard lives in a filter (never pruned, unlike a dropped
+    // column): assert_true yields NULL when the predicate holds and
+    // throws with the message otherwise, so `.isNull` is vacuously true
+    // on every surviving row.
+    val guarded = intervals.where(
+      assert_true(bHi - bLo <= lit(cap),
+        concat(lit(s"rangeJoin: interval [" ), lo.cast("string"),
+          lit(", "), hi.cast("string"),
+          lit(s") spans more than $cap buckets of width $bucketWidth; " +
+            s"raise $MaxBucketsKey or widen bucketWidth"))).isNull)
+    val exploded = guarded.withColumn("_graft_bucket",
+      explode(sequence(bLo, bHi)))
+    val probe = left.withColumn("_graft_bucket",
+      floor(col(valCol) / lit(bucketWidth)).cast("long"))
+    probe.join(exploded, Seq("_graft_bucket"))
+      .where(col(valCol) >= lo && col(valCol) < hi)
+      .drop("_graft_bucket")
+  }
+
+  /** DuckDB oracle rendering: the direct theta join (DuckDB plans a
+    * native IE-join for it), semantically identical to the bucketed
+    * plan. `leftSql`/`intervalsSql` are relation expressions (table or
+    * parenthesised subquery). */
+  def rangeJoinOracleSql(leftSql: String, valExpr: String,
+                         intervalsSql: String, loExpr: String,
+                         hiExpr: String): String =
+    s"SELECT * FROM $leftSql l JOIN $intervalsSql r ON " +
+      s"l.$valExpr >= r.$loExpr AND l.$valExpr < r.$hiExpr"
+}

@@ -1,0 +1,100 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact set-similarity self-join: all document pairs whose token-set
+  * Jaccard is >= a threshold, via prefix filtering (Bayardo et al.,
+  * "Scaling Up All Pairs Similarity Search", WWW'07; Xiao et al. PPJoin,
+  * WWW'08) — the EXACT counterpart of the MinHash/LSH path in
+  * [[Dedup]], which trades recall for a fixed candidate budget.
+  *
+  * Candidate generation uses the prefix-filter theorem: order every
+  * doc's tokens by a single global order (document frequency ascending,
+  * token ascending — rarest first), keep each doc's first
+  * `n - ceil(t*n) + 1` tokens, and equi-join docs sharing a prefix
+  * token. Any pair with Jaccard >= t is guaranteed to share a prefix
+  * token under a consistent global order, so recall is exactly 1 —
+  * no tuning knob, unlike LSH band counts. A length prune
+  * (`min(na,nb) >= t * max(na,nb)`, a necessary condition of
+  * Jaccard >= t) cuts candidates before the distinct.
+  *
+  * Scale shape: the global order needs no global rank — each doc sorts
+  * its OWN tokens by the joined (df, token) key, a window partitioned by
+  * doc id (never a single-partition window). Prefix tokens are by
+  * construction the rarest in their doc, so the candidate join's key
+  * skew is bounded by the df of rare tokens, not boilerplate; frequent
+  * tokens appear only in suffixes, which never join. Verification
+  * touches candidate pairs only, with per-doc sorted token arrays and a
+  * codegen'd `array_intersect`. Worst-case output is inherently
+  * quadratic when the corpus IS quadratically similar (every exact
+  * algorithm's output is); for corpora where that is expected, use the
+  * capped LSH path instead.
+  */
+object SetSimJoin {
+
+  /** All (a_id, b_id, inter, usz, jaccard) with a_id < b_id and
+    * `jaccard = |A∩B| / |A∪B| >= threshold`, where A/B are the SETS of
+    * `toksCol` elements (any orderable atomic element type — words,
+    * shingle hashes, ids). `inter`/`usz` are exact integers; `jaccard`
+    * is their IEEE quotient. */
+  def jaccardJoin(docs: DataFrame, idCol: String, toksCol: Column,
+                  threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val toks = docs.select(col(idCol).as("_id"),
+      explode(array_distinct(toksCol)).as("_tok"))
+    val df = toks.groupBy("_tok").agg(count(lit(1)).as("_df"))
+    val perDoc = Window.partitionBy("_id")
+    val ranked = toks.join(df, "_tok")
+      .withColumn("_rk", row_number().over(perDoc.orderBy(col("_df"), col("_tok"))))
+      .withColumn("_n", count(lit(1)).over(perDoc))
+    val prefix = ranked
+      .where(col("_rk") <= col("_n") - ceil(lit(threshold) * col("_n")) + 1)
+    val a = prefix.select(col("_tok"), col("_id").as("a_id"), col("_n").as("_na"))
+    val b = prefix.select(col("_tok"), col("_id").as("b_id"), col("_n").as("_nb"))
+    val cands = a.join(b, Seq("_tok"))
+      .where(col("a_id") < col("b_id") &&
+        least(col("_na"), col("_nb")) >=
+          lit(threshold) * greatest(col("_na"), col("_nb")))
+      .select("a_id", "b_id").distinct()
+    val sets = toks.groupBy(col("_id"))
+      .agg(sort_array(collect_set(col("_tok"))).as("_set"),
+        count(lit(1)).as("_n"))
+    cands
+      .join(sets.select(col("_id").as("a_id"), col("_set").as("_sa"),
+        col("_n").as("_na")), "a_id")
+      .join(sets.select(col("_id").as("b_id"), col("_set").as("_sb"),
+        col("_n").as("_nb")), "b_id")
+      .withColumn("_inter",
+        size(array_intersect(col("_sa"), col("_sb"))).cast("double"))
+      .withColumn("jaccard",
+        col("_inter") / (col("_na") + col("_nb") - col("_inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"),
+        col("_inter").cast("long").as("inter"),
+        (col("_na") + col("_nb") - col("_inter")).cast("long").as("usz"),
+        col("jaccard"))
+  }
+
+  /** DuckDB oracle: the inverted-index exact join (no prefix filter —
+    * an INDEPENDENT realisation, so the comparison checks semantics,
+    * not a mirrored plan). `toksRel` is a relation exposing one
+    * `(_id, _tok)` row per distinct token per doc; the caller wraps
+    * with ordering. */
+  def jaccardJoinOracleSql(toksRel: String, threshold: Double): String =
+    s"""_t AS (SELECT _id, _tok FROM $toksRel),
+       | _sz AS (SELECT _id, count(*) AS _n FROM _t GROUP BY 1),
+       | _pairs AS (SELECT x._id AS a_id, y._id AS b_id, count(*) AS _inter
+       |   FROM _t x JOIN _t y ON x._tok = y._tok AND x._id < y._id
+       |   GROUP BY 1, 2),
+       | _jj AS (SELECT a_id, b_id, _inter AS inter,
+       |     sa._n + sb._n - _inter AS usz,
+       |     CAST(_inter AS DOUBLE) / (sa._n + sb._n - _inter) AS jaccard
+       |   FROM _pairs
+       |   JOIN _sz sa ON sa._id = a_id JOIN _sz sb ON sb._id = b_id),
+       | _out AS (SELECT a_id, b_id, inter, usz, jaccard FROM _jj
+       |   WHERE jaccard >= ${graft.expr.E.formatDouble(threshold)})"""
+      .stripMargin.replace("\n", " ")
+}

@@ -22,9 +22,11 @@ class PlanAuditSpec extends SparkSpec {
     "q_knn_cosine_topk",       // brute-force exactness baseline
     "q_dedup_embedding_cosine", // exact all-pairs decision kernel
     "q_knn_ivf",               // centroid assignment: cells x dim broadcast
-    "q_source_overlap")        // pairwise stage over per-source aggregates:
+    "q_source_overlap",        // pairwise stage over per-source aggregates:
                                // row count = source cardinality, never data
                                // scale (see CorpusStats.sourceOverlap)
+    "q_cms_counts")            // 20 top tokens x the ONE-row sketch:
+                               // a deliberate broadcast of bounded state
 
   test("no accidental cartesian or nested-loop joins across the registry") {
     val offenders = Queries.all.flatMap { q =>
