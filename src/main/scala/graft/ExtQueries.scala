@@ -730,6 +730,27 @@ object ExtQueries {
         .orderBy("doc_id"),
       Some(s"WITH $tokCte, $shCte" +
         Bloom.decontaminateOracleSql("\"doc_id\" % 50 = 0"))),
+    // ---- incremental (cross-corpus) exact dedup -------------------------
+    // Resumable ingestion: a batch of new docs deduped within itself AND
+    // against the previously ingested corpus (doc_id % 10 = 0 stands in
+    // for the prior snapshot) via a fingerprint anti-join.
+    Q("q_incremental_dedup", (s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      Dedup.incrementalExact(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0))
+        .orderBy("fp")
+    },
+      Some("""WITH e AS (SELECT DISTINCT md5("text") AS fp FROM documents
+             |   WHERE "doc_id" % 10 = 0),
+             | b AS (SELECT md5("text") AS fp, "doc_id" FROM documents
+             |   WHERE "doc_id" % 10 <> 0),
+             | g AS (SELECT fp, min("doc_id") AS keep_doc_id,
+             |     CAST(count(*) AS DOUBLE) AS dup_count FROM b GROUP BY 1)
+             | SELECT g.fp AS "fp", keep_doc_id AS "keep_doc_id",
+             |   dup_count AS "dup_count"
+             | FROM g ANTI JOIN e ON g.fp = e.fp ORDER BY 1""".stripMargin
+        .replace("\n", " "))),
     // ---- generic range join: bucketed equi-join realisation -------------
     // Five overlapping per-priority price bands derived from the data
     // itself, then every order range-joined into each band it falls in.

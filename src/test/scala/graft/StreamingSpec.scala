@@ -198,4 +198,35 @@ class StreamingSpec extends SparkSpec {
     assert(rows.keySet == Set(1L, 3L), rows.toString) // junk doc gated out
     assert(rows(1L) == "en" && rows(3L) == "de", rows.toString)
   }
+
+  test("count-min sketch streams: incremental state equals the batch sketch") {
+    // The CMS Aggregator's merge-order independence is exactly what
+    // Structured Streaming's incremental aggregation needs: the sketch
+    // after N micro-batches must be bit-identical to a one-shot batch
+    // aggregate of the same rows — bounded d*w state on an unbounded
+    // stream.
+    import graft.ext.{CountMin, Dedup}
+    implicit val sqlCtx = spark.sqlContext
+    val (d, w) = (4, 64)
+    val mem = MemoryStream[String]
+    val out = mem.toDF().toDF("tok")
+      .select(Dedup.base60Col(col("tok")).as("h"))
+      .agg(CountMin.sketch(col("h"), d, w).as("sk"))
+    val q = out.writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").trigger(Trigger.ProcessingTime(0)).start()
+    val batch1 = (0 until 300).map(i => s"z${i % 17}")
+    val batch2 = (0 until 200).map(i => s"z${i % 5}") // re-hits hot tokens
+    mem.addData(batch1)
+    q.processAllAvailable()
+    mem.addData(batch2)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cms_stream").collect()(0).getSeq[Long](0)
+    val batch = (batch1 ++ batch2).toDF("tok")
+      .select(Dedup.base60Col(col("tok")).as("h"))
+      .agg(CountMin.sketch(col("h"), d, w))
+      .as[Seq[Long]].head()
+    assert(streamed == batch)
+    assert(streamed.sum == (batch1.size + batch2.size).toLong * d)
+  }
 }
