@@ -691,17 +691,20 @@ object ExtQueries {
     // would actually write — so the semantics equivalence is checked
     // against an independent implementation, not a mirrored one.
     Q("q_asof_join", (s, dir) => {
-      val ev = Tables.eventsWithMs(s, dir)
-      val purchases = AsOfJoin.latestPerKeyTime(
-        ev.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("ms"),
-            col("event_id").as("purchase_id"),
-            col("value").as("purchase_value")),
-        Seq("user_id"), "ms", "purchase_id")
+      // no parallelism floor: the operator's first step is its own hash
+      // shuffle, so the floor's round-robin would shuffle events twice
+      // (once per union branch) for nothing
+      val ev = Tables.eventsWithMs(s, dir, parallelismFloor = false)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ms"),
+          col("event_id").as("purchase_id"),
+          col("value").as("purchase_value"))
       val probes = ev.filter(col("event_type") =!= "purchase")
         .select(col("event_id"), col("user_id"), col("ms"), col("event_type"))
+      // key+time ties collapse INSIDE the one shuffle via tieBreak —
+      // semantically the latestPerKeyTime pre-pass, minus its shuffle
       AsOfJoin.asof(probes, purchases, Seq("user_id"), "ms", "ms",
-          Seq("purchase_id", "purchase_value"))
+          Seq("purchase_id", "purchase_value"), tieBreak = Seq("purchase_id"))
         .orderBy("event_id")
     },
       Some("""WITH e AS (SELECT "event_id", "user_id", epoch_ms("ts") AS ms,
@@ -771,14 +774,14 @@ object ExtQueries {
             .cast("long")).as("sum_cents"))
         .orderBy("band")
     },
-      Some("""WITH b AS (SELECT "o_orderpriority" AS band,
-             |   min("o_totalprice") AS lo, max("o_totalprice") + 1.0e0 AS hi
-             |  FROM orders GROUP BY 1)
-             | SELECT band AS "band", count(*) AS "n",
-             |   sum(CAST(round("o_totalprice" * 100) AS BIGINT)) AS "sum_cents"
-             | FROM orders o JOIN b
-             |   ON o."o_totalprice" >= b.lo AND o."o_totalprice" < b.hi
-             | GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "))),
+      Some("WITH b AS (SELECT \"o_orderpriority\" AS band, " +
+        "min(\"o_totalprice\") AS lo, max(\"o_totalprice\") + 1.0e0 AS hi " +
+        "FROM orders GROUP BY 1) " +
+        "SELECT band AS \"band\", count(*) AS \"n\", " +
+        "CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS \"sum_cents\" " +
+        "FROM (" + RangeJoin.rangeJoinOracleSql(
+          "(SELECT \"o_totalprice\" AS v FROM orders)", "v", "b", "lo", "hi") +
+        ") t GROUP BY 1 ORDER BY 1")),
     // ---- exact Jaccard-threshold join via prefix filtering ---------------
     // Token sets are hashed word 3-shingles (the dedup family's unit), so
     // the output is exactly the near-dup pairs the LSH path approximates —
@@ -814,7 +817,7 @@ object ExtQueries {
           min("k").as("min_k"), max("k").as("max_k"))
         .orderBy("event_type"),
       Some("""SELECT "event_type", count(*) AS "n",
-             | sum(CAST(json_extract_string("props", '$.k') AS BIGINT)) AS "sum_k",
+             | CAST(sum(CAST(json_extract_string("props", '$.k') AS BIGINT)) AS BIGINT) AS "sum_k",
              | min(CAST(json_extract_string("props", '$.k') AS BIGINT)) AS "min_k",
              | max(CAST(json_extract_string("props", '$.k') AS BIGINT)) AS "max_k"
              | FROM events GROUP BY 1 ORDER BY 1""".stripMargin

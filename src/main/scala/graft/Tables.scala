@@ -22,20 +22,29 @@ object Tables {
     * repartition shuffles only the scan's raw columns (cheap), and only
     * ever RAISES the partition count: at 100 TB the scan already has
     * thousands of row groups and this is a no-op. */
-  def read(spark: SparkSession, dir: String, table: String): DataFrame = {
+  /** @param parallelismFloor round-robin repartition up to core count when
+    *   the file has fewer row groups — the floor that keeps per-row solver
+    *   UDF queries parallel on small local files. Pass `false` when the
+    *   FIRST downstream operator is itself a shuffle (window/groupBy on a
+    *   key): the floor would shuffle the whole table once for nothing. */
+  def read(spark: SparkSession, dir: String, table: String,
+           parallelismFloor: Boolean = true): DataFrame = {
     val df = spark.read.parquet(s"$dir/$table.parquet")
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (parallelismFloor && df.rdd.getNumPartitions < target)
+      df.repartition(target)
+    else df
   }
 
   /** events with an epoch-millisecond column. The driver's events table has
     * nanosecond timestamps, which Spark 4 only reads with
     * `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/Bench) —
     * handle both the long-nanos and timestamp read paths. */
-  def eventsWithMs(spark: SparkSession, dir: String): DataFrame = {
+  def eventsWithMs(spark: SparkSession, dir: String,
+                   parallelismFloor: Boolean = true): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, unix_millis}
     import org.apache.spark.sql.types.LongType
-    val ev = read(spark, dir, "events")
+    val ev = read(spark, dir, "events", parallelismFloor)
     val ms = ev.schema("ts").dataType match {
       // integer division: ns values exceed double's exact-integer range
       case LongType => expr("ts div 1000000")

@@ -150,8 +150,19 @@ final class Melt(val mdf: MagmaDF, config: MagmaConfig = MagmaConfig.get) {
             case "oneill2006" => graft.functions.Fe3Fe2Iterative.oneill2006
             case "armstrong2019" => graft.functions.Fe3Fe2Iterative.armstrong2019
             case "deng2020" =>
-              (mol, t, p, fo2) => graft.functions.Deng2020.fe3Fe2(mol, t, p, fo2)
-            case "sun2024" => graft.functions.Fe3Fe2Iterative.sun2024DengVdP
+              // capture any attached cache metrics into the UDF closure so
+              // remote executors publish to the driver's accumulators
+              val mm = graft.functions.Deng2020.currentMetrics.orNull
+              (mol, t, p, fo2) => {
+                if (mm != null) graft.functions.Deng2020.ensureMetrics(mm)
+                graft.functions.Deng2020.fe3Fe2(mol, t, p, fo2)
+              }
+            case "sun2024" =>
+              val mm = graft.functions.Deng2020.currentMetrics.orNull
+              (mol, t, p, fo2) => {
+                if (mm != null) graft.functions.Deng2020.ensureMetrics(mm)
+                graft.functions.Fe3Fe2Iterative.sun2024DengVdP(mol, t, p, fo2)
+              }
           }
         val u = org.apache.spark.sql.functions.udf(
           (wt: Seq[Double], tK: Double, pBar: Double, fO2: Double) =>

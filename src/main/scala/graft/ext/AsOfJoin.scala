@@ -33,8 +33,12 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: the right side must be unique per (keys, rightTime) —
   * two right rows tied on key+time have no defined "latest" (DuckDB's
-  * ASOF join picks one arbitrarily too). [[latestPerKeyTime]] collapses
-  * ties deterministically; the registry query applies it first.
+  * ASOF join picks one arbitrarily too). Pass `tieBreak` columns to
+  * collapse ties INSIDE the one shuffle: they extend the window sort, so
+  * the running last() lands on the greatest tie-break row with no extra
+  * window pass ([[latestPerKeyTime]] remains as the standalone
+  * pre-collapse for callers that need the deduplicated right side
+  * itself, at the cost of its own (keys, time) shuffle).
   */
 object AsOfJoin {
 
@@ -57,25 +61,33 @@ object AsOfJoin {
     * @param payload  right columns carried to the output (null when no
     *                 right row precedes the left row); names must not
     *                 collide with left columns
+    * @param tieBreak right columns ordering key+time ties: the row
+    *                 sorting LAST (greatest values, ascending order) wins,
+    *                 matching [[latestPerKeyTime]]'s keep-greatest — but
+    *                 resolved inside the operator's single shuffle
     * @return left.* ++ payload, one output row per left row
     */
   def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTime: String, rightTime: String,
-           payload: Seq[String]): DataFrame = {
+           payload: Seq[String], tieBreak: Seq[String] = Nil): DataFrame = {
     val lcols = left.columns.toSeq
     require(payload.nonEmpty, "asof needs at least one payload column")
     require(!payload.exists(lcols.contains),
       s"payload ${payload.filter(lcols.contains)} collide with left columns")
     require(keys.nonEmpty, "asof needs at least one key column")
     val r = right.select(
-      (keys.map(col) :+ col(rightTime).as("__t")) ++ payload.map(col): _*)
+      (keys.map(col) :+ col(rightTime).as("__t")) ++ payload.map(col) ++
+        tieBreak.zipWithIndex.map { case (c, i) => col(c).as(s"__tb$i") }: _*)
       .withColumn("__side", lit(0))
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
     val u = l.unionByName(r, allowMissingColumns = true)
+    // tie-break columns ride as null on left rows; they only order rows
+    // within (__t, __side=0) groups, where they are never null
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(col("__t") +: col("__side") +:
+        tieBreak.indices.map(i => col(s"__tb$i")): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = payload.foldLeft(u) { (df, p) =>
       df.withColumn(p, last(col(p), ignoreNulls = true).over(w))

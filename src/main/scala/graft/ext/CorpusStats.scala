@@ -27,8 +27,12 @@ object CorpusStats {
     val local = Window.partitionBy(group :+ pmod(salt, lit(buckets)): _*)
       .orderBy(order: _*)
     val global = Window.partitionBy(group: _*).orderBy(order: _*)
+    // rk as long: DuckDB's row_number() is BIGINT, and the output rank is
+    // part of the oracle-compared schema — int32 vs int64 is invisible to
+    // the driver's hash but rejected by the type-strict local gate
     df.withColumn("rk", row_number().over(local)).filter(col("rk") <= k)
-      .withColumn("rk", row_number().over(global)).filter(col("rk") <= k)
+      .withColumn("rk", row_number().over(global).cast("long"))
+      .filter(col("rk") <= k)
   }
 
   /** Top-k terms per document by TF-IDF (idf = ln((N+1)/(df+1)) + 1, the
@@ -49,7 +53,7 @@ object CorpusStats {
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
     tf.join(dfreq, "term")
       .withColumn("tfidf", col("tf").cast("double") * idf)
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(w).cast("long")) // BIGINT like the oracle's
       .filter(col("rk") <= k)
       .select(col("doc_id"), col("term"),
         round(col("tfidf"), 6).as("tfidf"), col("rk"))

@@ -61,7 +61,7 @@ object RangeJoin {
     // throws with the message otherwise, so `.isNull` is vacuously true
     // on every surviving row.
     val guarded = intervals.where(
-      assert_true(bHi - bLo <= lit(cap),
+      assert_true(bHi - bLo < lit(cap),
         concat(lit(s"rangeJoin: interval [" ), lo.cast("string"),
           lit(", "), hi.cast("string"),
           lit(s") spans more than $cap buckets of width $bucketWidth; " +
@@ -73,6 +73,40 @@ object RangeJoin {
     probe.join(exploded, Seq("_graft_bucket"))
       .where(col(valCol) >= lo && col(valCol) < hi)
       .drop("_graft_bucket")
+  }
+
+  /** Auto-width range join: picks `bucketWidth` from the intervals
+    * themselves, so callers stop guessing (a guess that is too narrow
+    * trips the explode cap; too wide degenerates to a near-cross-join of
+    * residual filtering). One cheap aggregate job over the interval
+    * (dimension) side computes:
+    *
+    *  - the approximate median interval length — one bucket per median
+    *    length keeps both the explode factor and the residual
+    *    false-positive rate O(1) per interval;
+    *  - the max interval length, and clamps the width to
+    *    `maxLen / maxBucketsPerInterval` so the longest interval can
+    *    never exceed the explode-cap guard — skewed length
+    *    distributions (many points, one huge span) pick a width that is
+    *    safe by construction instead of failing fast.
+    *
+    * The width only tunes the plan; the result set is width-invariant
+    * (the residual filter re-applies the exact predicate), so the
+    * approximate percentile needs no determinism guarantee. */
+  def rangeJoinAuto(left: DataFrame, valCol: String,
+                    intervals: DataFrame, loCol: String,
+                    hiCol: String): DataFrame = {
+    val len = col(hiCol).cast("double") - col(loCol).cast("double")
+    val row = intervals.agg(
+      percentile_approx(len, lit(0.5), lit(10000)).as("med"),
+      max(len).as("mx")).head()
+    val med = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+    val mx = if (row.isNullAt(1)) 0.0 else row.getDouble(1)
+    // cap - 2: rangeJoin guards bHi - bLo < cap, and floor misalignment
+    // can add one bucket beyond len / width
+    val width = math.max(math.max(med, mx / (maxBuckets(intervals) - 2)),
+      1e-9)
+    rangeJoin(left, valCol, intervals, loCol, hiCol, width)
   }
 
   /** DuckDB oracle rendering: the direct theta join (DuckDB plans a

@@ -12,6 +12,50 @@ package graft.functions
   */
 object Deng2020 {
 
+  /** Memo-cache observability (round-7 bench: a 42 s cold outlier on
+    * `q_fe3fe2_deng2020` was undiagnosable because the EOS memo fill was
+    * invisible). Spark accumulators, not JVM statics, so executor-side
+    * increments flow back to the driver with task completion on a real
+    * cluster; `attach` is called by Verify/Bench after session build, and
+    * the solver closure re-publishes the captured instance on the executor
+    * (`ensure`) so remote JVMs increment the same accumulators. When never
+    * attached, the hot path pays one volatile null-check. */
+  final case class CacheMetrics(
+      volHits: org.apache.spark.util.LongAccumulator,
+      volMisses: org.apache.spark.util.LongAccumulator,
+      volFillNanos: org.apache.spark.util.LongAccumulator,
+      dvdpHits: org.apache.spark.util.LongAccumulator,
+      dvdpMisses: org.apache.spark.util.LongAccumulator,
+      dvdpFillNanos: org.apache.spark.util.LongAccumulator)
+      extends Serializable {
+    def render: String =
+      f"deng2020 volCache hits=${volHits.value} misses=${volMisses.value} " +
+        f"fill=${volFillNanos.value / 1e9}%.2fs; " +
+        f"dVdPCache hits=${dvdpHits.value} misses=${dvdpMisses.value} " +
+        f"fill=${dvdpFillNanos.value / 1e9}%.2fs"
+  }
+
+  @volatile private var cacheMetrics: CacheMetrics = _
+
+  def attachMetrics(spark: org.apache.spark.sql.SparkSession): CacheMetrics = {
+    val sc = spark.sparkContext
+    val m = CacheMetrics(
+      sc.longAccumulator("graft.deng2020.volCache.hits"),
+      sc.longAccumulator("graft.deng2020.volCache.misses"),
+      sc.longAccumulator("graft.deng2020.volCache.fillNanos"),
+      sc.longAccumulator("graft.deng2020.dVdPCache.hits"),
+      sc.longAccumulator("graft.deng2020.dVdPCache.misses"),
+      sc.longAccumulator("graft.deng2020.dVdPCache.fillNanos"))
+    cacheMetrics = m
+    m
+  }
+
+  def currentMetrics: Option[CacheMetrics] = Option(cacheMetrics)
+
+  /** Executor-side republish of a closure-captured instance. */
+  private[graft] def ensureMetrics(m: CacheMetrics): Unit =
+    if (cacheMetrics == null) cacheMetrics = m
+
   val R = 8.31446261815324
   val Avogadro = 6.02214076e23
   private val tRef = 3000.0
@@ -112,13 +156,34 @@ object Deng2020 {
   private def volumeCached(tK: Double, p: Double, fe3: Boolean,
                            meltFe: String): Double = {
     if (volCache.size() > 500000) volCache.clear()
-    volCache.computeIfAbsent((tK, p, fe3, meltFe),
-      _ => volume(tK, p, fe3, meltFe)).doubleValue
+    val m = cacheMetrics
+    if (m == null)
+      volCache.computeIfAbsent((tK, p, fe3, meltFe),
+        _ => volume(tK, p, fe3, meltFe)).doubleValue
+    else {
+      // `filled` distinguishes a real fill from a computeIfAbsent that
+      // found the key (or lost the per-bin race to a concurrent filler —
+      // counted as a hit, because this thread did no EOS work)
+      var filled = false
+      val v = volCache.computeIfAbsent((tK, p, fe3, meltFe), { _ =>
+        filled = true
+        val t0 = System.nanoTime()
+        val r = volume(tK, p, fe3, meltFe)
+        m.volFillNanos.add(System.nanoTime() - t0)
+        r
+      })
+      if (filled) m.volMisses.add(1) else m.volHits.add(1)
+      v.doubleValue
+    }
   }
 
   def dVdP(tK: Double, pBar: Double, meltFe: String = "12.5molpc"): Double = {
     if (dVdPCache.size() > 100000) dVdPCache.clear()
-    dVdPCache.computeIfAbsent((tK, pBar, meltFe), { _ =>
+    val m = cacheMetrics
+    var filled = false
+    val out = dVdPCache.computeIfAbsent((tK, pBar, meltFe), { _ =>
+      filled = true
+      val t0 = System.nanoTime()
       val step = 5e2
       val grid = Iterator.iterate(1.0)(_ + step).takeWhile(_ < pBar + step).toArray
       val dv = grid.map(p => (volumeCached(tK, p, fe3 = true, meltFe) -
@@ -129,8 +194,11 @@ object Deng2020 {
         integral += 0.5 * (dv(i) + dv(i - 1)) * (grid(i) - grid(i - 1)) * 1e5
         i += 1
       }
+      if (m != null) m.dvdpFillNanos.add(System.nanoTime() - t0)
       integral
     }).doubleValue
+    if (m != null) { if (filled) m.dvdpMisses.add(1) else m.dvdpHits.add(1) }
+    out
   }
 
   /** Gibbs free energy at reference P (`Fe3Fe2_models.py:599-612`). */

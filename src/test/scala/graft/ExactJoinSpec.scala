@@ -59,6 +59,28 @@ class ExactJoinSpec extends SparkSpec {
     } finally spark.conf.unset(RangeJoin.MaxBucketsKey)
   }
 
+  test("rangeJoinAuto matches brute force on skewed interval lengths") {
+    // many unit-length intervals plus one huge span: the median-picked
+    // width (~1) would explode the big interval past a small cap, so the
+    // auto-width must clamp to maxLen/cap and still match the theta join
+    val v = (0 until 400).map(i =>
+      (i.toLong, (DualHash.base60(s"av:$i") % 2000L).toDouble)).toDF("id", "v")
+    val iv = ((0 until 60).map { i =>
+      val lo = (DualHash.base60(s"ai:$i") % 1900L).toDouble
+      (i.toLong, lo, lo + 1.0)
+    } :+ (99L, 0.0, 1900.0)).toDF("iid", "lo", "hi")
+    spark.conf.set(RangeJoin.MaxBucketsKey, "50")
+    try {
+      val got = RangeJoin.rangeJoinAuto(v, "v", iv, "lo", "hi")
+        .select("id", "iid").as[(Long, Long)].collect().toSet
+      val want = v.crossJoin(iv)
+        .where(col("v") >= col("lo") && col("v") < col("hi"))
+        .select("id", "iid").as[(Long, Long)].collect().toSet
+      assert(got == want)
+      assert(want.size > 300, s"fixture too sparse: ${want.size} matches")
+    } finally spark.conf.unset(RangeJoin.MaxBucketsKey)
+  }
+
   test("rangeJoin plans a hash equi-join, not a nested loop") {
     val plan = RangeJoin.rangeJoin(vals, "v", ivs, "lo", "hi", 7.0)
       .queryExecution.executedPlan.toString

@@ -77,7 +77,16 @@ class PlanAuditSpec extends SparkSpec {
     "q_dedup_clusters"     -> 1, // per-round localCheckpoint cuts lineage: only the orderBy remains
     "q_semdedup"           -> 5, // kmeans assign + capped pairing + orderBy
     "q_tfidf_topterms"     -> 7, // tf agg + df agg + join + top-k window + orderBy
-    "q_dedup_minhash_pairs" -> 4) // band explode agg + bucket self-join + verify + orderBy
+    "q_dedup_minhash_pairs" -> 4, // band explode agg + bucket self-join + verify + orderBy
+    // q_asof_join is pinned EXACTLY (2, zero joins) in its own test below
+    "q_setsim_join" -> 13, // the prefix subplan (scan floor + df agg + rank
+                           // window) appears once per join operand in the
+                           // INITIAL plan; AQE exchange reuse collapses the
+                           // canonically-equal stages at runtime
+    "q_range_join" -> 4,  // scan floor x2 + band agg + orderBy (interval
+                          // side broadcasts; final agg rides the map side)
+    "q_cms_counts" -> 4)  // scan floor + token agg + topk + orderBy; the
+                          // one-row sketch broadcasts (allowedNestedLoop)
 
   test("shuffle-exchange budgets hold for the heaviest queries") {
     val exch = raw"(^|[^A-Za-z])Exchange\s".r // not ReusedExchange/Broadcast
@@ -90,6 +99,23 @@ class PlanAuditSpec extends SparkSpec {
       if (n > budget) Some(s"$name: $n exchanges > budget $budget") else None
     }
     assert(over.isEmpty, over.mkString("\n"))
+  }
+
+  /** The as-of join's headline claim (AsOfJoin.scala): union both sides,
+    * ONE hash shuffle on the join key, a running last-value window — no
+    * join node at all, so there is nothing to skew-split or broadcast.
+    * Pinned exactly: a refactor that sneaks a join (or a second shuffle)
+    * into this plan loses the reason the operator scales. */
+  test("q_asof_join plans zero join nodes over exactly its budgeted shuffles") {
+    val plan = Queries.queries("q_asof_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of join plan contains a join node:\n$plan")
+    val exch = raw"(^|[^A-Za-z])Exchange\s".r
+    val n = plan.linesIterator.count(l =>
+      exch.findFirstIn(l).isDefined && !l.contains("BroadcastExchange"))
+    info(s"q_asof_join: $n shuffle exchange(s)")
+    assert(n == 2, // the ONE key shuffle + the registry-wide final orderBy
+      s"q_asof_join: $n shuffle exchanges, pinned at 2 (key hash + orderBy)")
   }
 
   /** Key-skew probe: plan-shape checks cannot see data skew, so measure the
@@ -138,6 +164,21 @@ class PlanAuditSpec extends SparkSpec {
       val lshMax = maxKey(bucketed, Seq("bucket"))
       assert(lshMax <= Dedup.DefaultMaxBucketSize,
         s"$dir embedding LSH hot bucket $lshMax exceeds cap — oracle rows would change")
+
+      // SetSimJoin df-enrich key: the hashed word-3-shingle `_tok` that
+      // q_setsim_join joins document-frequency stats back on
+      // (SetSimJoin.jaccardJoin's `toks.join(df, "_tok")`). Shingle keys
+      // are near-unique by construction, so the hot key should stay far
+      // under the bucket cap; if a future corpus breaks this, salt the
+      // df-enrich join (ext/Skew.saltedJoin) or pre-aggregate df into the
+      // per-doc arrays before the ranking window.
+      val tok = docs.select(explode(array_distinct(
+          graft.expressions.VectorExpressions.shingleHashes(
+            split(col("text"), " "), 3))).as("_tok"))
+      val tokMax = maxKey(tok, Seq("_tok"))
+      assert(tokMax <= Dedup.DefaultMaxBucketSize,
+        s"$dir setsim hot token $tokMax exceeds cap — df-enrich join would skew")
+      info(s"$dir setsim hottest _tok df = $tokMax")
     }
   }
 }
