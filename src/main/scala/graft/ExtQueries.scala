@@ -856,6 +856,92 @@ object ExtQueries {
            | SELECT tok AS "tok", exact_cnt AS "exact_cnt", $est AS "cms_est"
            | FROM top ORDER BY exact_cnt DESC, tok""".stripMargin
           .replace("\n", " ")
+      }),
+    // ---- salted skewed join ----------------------------------------------
+    // Skew.saltedJoin's row-equivalence law, oracle-checked end to end: the
+    // plain USING join is the oracle, the salted scatter (8 salt values,
+    // xxhash64 of the row-unique event_id) is the Spark plan. The dim side
+    // is a per-user aggregate of the same events table, the realistic shape
+    // (hot user -> hot key on BOTH sides of the enrich join).
+    Q("q_salted_join", (s, dir) => {
+      val ev = Tables.read(s, dir, "events", parallelismFloor = false)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val dim = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(sum(org.apache.spark.sql.functions.round(col("value") * 100)
+          .cast("long")).as("user_cents"))
+      graft.ext.Skew.saltedJoin(ev, dim, Seq("user_id"), saltParts = 8,
+          bigSalt = graft.ext.Skew.saltFrom(col("event_id")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("user_cents")).as("sum_cents"))
+        .orderBy("event_type")
+    },
+      Some("""WITH d AS (SELECT "user_id",
+             |   CAST(sum(CAST(round("value" * 100) AS BIGINT)) AS BIGINT)
+             |     AS user_cents
+             |  FROM events WHERE "event_type" = 'purchase' GROUP BY 1)
+             | SELECT "event_type", count(*) AS "n",
+             |   CAST(sum(user_cents) AS BIGINT) AS "sum_cents"
+             | FROM events e JOIN d USING ("user_id")
+             | GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "))),
+    // ---- interval-overlap join -------------------------------------------
+    // Per-user one-hour activity windows: purchase windows vs the windows
+    // of every other event type, paired when they overlap in time. The
+    // canonical-bucket join (no distinct on the pair output) vs DuckDB's
+    // native IE-join theta plan; overlap durations are exact integer ms,
+    // so the sum hash-matches.
+    Q("q_interval_overlap", (s, dir) => {
+      val w = 3600000L // 1 h window per event
+      val ev = Tables.eventsWithMs(s, dir, parallelismFloor = false)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ms").as("p_lo"),
+          (col("ms") + lit(w)).as("p_hi"))
+      val v = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_type").as("b_type"),
+          col("ms").as("v_lo"), (col("ms") + lit(w)).as("v_hi"))
+      RangeJoin.intervalOverlapJoin(p, "p_lo", "p_hi", v, "v_lo", "v_hi",
+          bucketWidth = w.toDouble, keys = Seq("user_id"))
+        .groupBy("b_type")
+        .agg(count(lit(1)).as("n"),
+          sum(org.apache.spark.sql.functions.least(col("p_hi"), col("v_hi")) -
+            org.apache.spark.sql.functions.greatest(col("p_lo"), col("v_lo")))
+            .as("overlap_ms"))
+        .orderBy("b_type")
+    },
+      Some("WITH e AS (SELECT \"user_id\", \"event_type\", " +
+        "epoch_ms(\"ts\") AS ms FROM events), " +
+        "p AS (SELECT \"user_id\", ms AS p_lo, ms + 3600000 AS p_hi " +
+        "FROM e WHERE \"event_type\" = 'purchase'), " +
+        "v AS (SELECT \"user_id\", \"event_type\" AS b_type, " +
+        "ms AS v_lo, ms + 3600000 AS v_hi " +
+        "FROM e WHERE \"event_type\" <> 'purchase') " +
+        "SELECT b_type AS \"b_type\", count(*) AS \"n\", " +
+        "CAST(sum(least(p_hi, v_hi) - greatest(p_lo, v_lo)) AS BIGINT) " +
+        "AS \"overlap_ms\" FROM (" +
+        RangeJoin.intervalOverlapOracleSql(
+          "b_type, p_lo, p_hi, v_lo, v_hi",
+          "p", "p_lo", "p_hi", "v", "v_lo", "v_hi", Seq("\"user_id\"")) +
+        ") t GROUP BY 1 ORDER BY 1")),
+    // ---- Z-order clustering key ------------------------------------------
+    // The Morton key the layout job (ZOrder.clusterByZ) range-partitions
+    // by, hash-checked bit for bit: dim 0 = n_chars (saturating 16-bit
+    // clamp), dim 1 = a 16-bit slice of the language's md5-base60 hash.
+    // The oracle recomputes the interleave with DuckDB bit arithmetic.
+    Q("q_zorder_key", (s, dir) => {
+      val x = col("n_chars")
+      // base60 is a 60-bit non-negative value, so plain % == pmod here
+      val y = graft.ext.Dedup.base60Col(col("lang")) % lit(65536L)
+      Tables.read(s, dir, "documents", parallelismFloor = false)
+        .select(col("doc_id"),
+          graft.ext.ZOrder.zValue(Seq(x, y), bits = 16).as("z"))
+        .orderBy("z", "doc_id")
+    },
+      Some {
+        val y = s"(${DualHash.base60Sql("\"lang\"")} % 65536)"
+        val z = graft.ext.ZOrder.zValueSql(Seq("\"n_chars\"", y), bits = 16)
+        s"""SELECT "doc_id", $z AS "z" FROM documents
+           | ORDER BY z, "doc_id"""".stripMargin.replace("\n", " ")
       })
   )
 

@@ -109,6 +109,67 @@ object RangeJoin {
     rangeJoin(left, valCol, intervals, loCol, hiCol, width)
   }
 
+  /** Inner interval-OVERLAP join: pairs of a left and a right interval
+    * with non-empty intersection — `[lLo, lHi) ∩ [rLo, rHi) ≠ ∅`, i.e.
+    * `lLo < rHi && rLo < lHi` — optionally restricted to equal `keys`.
+    *
+    * Both sides explode to the fixed-width buckets they cover and meet in
+    * a hash equi-join on (keys, bucket). Unlike the point-in-interval
+    * join, an overlapping pair can share MANY buckets; the usual fix — a
+    * `distinct` on the output — is a full extra shuffle of the result.
+    * Instead each pair is kept only in its CANONICAL bucket: the bucket
+    * containing `greatest(lLo, rLo)`, the overlap's left edge, which
+    * lies in exactly one bucket that both sides provably cover. Dedup
+    * falls out of arithmetic; the plan stays scan → explode → one hash
+    * join → residual filter, with no exchange on the (potentially much
+    * larger) pair output.
+    *
+    * With `keys` this is the scale shape for "which readings overlap
+    * which maintenance windows per machine": co-partition by key, bucket
+    * only within a key's timeline.
+    *
+    * Column names must be disjoint across the two sides (alias first). */
+  def intervalOverlapJoin(left: DataFrame, lLo: String, lHi: String,
+                          right: DataFrame, rLo: String, rHi: String,
+                          bucketWidth: Double,
+                          keys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val overlap = left.columns.toSet
+      .intersect(right.columns.toSet) -- keys
+    require(overlap.isEmpty,
+      s"non-key columns $overlap appear on both sides; alias them first")
+    val cap = maxBuckets(left)
+    def explodeSide(df: DataFrame, lo: String, hi: String): DataFrame = {
+      val bLo = floor(col(lo) / lit(bucketWidth)).cast("long")
+      val bHi = floor(col(hi) / lit(bucketWidth)).cast("long")
+      df.where(
+          assert_true(bHi - bLo < lit(cap),
+            concat(lit("intervalOverlapJoin: interval ["), col(lo).cast("string"),
+              lit(", "), col(hi).cast("string"),
+              lit(s") spans more than $cap buckets of width $bucketWidth; " +
+                s"raise $MaxBucketsKey or widen bucketWidth"))).isNull)
+        .withColumn("_graft_bucket", explode(sequence(bLo, bHi)))
+    }
+    explodeSide(left, lLo, lHi)
+      .join(explodeSide(right, rLo, rHi), keys :+ "_graft_bucket")
+      .where(col(lLo) < col(rHi) && col(rLo) < col(lHi) &&
+        col("_graft_bucket") ===
+          floor(greatest(col(lLo), col(rLo)) / lit(bucketWidth)).cast("long"))
+      .drop("_graft_bucket")
+  }
+
+  /** DuckDB oracle rendering of [[intervalOverlapJoin]]: the direct theta
+    * join (DuckDB plans an IE-join). `selectList` projects the join (the
+    * join keys appear on both sides, so `*` would collide). */
+  def intervalOverlapOracleSql(selectList: String,
+                               leftSql: String, lLo: String, lHi: String,
+                               rightSql: String, rLo: String, rHi: String,
+                               keys: Seq[String] = Nil): String = {
+    val keyEq = keys.map(k => s"l.$k = r.$k AND ").mkString
+    s"SELECT $selectList FROM $leftSql l JOIN $rightSql r ON " +
+      s"${keyEq}l.$lLo < r.$rHi AND r.$rLo < l.$lHi"
+  }
+
   /** DuckDB oracle rendering: the direct theta join (DuckDB plans a
     * native IE-join for it), semantically identical to the bucketed
     * plan. `leftSql`/`intervalsSql` are relation expressions (table or

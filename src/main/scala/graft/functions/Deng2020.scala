@@ -181,11 +181,24 @@ object Deng2020 {
     if (dVdPCache.size() > 100000) dVdPCache.clear()
     val m = cacheMetrics
     var filled = false
-    val out = dVdPCache.computeIfAbsent((tK, pBar, meltFe), { _ =>
+    // Key by the GRID LENGTH, not the raw pressure: the trapezoid runs
+    // over the fixed 500-bar lattice points below pBar+step, so every
+    // pBar mapping to the same point count yields the bit-identical
+    // integral. Keying by raw pBar made the distinct-key count the
+    // table's continuous-pressure cardinality (~600k at sf0.1), which
+    // blew the 100k cap and turned the cache into clear-all thrash —
+    // the round-7 "42 s cold" outlier, measured by the fill metrics as
+    // 2.3M misses / 92 s of fill. Grid lengths number ~dozens, so the
+    // key space is now bounded by |T| x |lengths| regardless of scale.
+    // The length is computed with the SAME takeWhile float walk as the
+    // fill below — no closed-form boundary drift.
+    val step = 5e2
+    val nGrid = Iterator.iterate(1.0)(_ + step)
+      .takeWhile(_ < pBar + step).size
+    val out = dVdPCache.computeIfAbsent((tK, nGrid.toDouble, meltFe), { _ =>
       filled = true
       val t0 = System.nanoTime()
-      val step = 5e2
-      val grid = Iterator.iterate(1.0)(_ + step).takeWhile(_ < pBar + step).toArray
+      val grid = Iterator.iterate(1.0)(_ + step).take(nGrid).toArray
       val dv = grid.map(p => (volumeCached(tK, p, fe3 = true, meltFe) -
         volumeCached(tK, p, fe3 = false, meltFe)) * 1e-6)
       var integral = 0.0

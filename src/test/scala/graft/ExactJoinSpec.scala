@@ -81,6 +81,50 @@ class ExactJoinSpec extends SparkSpec {
     } finally spark.conf.unset(RangeJoin.MaxBucketsKey)
   }
 
+  // ---- interval-overlap join --------------------------------------------
+
+  private lazy val ivA = (0 until 60).map { i =>
+    val lo = prand(i, 11)
+    (i.toLong, lo, lo + math.abs(prand(i, 12)) % 40.0)
+  }.toDF("aid", "a_lo", "a_hi")
+  private lazy val ivB = (0 until 60).map { i =>
+    val lo = prand(i, 13)
+    (i.toLong, lo, lo + math.abs(prand(i, 14)) % 40.0)
+  }.toDF("bid", "b_lo", "b_hi")
+
+  test("intervalOverlapJoin equals the naive theta join, each pair once") {
+    val got = RangeJoin.intervalOverlapJoin(ivA, "a_lo", "a_hi",
+        ivB, "b_lo", "b_hi", bucketWidth = 5.0)
+      .select("aid", "bid").as[(Long, Long)].collect()
+    // no duplicates even though wide pairs share many buckets
+    assert(got.length == got.toSet.size, "canonical-bucket dedup failed")
+    val want = ivA.crossJoin(ivB)
+      .where(col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi"))
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    assert(got.toSet == want)
+    assert(want.size > 100, s"fixture too sparse: ${want.size}")
+  }
+
+  test("intervalOverlapJoin with keys restricts pairs to equal keys") {
+    val a = ivA.withColumn("k", (col("aid") % 4).cast("int"))
+    val b = ivB.withColumn("k", (col("bid") % 4).cast("int"))
+    val got = RangeJoin.intervalOverlapJoin(a, "a_lo", "a_hi",
+        b, "b_lo", "b_hi", bucketWidth = 5.0, keys = Seq("k"))
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    val want = a.as("l").join(b.as("r"), col("l.k") === col("r.k") &&
+        col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi"))
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
+  test("intervalOverlapJoin rejects colliding non-key columns") {
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlapJoin(ivA, "a_lo", "a_hi",
+        ivB.withColumnRenamed("b_lo", "a_lo"), "a_lo", "b_hi", 5.0)
+    }
+  }
+
   test("rangeJoin plans a hash equi-join, not a nested loop") {
     val plan = RangeJoin.rangeJoin(vals, "v", ivs, "lo", "hi", 7.0)
       .queryExecution.executedPlan.toString
