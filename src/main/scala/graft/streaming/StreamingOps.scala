@@ -185,6 +185,58 @@ object StreamingOps {
       }.toDF()
   }
 
+  /** Streaming backward as-of enrichment — the stream twin of
+    * [[graft.ext.AsOfJoin]] as exercised by `q_asof_join`: one event
+    * stream carries both sides; per user, "purchase" rows update keyed
+    * state (latest purchase at-or-before now) and every other row is
+    * emitted enriched with that latest payload, null until the first
+    * purchase. Within a micro-batch rows are processed in
+    * (ms, side, event_id) order — reference before probe at equal
+    * timestamps, greatest id winning reference ties — the batch
+    * operator's EXACT tie semantics, so a stream arriving in event-time
+    * order reproduces the batch join row for row (the parity law
+    * `StreamingSpec` pins, single- and multi-batch). Rows arriving late
+    * see the state as of their batch — the standard streaming-enrichment
+    * trade; an event-time-perfect as-of over late data needs the full
+    * reference history, which is what the batch operator is for.
+    *
+    * State per key is ONE row (the latest reference), not a buffer —
+    * the streaming analogue of the batch plan's single running window. */
+  final case class AsOfRefState(ms: Long, refId: Long, refValue: Double)
+  final case class AsOfOut(event_id: Long, user_id: Long, ms: Long,
+                           event_type: String,
+                           purchase_id: java.lang.Long,
+                           purchase_value: java.lang.Double)
+
+  def streamingAsOf(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val typed = events.select(col("event_id").cast("long"),
+        col("user_id").cast("long"),
+        expr("ts div 1000000").cast("long").as("ms"),
+        col("event_type").cast("string"), col("value").cast("double"))
+      .as[(Long, Long, Long, String, Double)]
+    typed.groupByKey(_._2)
+      .flatMapGroupsWithState[AsOfRefState, AsOfOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[AsOfRefState]) =>
+          val sorted = rows.toSeq.sortBy(r =>
+            (r._3, if (r._4 == "purchase") 0 else 1, r._1))
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[AsOfOut]
+          for ((id, _, ms, tpe, v) <- sorted) {
+            if (tpe == "purchase") {
+              if (st == null || ms > st.ms ||
+                  (ms == st.ms && id >= st.refId))
+                st = AsOfRefState(ms, id, v)
+            } else out += AsOfOut(id, user, ms, tpe,
+              if (st == null) null else java.lang.Long.valueOf(st.refId),
+              if (st == null) null else java.lang.Double.valueOf(st.refValue))
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }.toDF()
+  }
+
   /** Per-user session aggregation with explicit state
     * (flatMapGroupsWithState): emits (user_id, session_start_ms,
     * session_end_ms, n_events) when a session closes after `gapMs` of

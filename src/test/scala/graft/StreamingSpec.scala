@@ -34,6 +34,61 @@ class StreamingSpec extends SparkSpec {
       rows.toString)
   }
 
+  test("streaming as-of enrichment reproduces the batch as-of join") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.{AsOfJoin, DualHash}
+    // deterministic mixed stream: 12 users, interleaved purchases and
+    // probes, with planted (user, ms) purchase ties to exercise the
+    // tie-break law
+    val rows = (0 until 400).map { i =>
+      val user = DualHash.base60(s"au:$i") % 12L
+      val ms = (DualHash.base60(s"at:$i") % 1000L) * 1000L
+      val tpe = if (DualHash.base60(s"ak:$i") % 3L == 0L) "purchase"
+                else if (i % 2 == 0) "click" else "view"
+      (i.toLong, ms * 1000000L, user, tpe, (i % 97).toDouble)
+    } ++ Seq( // two purchases tied on (user, ms): greater event_id must win
+      (1000L, 777000L * 1000000L, 3L, "purchase", 1.0),
+      (1001L, 777000L * 1000000L, 3L, "purchase", 2.0),
+      (1002L, 778000L * 1000000L, 3L, "click", 0.0))
+
+    def batchExpected = {
+      val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("ms", expr("ts div 1000000"))
+      val purchases = df.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ms"), col("event_id").as("purchase_id"),
+          col("value").as("purchase_value"))
+      val probes = df.filter(col("event_type") =!= "purchase")
+        .select(col("event_id"), col("user_id"), col("ms"), col("event_type"))
+      AsOfJoin.asof(probes, purchases, Seq("user_id"), "ms", "ms",
+          Seq("purchase_id", "purchase_value"), tieBreak = Seq("purchase_id"))
+        .collect().map(r => (r.getLong(0), Option(r.get(4)), Option(r.get(5))))
+        .toSet
+    }
+
+    def run(batches: Seq[Seq[(Long, Long, Long, String, Double)]],
+            name: String) = {
+      val mem = MemoryStream[(Long, Long, Long, String, Double)]
+      val events = mem.toDF()
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val q = StreamingOps.streamingAsOf(events)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      for (b <- batches) { mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), Option(r.get(4)), Option(r.get(5)))).toSet
+    }
+
+    val want = batchExpected
+    assert(want.exists(_._2.isDefined) && want.exists(_._2.isEmpty),
+      "fixture must exercise both matched and unmatched probes")
+    // single batch: full parity
+    assert(run(Seq(rows), "asof_stream_1") == want)
+    // split into two batches on event time: state carries across batches
+    val (early, late) = rows.partition(_._2 < 500000L * 1000000L)
+    assert(run(Seq(early, late), "asof_stream_2") == want)
+  }
+
   test("streaming exact dedup drops in-watermark duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Long)]
