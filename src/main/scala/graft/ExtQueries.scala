@@ -857,6 +857,35 @@ object ExtQueries {
            | FROM top ORDER BY exact_cnt DESC, tok""".stripMargin
           .replace("\n", " ")
       }),
+    // ---- KMV overlap / join-cardinality estimate -------------------------
+    // What a planner wants BEFORE running a join at 100 TB: estimated
+    // distinct keys per side, of the union, and (inclusion-exclusion) of
+    // the intersection — three bounded KMV sketches, each a partial agg +
+    // one single-buffer-row exchange, never a distinct-key shuffle. The
+    // md5-derived hash makes the estimates bit-reproducible, so the
+    // ESTIMATES hash-match the oracle, not just error bounds.
+    Q("q_kmv_overlap", (s, dir) => {
+      val k = 256
+      val ev = Tables.read(s, dir, "events", parallelismFloor = false)
+      def hashes(t: String) = ev.filter(col("event_type") === t)
+        .select(Sketches.hashUnit(col("user_id"), ":ovl").as("h"))
+      val p = hashes("purchase")
+      val v = hashes("view")
+      val estA = p.agg(Sketches.kmvEstimate(col("h"), k).as("_a"))
+      val estB = v.agg(Sketches.kmvEstimate(col("h"), k).as("_b"))
+      val estU = p.unionByName(v)
+        .agg(Sketches.kmvEstimate(col("h"), k).as("_u"))
+      estA.crossJoin(estB).crossJoin(estU).select(
+        org.apache.spark.sql.functions.round(col("_a"), 6).as("est_a"),
+        org.apache.spark.sql.functions.round(col("_b"), 6).as("est_b"),
+        org.apache.spark.sql.functions.round(col("_u"), 6).as("est_union"),
+        org.apache.spark.sql.functions.round(col("_a") + col("_b") - col("_u"), 6)
+          .as("est_overlap"))
+    },
+      Some(Sketches.kmvOverlapOracleSql(
+        "(SELECT \"user_id\" FROM events WHERE \"event_type\" = 'purchase')",
+        "(SELECT \"user_id\" FROM events WHERE \"event_type\" = 'view')",
+        ":ovl", 256))),
     // ---- salted skewed join ----------------------------------------------
     // Skew.saltedJoin's row-equivalence law, oracle-checked end to end: the
     // plain USING join is the oracle, the salted scatter (8 salt values,

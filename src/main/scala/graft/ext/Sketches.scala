@@ -167,4 +167,27 @@ object Sketches {
        | SELECT round(CASE WHEN nk < $k THEN CAST(nk AS DOUBLE)
        |   ELSE ${k - 1}.0e0 / th END, 6) AS "est_distinct"
        | FROM s""".stripMargin.replace("\n", " ")
+
+  /** DuckDB rendering of the KMV inclusion-exclusion overlap estimate
+    * ([[q_kmv_overlap]]'s oracle): per-side k-min estimates plus the
+    * union-stream estimate, `overlap = a + b - union` on the RAW
+    * estimates, all four rounded only at output. `aRel`/`bRel` are
+    * relation expressions each exposing a `_k` key column. */
+  def kmvOverlapOracleSql(aRel: String, bRel: String, salt: String,
+                          k: Int): String = {
+    def est(rel: String, name: String) =
+      s"""${name}h AS (SELECT DISTINCT ${hashUnitSql("_k", salt)} AS h
+         | FROM $rel t(_k)),
+         | ${name}tk AS (SELECT h FROM ${name}h ORDER BY h LIMIT $k),
+         | ${name}_est AS (SELECT CASE WHEN count(*) < $k
+         |   THEN CAST(count(*) AS DOUBLE)
+         |   ELSE ${k - 1}.0e0 / max(h) END AS est FROM ${name}tk)"""
+        .stripMargin.replace("\n", " ")
+    s"""WITH ${est(aRel, "a")}, ${est(bRel, "b")},
+       | ${est(s"(SELECT _k FROM $aRel t(_k) UNION ALL SELECT _k FROM $bRel t(_k))", "u")}
+       | SELECT round(a.est, 6) AS "est_a", round(b.est, 6) AS "est_b",
+       |   round(u.est, 6) AS "est_union",
+       |   round(a.est + b.est - u.est, 6) AS "est_overlap"
+       | FROM a_est a, b_est b, u_est u""".stripMargin.replace("\n", " ")
+  }
 }

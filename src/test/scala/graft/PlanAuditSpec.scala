@@ -25,8 +25,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_source_overlap",        // pairwise stage over per-source aggregates:
                                // row count = source cardinality, never data
                                // scale (see CorpusStats.sourceOverlap)
-    "q_cms_counts")            // 20 top tokens x the ONE-row sketch:
+    "q_cms_counts",            // 20 top tokens x the ONE-row sketch:
                                // a deliberate broadcast of bounded state
+    "q_kmv_overlap")           // crossJoin of three ONE-row sketch aggs
 
   test("no accidental cartesian or nested-loop joins across the registry") {
     val offenders = Queries.all.flatMap { q =>

@@ -111,6 +111,24 @@ def main() -> int:
         spark._jvm.graft.functions.IwFull.fO2(1673.15, 10000.0, 0.0))
     check("iw_log10_fo2 SQL == Scala IwFull.fO2", got_iw, want_iw, exact=False)
 
+    # 6. The join library over py4j: the as-of join called exactly as a
+    #    thin Python binding would call it (Scala DataFrames + Seq
+    #    marshalling), checked against a hand-computed expectation.
+    ju = spark._jvm.org.apache.spark.api.python.PythonUtils
+    from pyspark.sql import DataFrame as PyDF
+    probes = spark.createDataFrame(
+        [(1, 1, 5), (2, 1, 10), (3, 2, 7)], "id long, k long, t long")
+    refs = spark.createDataFrame(
+        [(1, 4, 100.0), (1, 9, 200.0), (2, 8, 300.0)],
+        "k long, t long, price double")
+    j_out = spark._jvm.graft.ext.AsOfJoin.asof(
+        probes._jdf, refs._jdf, ju.toSeq(["k"]), "t", "t",
+        ju.toSeq(["price"]), ju.toSeq([]))
+    rows = {r["id"]: r["price"]
+            for r in PyDF(j_out, spark).collect()}
+    check("AsOfJoin.asof over py4j",
+          rows, {1: 100.0, 2: 200.0, 3: None})
+
     spark.stop()
     if failures:
         print(f"SMOKE FAILED: {failures}")
