@@ -857,6 +857,47 @@ object ExtQueries {
            | FROM top ORDER BY exact_cnt DESC, tok""".stripMargin
           .replace("\n", " ")
       }),
+    // ---- bigram log-probability (perplexity-style quality filter) --------
+    // CCNet-style language-model filtering re-expressed exactly: train an
+    // add-one-smoothed bigram model ON the corpus (two aggregations), then
+    // score every document by its mean bigram log-probability
+    // ln((c(w1,w2)+1) / (c1(w1)+V)) — low scorers are the gibberish /
+    // boilerplate candidates. Counts are exact integers, V is the distinct
+    // first-word vocabulary, the single ln is the only float op; the model
+    // join is token-keyed (AQE broadcasts the post-agg model when small)
+    // and the one-row V rides a crossJoin like the other sketch scalars.
+    Q("q_bigram_logprob", (s, dir) => {
+      val ts = split(col("text"), " ")
+      val bg = Tables.read(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(arrays_zip(slice(ts, lit(1), size(ts) - 1),
+            slice(ts, lit(2), size(ts) - 1))).as("bg"))
+        .select(col("doc_id"), col("bg").getField("0").as("w1"),
+          col("bg").getField("1").as("w2"))
+      val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val v = bg.agg(countDistinct(col("w1")).as("v"))
+      bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1")).crossJoin(v)
+        .select(col("doc_id"),
+          log((col("c2") + lit(1L)).cast("double") /
+            (col("c1") + col("v")).cast("double")).as("lp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          org.apache.spark.sql.functions.round(avg(col("lp")), 6).as("logp"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH toks AS (SELECT "doc_id", string_split("text", ' ') AS t
+             |  FROM documents),
+             | bg AS (SELECT "doc_id", t[i] AS w1, t[i + 1] AS w2 FROM toks,
+             |  UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+             | c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+             | c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+             | vv AS (SELECT count(DISTINCT w1) AS v FROM bg)
+             | SELECT "doc_id", count(*) AS "n_bigrams",
+             |   round(avg(ln(CAST(c2.c2 + 1 AS DOUBLE)
+             |     / CAST(c1.c1 + vv.v AS DOUBLE))), 6) AS "logp"
+             | FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv
+             | GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "))),
     // ---- KMV overlap / join-cardinality estimate -------------------------
     // What a planner wants BEFORE running a join at 100 TB: estimated
     // distinct keys per side, of the union, and (inclusion-exclusion) of

@@ -27,7 +27,8 @@ class PlanAuditSpec extends SparkSpec {
                                // scale (see CorpusStats.sourceOverlap)
     "q_cms_counts",            // 20 top tokens x the ONE-row sketch:
                                // a deliberate broadcast of bounded state
-    "q_kmv_overlap")           // crossJoin of three ONE-row sketch aggs
+    "q_kmv_overlap",           // crossJoin of three ONE-row sketch aggs
+    "q_bigram_logprob")        // ONE-row vocabulary scalar crossJoin
 
   test("no accidental cartesian or nested-loop joins across the registry") {
     val offenders = Queries.all.flatMap { q =>
