@@ -167,6 +167,45 @@ object ExtQueries {
         "UNION SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id) " +
         "SELECT id AS \"doc_id\", min(lbl) AS \"cluster_id\" FROM reach " +
         "GROUP BY 1 ORDER BY 1")),
+    // Survivor selection — the dedup pipeline's last mile: within each
+    // near-dup cluster keep the highest-quality document (quality desc,
+    // doc_id tiebreak). Composes the cluster labels with the quality
+    // score; the per-cluster argmax is a window bounded by cluster size,
+    // never corpus size. Quality is the same E-compiled arithmetic on
+    // both engines, so the float ordering is identical and the chosen
+    // survivors hash-match.
+    Q("q_dedup_survivors", (s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val cl = Dedup.nearDupClusters(docs, threshold = 0.0, k = 16,
+        rowsPerBand = 2)
+      val q = docs.select(col("doc_id"),
+        E.toColumn(TA.qualityScore(text)).as("q"))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("q").desc, col("doc_id"))
+      cl.join(q, "doc_id")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("cluster_id"), col("doc_id").as("survivor_id"),
+          org.apache.spark.sql.functions.round(col("q"), 6).as("quality"))
+        .orderBy("cluster_id")
+    },
+      Some {
+        val qs = E.toSql(TA.qualityScore(text))
+        s"WITH RECURSIVE $tokCte, $shCte, ${sigCte(16)}, ${bkCte(16, 2)}, " +
+          s"$candCte, " +
+          "edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand " +
+          "UNION ALL SELECT doc_b, doc_a FROM cand), " +
+          "reach AS (SELECT \"doc_id\" AS id, CAST(\"doc_id\" AS BIGINT) AS lbl " +
+          "FROM documents " +
+          "UNION SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id), " +
+          "lab AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1), " +
+          s"qq AS (SELECT \"doc_id\" AS doc_id, $qs AS q FROM documents), " +
+          "rr AS (SELECT cluster_id, doc_id, q, row_number() OVER " +
+          "(PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rk " +
+          "FROM lab JOIN qq USING (doc_id)) " +
+          "SELECT cluster_id AS \"cluster_id\", doc_id AS \"survivor_id\", " +
+          "round(q, 6) AS \"quality\" FROM rr WHERE rk = 1 ORDER BY 1"
+      }),
     // Embedding-cosine near-dup: thresholded unordered pair set over the
     // embeddings table (the LSH-bucketed form is the 100 TB path).
     Q("q_dedup_embedding_cosine",

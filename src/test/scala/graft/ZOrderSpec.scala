@@ -51,6 +51,49 @@ class ZOrderSpec extends SparkSpec {
       assert(z == ZOrder.zValueRef(Seq(a, b, c), 3), s"($a, $b, $c)")
   }
 
+  test("clusterByZ lets a second-dimension predicate prune files; a 1-D sort cannot") {
+    // The property min/max file skipping rests on: under an x-sorted
+    // layout every file's y-envelope spans the full domain (a y-predicate
+    // prunes nothing), while Z-clustered files cover compact boxes in
+    // BOTH dimensions. Measured on real written files' stats, not claims.
+    val df = (0 until 4096).map { i =>
+      (i.toLong, graft.ext.DualHash.base60(s"px:$i") % 1024L,
+        graft.ext.DualHash.base60(s"py:$i") % 1024L)
+    }.toDF("id", "x", "y")
+    def envelopes(out: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_zorder_prune").toFile
+      try {
+        out.write.mode("overwrite").parquet(dir.getAbsolutePath)
+        dir.listFiles().toSeq.filter(_.getName.endsWith(".parquet")).map { f =>
+          val r = spark.read.parquet(f.getAbsolutePath)
+            .agg(min("y"), max("y")).head()
+          (r.getLong(0), r.getLong(1))
+        }
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(dir)
+      }
+    }
+    val sorted1d = envelopes(
+      df.repartitionByRange(16, col("x")).sortWithinPartitions("x"))
+    val zorder = envelopes(graft.ext.ZOrder.clusterByZ(
+      df, Seq(col("x"), col("y")), bits = 10, numPartitions = Some(16)))
+    assert(sorted1d.size >= 8 && zorder.size >= 8, "too few files written")
+    // files a reader must open for point predicates y = y0
+    def hits(env: Seq[(Long, Long)], y0: Long): Int =
+      env.count { case (lo, hi) => lo <= y0 && y0 <= hi }
+    val probes = Seq(100L, 400L, 700L, 1000L)
+    val s = probes.map(hits(sorted1d, _)).sum
+    val z = probes.map(hits(zorder, _)).sum
+    info(s"files hit across ${probes.size} y-probes: x-sorted $s, z-ordered $z")
+    assert(s >= sorted1d.size * probes.size * 9 / 10,
+      s"x-sorted layout unexpectedly prunes on y ($s)")
+    assert(z * 2 <= s, s"z-order should halve files hit: $z vs $s")
+  }
+
   test("clusterByZ yields non-overlapping z ranges across partitions") {
     val df = (0 until 4096).map { i =>
       (i.toLong, graft.ext.DualHash.base60(s"zx:$i") % 1024L,
