@@ -16,6 +16,17 @@ import org.apache.spark.sql.SparkSession
   * that tracks actual operator cost and catches plan regressions.
   * `queries` stays the cold map (comparable with earlier rounds);
   * `queries_warm`/`total_warm` carry the steady-state column.
+  *
+  * Round-9: the artifact carries its own diagnosis. The r8 driver run had
+  * solver-UDF cold spikes (armstrong 48 s cold / 2.6 s warm) that the
+  * JSON could not explain because the GC/JIT/codegen/cache metrics only
+  * went to stderr. Now `diag` embeds, per pass: GC time, JVM JIT (C1+C2)
+  * compilation time, whole-stage-codegen compile count, and the solver
+  * memo-cache accumulators; `slowest_cold` embeds per-query gc/jit/
+  * codegen deltas next to the cold/warm ratio. Reading rule (also in the
+  * artifact): a cold spike whose `jit_s` is of the same order as `sec`
+  * while `warm_sec` is small is JVM JIT lag on the per-row solver loops
+  * — a property of the fresh benchmark JVM, not of the plan.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -45,42 +56,69 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
     catch { case _: Throwable => () }
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
-    }
+
     val dengMetrics = graft.functions.Deng2020.attachMetrics(spark)
-    // Pass-level JVM + codegen instrumentation (round-7 verdict: two bench
-    // outliers were unexplainable because neither GC time nor janino
-    // compile counts were visible per pass). CodegenMetrics counts every
-    // whole-stage compilation: if the warm pass adds compilations, the
-    // codegen class cache is being missed and "warm" re-pays janino.
-    def jvmStats(): (Long, Long, Long) = {
+    val memoStats = graft.functions.IwFull.attachMetrics(spark) ++
+      graft.functions.QfmFull.attachMetrics(spark)
+
+    // JVM-level counters: GC time/count, whole-stage-codegen compile
+    // count, and TOTAL JIT (C1+C2) compilation time — the last is what
+    // distinguishes "the solver loop ran interpreted while C2 caught up"
+    // from a genuinely expensive plan.
+    def jvmStats(): (Long, Long, Long, Long) = {
       import scala.jdk.CollectionConverters._
       val gc = java.lang.management.ManagementFactory
         .getGarbageCollectorMXBeans.asScala
       val cg = org.apache.spark.metrics.source.CodegenMetrics
+      val jit = Option(java.lang.management.ManagementFactory
+        .getCompilationMXBean).filter(_.isCompilationTimeMonitoringSupported)
+        .map(_.getTotalCompilationTime).getOrElse(0L)
       (gc.map(_.getCollectionTime).sum, gc.map(_.getCollectionCount).sum,
-        cg.METRIC_COMPILATION_TIME.getCount)
+        cg.METRIC_COMPILATION_TIME.getCount, jit)
     }
-    def passNote(tag: String, before: (Long, Long, Long)): Unit = {
-      val (gcMs0, gcN0, cgN0) = before
-      val (gcMs1, gcN1, cgN1) = jvmStats()
+
+    /** One timed execution + the JVM-counter deltas it spanned. */
+    final case class Timing(sec: Double, gcMs: Long, cgN: Long, jitMs: Long)
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Timing = {
+      val (g0, _, c0, j0) = jvmStats()
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => -1L }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (g1, _, c1, j1) = jvmStats()
+      Timing(sec, g1 - g0, c1 - c0, j1 - j0)
+    }
+
+    def cacheJson(): String =
+      (Seq(
+        "deng_vol" ->
+          f"""{"hits":${dengMetrics.volHits.value},"misses":${dengMetrics.volMisses.value},"fill_s":${dengMetrics.volFillNanos.value / 1e9}%.3f}""",
+        "deng_dvdp" ->
+          f"""{"hits":${dengMetrics.dvdpHits.value},"misses":${dengMetrics.dvdpMisses.value},"fill_s":${dengMetrics.dvdpFillNanos.value / 1e9}%.3f}""") ++
+        memoStats.map(s => s.name.replace('.', '_') -> s.json))
+        .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+
+    def passDiag(tag: String, before: (Long, Long, Long, Long)): String = {
+      val (gcMs0, gcN0, cgN0, jit0) = before
+      val (gcMs1, gcN1, cgN1, jit1) = jvmStats()
       val mean = org.apache.spark.metrics.source.CodegenMetrics
         .METRIC_COMPILATION_TIME.getSnapshot.getMean
       System.err.println(f"[bench] $tag: gc=${(gcMs1 - gcMs0) / 1000.0}%.1fs" +
-        f" (${gcN1 - gcN0} collections), codegenCompiles=${cgN1 - cgN0}" +
-        f" (meanCompile=${mean}%.0fms); ${dengMetrics.render}")
+        f" (${gcN1 - gcN0} collections), jit=${(jit1 - jit0) / 1000.0}%.1fs," +
+        f" codegenCompiles=${cgN1 - cgN0} (meanCompile=${mean}%.0fms);" +
+        f" ${dengMetrics.render}; ${memoStats.map(_.render).mkString("; ")}")
+      f"""{"gc_s":${(gcMs1 - gcMs0) / 1000.0}%.1f,"gc_n":${gcN1 - gcN0},""" +
+        f""""jit_s":${(jit1 - jit0) / 1000.0}%.1f,""" +
+        f""""codegen_compiles":${cgN1 - cgN0}}"""
     }
+
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val s0 = jvmStats()
     val cold = ordered.map { case (name, fn) => name -> timeOnce(fn) }
-    passNote("cold pass", s0)
+    val coldDiag = passDiag("cold pass", s0)
     val s1 = jvmStats()
     val warm = ordered.map { case (name, fn) => name -> timeOnce(fn) }
-    passNote("warm pass", s1)
+    val warmDiag = passDiag("warm pass", s1)
     // Outlier chase (round-7 verdict): SPARK_GRAFT_REBENCH=q_a,q_b times
     // the named queries twice more at the END of the session — if a cold/
     // warm number was session noise (GC, codegen churn), these two extra
@@ -89,17 +127,31 @@ object Bench {
       val pick = names.split(",").toSet
       val s2 = jvmStats()
       for ((name, fn) <- ordered if pick(name); i <- 1 to 2)
-        System.err.println(f"[bench] rebench $name #$i: ${timeOnce(fn)}%.3fs")
-      passNote("rebench", s2)
+        System.err.println(f"[bench] rebench $name #$i: ${timeOnce(fn).sec}%.3fs")
+      passDiag("rebench", s2)
     }
+    // Per-query cold diagnosis for the slowest cold queries: the JVM
+    // deltas each one spanned, next to its warm time. These carry the
+    // explanation of a driver-session cold spike INSIDE the artifact.
+    val warmByName = warm.toMap
+    val slowDiag = cold.sortBy(-_._2.sec).take(8).map { case (name, t) =>
+      val w = warmByName.get(name).map(_.sec).getOrElse(-1.0)
+      f"""{"q":"$name","sec":${t.sec}%.3f,"warm_sec":$w%.3f,""" +
+        f""""gc_s":${t.gcMs / 1000.0}%.1f,"jit_s":${t.jitMs / 1000.0}%.1f,""" +
+        f""""codegen_compiles":${t.cgN}}"""
+    }.mkString("[", ",", "]")
+    val diag =
+      s"""{"cold":$coldDiag,"warm":$warmDiag,"caches":${cacheJson()},""" +
+        s""""slowest_cold":$slowDiag,""" +
+        """"reading_rule":"a cold spike with jit_s on the order of sec and a small warm_sec is JVM JIT (C2) lag on the per-row solver loops - a fresh-JVM property, not a plan defect"}"""
     // millisecond precision keeps the line compact enough for line-buffered
     // log capture (a full-precision line for ~100 queries risks truncation)
-    def jsonMap(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    val total = cold.map(_._2).sum
-    val totalWarm = warm.map(_._2).sum
+    def jsonMap(rs: Seq[(String, Timing)]): String =
+      rs.map { case (k, v) => f""""$k":${v.sec}%.3f""" }.mkString("{", ",", "}")
+    val total = cold.map(_._2.sec).sum
+    val totalWarm = warm.map(_._2.sec).sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(cold)},"total_warm":$totalWarm%.3f,"queries_warm":${jsonMap(warm)},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(cold)},"total_warm":$totalWarm%.3f,"queries_warm":${jsonMap(warm)},"diag":$diag,"sf":"$sfDir"}"""
     // full per-query map (cold + warm) as the sole content of a known file
     try java.nio.file.Files.writeString(java.nio.file.Path.of("BENCH_LAST.json"), line)
     catch { case _: Throwable => () }
@@ -107,18 +159,19 @@ object Bench {
     // minus sbt's trailing status line), so the FULL line above can never
     // parse from the tail once the registry passed ~60 queries. Emit a
     // compact final line that is guaranteed to fit: headline totals + the
-    // slowest cold queries, with the complete map in BENCH_LAST.json.
-    val budget = 1500
-    val slowest = cold.sortBy(-_._2)
+    // slowest cold queries WITH their diagnosis, the complete map in
+    // BENCH_LAST.json.
+    val budget = 900
+    val slowest = cold.sortBy(-_._2.sec)
     val entries = new StringBuilder
     var kept = 0
     for ((k, v) <- slowest if entries.length < budget) {
       if (kept > 0) entries.append(',')
-      entries.append(f""""$k":$v%.3f""")
+      entries.append(f""""$k":${v.sec}%.3f""")
       kept += 1
     }
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{${entries.toString}},"queries_omitted":${cold.size - kept},"queries_full":"BENCH_LAST.json","total_warm":$totalWarm%.3f,"n_queries":${cold.size},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{${entries.toString}},"queries_omitted":${cold.size - kept},"queries_full":"BENCH_LAST.json","total_warm":$totalWarm%.3f,"n_queries":${cold.size},"pass_diag":{"cold":$coldDiag,"warm":$warmDiag},"sf":"$sfDir"}"""
     // Stop Spark BEFORE printing so shutdown chatter (block-manager /
     // context-cleaner log lines) cannot land after the JSON: the harness
     // parses the LAST stdout line, so these two prints must be final.

@@ -902,10 +902,23 @@ object ExtQueries {
     // score every document by its mean bigram log-probability
     // ln((c(w1,w2)+1) / (c1(w1)+V)) — low scorers are the gibberish /
     // boilerplate candidates. Counts are exact integers, V is the distinct
-    // first-word vocabulary, the single ln is the only float op; the model
-    // join is token-keyed (AQE broadcasts the post-agg model when small)
-    // and the one-row V rides a crossJoin like the other sketch scalars.
+    // first-word vocabulary, the single ln is the only float op; the
+    // one-row V rides a crossJoin like the other sketch scalars.
+    //
+    // Skew: the model joins are keyed by Zipf-distributed tokens — the
+    // PROBED hottest first token carries ~2x the LSH bucket cap already
+    // at sf0.001 (PlanAuditSpec "bigram model joins"), so shuffling the
+    // corpus-scale bg side on `w1` would concentrate the hot token's rows
+    // in one task at any scale. The post-agg model tables are vocabulary-
+    // sized (sublinear in the corpus — Heaps' law; 31 rows here, probed),
+    // so they BROADCAST instead, conf-keyed for corpora whose vocabulary
+    // outgrows the driver: spark.graft.bigram.broadcastModel=false falls
+    // back to the shuffle join + AQE skew split.
     Q("q_bigram_logprob", (s, dir) => {
+      val mb: DataFrame => DataFrame =
+        if (s.conf.get("spark.graft.bigram.broadcastModel", "true").toBoolean)
+          org.apache.spark.sql.functions.broadcast
+        else identity
       val ts = split(col("text"), " ")
       val bg = Tables.read(s, dir, "documents")
         .select(col("doc_id"),
@@ -916,7 +929,7 @@ object ExtQueries {
       val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
       val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
       val v = bg.agg(countDistinct(col("w1")).as("v"))
-      bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1")).crossJoin(v)
+      bg.join(mb(c2), Seq("w1", "w2")).join(mb(c1), Seq("w1")).crossJoin(v)
         .select(col("doc_id"),
           log((col("c2") + lit(1L)).cast("double") /
             (col("c1") + col("v")).cast("double")).as("lp"))
@@ -1051,7 +1064,35 @@ object ExtQueries {
         val z = graft.ext.ZOrder.zValueSql(Seq("\"n_chars\"", y), bits = 16)
         s"""SELECT "doc_id", $z AS "z" FROM documents
            | ORDER BY z, "doc_id"""".stripMargin.replace("\n", " ")
-      })
+      }),
+    // ---- Z-order layout job, end to end ----------------------------------
+    // The nightly layout pipeline as one query: cluster the corpus by the
+    // (n_chars, lang-hash) Morton key (ZOrder.clusterByZ — one range
+    // shuffle), WRITE the Z-clustered parquet, then read it back through a
+    // 2-D predicate + rollup, so the aggregate's scan runs over the
+    // stats-pruned Z-files (ZOrderSpec MEASURES the pruning law on these
+    // min/max stats: 18/64 file opens vs 64/64 x-sorted). The oracle
+    // aggregates the same predicate off the original table — layout must
+    // never change results, only which files a scan opens.
+    Q("q_zorder_layout", (s, dir) => {
+      val path = corpusTmp("zorder", dir)
+      val docs = Tables.read(s, dir, "documents", parallelismFloor = false)
+      graft.ext.ZOrder.clusterByZ(docs,
+          Seq(col("n_chars"), graft.ext.Dedup.base60Col(col("lang")) % lit(65536L)),
+          bits = 16, numPartitions = Some(8))
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .filter(col("n_chars") >= 500 && col("n_chars") < 2000 &&
+          col("lang").isin("en", "fr"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("lang")
+    },
+      Some("""SELECT "lang", count(*) AS "n_docs",
+             | CAST(sum("n_chars") AS BIGINT) AS "sum_chars" FROM documents
+             | WHERE "n_chars" >= 500 AND "n_chars" < 2000
+             | AND "lang" IN ('en', 'fr')
+             | GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")))
   )
 
   /** CMS query geometry: 4 rows x 512 buckets — small enough that the

@@ -322,11 +322,44 @@ object Queries {
         .select(Seq("sample_id") ++ ree.map(_._1 + "_n") ++
           Seq("eu_anomaly", "la_yb_n"): _*)
     },
+    // Rhodes-diagram Kd isopleth grid (`geoplot/rhodes.py:5-19`): the
+    // equilibrium-Fo% surface Fo = 100 / (1 + Kd * (1 - Mg#) / Mg#) over a
+    // (Kd x Mg#melt) grid — the reference's defaults, Kd in {0.1..0.4}
+    // step 0.1 and Mg# in [0.2, 1) step 0.01. Same J2 cross-product
+    // pattern as q_isobars, rendered join-free: one row exploded twice
+    // (two nested literal grids), so the plan is a single narrow stage.
+    // Grid values are exact integer-over-power-of-ten divisions computed
+    // identically by both engines (no accumulated arange float error).
+    rhodesQ,
     // Calibration-dataset membership filter: the reference's
     // `calibration_data.query("ref in @datasets")`
     // (`model_calibrations/plot_calibration.py:63-72`) as a Spark
     // `filter(isin)` — a selective predicate Catalyst pushes into the scan.
     calibrationFilterQ)
+
+  private def rhodesQ: Q = {
+    import org.apache.spark.sql.functions.{array, col, explode, lit, round => sround}
+    val sql =
+      """WITH k AS (SELECT CAST(unnest(generate_series(1, 4)) AS DOUBLE)
+        | / 10.0 AS kd),
+        | m AS (SELECT CAST(unnest(generate_series(20, 99)) AS DOUBLE)
+        | / 100.0 AS mg_no)
+        | SELECT kd AS "kd", mg_no AS "mg_no",
+        |   round(100.0 / (1.0 + kd * (1.0 - mg_no) / mg_no), 6) AS "fo"
+        | FROM k, m ORDER BY 1, 2""".stripMargin.replace("\n", " ")
+    Q("q_rhodes_isopleths", (s, dir) => {
+      val kds = (1 to 4).map(i => lit(i.toDouble / 10.0))
+      val mgs = (20 to 99).map(i => lit(i.toDouble / 100.0))
+      s.range(1)
+        .select(explode(array(kds: _*)).as("kd"))
+        .select(col("kd"), explode(array(mgs: _*)).as("mg_no"))
+        .select(col("kd"), col("mg_no"),
+          sround(lit(100.0) /
+            (lit(1.0) + col("kd") * (lit(1.0) - col("mg_no")) / col("mg_no")),
+            6).as("fo"))
+        .orderBy("kd", "mg_no")
+    }, Some(sql))
+  }
 
   private def calibrationFilterQ: Q = {
     val codes = Vector("A2019", "B2013", "KC1991", "O2006", "S2020", "T1980",

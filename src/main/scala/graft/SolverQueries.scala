@@ -91,10 +91,8 @@ object SolverQueries {
     // Full oracle: bisection volume/wustite solves + trapezoid VdP
     // replicated by IwSql (grids on DISTINCT P, mirroring the cache).
     Q("q_fo2_iw_full", (s, dir) => {
-      val f = udf((tK: Double, pBar: Double) =>
-        graft.functions.IwFull.fO2(tK, pBar))
-      spread(Tables.meltsDF(s, dir))
-        .withColumn("fO2_iw", f(col("T_K"), col("P_bar")))
+      graft.functions.IwFull.withIw(spread(Tables.meltsDF(s, dir)),
+          "T_K", "P_bar", logshift = 0.0, as = "fO2_iw")
         .select(col("sample_id"), round(log10(col("fO2_iw")), 6).as("log10_fO2"))
         .orderBy("sample_id")
     }, Some(IwSql.sql)),

@@ -20,6 +20,8 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dengMetrics = graft.functions.Deng2020.attachMetrics(spark)
+    val fo2Stats = graft.functions.IwFull.attachMetrics(spark) ++
+      graft.functions.QfmFull.attachMetrics(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -50,7 +52,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    System.err.println(s"[verify] ${dengMetrics.render}")
+    System.err.println(s"[verify] ${dengMetrics.render}; " +
+      fo2Stats.map(_.render).mkString("; "))
     spark.stop()
   }
 }

@@ -21,9 +21,10 @@ import org.apache.spark.sql.functions._
   *  2. hash-partition by the keys and sort each partition by
   *     (time, side) — right rows sort BEFORE left rows at equal
   *     timestamps, which is exactly the inclusive `<=` semantics;
-  *  3. a running `last(payload, ignoreNulls)` window (unbounded
+  *  3. a running `last(struct(payload), ignoreNulls)` window (unbounded
   *     preceding → current row) carries the latest right payload forward
-  *     into every left row;
+  *     into every left row — one struct, so the winning right row arrives
+  *     atomically even when some of its payload fields are null;
   *  4. keep the left rows.
   *
   * One exchange of (keys, time, payload) — never a pair explosion — and
@@ -89,10 +90,19 @@ object AsOfJoin {
       .orderBy(col("__t") +: col("__side") +:
         tieBreak.indices.map(i => col(s"__tb$i")): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(u) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
+    // Carry the payload as ONE struct, not per-column last(): independent
+    // per-column carries would mix values from DIFFERENT right rows when
+    // the winning row holds a null in one payload column (ignoreNulls
+    // skips just that column back to an older row) — and would diverge
+    // from StreamingOps.streamingAsOf, which emits its state row
+    // atomically. The struct is null on left rows (the `when`), non-null
+    // on every right row even if its fields are null, so last(ignoreNulls)
+    // lands on the winning right row as a unit.
+    val carried = u.withColumn("__pay",
+      last(when(col("__side") === 0, struct(payload.map(col): _*)),
+        ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
-      .select((lcols ++ payload).map(col): _*)
+      .select(lcols.map(col) ++
+        payload.map(p => col("__pay").getField(p).as(p)): _*)
   }
 }

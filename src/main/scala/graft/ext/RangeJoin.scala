@@ -103,9 +103,13 @@ object RangeJoin {
     val med = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
     val mx = if (row.isNullAt(1)) 0.0 else row.getDouble(1)
     // cap - 2: rangeJoin guards bHi - bLo < cap, and floor misalignment
-    // can add one bucket beyond len / width
-    val width = math.max(math.max(med, mx / (maxBuckets(intervals) - 2)),
-      1e-9)
+    // can add one bucket beyond len / width. Clamped to >= 1: a conf cap
+    // of <= 2 would otherwise divide by zero (Infinity width, degenerate
+    // single bucket) or flip the divisor negative and silently fall back
+    // to the median width — which can then trip the very explode guard
+    // this clamp exists to avoid.
+    val div = math.max(1L, maxBuckets(intervals) - 2)
+    val width = math.max(math.max(med, mx / div), 1e-9)
     rangeJoin(left, valCol, intervals, loCol, hiCol, width)
   }
 

@@ -40,15 +40,19 @@ object ZOrder {
 
   /** Non-negative `bits`-wide view of a dimension: negatives clamp to 0,
     * overflow clamps to the mask (a saturating bucketizer, so outliers
-    * cluster at the edges instead of wrapping around to the origin). */
+    * cluster at the edges instead of wrapping around to the origin).
+    * `floor` before the long cast: Spark's cast truncates doubles toward
+    * zero while DuckDB's CAST AS BIGINT rounds to nearest, so without it
+    * the two renderings diverge on fractional inputs — floor pins both
+    * engines to the same bucket for ANY numeric dimension expression. */
   private def clamp(c: Column, bits: Int): Column = {
     val mask = (1L << bits) - 1
-    least(greatest(c.cast("long"), lit(0L)), lit(mask))
+    least(greatest(floor(c).cast("long"), lit(0L)), lit(mask))
   }
 
   private def clampSql(e: String, bits: Int): String = {
     val mask = (1L << bits) - 1
-    s"least(greatest(CAST($e AS BIGINT), 0), $mask)"
+    s"least(greatest(CAST(floor($e) AS BIGINT), 0), $mask)"
   }
 
   /** Morton key of `cols`, each contributing its low `bits` bits.

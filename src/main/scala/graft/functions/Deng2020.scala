@@ -18,8 +18,10 @@ object Deng2020 {
     * increments flow back to the driver with task completion on a real
     * cluster; `attach` is called by Verify/Bench after session build, and
     * the solver closure re-publishes the captured instance on the executor
-    * (`ensure`) so remote JVMs increment the same accumulators. When never
-    * attached, the hot path pays one volatile null-check. */
+    * (`ensure`, re-armed per task) so remote JVMs increment a copy that is
+    * still owned by a running task — multi-executor counts are
+    * approximate, local-mode counts exact (see [[ensureMetrics]]). When
+    * never attached, the hot path pays one volatile null-check. */
   final case class CacheMetrics(
       volHits: org.apache.spark.util.LongAccumulator,
       volMisses: org.apache.spark.util.LongAccumulator,
@@ -52,9 +54,22 @@ object Deng2020 {
 
   def currentMetrics: Option[CacheMetrics] = Option(cacheMetrics)
 
-  /** Executor-side republish of a closure-captured instance. */
+  /** Executor-side republish of a closure-captured instance. The static
+    * points at the copy of a RUNNING task: a completion listener clears it
+    * when the owning task finishes, so the next task republishes its own
+    * live copy instead of incrementing an accumulator whose value already
+    * shipped to the driver. Increments racing a task's completion can drop
+    * — multi-executor counts are approximate (observability, not
+    * accounting); local mode is exact because attachMetrics installed the
+    * driver's originals and this method never fires. */
   private[graft] def ensureMetrics(m: CacheMetrics): Unit =
-    if (cacheMetrics == null) cacheMetrics = m
+    if (cacheMetrics == null) {
+      cacheMetrics = m
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+        if (cacheMetrics eq m) cacheMetrics = null
+      }
+    }
 
   val R = 8.31446261815324
   val Avogadro = 6.02214076e23

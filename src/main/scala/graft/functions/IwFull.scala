@@ -117,14 +117,20 @@ object IwFull {
     * so across the many (T, P) conditions sharing a pressure the expensive
     * EOS inversions happen once (at sf0.1 each pressure recurs across ~250
     * temperatures). Bounded like the fO2 cache. */
-  // computeIfAbsent, not get/put: plain get/put lets every cold-executor
-  // task invert the same 100-point Vinet grid concurrently before the
-  // first put lands; computeIfAbsent pays each grid once per executor.
-  private def vdpGrid(phase: String, pGPa: Double): (Array[Double], Array[Double]) = {
+  // Memo, not raw get/put: computeIfAbsent pays each grid once per
+  // executor (plain get/put lets every cold-executor task invert the same
+  // 100-point Vinet grid concurrently before the first put lands), and
+  // the bound evicts PARTIALLY on breach instead of clear-all — the grid
+  // key genuinely depends on continuous pGPa (the 100-point lattice
+  // stretches to the target pressure), so unlike deng2020's dVdP there is
+  // no discrete re-key; when distinct pressures outgrow the cap at scale
+  // the hit rate degrades gracefully and the evictions are counted
+  // ([[attachMetrics]]). The IN-PLAN fix for that regime is
+  // [[Fo2Dedup]]'s distinct+join-back, reachable via [[withIw]].
+  private def vdpGrid(phase: String, pGPa: Double): (Array[Double], Array[Double]) =
     // Bound must exceed the working set (7 phases x ~10k distinct pressures
-    // in the driver tables = 70k entries, ~110 MB) or the cache thrashes.
-    if (gridCache.size() > 200000) gridCache.clear()
-    gridCache.computeIfAbsent((phase, pGPa), { _ =>
+    // in the driver tables = 70k entries, ~110 MB) or the cache degrades.
+    gridCache.getOrFill((phase, pGPa)) {
     val p = eos(phase)
     val (v0, _, _, alpha0, delta0, kappa) = p
     val n = 100
@@ -141,11 +147,10 @@ object IwFull {
       i += 1
     }
     (vRoom, alpha)
-    })
-  }
+    }
 
-  private val gridCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Double), (Array[Double], Array[Double])]()
+  private val gridCache =
+    new Memo[(String, Double), (Array[Double], Array[Double])](200000)
 
   /** 100-point trapezoid of V dP from 1 bar to P (J/mol). */
   private def vinetVdP(pGPa: Double, tK: Double, phase: String): Double = {
@@ -180,14 +185,24 @@ object IwFull {
   private def gammaFeO1p5(x: Double): Double =
     (1.0 - x) * (1.0 - x) * (q00 + q10 - 2.0 * q10 * x)
 
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(Double, Double), java.lang.Double]()
+  // (T, P) -> base fO2 memo: continuous keys, so bounded with partial
+  // eviction + accumulators (see the gridCache note above).
+  private val cache = new Memo[(Double, Double), java.lang.Double](100000)
+
+  /** Export hit/miss/fill/eviction accumulators for both memo caches
+    * (Deng2020-style; called by Verify/Bench after session build). */
+  def attachMetrics(spark: org.apache.spark.sql.SparkSession): Seq[MemoStats] = {
+    val g = MemoStats.attach(spark, "iw.gridCache")
+    val f = MemoStats.attach(spark, "iw.fO2Cache")
+    gridCache.attach(g)
+    cache.attach(f)
+    Seq(g, f)
+  }
 
   /** Absolute fO2 (bar) at IW + logshift (`fO2/IW.py:383-471`),
     * suppress_Fe_liquid = false (the reference default). */
   def fO2(tK: Double, pBar: Double, logshift: Double = 0.0): Double = {
-    if (cache.size() > 100000) cache.clear()
-    val base = cache.computeIfAbsent((tK, pBar), { _ =>
+    val base = cache.getOrFill((tK, pBar)) {
     val gFeO = gibbsPhase("FeO", tK, pBar)
     val gFeO1p5 = gibbsPhase("FeO1.5", tK, pBar)
     val gO2 = gibbsPhase("O2", tK, pBar)
@@ -221,7 +236,7 @@ object IwFull {
     val muO2 = 4.0 * (dGFeOFeO1p5 + R * tK * math.log(x / (1.0 - x)) +
       gammaFeO1p5(x) - gammaFeO(x))
     math.exp(muO2 / (R * tK))
-    }).doubleValue
+    }.doubleValue
     base * math.pow(10.0, logshift)
   }
 
@@ -230,10 +245,16 @@ object IwFull {
   val fO2Udf = F.udf((tK: Double, pBar: Double, shift: Double) =>
     fO2(tK, pBar, shift))
 
-  /** Attach an IW-buffer `fO2` column: one narrow per-row UDF stage with
-    * the per-executor (T,P) memo cache — same scale shape as
-    * [[QfmFull.withQfm]]. */
+  /** Attach an IW-buffer `fO2` column. Default: one narrow per-row UDF
+    * stage with the per-executor (T,P) memo cache — same scale shape as
+    * [[QfmFull.withQfm]]. With `spark.graft.fo2.dedupConditions=true`
+    * the solve runs once per DISTINCT (T,P) in the plan and joins back
+    * ([[Fo2Dedup]] — the scale shape for grid-like conditions). */
   def withIw(df: DataFrame, tCol: String, pCol: String,
              logshift: Double = 0.0, as: String = "fO2"): DataFrame =
-    df.withColumn(as, fO2Udf(F.col(tCol), F.col(pCol), F.lit(logshift)))
+    if (Fo2Dedup.enabled(df))
+      Fo2Dedup.withDeduped(df, tCol, pCol, as)(
+        (t, p) => fO2Udf(t, p, F.lit(logshift)))
+    else
+      df.withColumn(as, fO2Udf(F.col(tCol), F.col(pCol), F.lit(logshift)))
 }

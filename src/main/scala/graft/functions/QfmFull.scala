@@ -9,13 +9,21 @@ import org.apache.spark.sql.functions.{col, lit, udf}
   * phase transitions (qtz->coe->stish, fay->ring) solved per temperature.
   *
   * Scale design: fO2 depends only on (T, P), so the cost model is
-  * per-DISTINCT-condition, realised with per-executor memo caches inside a
-  * per-row UDF ([[transitionCache]] keyed by T — the only solver work — and
-  * [[fO2Cache]] keyed by (T, P)). A `distinct()+broadcast` formulation
-  * would also collapse the solve count, but (T, P) are continuous doubles:
-  * at 100 TB the distinct set can approach table cardinality and the
-  * broadcast OOMs the driver, while the memo caches stay bounded per
-  * executor and the plan keeps ONE narrow stage with no shuffle at all. */
+  * per-DISTINCT-condition. Two formulations, both real (see [[Fo2Dedup]]
+  * for the full decision rule):
+  *
+  *  - default: per-executor memo caches inside a per-row UDF
+  *    (transitionCache keyed by T — the only solver work — and fO2Cache
+  *    keyed by (T, P)), bounded with partial eviction and accumulator
+  *    observability ([[Memo]]) — ONE narrow stage, no shuffle at all.
+  *    Right when (T, P) are near-unique continuous doubles: at 100 TB the
+  *    distinct set then approaches table cardinality, a broadcast OOMs
+  *    the driver, and a shuffle join-back moves the full-width fact
+  *    table.
+  *  - `spark.graft.fo2.dedupConditions=true`: distinct (T, P) → solve
+  *    once cluster-wide → broadcast-join back. Right when conditions are
+  *    grid-like (distinct ≪ rows), where it removes even the
+  *    once-per-executor recompute. */
 object QfmFull {
 
   val R = 8.31446261815324
@@ -39,12 +47,19 @@ object QfmFull {
     * solved with bracketed Brent (reference uses fsolve from a guess of
     * 8 kbar, `fO2/QFM.py:45-63`). Memoised per executor: distinct (T,P)
     * cardinality can be row-scale, but distinct T rarely is. */
-  private val transitionCache =
-    new java.util.concurrent.ConcurrentHashMap[Double, (Double, Double, Double)]()
+  private val transitionCache = new Memo[Double, (Double, Double, Double)](100000)
 
-  def transitionPressures(tK: Double): (Double, Double, Double) = {
-    if (transitionCache.size() > 100000) transitionCache.clear()
-    transitionCache.computeIfAbsent(tK, transitionsAt)
+  def transitionPressures(tK: Double): (Double, Double, Double) =
+    transitionCache.getOrFill(tK)(transitionsAt.apply(tK))
+
+  /** Export hit/miss/fill/eviction accumulators for both memo caches
+    * (Deng2020-style; called by Verify/Bench after session build). */
+  def attachMetrics(spark: org.apache.spark.sql.SparkSession): Seq[MemoStats] = {
+    val t = MemoStats.attach(spark, "qfm.transitionCache")
+    val f = MemoStats.attach(spark, "qfm.fO2Cache")
+    transitionCache.attach(t)
+    fO2Cache.attach(f)
+    Seq(t, f)
   }
 
   // computeIfAbsent, not get/put: plain get/put lets every task on a cold
@@ -99,21 +114,19 @@ object QfmFull {
 
   /** (T, P) -> base fO2 memo, bounded like [[transitionCache]]: repeated
     * conditions skip even the closed-form Tait arithmetic. */
-  private val fO2Cache =
-    new java.util.concurrent.ConcurrentHashMap[(Double, Double), java.lang.Double]()
+  private val fO2Cache = new Memo[(Double, Double), java.lang.Double](100000)
 
   /** Absolute fO2 (bar) at QFM + logshift, T (K), P (bar)
     * (`fO2/QFM.py:187-239`). */
   def fO2(tK: Double, pBar: Double, logshift: Double = 0.0): Double = {
-    if (fO2Cache.size() > 100000) fO2Cache.clear()
-    val base = fO2Cache.computeIfAbsent((tK, pBar), { _ =>
+    val base = fO2Cache.getOrFill((tK, pBar)) {
       val (q, m, f) = vdpWithTransitions(tK, pBar)
       val muP = 1e3 * (3.0 * q + 2.0 * m - 3.0 * f)
       val (q1, m1, f1) = vdpNoTransitions(tK, 1.0)
       val mu1barEos = 1e3 * (3.0 * q1 + 2.0 * m1 - 3.0 * f1)
       val mu = muO2OneBar(tK) + (muP - mu1barEos)
       math.exp(mu / (R * tK))
-    }).doubleValue
+    }.doubleValue
     base * math.pow(10.0, logshift)
   }
 
@@ -121,8 +134,14 @@ object QfmFull {
     fO2(tK, pBar, shift))
 
   /** Attach an `fO2` column: one narrow per-row UDF stage (memoised per
-    * executor — see the scale note in the object doc). */
+    * executor — see the scale note in the object doc), or the
+    * distinct+join-back plan when `spark.graft.fo2.dedupConditions` is
+    * set ([[Fo2Dedup]]). */
   def withQfm(df: DataFrame, tCol: String, pCol: String,
               logshift: Double = 0.0, as: String = "fO2"): DataFrame =
-    df.withColumn(as, fO2Udf(col(tCol), col(pCol), lit(logshift)))
+    if (Fo2Dedup.enabled(df))
+      Fo2Dedup.withDeduped(df, tCol, pCol, as)(
+        (t, p) => fO2Udf(t, p, lit(logshift)))
+    else
+      df.withColumn(as, fO2Udf(col(tCol), col(pCol), lit(logshift)))
 }

@@ -48,13 +48,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
-  test("the distinct+broadcast shape stays out of the fO2 buffer queries") {
+  test("the distinct+broadcast shape stays out of the fO2 buffer queries " +
+      "by default") {
     for (name <- Seq("q_fo2_qfm_full", "q_fo2_iw_full")) {
       val plan = Queries.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastExchange"), s"$name broadcasts")
       assert(!plan.contains("HashAggregate"), s"$name aggregates (distinct?)")
     }
+  }
+
+  /** The conf-keyed scale path for grid-like (T, P) workloads
+    * (SURVEY §2.7, Fo2Dedup): distinct conditions → solve once
+    * cluster-wide → broadcast-join back. Pinned: the flag-on plan must
+    * contain the distinct aggregate and a BROADCAST hash join — never a
+    * sort-merge join, whose fact-side exchange (the full-width table
+    * shuffled on continuous doubles) is exactly what the default memo
+    * path exists to avoid. */
+  test("fO2 dedupConditions=true plans distinct + broadcast join-back") {
+    spark.conf.set(graft.functions.Fo2Dedup.DedupKey, "true")
+    try {
+      for (name <- Seq("q_fo2_qfm_full", "q_fo2_iw_full")) {
+        val plan = Queries.queries(name)(spark, sfDir)
+          .queryExecution.executedPlan.toString
+        assert(plan.contains("HashAggregate"), s"$name: no distinct aggregate")
+        assert(plan.contains("BroadcastHashJoin"), s"$name: no broadcast join")
+        assert(!plan.contains("SortMergeJoin"),
+          s"$name: dedup path shuffles the fact table")
+        val exch = raw"(^|[^A-Za-z])Exchange\s".r
+        val n = plan.linesIterator.count(l =>
+          exch.findFirstIn(l).isDefined && !l.contains("BroadcastExchange"))
+        info(s"$name dedup-on: $n shuffle exchange(s)")
+        // repartition spread + the 2-column distinct agg + final orderBy;
+        // the fact table itself never shuffles
+        assert(n <= 4, s"$name dedup-on: $n shuffle exchanges > 4")
+      }
+    } finally spark.conf.unset(graft.functions.Fo2Dedup.DedupKey)
   }
 
   /** Shuffle budgets for the heaviest warm queries (BENCH_r06 top-10 plus
@@ -87,8 +116,24 @@ class PlanAuditSpec extends SparkSpec {
                            // canonically-equal stages at runtime
     "q_range_join" -> 4,  // scan floor x2 + band agg + orderBy (interval
                           // side broadcasts; final agg rides the map side)
-    "q_cms_counts" -> 4)  // scan floor + token agg + topk + orderBy; the
+    "q_cms_counts" -> 4,  // scan floor + token agg + topk + orderBy; the
                           // one-row sketch broadcasts (allowedNestedLoop)
+    // round-8 operators, pinned in round 9 at their measured counts:
+    "q_salted_join" -> 3,     // salted-key shuffle x2 (fact + replicated
+                              // small side) + orderBy
+    "q_interval_overlap" -> 2, // (user_id, bucket) hash join + orderBy; the
+                              // canonical-bucket dedup adds NO pair-output
+                              // exchange (the operator's headline claim)
+    "q_zorder_key" -> 1,      // pure codegen'd interleave + orderBy only
+    "q_zorder_layout" -> 2,   // post-layout read: agg + orderBy (the ONE
+                              // range shuffle of the write job is its own
+                              // plan, executed in the builder)
+    "q_dedup_survivors" -> 3, // cluster labels (checkpointed) + per-cluster
+                              // window + orderBy — never a global rank
+    "q_bigram_logprob" -> 10) // bigram explode floor + c1/c2/V aggs (each
+                              // with partial/final pair) + final per-doc agg
+                              // + orderBy; both model joins BROADCAST (no
+                              // w1-keyed fact shuffle — see the skew probe)
 
   test("shuffle-exchange budgets hold for the heaviest queries") {
     val exch = raw"(^|[^A-Za-z])Exchange\s".r // not ReusedExchange/Broadcast
@@ -182,5 +227,41 @@ class PlanAuditSpec extends SparkSpec {
         s"$dir setsim hot token $tokMax exceeds cap — df-enrich join would skew")
       info(s"$dir setsim hottest _tok df = $tokMax")
     }
+  }
+
+  /** q_bigram_logprob's model joins are keyed by Zipf-distributed tokens
+    * (`w1`): measure the skew and pin the mitigation. The probe SHOWS the
+    * hottest first token breaches the LSH bucket cap on both oracle
+    * corpora (~960 at sf0.001 — a shuffle on `w1` would concentrate it
+    * in one task at any scale), while the post-agg model tables stay
+    * vocabulary-sized (Heaps' law). The required shape is therefore the
+    * conf-keyed broadcast of c1/c2 (default on): the plan must broadcast
+    * BOTH model joins so the corpus-scale bigram side never shuffles on
+    * a token key. */
+  test("bigram model joins: w1 skew measured, broadcast shape pinned") {
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val ts = split(col("text"), " ")
+      val w1 = Tables.read(spark, dir, "documents")
+        .select(explode(slice(ts, lit(1), size(ts) - 1)).as("w1"))
+      val stats = w1.groupBy("w1").count()
+        .agg(max("count").as("hot"), count(lit(1)).as("vocab")).head()
+      val (hot, vocab) = (stats.getLong(0), stats.getLong(1))
+      info(s"$dir bigram hottest w1 = $hot, vocab = $vocab")
+      // the model table must stay broadcastable — vocabulary is sublinear
+      // in the corpus, and this pins that assumption on the oracle data
+      assert(vocab <= 100000,
+        s"$dir bigram vocab $vocab too large to broadcast — flip " +
+          "spark.graft.bigram.broadcastModel and re-pin this probe")
+    }
+    val plan = Queries.queries("q_bigram_logprob")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val nBroadcastJoins = plan.linesIterator
+      .count(_.contains("BroadcastHashJoin"))
+    assert(nBroadcastJoins >= 2,
+      s"bigram plan has $nBroadcastJoins BroadcastHashJoin(s); " +
+        "both model joins (c2 on (w1,w2), c1 on w1) must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "bigram plan shuffles the corpus-scale side on a token key")
   }
 }
