@@ -14,6 +14,37 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingOps {
 
+  /** Conf key bounding the per-(key, micro-batch) sort buffer of the
+    * stateful group operators ([[streamingAsOf]], [[sessionize]]). Both
+    * sort a group's batch rows to process them in event-time order; a
+    * hot key in a large micro-batch would otherwise buffer the whole
+    * group in one task's memory. Rows past the cap are processed in
+    * cap-sized chunks (each chunk sorted, state threaded across chunks)
+    * and COUNTED on the operator's overflow accumulator:
+    *
+    *  - for event-time-ordered arrival — the documented precondition of
+    *    the batch-parity law — chunked sorting is exact (sorting chunks
+    *    of an ordered stream is the identity), so correctness survives
+    *    overflow;
+    *  - intra-batch disorder that straddles a chunk boundary is the one
+    *    case that can deviate from the single-sort semantics, and the
+    *    overflow count reports exactly when that risk existed.
+    *
+    * Default 1M rows ≈ tens of MB per group-batch — far above any sane
+    * micro-batch per key, low enough to never OOM a task. */
+  val MaxGroupBufferKey = "spark.graft.streaming.maxGroupBuffer"
+
+  private def maxGroupBuffer(df: DataFrame): Int =
+    df.sparkSession.conf.get(MaxGroupBufferKey, "1048576").toInt
+
+  /** Overflow accumulators of the most recently BUILT operator instances
+    * (spec/observability hook; on a cluster the named accumulators also
+    * surface in the Spark UI per stage). */
+  @volatile private[graft] var lastAsOfOverflow:
+      org.apache.spark.util.LongAccumulator = _
+  @volatile private[graft] var lastSessionizeOverflow:
+      org.apache.spark.util.LongAccumulator = _
+
   /** Read the events table as a file-source stream (one-file-per-trigger
     * emulation for tests; on a cluster this is a Kafka/file drop source). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame =
@@ -201,7 +232,9 @@ object StreamingOps {
     * reference history, which is what the batch operator is for.
     *
     * State per key is ONE row (the latest reference), not a buffer —
-    * the streaming analogue of the batch plan's single running window. */
+    * the streaming analogue of the batch plan's single running window.
+    * The per-batch sort buffer is bounded by [[MaxGroupBufferKey]]
+    * (cap-sized chunks beyond it, overflow counted). */
   final case class AsOfRefState(ms: Long, refId: Long, refValue: Double)
   final case class AsOfOut(event_id: Long, user_id: Long, ms: Long,
                            event_type: String,
@@ -210,6 +243,10 @@ object StreamingOps {
 
   def streamingAsOf(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
+    val cap = maxGroupBuffer(events)
+    val overflow = events.sparkSession.sparkContext
+      .longAccumulator("graft.streaming.asof.groupOverflow")
+    lastAsOfOverflow = overflow
     val typed = events.select(col("event_id").cast("long"),
         col("user_id").cast("long"),
         expr("ts div 1000000").cast("long").as("ms"),
@@ -219,18 +256,25 @@ object StreamingOps {
       .flatMapGroupsWithState[AsOfRefState, AsOfOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (user, rows, state: GroupState[AsOfRefState]) =>
-          val sorted = rows.toSeq.sortBy(r =>
-            (r._3, if (r._4 == "purchase") 0 else 1, r._1))
           var st = state.getOption.orNull
           val out = Seq.newBuilder[AsOfOut]
-          for ((id, _, ms, tpe, v) <- sorted) {
-            if (tpe == "purchase") {
-              if (st == null || ms > st.ms ||
-                  (ms == st.ms && id >= st.refId))
-                st = AsOfRefState(ms, id, v)
-            } else out += AsOfOut(id, user, ms, tpe,
-              if (st == null) null else java.lang.Long.valueOf(st.refId),
-              if (st == null) null else java.lang.Double.valueOf(st.refValue))
+          // bounded sort buffer: cap-sized chunks, state threaded across
+          // them; exact for in-order arrival, overflow counted (see
+          // MaxGroupBufferKey)
+          var first = true
+          rows.grouped(cap).foreach { chunk =>
+            if (first) first = false else overflow.add(chunk.size)
+            val sorted = chunk.sortBy(r =>
+              (r._3, if (r._4 == "purchase") 0 else 1, r._1))
+            for ((id, _, ms, tpe, v) <- sorted) {
+              if (tpe == "purchase") {
+                if (st == null || ms > st.ms ||
+                    (ms == st.ms && id >= st.refId))
+                  st = AsOfRefState(ms, id, v)
+              } else out += AsOfOut(id, user, ms, tpe,
+                if (st == null) null else java.lang.Long.valueOf(st.refId),
+                if (st == null) null else java.lang.Double.valueOf(st.refValue))
+            }
           }
           if (st != null) state.update(st)
           out.result().iterator
@@ -247,16 +291,24 @@ object StreamingOps {
 
   def sessionize(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
     import events.sparkSession.implicits._
+    val cap = maxGroupBuffer(events)
+    val overflow = events.sparkSession.sparkContext
+      .longAccumulator("graft.streaming.sessionize.groupOverflow")
+    lastSessionizeOverflow = overflow
     val typed = events.select(col("user_id").cast("long"),
       expr("ts div 1000000").cast("long").as("ms")).as[(Long, Long)]
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
         case (user, rows, state: GroupState[SessionState]) =>
-          val sorted = rows.map(_._2).toSeq.sorted
           var st = state.getOption.getOrElse(
             SessionState(Long.MaxValue, Long.MinValue, 0L))
           val closed = Seq.newBuilder[SessionOut]
+          // bounded sort buffer, as in streamingAsOf (MaxGroupBufferKey)
+          var first = true
+          rows.map(_._2).grouped(cap).foreach { chunk =>
+          if (first) first = false else overflow.add(chunk.size)
+          val sorted = chunk.sorted
           for (ms <- sorted) {
             if (st.n > 0 && ms - st.lastMs > gapMs) {
               closed += SessionOut(user, st.startMs, st.lastMs, st.n)
@@ -265,6 +317,7 @@ object StreamingOps {
               st = SessionState(math.min(st.startMs, ms), math.max(st.lastMs, ms),
                 st.n + 1)
             }
+          }
           }
           if (state.hasTimedOut && st.n > 0) {
             closed += SessionOut(user, st.startMs, st.lastMs, st.n)

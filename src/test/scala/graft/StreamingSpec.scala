@@ -89,6 +89,53 @@ class StreamingSpec extends SparkSpec {
     assert(run(Seq(early, late), "asof_stream_2") == want)
   }
 
+  test("hot key over the group-buffer cap: chunked sort stays exact " +
+      "for in-order arrival, overflow counted") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.AsOfJoin
+    // ONE user, 120 in-order events (every 3rd a purchase) — with the cap
+    // forced to 16 the group processes in 8 chunks; in-order arrival is
+    // the batch-parity precondition, so the output must still equal the
+    // batch as-of row for row, and the overflow accumulator must count
+    // every row past the first chunk.
+    val rows = (0 until 120).map { i =>
+      val tpe = if (i % 3 == 0) "purchase" else "click"
+      (i.toLong, i.toLong * 1000L * 1000000L, 7L, tpe, i.toDouble)
+    }
+    val batchWant = {
+      val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("ms", expr("ts div 1000000"))
+      val purchases = df.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ms"), col("event_id").as("purchase_id"),
+          col("value").as("purchase_value"))
+      val probes = df.filter(col("event_type") =!= "purchase")
+        .select(col("event_id"), col("user_id"), col("ms"), col("event_type"))
+      AsOfJoin.asof(probes, purchases, Seq("user_id"), "ms", "ms",
+          Seq("purchase_id", "purchase_value"), tieBreak = Seq("purchase_id"))
+        .collect().map(r => (r.getLong(0), Option(r.get(4)), Option(r.get(5))))
+        .toSet
+    }
+    spark.conf.set(StreamingOps.MaxGroupBufferKey, "16")
+    try {
+      val mem = MemoryStream[(Long, Long, Long, String, Double)]
+      val events = mem.toDF()
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val out = StreamingOps.streamingAsOf(events)
+      val overflow = StreamingOps.lastAsOfOverflow
+      overflow.reset()
+      val q = out.writeStream.format("memory").queryName("asof_hotkey")
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("asof_hotkey").collect()
+        .map(r => (r.getLong(0), Option(r.get(4)), Option(r.get(5)))).toSet
+      assert(got == batchWant, "chunked hot-key output diverged from batch")
+      assert(overflow.value == 120L - 16L,
+        s"overflow counted ${overflow.value}, expected 104 (120 rows - cap 16)")
+    } finally spark.conf.unset(StreamingOps.MaxGroupBufferKey)
+  }
+
   test("streaming exact dedup drops in-watermark duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Long)]
