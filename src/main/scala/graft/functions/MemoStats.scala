@@ -62,6 +62,9 @@ final class Memo[K, V](cap: Int) {
   def attach(s: MemoStats): Unit = stats = s
   def size: Int = m.size()
 
+  /** Read-only membership probe (spec hook — no fill, no eviction). */
+  private[graft] def contains(k: K): Boolean = m.containsKey(k)
+
   def getOrFill(k: K)(fill: => V): V = {
     if (m.size() > cap) evictSome()
     val st = stats

@@ -35,6 +35,24 @@ class AsOfBloomSpec extends SparkSpec {
       103L -> Some(9.0), 104L -> None), got.toString)
   }
 
+  test("asof carries the winning right row ATOMICALLY when a payload " +
+      "field is null") {
+    // quote at t=20 (the winner for probe t=25) has a null `note`:
+    // per-column carries would backfill `note` from the OLDER quote at
+    // t=5, mixing two right rows — the struct carry must deliver the
+    // winner's (2.5, null) as a unit (and match streamingAsOf's
+    // state-row-as-a-unit semantics).
+    val q = Seq[(Long, Long, java.lang.Double, String)](
+      (1L, 5L, 1.5, "old"), (1L, 20L, 2.5, null))
+      .toDF("k", "t", "price", "note")
+    val p = Seq((1L, 25L, 100L)).toDF("k", "t", "id")
+    val row = AsOfJoin.asof(p, q, Seq("k"), "t", "t", Seq("price", "note"))
+      .collect().head
+    assert(row.getDouble(3) == 2.5)
+    assert(row.isNullAt(4),
+      s"note backfilled from an older right row: ${row.get(4)}")
+  }
+
   test("asof is invariant under input repartitioning") {
     def run(np: Int) =
       AsOfJoin.asof(probes.repartition(np), quotes.repartition(np),

@@ -46,6 +46,22 @@ class Fo2DedupSpec extends SparkSpec {
     assert(on.size == 5)
   }
 
+  test("Memo partial eviction drops ~cap/8, keeps the rest, counts drops") {
+    val m = new graft.functions.Memo[Int, Int](cap = 64)
+    val st = graft.functions.MemoStats.attach(spark, "spec.memo")
+    m.attach(st)
+    for (i <- 0 until 65) m.getOrFill(i)(i)
+    assert(m.size == 65, "eviction fires on the NEXT lookup past the cap")
+    m.getOrFill(999)(999) // size > cap -> evict 64/8 = 8, then insert
+    assert(m.size == 65 - 8 + 1, s"size after partial eviction: ${m.size}")
+    assert(st.evicted.value == 8L)
+    assert(st.misses.value == 66L && st.hits.value == 0L)
+    // 57 of the 65 original keys survive — clear-all would have kept 0
+    val survivors = (0 until 65).count(m.contains)
+    assert(survivors == 65 - 8,
+      s"$survivors survivors; partial eviction must keep the working set")
+  }
+
   test("dedupBroadcast=false falls back to a non-broadcast join, same rows") {
     spark.conf.set(Fo2Dedup.DedupKey, "true")
     spark.conf.set(Fo2Dedup.BroadcastKey, "false")
