@@ -272,6 +272,31 @@ object ExtQueries {
              | ORDER BY "qid", "nid"""".stripMargin.replace("\n", " ")
         .replace("CENTHASH",
           DualHash.base60Sql("concat(CAST(\"vec_id\" AS VARCHAR), ':42')")))),
+    // ---- product quantization (IVF-PQ's compression half) ---------------
+    // PQ codes: 2 subspaces x 4 centroids trained with the deterministic
+    // dyadic k-means on sliced vectors — 64 float64 dims (512 B) become 2
+    // codes, the compression that keeps a 100 TB embedding store scannable.
+    // Codes AND the total reconstruction error hash-match the oracle's two
+    // unrolled per-subspace fits.
+    Q("q_pq_codes", (s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      val cb = graft.ext.Pq.train(emb, m = 2, k = 4, iters = 2, dim = 64)
+      graft.ext.Pq.encode(emb, cb)
+        .select(col("vec_id"), col("code_0"), col("code_1"),
+          org.apache.spark.sql.functions.round(col("qerr"), 6).as("qerr"))
+        .orderBy("vec_id")
+    }, Some(graft.ext.Pq.codesOracleSql(m = 2, k = 4, iters = 2, dim = 64))),
+    // ADC top-k: the LSH-bucket candidate topology of q_knn_lsh, ranked by
+    // the ASYMMETRIC PQ distance — exact query subvectors vs the
+    // neighbor's reconstructed centroids, neighbor side carrying only its
+    // codes. Every distance hash-matches (not just a recall bound);
+    // recall-vs-exact is gated in SemDedupPackSpec's ANN family law.
+    Q("q_knn_pq", (s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      val cb = graft.ext.Pq.train(emb, m = 2, k = 4, iters = 2, dim = 64)
+      graft.ext.Pq.adcTopK(emb, cb, k = 5).orderBy("qid", "nid")
+    }, Some(graft.ext.Pq.adcOracleSql(m = 2, k = 4, iters = 2, dim = 64,
+      topK = 5, bucketSql = lshBucketSql(8, 42L, 64)))),
     // SimHash banded near-dup pairs: full recall for hamming <= bands-1 by
     // pigeonhole; exact bit_count(xor) check on candidates only.
     Q("q_dedup_simhash_pairs", (s, dir) =>

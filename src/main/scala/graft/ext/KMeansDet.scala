@@ -83,6 +83,18 @@ object KMeansDet {
     assign(e, cents)
   }
 
+  /** Fit and return ONLY the centroids (k x dim doubles on the driver —
+    * the same footprint every iteration already collects). [[graft.ext.Pq]]
+    * trains its per-subspace codebooks through this on sliced vectors. */
+  def fitCentroids(embeddings: DataFrame, k: Int,
+                   iters: Int): Array[Array[Double]] = {
+    val e = prepared(embeddings)
+    var cents: Array[Array[Double]] = e.orderBy("vec_id").limit(k)
+      .collect().map(_.getSeq[Double](1).toArray)
+    for (_ <- 1 to iters) cents = update(assign(e, cents), cents)
+    cents
+  }
+
   /** Fixed-iteration fit; returns (vec_id, cid, dist2 rounded). */
   def fit(embeddings: DataFrame, k: Int, iters: Int): DataFrame =
     fitFull(embeddings, k, iters)
@@ -93,15 +105,23 @@ object KMeansDet {
     * stages. Dim is fixed by the caller (Spark infers it from the data).
     * Returns the full `WITH ...` prefix whose last stage `fin` holds
     * (vec_id, v, cid, dist2) — callers append their own SELECT (SemDedup
-    * composes within-cluster pairing on top of it). */
-  def oracleStages(k: Int, iters: Int, dim: Int): String = {
-    val q = "list_transform(CAST(\"embedding\" AS DOUBLE[]), " +
+    * composes within-cluster pairing on top of it).
+    *
+    * `prefix` namespaces every CTE so several fits can share one WITH
+    * clause (Pq unrolls one fit per subspace); `vecExpr` overrides the
+    * raw vector expression (default: the full `embedding` list — Pq
+    * passes a slice). Quantization is applied on top of `vecExpr`. */
+  def oracleStages(k: Int, iters: Int, dim: Int, prefix: String = "",
+                   vecExpr: String = "CAST(\"embedding\" AS DOUBLE[])",
+                   stagesOnly: Boolean = false): String = {
+    val p = prefix
+    val q = s"list_transform($vecExpr, " +
       s"x -> round(x * ${Scale}e0) / ${Scale}e0)"
     def assignCte(out: String, cn: String) =
       s"""${out}p AS (SELECT e."vec_id", e.v, c.j,
          | list_dot_product(e.v, e.v) - 2.0e0 * list_dot_product(e.v, c.c)
          |   + list_dot_product(c.c, c.c) AS d2
-         | FROM e CROSS JOIN $cn c),
+         | FROM ${p}e e CROSS JOIN $cn c),
          | $out AS (SELECT "vec_id", v, j AS cid, d2 AS dist2 FROM (
          |   SELECT *, row_number() OVER (PARTITION BY "vec_id" ORDER BY d2, j) AS rk
          |   FROM ${out}p) WHERE rk = 1)""".stripMargin
@@ -115,16 +135,17 @@ object KMeansDet {
          | $out AS (SELECT p.j, coalesce(u.c, p.c) AS c
          | FROM $prevC p LEFT JOIN ${out}n u ON u.j = p.j)""".stripMargin
     val stages = new scala.collection.mutable.ArrayBuffer[String]
-    stages += s"""e AS (SELECT "vec_id", $q AS v FROM embeddings)"""
-    stages += s"""c0 AS (SELECT j, c FROM (SELECT
+    stages += s"""${p}e AS (SELECT "vec_id", $q AS v FROM embeddings)"""
+    stages += s"""${p}c0 AS (SELECT j, c FROM (SELECT
       | CAST(row_number() OVER (ORDER BY "vec_id") AS INTEGER) - 1 AS j, v AS c
-      | FROM e) WHERE j < $k)""".stripMargin
+      | FROM ${p}e) WHERE j < $k)""".stripMargin
     for (i <- 1 to iters) {
-      stages += assignCte(s"a$i", s"c${i - 1}")
-      stages += updateCte(s"a$i", s"c${i - 1}", s"c$i")
+      stages += assignCte(s"${p}a$i", s"${p}c${i - 1}")
+      stages += updateCte(s"${p}a$i", s"${p}c${i - 1}", s"${p}c$i")
     }
-    stages += assignCte("fin", s"c$iters")
-    s"WITH ${stages.mkString(", ")}".replace("\n", " ")
+    stages += assignCte(s"${p}fin", s"${p}c$iters")
+    val joined = stages.mkString(", ").replace("\n", " ")
+    if (stagesOnly) joined else s"WITH $joined"
   }
 
   def oracleSql(k: Int, iters: Int, dim: Int): String =

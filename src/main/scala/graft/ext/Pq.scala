@@ -1,0 +1,208 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", IEEE TPAMI 2011) — the memory-compression lever for
+  * embedding search at corpus scale: split each D-dim vector into M
+  * subvectors, k-means each subspace independently (codebooks of K
+  * centroids), store each vector as M small codes. A 64-dim float64
+  * vector (512 B) becomes M bytes — the difference between an embedding
+  * store that fits executor memory at 100 TB and one that does not — and
+  * asymmetric distance computation (ADC) scans codes against
+  * per-subspace lookup tables instead of touching raw vectors.
+  *
+  * Determinism: training reuses [[KMeansDet]]'s dyadic-grid exact
+  * arithmetic on SLICED vectors, so codebooks, code assignments and ADC
+  * distances are bit-identical across partitionings, retries and engines
+  * — codes AND distances hash-match the DuckDB oracle, not just recall
+  * bounds.
+  *
+  * Scale shape: training collects only M·K·(D/M) doubles (= K·D — the
+  * footprint one KMeansDet iteration already collects); encoding is a
+  * narrow codegen'd projection (M·K dot products per row against literal
+  * centroids, no shuffle, no UDF); ADC search is the SAME candidate
+  * topology as the other ANN paths (here: the LSH hyperplane-bucket
+  * equi-join of `Similarity.lshTopK`) with the full-vector cosine
+  * replaced by code-table lookups — at deployment the probe side carries
+  * codes (bytes), never raw vectors.
+  *
+  * The reference (MagmaPandas) has no ANN surface; beyond-reference
+  * pipeline operator alongside brute/LSH/IVF.
+  */
+object Pq {
+
+  /** Per-subspace codebooks: result(m)(j) = centroid j of subspace m
+    * (each of length dim/m). Deterministic: init + fixed iterations per
+    * [[KMeansDet.fitCentroids]] on the sliced columns. */
+  def train(embeddings: DataFrame, m: Int, k: Int, iters: Int,
+            dim: Int): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    (0 until m).map { s =>
+      KMeansDet.fitCentroids(
+        embeddings.select(col("vec_id"),
+          slice(col("embedding").cast("array<double>"), s * sub + 1, sub)
+            .as("embedding")),
+        k, iters)
+    }.toArray
+  }
+
+  /** Squared L2 of quantized `v` to each centroid via the dot identity
+    * (exact dyadic arithmetic — same argmin on every engine). */
+  private def d2Cols(v: Column, cents: Array[Array[Double]]): Seq[Column] = {
+    val vv = Similarity.dot(v, v)
+    cents.map { c =>
+      val cc = c.map(x => x * x).sum
+      vv - lit(2.0) * Similarity.dot(v, array(c.map(lit): _*)) + lit(cc)
+    }.toSeq
+  }
+
+  /** Argmin code (ties to the lowest code, matching the oracle's
+    * `ORDER BY d2, j` rank) and the min d2 itself. */
+  private def argminCode(ds: Seq[Column]): (Column, Column) = {
+    val m = least(ds: _*)
+    val code = ds.tail.zipWithIndex
+      .foldLeft(when(ds.head === m, lit(0))) { case (acc, (d, j)) =>
+        acc.when(d === m, lit(j + 1))
+      }.otherwise(lit(ds.length - 1))
+    (code, m)
+  }
+
+  /** Encode every vector: `vec_id, code_0..code_{M-1}, qerr` where qerr
+    * is the total squared reconstruction error Σ_m d2(v_m, C_m[code_m])
+    * — the number PQ recall tuning watches. One narrow projection. */
+  def encode(embeddings: DataFrame,
+             codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val q = KMeansDet.quantize(col("embedding").cast("array<double>"))
+    val base = embeddings.select(col("vec_id"), q.as("v"))
+    val parts = (0 until m).map { s =>
+      val vs = slice(col("v"), s * sub + 1, sub)
+      argminCode(d2Cols(vs, codebooks(s)))
+    }
+    base.select(
+      col("vec_id") +:
+        parts.zipWithIndex.map { case ((c, _), s) => c.as(s"code_$s") } :+
+        parts.map(_._2).reduce(_ + _).as("qerr"): _*)
+  }
+
+  /** ADC top-k over LSH-bucket candidates: same hyperplane-bucket
+    * equi-join as `Similarity.lshTopK` (planes, seed shared), but
+    * candidates are ranked by the ASYMMETRIC PQ distance — the query's
+    * exact subvectors against the neighbor's RECONSTRUCTED centroids,
+    * i.e. Σ_m d2(q_m, C_m[code_m(n)]). The neighbor side needs only its
+    * codes; reconstruction happens through literal centroid tables
+    * (element_at over an array-of-structs is rendered as a CASE over K
+    * codes — codegen'd, no UDF). */
+  def adcTopK(embeddings: DataFrame, codebooks: Array[Array[Array[Double]]],
+              k: Int, planes: Int = 8, seed: Long = 42L): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val dim = m * sub
+    val hp = Similarity.hyperplanes(dim, planes, seed)
+    val q = KMeansDet.quantize(col("embedding").cast("array<double>"))
+    val base = embeddings
+      .select(col("vec_id"), q.as("v"),
+        Similarity.lshBucket(col("embedding").cast("array<double>"), hp)
+          .as("bucket"))
+    val left = base.select(col("vec_id").as("qid"), col("v").as("qv"),
+      col("bucket"))
+    // neighbor side carries ONLY (id, bucket, codes) — the compressed
+    // representation; codes computed inline, no join
+    val codeParts = (0 until m).map { s =>
+      argminCode(d2Cols(slice(col("v"), s * sub + 1, sub), codebooks(s)))._1
+    }
+    val right = base.select(
+      col("vec_id").as("nid") +: col("bucket") +:
+        codeParts.zipWithIndex.map { case (c, s) => c.as(s"code_$s") }: _*)
+    // ADC: for subspace s, d2(q_s, C_s[code_s]) selected by a CASE over
+    // the K codes — the literal centroid d2 columns are shared subtrees
+    val pairs = left.join(right, "bucket").where(col("qid") =!= col("nid"))
+    val adc = (0 until m).map { s =>
+      val qs = slice(col("qv"), s * sub + 1, sub)
+      val ds = d2Cols(qs, codebooks(s))
+      ds.zipWithIndex.tail.foldLeft(
+        when(col(s"code_$s") === 0, ds.head)) { case (acc, (d, j)) =>
+          acc.when(col(s"code_$s") === j, d)
+      }.otherwise(lit(Double.NaN))
+    }.reduce(_ + _)
+    val ranked = pairs.withColumn("adist", round(adc, 6))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("adist"), col("nid"))))
+      .where(col("rk") <= k)
+    ranked.select(col("qid"), col("nid"), col("adist"))
+  }
+
+  // ---- DuckDB oracle renderings -----------------------------------------
+
+  private def sliceSql(expr: String, s: Int, sub: Int): String =
+    s"($expr)[${s * sub + 1}:${(s + 1) * sub}]"
+
+  /** WITH-clause stages: one prefixed KMeansDet fit per subspace
+    * (`p0fin`, `p1fin`, ...) + a `codes` stage joining the per-subspace
+    * argmin codes and the summed reconstruction error. */
+  def oracleCodeStages(m: Int, k: Int, iters: Int, dim: Int): String = {
+    val sub = dim / m
+    val fits = (0 until m).map { s =>
+      KMeansDet.oracleStages(k, iters, sub, prefix = s"p$s",
+        vecExpr = sliceSql("CAST(\"embedding\" AS DOUBLE[])", s, sub),
+        stagesOnly = true)
+    }
+    val joinChain = (1 until m)
+      .map(s => s"JOIN p${s}fin f$s ON f$s.\"vec_id\" = f0.\"vec_id\"")
+      .mkString(" ")
+    val codeCols = (0 until m).map(s => s"f$s.cid AS code_$s").mkString(", ")
+    val err = (0 until m).map(s => s"f$s.dist2").mkString(" + ")
+    val codes =
+      s"""codes AS (SELECT f0."vec_id", $codeCols, ($err) AS qerr
+         | FROM p0fin f0 $joinChain)""".stripMargin.replace("\n", " ")
+    s"WITH ${fits.mkString(", ")}, $codes"
+  }
+
+  def codesOracleSql(m: Int, k: Int, iters: Int, dim: Int): String = {
+    val cols = (0 until m).map(s => s"code_$s AS \"code_$s\"").mkString(", ")
+    oracleCodeStages(m, k, iters, dim) +
+      s""" SELECT "vec_id", $cols, round(qerr, 6) AS "qerr"""" +
+      " FROM codes ORDER BY \"vec_id\""
+  }
+
+  /** Full ADC oracle: the PQ fits + codes, the shared LSH bucket
+    * (`bucketSql` — same literal hyperplanes as the Spark plan), and the
+    * ADC ranking. The reconstruction CASE mirrors the Spark plan: for
+    * each subspace, d2 of the query's exact subvector to the centroid
+    * selected by the neighbor's code, centroids read from the
+    * iteration-final codebook CTE (`p{s}c{iters}`). */
+  def adcOracleSql(m: Int, k: Int, iters: Int, dim: Int, topK: Int,
+                   bucketSql: String): String = {
+    val sub = dim / m
+    val cbJoins = (0 until m)
+      .map(s => s"JOIN p${s}c$iters cb$s ON cb$s.j = c.code_$s")
+      .mkString(" ")
+    val adc = (0 until m).map { s =>
+      val qs = sliceSql("q.qv", s, sub)
+      s"(list_dot_product($qs, $qs) - 2.0e0 * list_dot_product($qs, cb$s.c)" +
+        s" + list_dot_product(cb$s.c, cb$s.c))"
+    }.mkString(" + ")
+    oracleCodeStages(m, k, iters, dim) +
+      s""", b AS (SELECT "vec_id",
+         |   list_transform(v, x -> round(x * ${KMeansDet.Scale}e0)
+         |     / ${KMeansDet.Scale}e0) AS qv, $bucketSql AS bucket
+         | FROM (SELECT "vec_id", CAST("embedding" AS DOUBLE[]) AS v
+         |       FROM embeddings)),
+         | pr AS (SELECT q."vec_id" AS qid, n."vec_id" AS nid,
+         |   round($adc, 6) AS adist
+         | FROM b q JOIN b n ON q.bucket = n.bucket
+         |   AND q."vec_id" <> n."vec_id"
+         | JOIN codes c ON c."vec_id" = n."vec_id" $cbJoins),
+         | r AS (SELECT qid, nid, adist,
+         |   row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rk
+         |   FROM pr)
+         | SELECT qid AS "qid", nid AS "nid", adist AS "adist"
+         | FROM r WHERE rk <= $topK ORDER BY "qid", "nid"""".stripMargin
+      .replace("\n", " ")
+  }
+}

@@ -94,6 +94,67 @@ class SemDedupPackSpec extends SparkSpec {
     assert(rLsh >= 0.3, f"lshTopK(planes=2) $rLsh%.3f < 0.3")
   }
 
+  // ---- product quantization laws ----------------------------------------
+
+  test("PQ codes are valid, deterministic, and qerr shrinks with K") {
+    import graft.ext.Pq
+    val cb4 = Pq.train(emb, m = 2, k = 4, iters = 2, dim = 64)
+    val enc = Pq.encode(emb, cb4)
+    val stats = enc.agg(min("code_0"), max("code_0"), min("code_1"),
+      max("code_1"), min("qerr"), sum("qerr")).head()
+    assert(stats.getInt(0) >= 0 && stats.getInt(1) < 4)
+    assert(stats.getInt(2) >= 0 && stats.getInt(3) < 4)
+    assert(stats.getDouble(4) >= 0.0, "squared error cannot be negative")
+    // determinism under partitioning: the dyadic-exact fit + argmin must
+    // not care how the data is split
+    val cbRep = Pq.train(emb.repartition(7), m = 2, k = 4, iters = 2, dim = 64)
+    assert(cb4.flatten.flatten.toSeq == cbRep.flatten.flatten.toSeq,
+      "codebooks changed under repartitioning")
+    // more centroids -> total reconstruction error cannot grow (each
+    // subspace's K=8 fit starts from the same 8-vector init superset and
+    // every vector picks its argmin centroid)
+    val cb8 = Pq.train(emb, m = 2, k = 8, iters = 2, dim = 64)
+    val err8 = Pq.encode(emb, cb8).agg(sum("qerr")).head().getDouble(0)
+    val err4 = stats.getDouble(5)
+    info(f"total qerr: K=4 -> $err4%.1f, K=8 -> $err8%.1f")
+    assert(err8 <= err4,
+      f"K=8 reconstruction error $err8%.1f exceeds K=4's $err4%.1f")
+  }
+
+  test("ADC distance obeys the PQ triangle bound: |sqrt(adc) - " +
+      "sqrt(true_d2)| <= sqrt(qerr of the neighbor), every pair") {
+    import graft.ext.Pq
+    // The PQ correctness THEOREM (L2 triangle inequality with the
+    // reconstructed neighbor): adc(q,n) = d2(q, recon(n)), so its root
+    // deviates from the true distance's root by at most the neighbor's
+    // reconstruction distance sqrt(qerr_n). Data-independent — unlike a
+    // top-k overlap gate, which the near-random fixture makes
+    // uninformative (K^M = 16 distinct ADC values per query collapse
+    // ranking to the tie-break; on clusterable data, where qerr -> 0,
+    // this same bound forces ADC -> exact and overlap -> 1).
+    val cb = Pq.train(emb, m = 2, k = 4, iters = 2, dim = 64)
+    val adc = Pq.adcTopK(emb, cb, k = 5, planes = 2)
+    val qerrs = Pq.encode(emb, cb).select(col("vec_id").as("nid"),
+      col("qerr"))
+    val b = emb.select(col("vec_id"),
+      graft.ext.KMeansDet.quantize(col("embedding").cast("array<double>"))
+        .as("v"))
+    val joined = adc
+      .join(b.select(col("vec_id").as("qid"), col("v").as("qv")), "qid")
+      .join(b.select(col("vec_id").as("nid"), col("v").as("nv")), "nid")
+      .join(qerrs, "nid")
+      .withColumn("true_d2", Similarity.dot(col("qv"), col("qv")) -
+        lit(2.0) * Similarity.dot(col("qv"), col("nv")) +
+        Similarity.dot(col("nv"), col("nv")))
+    val viol = joined.where(
+      abs(sqrt(col("adist")) - sqrt(col("true_d2"))) >
+        sqrt(col("qerr")) + lit(1e-3)).count()
+    val n = joined.count()
+    info(s"triangle bound checked on $n ADC pairs, $viol violations")
+    assert(n > 0, "no ADC pairs produced — fixture degenerate")
+    assert(viol == 0, s"$viol of $n pairs violate the PQ triangle bound")
+  }
+
   test("ivfTopK recall@5 is monotone in the probe count") {
     val truth = Similarity.bruteForceTopK(emb, 5).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
