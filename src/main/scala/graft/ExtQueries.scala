@@ -1117,7 +1117,36 @@ object ExtQueries {
              | CAST(sum("n_chars") AS BIGINT) AS "sum_chars" FROM documents
              | WHERE "n_chars" >= 500 AND "n_chars" < 2000
              | AND "lang" IN ('en', 'fr')
-             | GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")))
+             | GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "))),
+    // ---- key-skew diagnosis ----------------------------------------------
+    // The report a job reads BEFORE picking a join strategy: hottest keys
+    // with exact counts, share of all rows, and the ratio to the mean key
+    // count (what AQE's skew factor thresholds against; the direct input
+    // to Skew.saltedJoin's saltParts). One map-side-combinable agg — the
+    // fact table never re-shuffles, nothing key-scale hits the driver.
+    Q("q_skew_diagnose", (s, dir) =>
+      graft.ext.Skew.diagnose(
+          Tables.read(s, dir, "events", parallelismFloor = false),
+          keys = Seq("user_id"), topK = 5)
+        .orderBy("rank"),
+      Some(graft.ext.Skew.diagnoseOracleSql("events", Seq("user_id"),
+        topK = 5))),
+    // ---- small-file compaction plan --------------------------------------
+    // The layout job's other half: running-sum binning of a file listing
+    // into ~target-byte rewrite groups, per partition — here demonstrated
+    // on documents-as-files (doc_id/path, n_chars/bytes) partitioned by
+    // lang, summarised per (lang, bin) as the rewrite job would consume it.
+    Q("q_compaction_plan", (s, dir) =>
+      graft.ext.Compaction.planSummary(
+          Tables.read(s, dir, "documents", parallelismFloor = false)
+            .select(col("doc_id"), col("lang"), col("n_chars")),
+          idCol = "doc_id", sizeCol = "n_chars", targetBytes = 4096L,
+          partitionCols = Seq("lang"))
+        .orderBy("lang", "bin"),
+      Some(graft.ext.Compaction.planSummaryOracleSql(
+        "(SELECT \"doc_id\", \"lang\", \"n_chars\" FROM documents)",
+        idCol = "doc_id", sizeCol = "n_chars", targetBytes = 4096L,
+        partitionCols = Seq("lang"), orderBy = Seq("lang", "bin"))))
   )
 
   /** CMS query geometry: 4 rows x 512 buckets — small enough that the

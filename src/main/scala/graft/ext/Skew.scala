@@ -41,4 +41,47 @@ object Skew {
   /** Uniform deterministic salt from any row-unique column: xxhash64 is
     * plan-stable across retries (unlike rand()). */
   def saltFrom(rowKey: Column): Column = abs(xxhash64(rowKey))
+
+  /** Key-skew diagnosis — the report a 100 TB job reads BEFORE picking a
+    * join strategy for `keys`: the `topK` hottest keys with exact counts,
+    * each key's share of all rows, and its ratio to the mean key count
+    * (`skew_ratio` — the number AQE's skewedPartitionFactor thresholds
+    * against, and the direct input to choosing `saltParts` for
+    * [[saltedJoin]]).
+    *
+    * Scale shape: one map-side-combinable groupBy over the keys, then a
+    * rank over the (|distinct keys|)-sized count table and a one-row
+    * totals aggregate broadcast onto the topK rows — the full fact table
+    * is never re-shuffled and nothing key-scale ever reaches the driver. */
+  def diagnose(df: DataFrame, keys: Seq[String], topK: Int = 5): DataFrame = {
+    require(keys.nonEmpty, "diagnose needs at least one key column")
+    require(topK > 0, s"topK must be positive, got $topK")
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum("cnt").as("__total"),
+      count(lit(1)).as("__nkeys"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc +: keys.map(col): _*)
+    counts.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .crossJoin(broadcast(totals))
+      .select(col("rank") +: keys.map(col) :+ col("cnt") :+
+        round(col("cnt") / col("__total"), 6).as("share") :+
+        round(col("cnt") * col("__nkeys") / col("__total"), 6)
+          .as("skew_ratio"): _*)
+  }
+
+  /** DuckDB rendering of [[diagnose]] over `tableSql`. */
+  def diagnoseOracleSql(tableSql: String, keys: Seq[String],
+                        topK: Int = 5): String = {
+    val kq = keys.map(k => s""""$k"""").mkString(", ")
+    s"""WITH c AS (SELECT $kq, count(*) AS cnt FROM $tableSql GROUP BY $kq),
+       | t AS (SELECT sum(cnt) AS total, count(*) AS nkeys FROM c),
+       | r AS (SELECT *, row_number() OVER (ORDER BY cnt DESC, $kq) AS rank
+       |   FROM c)
+       | SELECT CAST(rank AS INTEGER) AS "rank", $kq, cnt AS "cnt",
+       |   round(CAST(cnt AS DOUBLE) / t.total, 6) AS "share",
+       |   round(CAST(cnt AS DOUBLE) * t.nkeys / t.total, 6) AS "skew_ratio"
+       | FROM r CROSS JOIN t WHERE rank <= $topK
+       | ORDER BY rank""".stripMargin.replace("\n", " ")
+  }
 }

@@ -28,7 +28,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_cms_counts",            // 20 top tokens x the ONE-row sketch:
                                // a deliberate broadcast of bounded state
     "q_kmv_overlap",           // crossJoin of three ONE-row sketch aggs
-    "q_bigram_logprob")        // ONE-row vocabulary scalar crossJoin
+    "q_bigram_logprob",        // ONE-row vocabulary scalar crossJoin
+    "q_skew_diagnose")         // topK rows x the ONE-row totals aggregate
 
   test("no accidental cartesian or nested-loop joins across the registry") {
     val offenders = Queries.all.flatMap { q =>

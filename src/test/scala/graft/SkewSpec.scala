@@ -48,4 +48,65 @@ class SkewSpec extends SparkSpec {
       .select("salt").distinct().count()
     assert(bad == 1L)
   }
+
+  test("diagnose surfaces the planted hot key with its exact share and " +
+      "skew ratio") {
+    val d = Skew.diagnose(big, Seq("k"), topK = 3).orderBy("rank").collect()
+    assert(d.head.getLong(1) == 7L, "rank 1 must be the planted hot key")
+    val cnt = d.head.getLong(2)
+    val exact = big.filter(col("k") === 7L).count()
+    assert(cnt == exact)
+    assert(math.abs(d.head.getDouble(3) - exact.toDouble / 10000) < 1e-6)
+    // skew_ratio = cnt / (total / nkeys); with ~21 distinct keys the hot
+    // key sits far above AQE's default skewedPartitionFactor of 5
+    assert(d.head.getDouble(4) > 5.0,
+      s"planted hot key's skew_ratio ${d.head.getDouble(4)} should scream")
+  }
+
+  // ---- compaction planner ------------------------------------------------
+
+  // files: two partitions, sizes 1..40 scaled — includes one oversized
+  // file (bigger than the whole target) that must get its own bin
+  private lazy val files = (1L to 40L).map { i =>
+    (i, if (i % 2 == 0) "a" else "b",
+      if (i == 10L) 5000L else (i * 37) % 400 + 10)
+  }.toDF("fid", "part", "bytes")
+  private val target = 1000L
+
+  test("compaction bins conserve bytes and stay contiguous from 0") {
+    import graft.ext.Compaction
+    val p = Compaction.plan(files, "fid", "bytes", target, Seq("part"))
+    assert(p.agg(sum("bytes")).head().getLong(0) ==
+      files.agg(sum("bytes")).head().getLong(0))
+    for (part <- Seq("a", "b")) {
+      val bins = p.filter(col("part") === part)
+        .select("bin").distinct().as[Int].collect().sorted
+      assert(bins.head == 0 && bins.sameElements(bins.head to bins.last),
+        s"partition $part bins not contiguous: ${bins.mkString(",")}")
+    }
+  }
+
+  test("no bin exceeds target + its largest file; oversized file is alone " +
+      "in its bins' overage") {
+    import graft.ext.Compaction
+    val s = Compaction.planSummary(files, "fid", "bytes", target, Seq("part"))
+      .collect()
+    val maxFile = 5000L
+    s.foreach { r =>
+      assert(r.getLong(3) <= target + maxFile,
+        s"bin ${r.get(0)}/${r.get(1)} holds ${r.getLong(3)} bytes")
+    }
+    // the bound is tight for bins without the oversized file
+    val normal = s.filter(_.getLong(3) <= target + 400 + 10)
+    assert(normal.length >= s.length - 2,
+      "only bins touching the oversized file may exceed target + max normal file")
+  }
+
+  test("compaction plan is invariant under input partitioning") {
+    import graft.ext.Compaction
+    def run(np: Int) =
+      Compaction.plan(files.repartition(np), "fid", "bytes", target,
+        Seq("part")).orderBy("fid").collect().toSeq
+    assert(run(1) == run(13))
+  }
 }
