@@ -131,6 +131,16 @@ class PlanAuditSpec extends SparkSpec {
                               // plan, executed in the builder)
     "q_dedup_survivors" -> 3, // cluster labels (checkpointed) + per-cluster
                               // window + orderBy — never a global rank
+    // round-9 operators, pinned at their measured counts:
+    "q_pq_codes" -> 2,        // scan floor + orderBy; the encode itself is
+                              // one narrow codegen'd projection
+    "q_knn_pq" -> 4,          // scan floor + bucket equi-join pair + orderBy;
+                              // ADC is in-map CASE arithmetic over codes
+    "q_skew_diagnose" -> 3,   // key agg + the topK rank + orderBy; the
+                              // one-row totals side broadcasts
+    "q_compaction_plan" -> 2, // ONE listing-scale window shuffle (cum +
+                              // dense_rank share it) + summary agg/orderBy
+    "q_rhodes_isopleths" -> 1, // join-free double explode + orderBy
     "q_bigram_logprob" -> 10) // bigram explode floor + c1/c2/V aggs (each
                               // with partial/final pair) + final per-doc agg
                               // + orderBy; both model joins BROADCAST (no
