@@ -49,20 +49,25 @@ object Skew {
     * against, and the direct input to choosing `saltParts` for
     * [[saltedJoin]]).
     *
-    * Scale shape: one map-side-combinable groupBy over the keys, then a
-    * rank over the (|distinct keys|)-sized count table and a one-row
-    * totals aggregate broadcast onto the topK rows — the full fact table
-    * is never re-shuffled and nothing key-scale ever reaches the driver. */
+    * Scale shape: one map-side-combinable groupBy over the keys; the
+    * hottest rows come out via `orderBy(...).limit(topK)` — Spark's
+    * distributed TakeOrderedAndProject (per-partition top-k, merged on
+    * one tiny reducer), NOT a global rank window, which would move the
+    * whole (possibly billions-distinct) count table to one task. The
+    * rank window that numbers the result runs over topK rows only, and
+    * the one-row totals aggregate broadcasts onto them — the fact table
+    * is never re-shuffled and nothing key-scale ever reaches one task. */
   def diagnose(df: DataFrame, keys: Seq[String], topK: Int = 5): DataFrame = {
     require(keys.nonEmpty, "diagnose needs at least one key column")
     require(topK > 0, s"topK must be positive, got $topK")
     val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
     val totals = counts.agg(sum("cnt").as("__total"),
       count(lit(1)).as("__nkeys"))
+    val top = counts
+      .orderBy(col("cnt").desc +: keys.map(col): _*).limit(topK)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("cnt").desc +: keys.map(col): _*)
-    counts.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= topK)
+    top.withColumn("rank", row_number().over(w))
       .crossJoin(broadcast(totals))
       .select(col("rank") +: keys.map(col) :+ col("cnt") :+
         round(col("cnt") / col("__total"), 6).as("share") :+
