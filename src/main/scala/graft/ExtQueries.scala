@@ -866,6 +866,21 @@ object ExtQueries {
           "(SELECT \"doc_id\" AS _id, unnest(list_distinct(hs)) AS _tok FROM sh)",
           0.6) +
         " SELECT a_id, b_id, inter, usz FROM _out ORDER BY a_id, b_id")),
+    // Directed containment (|A∩B|/|A| >= t) over the same shingle sets —
+    // the asymmetric relation Jaccard misses (a short doc quoted inside a
+    // long one). Same prefix-filter machinery, A-side prefix vs B's full
+    // token list; oracle again the independent inverted-index join.
+    Q("q_containment_join", (s, dir) =>
+      SetSimJoin.containmentJoin(Tables.read(s, dir, "documents"), "doc_id",
+          graft.expressions.VectorExpressions
+            .shingleHashes(split(col("text"), " "), 3), 0.8)
+        .select(col("a_id"), col("b_id"), col("inter"), col("a_size"))
+        .orderBy("a_id", "b_id"),
+      Some(s"WITH $tokCte, $shCte, " +
+        SetSimJoin.containmentJoinOracleSql(
+          "(SELECT \"doc_id\" AS _id, unnest(list_distinct(hs)) AS _tok FROM sh)",
+          0.8) +
+        " SELECT a_id, b_id, inter, a_size FROM _out ORDER BY a_id, b_id")),
     // ---- JSON metadata extraction --------------------------------------
     // events.props is a JSON payload column; parse with from_json (typed
     // struct, codegen'd Jackson parse — never a UDF) and aggregate the

@@ -78,6 +78,75 @@ object SetSimJoin {
         col("jaccard"))
   }
 
+  /** Exact DIRECTED containment self-join: all ordered pairs (a, b),
+    * a ≠ b, with `|A∩B| / |A| >= threshold` — "at least t of A's tokens
+    * appear in B", the asymmetric relation behind quote detection,
+    * subset-document dedup and template extraction, where Jaccard fails
+    * (a 50-token quote inside a 5000-token page has Jaccard ~0.01 but
+    * containment 1.0).
+    *
+    * Prefix theorem, asymmetric form: |A∩B| >= ceil(t·|A|) forces A's
+    * first `|A| - ceil(t·|A|) + 1` tokens (global rare-first order) to
+    * intersect B — but B contributes ALL its tokens (its size gives no
+    * prune: any B at least ceil(t·|A|) large can contain A). Recall is
+    * exactly 1. Skew note: the join's hot side is B's full token list,
+    * but a token only materialises pairs when it appears in some A's
+    * PREFIX — boilerplate tokens live in suffixes, so their B-side rows
+    * join against only the rare short docs that carry them in a prefix;
+    * candidate volume is Σ_t df_prefix(t)·df(t), df_prefix being
+    * rare-token-dominated like [[jaccardJoin]]'s. */
+  def containmentJoin(docs: DataFrame, idCol: String, toksCol: Column,
+                      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val toks = docs.select(col(idCol).as("_id"),
+      explode(array_distinct(toksCol)).as("_tok"))
+    val df = toks.groupBy("_tok").agg(count(lit(1)).as("_df"))
+    val perDoc = Window.partitionBy("_id")
+    val ranked = toks.join(df, "_tok")
+      .withColumn("_rk", row_number().over(perDoc.orderBy(col("_df"), col("_tok"))))
+      .withColumn("_n", count(lit(1)).over(perDoc))
+    val aPrefix = ranked
+      .where(col("_rk") <= col("_n") - ceil(lit(threshold) * col("_n")) + 1)
+      .select(col("_tok"), col("_id").as("a_id"), col("_n").as("_na"))
+    val bAll = ranked.select(col("_tok"), col("_id").as("b_id"),
+      col("_n").as("_nb"))
+    val cands = aPrefix.join(bAll, Seq("_tok"))
+      .where(col("a_id") =!= col("b_id") &&
+        col("_nb") >= ceil(lit(threshold) * col("_na")))
+      .select("a_id", "b_id").distinct()
+    val sets = toks.groupBy(col("_id"))
+      .agg(sort_array(collect_set(col("_tok"))).as("_set"),
+        count(lit(1)).as("_n"))
+    cands
+      .join(sets.select(col("_id").as("a_id"), col("_set").as("_sa"),
+        col("_n").as("_na")), "a_id")
+      .join(sets.select(col("_id").as("b_id"), col("_set").as("_sb")), "b_id")
+      .withColumn("_inter",
+        size(array_intersect(col("_sa"), col("_sb"))).cast("double"))
+      .withColumn("containment", col("_inter") / col("_na"))
+      .where(col("containment") >= threshold)
+      .select(col("a_id"), col("b_id"),
+        col("_inter").cast("long").as("inter"),
+        col("_na").cast("long").as("a_size"),
+        col("containment"))
+  }
+
+  /** DuckDB oracle for [[containmentJoin]]: inverted-index directed join
+    * (independent realisation). */
+  def containmentJoinOracleSql(toksRel: String, threshold: Double): String =
+    s"""_t AS (SELECT _id, _tok FROM $toksRel),
+       | _sz AS (SELECT _id, count(*) AS _n FROM _t GROUP BY 1),
+       | _pairs AS (SELECT x._id AS a_id, y._id AS b_id, count(*) AS _inter
+       |   FROM _t x JOIN _t y ON x._tok = y._tok AND x._id <> y._id
+       |   GROUP BY 1, 2),
+       | _out AS (SELECT a_id, b_id, _inter AS inter, sa._n AS a_size,
+       |     CAST(_inter AS DOUBLE) / sa._n AS containment
+       |   FROM _pairs JOIN _sz sa ON sa._id = a_id
+       |   WHERE CAST(_inter AS DOUBLE) / sa._n >=
+       |     ${graft.expr.E.formatDouble(threshold)})"""
+      .stripMargin.replace("\n", " ")
+
   /** DuckDB oracle: the inverted-index exact join (no prefix filter —
     * an INDEPENDENT realisation, so the comparison checks semantics,
     * not a mirrored plan). `toksRel` is a relation exposing one

@@ -168,6 +168,28 @@ class ExactJoinSpec extends SparkSpec {
     }
   }
 
+  test("containmentJoin matches directed brute force (recall 1, " +
+      "precision 1) and is properly asymmetric") {
+    val docs = simDocs.as[(Long, Seq[String])].collect()
+    for (t <- Seq(0.6, 0.8, 1.0)) {
+      val got = SetSimJoin.containmentJoin(simDocs, "doc_id", col("toks"), t)
+        .select("a_id", "b_id", "inter", "a_size")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val want = (for {
+        (a, sa) <- docs; (b, sb) <- docs if a != b
+        inter = sa.toSet.intersect(sb.toSet).size.toLong
+        if inter.toDouble / sa.toSet.size >= t
+      } yield (a, b, inter, sa.toSet.size.toLong)).toSet
+      assert(got == want, s"threshold $t: got ${got.size}, want ${want.size}")
+      assert(want.nonEmpty, s"threshold $t matched nothing — weak fixture")
+    }
+    // 101 ⊂ 100 (8 of 8 tokens) but NOT 100 ⊆ 101 (8 of 9): the directed
+    // relation must see exactly one direction at t=1.0
+    val strict = SetSimJoin.containmentJoin(simDocs, "doc_id", col("toks"), 1.0)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(strict.contains((101L, 100L)) && !strict.contains((100L, 101L)))
+  }
+
   test("jaccardJoin at threshold 1.0 finds exactly the identical sets") {
     val docs = Seq(
       (1L, Seq("a", "b", "c")),
