@@ -433,6 +433,21 @@ object ExtQueries {
           "WHEN \"source\" = 'src1' THEN 0.7 WHEN \"source\" = 'src2' THEN 0.5 " +
           "WHEN \"source\" = 'src3' THEN 0.3 ELSE 0.15 END) ORDER BY 1"
       }),
+    // Temperature rebalancing (α = 1/2): data-derived per-language rates —
+    // largest language keeps baseRate, smaller ones boosted by
+    // sqrt(n_max/n_g) — flattening the mixture the way multilingual
+    // pretraining corpora are resampled. sqrt (correctly rounded IEEE, no
+    // libm-pow ulp drift) + no cross-group float sum keeps every rate
+    // bit-identical across engines; the (lang, rate) dimension broadcasts.
+    Q("q_temperature_sample", (s, dir) =>
+      PipelineOps.temperatureSample(Tables.read(s, dir, "documents"),
+          groupCol = "lang", idCol = "doc_id", baseRate = 0.3)
+        .select(col("doc_id"), col("lang"), col("sample_rate"))
+        .orderBy("doc_id"),
+      Some("SELECT \"doc_id\", \"lang\", sample_rate AS \"sample_rate\" FROM (" +
+        PipelineOps.temperatureSampleOracleSql("documents", "lang", "doc_id",
+          baseRate = 0.3) +
+        ") t ORDER BY 1")),
     // Gopher-style repetition signals: top-word fraction + duplicate-bigram
     // fraction, flag = either over threshold. Array higher-order functions
     // keep the whole stage shuffle-free and codegen'd.

@@ -77,6 +77,59 @@ object PipelineOps {
     docs.filter(hashUniform(col("doc_id"), salt) < rate)
   }
 
+  /** Temperature-rebalanced sampling toward uniform groups — the
+    * multilingual-corpus rebalancing step (XLM-style `p_g ∝ n_g^α`),
+    * DATA-DERIVED rates rather than [[weightedSample]]'s static map: the
+    * largest group keeps `baseRate`, every smaller group is boosted by
+    * `(n_max / n_g)^(1-α)` (clamped at 1), flattening the group
+    * distribution as α drops.
+    *
+    * α is fixed at 1/2 so the boost is `sqrt(n_max / n_g)` — IEEE-754
+    * sqrt is correctly rounded (unlike libm `pow`, whose last-ulp drift
+    * differs across engines), and the formulation needs NO cross-group
+    * float sum (a softmax-style normaliser would make the rates depend
+    * on double summation order). Every rate is therefore bit-identical
+    * on any engine, partitioning or rerun, and the hash-Bernoulli draw
+    * keeps row selection deterministic like the other samplers.
+    *
+    * Scale shape: one map-side-combinable count per group, a one-row max,
+    * and a broadcast of the (group, rate) dimension onto the corpus scan
+    * — no data-scale shuffle. Group cardinality is domain/language-scale
+    * by definition. */
+  def temperatureSample(docs: DataFrame, groupCol: String, idCol: String,
+                        baseRate: Double, salt: String = ":temp"): DataFrame = {
+    require(baseRate > 0 && baseRate <= 1,
+      s"baseRate must be in (0, 1], got $baseRate")
+    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val nmax = counts.agg(max("__n").as("__nmax"))
+    val rates = counts.crossJoin(broadcast(nmax))
+      .select(col(groupCol), least(lit(1.0), lit(baseRate) *
+        sqrt(col("__nmax").cast("double") / col("__n").cast("double")))
+        .as("__rate"))
+    docs.join(broadcast(rates), groupCol)
+      .where(hashUniform(col(idCol), salt) < col("__rate"))
+      .withColumn("sample_rate", round(col("__rate"), 6))
+      .drop("__rate")
+  }
+
+  /** DuckDB rendering of [[temperatureSample]] over `tableSql` (same
+    * count → max → sqrt-boost → hash-Bernoulli arithmetic). */
+  def temperatureSampleOracleSql(tableSql: String, groupCol: String,
+                                 idCol: String, baseRate: Double,
+                                 salt: String = ":temp"): String = {
+    val b = graft.expr.E.formatDouble(baseRate)
+    val u = hashUniformSql(s""""$idCol"""", salt)
+    s"""WITH __c AS (SELECT "$groupCol", count(*) AS __n FROM $tableSql
+       |   GROUP BY 1),
+       | __m AS (SELECT max(__n) AS __nmax FROM __c),
+       | __r AS (SELECT "$groupCol", least(1.0e0, $b *
+       |     sqrt(CAST(__nmax AS DOUBLE) / CAST(__n AS DOUBLE))) AS __rate
+       |   FROM __c CROSS JOIN __m)
+       | SELECT d.*, round(__rate, 6) AS sample_rate
+       | FROM $tableSql d JOIN __r USING ("$groupCol")
+       | WHERE $u < __rate""".stripMargin.replace("\n", " ")
+  }
+
   /** Token-budget subset selection: keep documents in deterministic
     * priority order (hash of doc_id — a reproducible shuffle of the
     * corpus) until the running token total reaches `budgetTokens` — the

@@ -181,6 +181,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(a.forall { case (id, s) => grown(id) == s })
   }
 
+  test("temperatureSample: largest group keeps baseRate, smaller groups " +
+      "boosted monotonically, selection partition-invariant") {
+    import org.apache.spark.sql.functions._
+    // groups of 400 / 100 / 25 docs: boost factors 1, 2, 4 exactly
+    // (sqrt of 1, 4, 16) — the α = 1/2 law on a fixture where sqrt is
+    // integer-exact
+    val docs = ((0 until 400).map(i => (i.toLong, "big")) ++
+      (1000 until 1100).map(i => (i.toLong, "mid")) ++
+      (2000 until 2025).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "grp")
+    val out = PipelineOps.temperatureSample(docs, "grp", "doc_id",
+      baseRate = 0.2)
+    val rates = out.select("grp", "sample_rate").distinct()
+      .as[(String, Double)].collect().toMap
+    assert(rates("big") == 0.2)
+    assert(rates("mid") == 0.4)
+    assert(rates("small") == 0.8)
+    // deterministic under partitioning
+    val a = out.select("doc_id").as[Long].collect().toSet
+    val b = PipelineOps.temperatureSample(docs.repartition(11), "grp",
+      "doc_id", baseRate = 0.2).select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    // the boost actually flattens: kept fractions ordered small > mid > big
+    val kept = out.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(kept("small").toDouble / 25 > kept("big").toDouble / 400,
+      s"small kept ${kept("small")}/25 should beat big ${kept("big")}/400")
+  }
+
   test("hashUniform draws are uniform-ish and salt-decorrelated") {
     val n = 2000
     val ids = spark.range(n).select(col("id").as("doc_id"))

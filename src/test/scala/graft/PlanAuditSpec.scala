@@ -29,7 +29,8 @@ class PlanAuditSpec extends SparkSpec {
                                // a deliberate broadcast of bounded state
     "q_kmv_overlap",           // crossJoin of three ONE-row sketch aggs
     "q_bigram_logprob",        // ONE-row vocabulary scalar crossJoin
-    "q_skew_diagnose")         // topK rows x the ONE-row totals aggregate
+    "q_skew_diagnose",         // topK rows x the ONE-row totals aggregate
+    "q_temperature_sample")    // group-count rows x the ONE-row max(n)
 
   test("no accidental cartesian or nested-loop joins across the registry") {
     val offenders = Queries.all.flatMap { q =>
