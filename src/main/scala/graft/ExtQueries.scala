@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.expr.{E, Pipeline, Stage, C, Lit, SLit, CastD, If, ILit}
 import graft.expr.E._
-import graft.ext.{AsOfJoin, Bloom, CorpusIO, CorpusStats, CountMin, Dedup, DualHash, KMeansDet, PipelineOps, RangeJoin, SemDedup, SetSimJoin, Similarity, Sketches, TextAnalysis => TA}
+import graft.ext.{AsOfJoin, Bloom, Bm25, CorpusIO, CorpusStats, CountMin, Dedup, DualHash, KMeansDet, PipelineOps, RangeJoin, SemDedup, SetSimJoin, Similarity, Sketches, SpanDedup, TextAnalysis => TA}
 import graft.expressions.SimHash64
 import graft.Queries.Q
 
@@ -1176,8 +1176,59 @@ object ExtQueries {
       Some(graft.ext.Compaction.planSummaryOracleSql(
         "(SELECT \"doc_id\", \"lang\", \"n_chars\" FROM documents)",
         idCol = "doc_id", sizeCol = "n_chars", targetBytes = 4096L,
-        partitionCols = Seq("lang"), orderBy = Seq("lang", "bin"))))
+        partitionCols = Seq("lang"), orderBy = Seq("lang", "bin")))),
+    // ---- duplicated-substring span coverage ------------------------------
+    // Exact substring dedup's reporting half (Lee et al. 2022): per doc,
+    // the token fraction covered by 4-grams that repeat anywhere in the
+    // corpus. Longs-only shuffles; doc-bounded island window.
+    Q("q_dup_span_coverage", (s, dir) =>
+      SpanDedup.dupSpanCoverage(Tables.read(s, dir, "documents")),
+      Some(SpanDedup.dupSpanCoverageOracleSql("documents"))),
+    // ---- BM25 lexical retrieval ------------------------------------------
+    // Retrieval-based curation: top-5 docs per term query; distinct query
+    // terms broadcast so the corpus tf table is pruned before df-counting
+    // and scoring; two-phase salted rank per query.
+    Q("q_bm25_topk", (s, dir) =>
+      Bm25.topK(Tables.read(s, dir, "documents"), Bm25Queries),
+      Some(Bm25.topKOracleSql("documents", Bm25Queries))),
+    // ---- character-entropy quality gate ----------------------------------
+    // Shannon entropy over a fixed 26-letter alphabet via the
+    // length-difference counts: a per-row closed form (no explode, no
+    // (doc, char) shuffle), staged so each letter count is computed once.
+    Q("q_char_entropy", (s, dir) =>
+      Pipeline.applySpark(Tables.read(s, dir, "documents"), charEntropyStages)
+        .orderBy("doc_id"),
+      Some(Pipeline.toSql("documents", charEntropyStages, Seq("doc_id"))))
   )
+
+  /** Fixed retrieval query set for [[Bm25]] (terms from the synthetic
+    * corpus vocabulary; human-scale query side, corpus-scale doc side). */
+  private val Bm25Queries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("spark", "join"),
+    2L -> Seq("window", "merge", "sort"),
+    3L -> Seq("customer", "data"),
+    4L -> Seq("hash", "table", "scan"))
+
+  /** Staged char-entropy pipeline: letter counts once (stage 1), total
+    * (stage 2), raw entropy (stage 3), rounded bits + effective alphabet
+    * size 2^H (stage 4). */
+  private[graft] val charEntropyStages: Vector[Stage] = {
+    val letters = TA.entropyAlphabet
+    val countCols = letters.map(ch => s"c_$ch")
+    val s1 = Stage(Seq[(String, E)]("doc_id" -> C("doc_id")) ++
+      letters.map(ch => s"c_$ch" -> TA.charCountOf(text, ch)))
+    val s2 = Stage(Seq[(String, E)]("doc_id" -> C("doc_id")) ++
+      countCols.map(c => c -> (C(c): E)) :+
+      ("n_letters" -> E.sumAll(countCols.map(C(_): E))))
+    val s3 = Stage(Seq[(String, E)](
+      "doc_id" -> C("doc_id"), "n_letters" -> C("n_letters"),
+      "h_raw" -> TA.charEntropyBits(countCols.map(C(_): E), C("n_letters"))))
+    val s4 = Stage(Seq[(String, E)](
+      "doc_id" -> C("doc_id"), "n_letters" -> C("n_letters"),
+      "entropy_bits" -> E.round(C("h_raw"), 6),
+      "eff_alphabet" -> E.round(E.pow(Lit(2.0), C("h_raw")), 6)))
+    Vector(s1, s2, s3, s4)
+  }
 
   /** CMS query geometry: 4 rows x 512 buckets — small enough that the
     * oracle's correlated lookups stay cheap, big enough that the sf0.01

@@ -117,6 +117,34 @@ object TextAnalysis {
     pick(scored.toList.tail, SLit(scored.head._1), scored.head._2)
   }
 
+  /** Alphabet of the character-entropy gate: the 26 lowercase letters.
+    * Characters outside it (spaces, digits, punctuation) are excluded from
+    * the distribution — the signal wanted from an entropy quality gate is
+    * letter diversity, not separator density. */
+  val entropyAlphabet: Seq[String] = ('a' to 'z').map(_.toString)
+
+  /** Count of one alphabet character (the length-difference trick — no
+    * explode, no regex). */
+  def charCountOf(text: E, ch: String): E = countOccurrences(text, ch)
+
+  /** Shannon entropy (bits/char) of a character distribution given the
+    * per-character count COLUMNS (produced by a prior [[charCountOf]]
+    * stage so each count is computed once) and the total-count column.
+    * Zero-count characters contribute 0; an empty distribution scores 0.
+    * Low entropy flags degenerate text (single-character floods, heavy
+    * repetition) — the classic cheap quality gate next to
+    * [[qualityScore]]. Closed-form sum over a FIXED alphabet: fully
+    * codegen'd, shuffle-free at any scale (a per-row expression), unlike
+    * the explode-and-group formulation whose shuffle carries one row per
+    * (doc, char). */
+  def charEntropyBits(countCols: Seq[E], total: E): E = {
+    val ln2 = ln(Lit(2.0))
+    val terms = countCols.map { c =>
+      If(c > Lit(0.0), (c / total) * (ln(c / total) / ln2), Lit(0.0))
+    }
+    If(total > Lit(0.0), Lit(0.0) - sumAll(terms), Lit(0.0))
+  }
+
   /** Content fingerprint: md5 of the raw text — the exact-dedup key. */
   def fingerprint(text: E): E = md5S(text)
 

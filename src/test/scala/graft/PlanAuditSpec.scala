@@ -30,7 +30,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_kmv_overlap",           // crossJoin of three ONE-row sketch aggs
     "q_bigram_logprob",        // ONE-row vocabulary scalar crossJoin
     "q_skew_diagnose",         // topK rows x the ONE-row totals aggregate
-    "q_temperature_sample")    // group-count rows x the ONE-row max(n)
+    "q_temperature_sample",    // group-count rows x the ONE-row max(n)
+    "q_bm25_topk")             // ONE-row (N, avgdl) corpus-stats crossJoin
 
   test("no accidental cartesian or nested-loop joins across the registry") {
     val offenders = Queries.all.flatMap { q =>
@@ -142,6 +143,19 @@ class PlanAuditSpec extends SparkSpec {
     "q_compaction_plan" -> 2, // ONE listing-scale window shuffle (cum +
                               // dense_rank share it) + summary agg/orderBy
     "q_rhodes_isopleths" -> 1, // join-free double explode + orderBy
+    "q_dup_span_coverage" -> 6, // scan floor + gram-count agg + hash
+                              // join-back + doc_id window + lens join +
+                              // orderBy; island/span/cov stages all REUSE
+                              // the doc_id partitioning (zero extra
+                              // exchanges — the operator's headline claim)
+    "q_bm25_topk" -> 13,      // the pruned-tf subplan (scan floor + tf agg)
+                              // appears once per consumer in the INITIAL
+                              // plan (df-count, scoring) like q_setsim_join;
+                              // AQE exchange reuse collapses them at
+                              // runtime. Query terms / df / stats all
+                              // BROADCAST — no corpus-scale join shuffle
+    "q_char_entropy" -> 2,    // scan floor + orderBy; the entropy itself is
+                              // one narrow closed-form projection chain
     "q_bigram_logprob" -> 10) // bigram explode floor + c1/c2/V aggs (each
                               // with partial/final pair) + final per-doc agg
                               // + orderBy; both model joins BROADCAST (no
