@@ -1198,7 +1198,13 @@ object ExtQueries {
     Q("q_char_entropy", (s, dir) =>
       Pipeline.applySpark(Tables.read(s, dir, "documents"), charEntropyStages)
         .orderBy("doc_id"),
-      Some(Pipeline.toSql("documents", charEntropyStages, Seq("doc_id"))))
+      Some(Pipeline.toSql("documents", charEntropyStages, Seq("doc_id")))),
+    // ---- tokenizer-vocabulary coverage -----------------------------------
+    // Top-16 vocab by corpus frequency (two-phase salted rank, never a
+    // global term sort) broadcast into a left join: per-doc OOV fraction.
+    Q("q_vocab_oov", (s, dir) =>
+      CorpusStats.vocabOov(Tables.read(s, dir, "documents")),
+      Some(CorpusStats.vocabOovOracleSql("documents")))
   )
 
   /** Fixed retrieval query set for [[Bm25]] (terms from the synthetic

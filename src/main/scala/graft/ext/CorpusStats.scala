@@ -151,4 +151,51 @@ object CorpusStats {
       | round(quantile_cont("n_chars", 0.9), 6) AS "p90",
       | round(quantile_cont("n_chars", 0.99), 6) AS "p99"
       | FROM documents GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
+
+  /** Tokenizer-vocabulary coverage: rank the corpus vocabulary by total
+    * frequency, keep the top `v` terms (ties broken by term text, so the
+    * cut is total and engine-independent), and report each document's
+    * out-of-vocabulary token count and fraction — the audit run before
+    * fixing a tokenizer's vocabulary size: how much of the corpus does a
+    * size-v vocab actually cover, and which documents fall outside it.
+    *
+    * Scale shape: term counting is one partial-aggregated groupBy (the
+    * shuffle carries (term, count), vocabulary scale, not corpus scale);
+    * the top-v cut reuses [[groupedTopK]]'s two-phase salted rank with a
+    * constant group — at a billion distinct terms no task ever ranks more
+    * than its salt bucket's local top-v. The resulting v-row vocabulary
+    * broadcasts into a left join against the exploded corpus, and the
+    * per-document rollup is map-side combinable.
+    */
+  def vocabOov(docs: DataFrame, v: Int = 16): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val tc = tok.groupBy("term").agg(count(lit(1)).as("c"))
+    val vocab = groupedTopK(tc, Seq(lit(1)), Seq(col("c").desc, col("term")),
+        salt = xxhash64(col("term")), k = v)
+      .select(col("term"), lit(1L).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("oov_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[vocabOov]] — same (count DESC, term) vocabulary
+    * cut and per-document rollup. */
+  def vocabOovOracleSql(table: String, v: Int = 16): String =
+    s"""WITH tok AS (SELECT "doc_id", unnest(string_split("text", ' ')) AS term
+       |   FROM $table),
+       | tc AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+       | voc AS (SELECT term FROM tc ORDER BY c DESC, term LIMIT $v)
+       | SELECT "doc_id", CAST(count(*) AS BIGINT) AS n_tokens,
+       |   CAST(sum(CASE WHEN voc.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |     AS n_oov,
+       |   round(CAST(sum(CASE WHEN voc.term IS NULL THEN 1 ELSE 0 END)
+       |       AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS oov_frac
+       | FROM tok LEFT JOIN voc ON tok.term = voc.term
+       | GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
 }

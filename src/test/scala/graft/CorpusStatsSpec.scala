@@ -137,4 +137,27 @@ class CorpusStatsSpec extends SparkSpec {
       assert(e >= 0.0 && e <= 1.0)
     }
   }
+
+  test("vocabOov: frequency cut with term tie-break; exact OOV counts") {
+    // counts: common x6, mid x4; rare1/rare2 x2 each tie at the v=3
+    // boundary -> rare1 wins by term order
+    val c = Seq(
+      (1L, "common common mid rare1 rare2"),
+      (2L, "common common mid rare1 rare2"),
+      (3L, "common common mid mid")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.vocabOov(c, v = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // vocab = {common, mid, rare1}; OOV = rare2 only
+    assert(out(1L) == ((5L, 1L, 0.2)))
+    assert(out(2L) == ((5L, 1L, 0.2)))
+    assert(out(3L) == ((4L, 0L, 0.0)))
+  }
+
+  test("vocabOov: v >= distinct vocabulary means zero OOV everywhere") {
+    val c = Seq((1L, "a b c"), (2L, "c d e")).toDF("doc_id", "text")
+    val out = CorpusStats.vocabOov(c, v = 100).collect()
+    assert(out.forall(r => r.getLong(2) == 0L && r.getDouble(3) == 0.0))
+  }
 }

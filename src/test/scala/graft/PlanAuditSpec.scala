@@ -156,6 +156,10 @@ class PlanAuditSpec extends SparkSpec {
                               // BROADCAST — no corpus-scale join shuffle
     "q_char_entropy" -> 2,    // scan floor + orderBy; the entropy itself is
                               // one narrow closed-form projection chain
+    "q_vocab_oov" -> 6,       // scan floor + term-count agg + two-phase
+                              // vocab rank pair + per-doc rollup + orderBy;
+                              // the vocab cut BROADCASTS into the corpus
+                              // join (no term-keyed corpus shuffle)
     "q_bigram_logprob" -> 10) // bigram explode floor + c1/c2/V aggs (each
                               // with partial/final pair) + final per-doc agg
                               // + orderBy; both model joins BROADCAST (no
