@@ -1204,7 +1204,20 @@ object ExtQueries {
     // global term sort) broadcast into a left join: per-doc OOV fraction.
     Q("q_vocab_oov", (s, dir) =>
       CorpusStats.vocabOov(Tables.read(s, dir, "documents")),
-      Some(CorpusStats.vocabOovOracleSql("documents")))
+      Some(CorpusStats.vocabOovOracleSql("documents"))),
+    // ---- per-language length z-score gate --------------------------------
+    // Group-relative outlier flagging: per-lang (mean, stddev) broadcast
+    // back onto the scan; |z| > 2 on the ROUNDED z so the boundary
+    // decision is engine-identical.
+    Q("q_length_zscore", (s, dir) =>
+      PipelineOps.groupZScore(
+          Tables.read(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("n_chars")),
+          groupCol = "lang", valueCol = "n_chars")
+        .orderBy("doc_id"),
+      Some(PipelineOps.groupZScoreOracleSql(
+        "(SELECT \"doc_id\", \"lang\", \"n_chars\" FROM documents)",
+        groupCol = "lang", valueCol = "n_chars") + " ORDER BY \"doc_id\""))
   )
 
   /** Fixed retrieval query set for [[Bm25]] (terms from the synthetic

@@ -96,6 +96,55 @@ object PipelineOps {
     * and a broadcast of the (group, rate) dimension onto the corpus scan
     * — no data-scale shuffle. Group cardinality is domain/language-scale
     * by definition. */
+  /** Per-group standardization + outlier flag: z-score a numeric column
+    * against its GROUP's mean/stddev (per-language document lengths are
+    * the canonical case — a 300-char zh document is normal where a
+    * 300-char en document is a fragment) and flag |z| > cutoff. The
+    * filter behind per-language length gates, run with group-relative
+    * thresholds instead of one global cut.
+    *
+    * Scale shape: one map-side-combinable (mean, stddev) agg per group,
+    * broadcast back onto the corpus scan — no data-scale shuffle; group
+    * cardinality is language/domain-scale. Degenerate groups (stddev 0,
+    * single row) emit z = 0 and never flag.
+    *
+    * z is rounded to 6 decimals (the group moments are double sums whose
+    * partial-agg order differs between engines); the flag compares the
+    * ROUNDED z against the cutoff so the boundary decision is identical
+    * on both engines too. */
+  def groupZScore(docs: DataFrame, groupCol: String, valueCol: String,
+                  cutoff: Double = 2.0): DataFrame = {
+    val stats = docs.groupBy(col(groupCol)).agg(
+      avg(col(valueCol).cast("double")).as("__mu"),
+      coalesce(stddev_samp(col(valueCol).cast("double")), lit(0.0))
+        .as("__sd"))
+    docs.join(broadcast(stats), groupCol)
+      .withColumn("z", round(
+        when(col("__sd") > 0.0,
+          (col(valueCol).cast("double") - col("__mu")) / col("__sd"))
+          .otherwise(lit(0.0)), 6))
+      .withColumn("is_outlier",
+        when(abs(col("z")) > cutoff, 1L).otherwise(0L))
+      .drop("__mu", "__sd")
+  }
+
+  /** DuckDB mirror of [[groupZScore]] — same sample stddev, same rounded
+    * boundary. Emits `SELECT d.*, z, is_outlier`. */
+  def groupZScoreOracleSql(tableSql: String, groupCol: String,
+                           valueCol: String, cutoff: Double = 2.0): String = {
+    val c = graft.expr.E.formatDouble(cutoff)
+    s"""WITH __s AS (SELECT "$groupCol",
+       |     avg(CAST("$valueCol" AS DOUBLE)) AS __mu,
+       |     coalesce(stddev_samp(CAST("$valueCol" AS DOUBLE)), 0.0e0) AS __sd
+       |   FROM $tableSql GROUP BY 1),
+       | __z AS (SELECT d.*, round(CASE WHEN __sd > 0.0e0
+       |     THEN (CAST("$valueCol" AS DOUBLE) - __mu) / __sd
+       |     ELSE 0.0e0 END, 6) AS z
+       |   FROM $tableSql d JOIN __s USING ("$groupCol"))
+       | SELECT *, CAST(CASE WHEN abs(z) > $c THEN 1 ELSE 0 END AS BIGINT)
+       |   AS is_outlier FROM __z""".stripMargin.replace("\n", " ")
+  }
+
   def temperatureSample(docs: DataFrame, groupCol: String, idCol: String,
                         baseRate: Double, salt: String = ":temp"): DataFrame = {
     require(baseRate > 0 && baseRate <= 1,

@@ -209,6 +209,33 @@ class PipelineOpsSpec extends SparkSpec {
       s"small kept ${kept("small")}/25 should beat big ${kept("big")}/400")
   }
 
+  test("groupZScore: hand-computed z per group; outlier flag on the " +
+      "rounded boundary") {
+    // group a: nine 0s and one 9 -> mean 0.9, sample sd sqrt(8.1) = 2.846;
+    // z(9) = 2.846 > 2 flags, z(0) = -0.316 does not. group b: constant.
+    val df = ((1L to 9L).map(i => (i, "a", 0L)) ++ Seq((10L, "a", 9L),
+      (11L, "b", 5L), (12L, "b", 5L))).toDF("doc_id", "lang", "n")
+    val out = PipelineOps.groupZScore(df, "lang", "n")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("z"), r.getAs[Long]("is_outlier")))).toMap
+    val sd = math.sqrt(8.1)
+    assert(out(10L) == ((math.rint((9 - 0.9) / sd * 1e6) / 1e6, 1L)))
+    assert(out(1L) == ((math.rint((0 - 0.9) / sd * 1e6) / 1e6, 0L)))
+    // constant group: sd = 0 -> z = 0, never flagged
+    assert(out(11L) == ((0.0, 0L)) && out(12L) == ((0.0, 0L)))
+  }
+
+  test("groupZScore: single-row group is degenerate (null stddev -> z 0)") {
+    val df = Seq((1L, "solo", 42L), (2L, "pair", 1L), (3L, "pair", 3L))
+      .toDF("doc_id", "lang", "n")
+    val out = PipelineOps.groupZScore(df, "lang", "n")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("z"), r.getAs[Long]("is_outlier")))).toMap
+    assert(out(1L) == ((0.0, 0L)))
+    // pair group: sd = sqrt(2), z = ±0.707107
+    assert(out(2L)._1 == -0.707107 && out(3L)._1 == 0.707107)
+  }
+
   test("hashUniform draws are uniform-ish and salt-decorrelated") {
     val n = 2000
     val ids = spark.range(n).select(col("id").as("doc_id"))

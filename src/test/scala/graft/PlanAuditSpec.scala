@@ -160,6 +160,9 @@ class PlanAuditSpec extends SparkSpec {
                               // vocab rank pair + per-doc rollup + orderBy;
                               // the vocab cut BROADCASTS into the corpus
                               // join (no term-keyed corpus shuffle)
+    "q_length_zscore" -> 4,   // scan floor + per-group moments agg +
+                              // orderBy; the (group, mu, sd) dim BROADCASTS
+                              // back (no data-scale shuffle)
     "q_bigram_logprob" -> 10) // bigram explode floor + c1/c2/V aggs (each
                               // with partial/final pair) + final per-doc agg
                               // + orderBy; both model joins BROADCAST (no
