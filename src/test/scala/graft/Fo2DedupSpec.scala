@@ -52,14 +52,54 @@ class Fo2DedupSpec extends SparkSpec {
     m.attach(st)
     for (i <- 0 until 65) m.getOrFill(i)(i)
     assert(m.size == 65, "eviction fires on the NEXT lookup past the cap")
-    m.getOrFill(999)(999) // size > cap -> evict 64/8 = 8, then insert
-    assert(m.size == 65 - 8 + 1, s"size after partial eviction: ${m.size}")
-    assert(st.evicted.value == 8L)
+    // size 65 > cap -> evict down to cap - cap/8 = 56 (drop 9), then insert
+    m.getOrFill(999)(999)
+    assert(m.size == 65 - 9 + 1, s"size after partial eviction: ${m.size}")
+    assert(st.evicted.value == 9L)
     assert(st.misses.value == 66L && st.hits.value == 0L)
-    // 57 of the 65 original keys survive — clear-all would have kept 0
+    // 56 of the 65 original keys survive — clear-all would have kept 0
     val survivors = (0 until 65).count(m.contains)
-    assert(survivors == 65 - 8,
+    assert(survivors == 65 - 9,
       s"$survivors survivors; partial eviction must keep the working set")
+  }
+
+  test("Memo eviction under concurrent thrash: one evictor at a time, " +
+      "counts consistent, size bounded") {
+    // the near-unique-key regime: every lookup from every thread is a
+    // miss, so all threads see size > cap together. The single-evictor
+    // CAS must keep dropped <= inserted (the r9 bench caught evicted 4x
+    // misses from concurrent eviction iterators) and hold size near cap.
+    val cap = 1000
+    val m = new graft.functions.Memo[Int, Int](cap)
+    val st = graft.functions.MemoStats.attach(spark, "spec.memo.conc")
+    m.attach(st)
+    val threads = 16
+    val perThread = 20000
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val done = new java.util.concurrent.CountDownLatch(threads)
+    for (t <- 0 until threads) pool.execute { () =>
+      for (i <- 0 until perThread) m.getOrFill(t * perThread + i)(i)
+      done.countDown()
+    }
+    done.await()
+    pool.shutdown()
+    // misses/hits ride Spark LongAccumulators whose add() is only safe for
+    // the per-task copies real executors use, so this shared-instance
+    // hammer can undercount them — the serialized counter is `evicted`
+    // (only the CAS winner increments it). With all 320k keys distinct,
+    // every surviving entry was inserted exactly once, so conservation
+    // pins the evictor exactly: evicted == inserted - size. The old
+    // concurrent-eviction code failed this by counting each other's
+    // removals (r9 bench: evicted 4x inserts).
+    val inserted = threads.toLong * perThread
+    assert(st.evicted.value == inserted - m.size,
+      s"evicted ${st.evicted.value} != inserted $inserted - size ${m.size}")
+    assert(st.evicted.value > 0, "thrash must evict")
+    // size hovers near cap: each eviction pass sizes itself from the
+    // observed overshoot, so even free-running inserters cannot run the
+    // map away (pre-fix this hit 19x cap). Generous 2x slack for the
+    // inserts that land while a pass is scanning.
+    assert(m.size <= 2 * cap, s"size ${m.size} far above cap $cap")
   }
 
   test("dedupBroadcast=false falls back to a non-broadcast join, same rows") {
