@@ -1217,8 +1217,28 @@ object ExtQueries {
         .orderBy("doc_id"),
       Some(PipelineOps.groupZScoreOracleSql(
         "(SELECT \"doc_id\", \"lang\", \"n_chars\" FROM documents)",
-        groupCol = "lang", valueCol = "n_chars") + " ORDER BY \"doc_id\""))
+        groupCol = "lang", valueCol = "n_chars") + " ORDER BY \"doc_id\"")),
+    // ---- event funnel ----------------------------------------------------
+    // Strict-order first-touch conversion funnel (view -> click ->
+    // purchase within 1h of the anchor): the fact table shuffles on
+    // user_id once; every chained step joins user-keyed aggregates that
+    // REUSE that partitioning.
+    Q("q_event_funnel", (s, dir) =>
+      graft.ext.EventAnalytics.funnel(Tables.eventsWithMs(s, dir),
+        FunnelSteps, windowMs = 3600000L),
+      Some(graft.ext.EventAnalytics.funnelOracleSql("events", FunnelSteps,
+        windowMs = 3600000L))),
+    // ---- cohort retention ------------------------------------------------
+    // Users cohorted by first-event UTC day; (cohort, offset) distinct
+    // active-user counts. Exact integer day bucketing (div / //).
+    Q("q_retention_cohorts", (s, dir) =>
+      graft.ext.EventAnalytics.retentionCohorts(Tables.eventsWithMs(s, dir)),
+      Some(graft.ext.EventAnalytics.retentionCohortsOracleSql("events")))
   )
+
+  /** Funnel step sequence for [[graft.ext.EventAnalytics.funnel]] over the
+    * events testdata. */
+  private val FunnelSteps = Seq("view", "click", "purchase")
 
   /** Fixed retrieval query set for [[Bm25]] (terms from the synthetic
     * corpus vocabulary; human-scale query side, corpus-scale doc side). */

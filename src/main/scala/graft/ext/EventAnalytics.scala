@@ -1,0 +1,116 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-funnel and cohort-retention analytics over the events stream —
+  * the product-analytics pair every event warehouse runs nightly
+  * (conversion funnels, cohort retention matrices), expressed so the
+  * fact table shuffles on `user_id` ONCE and every later stage reuses
+  * that partitioning.
+  *
+  * Scale shape (both operators):
+  *  - the only corpus-scale shuffle keys events by user_id (a
+  *    map-side-combinable min/count agg);
+  *  - every subsequent join is user_id == user_id against a per-user
+  *    aggregate, so Catalyst reuses the hash partitioning instead of
+  *    re-shuffling the facts (the chained steps add ZERO data-scale
+  *    exchanges beyond the first — pinned in PlanAuditSpec's budgets);
+  *  - nothing broadcasts user-cardinality state and nothing collects.
+  */
+object EventAnalytics {
+
+  /** Strict-order, first-touch funnel: step 1 anchors at the user's
+    * FIRST step-1 event; each later step takes the user's first matching
+    * event at-or-after the previous step's time, all within `windowMs`
+    * of the anchor. Emits one row per user who reached step 1:
+    * (user_id, steps_reached, t1 .. tK) with unreached step times null.
+    *
+    * Same-timestamp events count toward the next step (>=, the standard
+    * product-analytics convention — a click logged in the same
+    * millisecond as the view still converts).
+    */
+  def funnel(events: DataFrame, steps: Seq[String],
+             windowMs: Long): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least 2 steps")
+    val e = events.select(col("user_id"), col("event_type"), col("ms"))
+    val s1 = e.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min(col("ms")).as("t1"))
+    val chained = steps.zipWithIndex.tail.foldLeft(s1) {
+      case (prev, (step, i)) =>
+        val tPrev = s"t$i"
+        val tCur = s"t${i + 1}"
+        val hit = e.filter(col("event_type") === step)
+          .join(prev, "user_id")
+          .filter(col("ms") >= col(tPrev) &&
+            col("ms") <= col("t1") + lit(windowMs))
+          .groupBy("user_id")
+          .agg(min(col("ms")).as(tCur))
+        // left join keeps users who stalled at the previous step
+        prev.join(hit, Seq("user_id"), "left")
+    }
+    val reach = steps.indices.tail.map(i =>
+      when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _) + lit(1L)
+    chained
+      .select(col("user_id") +: reach.as("steps_reached") +:
+        steps.indices.map(i => col(s"t${i + 1}")): _*)
+      .orderBy("user_id")
+  }
+
+  /** DuckDB mirror of [[funnel]] (same >= chaining and window clamp).
+    * `msExpr` is the BIGINT epoch-ms rendering of the timestamp. */
+  def funnelOracleSql(table: String, steps: Seq[String], windowMs: Long,
+                      msExpr: String = "epoch_ms(\"ts\")"): String = {
+    val e = s"""__e AS (SELECT "user_id", "event_type", $msExpr AS ms FROM $table)"""
+    val s1 =
+      s"""__s1 AS (SELECT "user_id", min(ms) AS t1 FROM __e
+         | WHERE "event_type" = '${steps.head}' GROUP BY 1)""".stripMargin
+    val chain = steps.zipWithIndex.tail.map { case (step, i) =>
+      val prev = s"__s$i"
+      val cur = s"__s${i + 1}"
+      s"""__h${i + 1} AS (SELECT e."user_id", min(e.ms) AS t${i + 1}
+         | FROM __e e JOIN $prev p USING ("user_id")
+         | WHERE e."event_type" = '$step' AND e.ms >= p.t$i
+         |   AND e.ms <= p.t1 + $windowMs GROUP BY 1),
+         | $cur AS (SELECT p.*, h.t${i + 1} FROM $prev p
+         | LEFT JOIN __h${i + 1} h USING ("user_id"))""".stripMargin
+    }
+    val reach = steps.indices.tail
+      .map(i => s"(CASE WHEN t${i + 1} IS NOT NULL THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val tCols = steps.indices.map(i => s"t${i + 1}").mkString(", ")
+    (Seq(s"WITH $e", s1) ++ chain).mkString(", ").replace("\n", " ") +
+      s""" SELECT "user_id", CAST(1 + $reach AS BIGINT) AS steps_reached,
+         | $tCols FROM __s${steps.size} ORDER BY "user_id"""".stripMargin
+        .replace("\n", " ")
+  }
+
+  /** Cohort retention matrix: users cohorted by the UTC day of their
+    * first event; one row per (cohort_day, day_offset) with the count of
+    * distinct users active at that offset. Day 0 row therefore equals
+    * cohort size, and retention@k = n_active(k) / n_active(0).
+    */
+  def retentionCohorts(events: DataFrame,
+                       dayMs: Long = 86400000L): DataFrame = {
+    val ue = events.select(col("user_id"),
+      expr(s"ms div $dayMs").as("day"))
+    val first = ue.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    ue.join(first, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** DuckDB mirror of [[retentionCohorts]]. Spark's integer `div` and
+    * DuckDB's `//` are both exact BIGINT division — no float quotient
+    * anywhere near the day bucketing. */
+  def retentionCohortsOracleSql(table: String, dayMs: Long = 86400000L,
+                                msExpr: String = "epoch_ms(\"ts\")"): String =
+    s"""WITH __u AS (SELECT "user_id", $msExpr // $dayMs AS day FROM $table),
+       | __f AS (SELECT "user_id", min(day) AS cohort_day FROM __u GROUP BY 1)
+       | SELECT cohort_day, day - cohort_day AS day_offset,
+       |   CAST(count(DISTINCT "user_id") AS BIGINT) AS n_active
+       | FROM __u JOIN __f USING ("user_id")
+       | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.ext.EventAnalytics
+
+/** Hand-built funnel / retention fixtures where every conversion decision
+  * is checkable by inspection. */
+class EventAnalyticsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, Long)*) =
+    rows.toDF("user_id", "event_type", "ms")
+
+  private val Steps = Seq("view", "click", "purchase")
+
+  test("funnel: full conversion, stalls, missing anchor, strict order") {
+    val events = ev(
+      // user 1: converts fully in order
+      (1L, "view", 0L), (1L, "click", 10L), (1L, "purchase", 20L),
+      // user 2: purchase BEFORE any click -> stalls at step 1 (strict order)
+      (2L, "view", 0L), (2L, "purchase", 5L),
+      // user 3: no view anywhere -> not in the funnel at all
+      (3L, "click", 0L), (3L, "purchase", 1L),
+      // user 4: click lands outside the anchor window -> stalls at step 1
+      (4L, "view", 0L), (4L, "click", 5000L))
+    val out = EventAnalytics.funnel(events, Steps, windowMs = 100L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 4L))
+    assert(out(1L) == ((3L, Some(0L), Some(10L), Some(20L))))
+    assert(out(2L) == ((1L, Some(0L), None, None)))
+    assert(out(4L) == ((1L, Some(0L), None, None)))
+  }
+
+  test("funnel: same-millisecond step counts (>=); window clamps to anchor") {
+    val events = ev(
+      // user 1: view and click share a timestamp -> click converts
+      (1L, "view", 5L), (1L, "click", 5L), (1L, "purchase", 6L),
+      // user 2: click inside the window, purchase past anchor+W (anchor
+      // is t1, NOT t2) -> stalls at step 2
+      (2L, "view", 0L), (2L, "click", 90L), (2L, "purchase", 150L))
+    val out = EventAnalytics.funnel(events, Steps, windowMs = 100L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1)))).toMap
+    assert(out(1L) == 3L)
+    assert(out(2L) == 2L)
+  }
+
+  test("funnel: first-touch anchoring uses the EARLIEST step-1 event") {
+    // the late view at 200 would let the click convert, but first-touch
+    // anchors at 0 and the window (100) has closed
+    val events = ev(
+      (1L, "view", 0L), (1L, "view", 200L), (1L, "click", 250L))
+    val out = EventAnalytics.funnel(events, Steps, windowMs = 100L).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(1) == 1L && out.head.getLong(2) == 0L)
+  }
+
+  test("retention cohorts: day-0 row is cohort size; offsets exact") {
+    val day = 10L // tiny "day" so fixtures stay readable
+    val events = ev(
+      // cohort day 0: users 1, 2. user 1 active days 0, 1, 3; user 2 day 0
+      (1L, "view", 1L), (1L, "view", 12L), (1L, "view", 33L),
+      (2L, "view", 5L),
+      // cohort day 2: user 3, active days 2 and 3
+      (3L, "view", 21L), (3L, "view", 30L))
+    val out = EventAnalytics.retentionCohorts(events, dayMs = day)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      (0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
+      (2L, 0L) -> 1L, (2L, 1L) -> 1L))
+  }
+}
