@@ -329,4 +329,74 @@ object StreamingOps {
           closed.result().iterator
       }.toDF()
   }
+
+  /** Streaming strict-order funnel — the stream twin of
+    * [[graft.ext.EventAnalytics.funnel]]. State per key is the step-time
+    * vector reached so far (at most `steps.size` longs — constant per
+    * user, like the as-of reference row). Each micro-batch processes a
+    * user's rows in (ms, step-rank, event_id) order (earlier-funnel-step
+    * first on timestamp ties, so a same-ms view+click converts exactly as
+    * the batch operator's `>=` chaining does) and emits ONE progress row
+    * per user whose reach advanced: (user_id, steps_reached, times).
+    *
+    * Batch parity (pinned in `StreamingSpec`): for a stream arriving in
+    * event-time order — ties arriving earlier-step-first when split
+    * across batches — each user's LAST emitted row equals the batch
+    * funnel's row (times carries the reached prefix of t1..tK). The
+    * ordered scan reproduces the chained-min joins because each "first
+    * matching event at-or-after the previous step" is exactly the first
+    * such event the scan meets.
+    *
+    * The per-batch sort buffer is bounded by [[MaxGroupBufferKey]]
+    * (cap-sized chunks, state threaded, overflow counted) like the other
+    * stateful operators. */
+  final case class FunnelState(times: List[Long])
+  final case class FunnelOut(user_id: Long, steps_reached: Long,
+                             times: Seq[Long])
+
+  def streamingFunnel(events: DataFrame, steps: Seq[String],
+                      windowMs: Long): DataFrame = {
+    import events.sparkSession.implicits._
+    require(steps.size >= 2, "a funnel needs at least 2 steps")
+    val stepRank = steps.zipWithIndex.toMap
+    val k = steps.size
+    val cap = maxGroupBuffer(events)
+    val overflow = events.sparkSession.sparkContext
+      .longAccumulator("graft.streaming.funnel.groupOverflow")
+    lastFunnelOverflow = overflow
+    val typed = events.select(col("event_id").cast("long"),
+        col("user_id").cast("long"),
+        expr("ts div 1000000").cast("long").as("ms"),
+        col("event_type").cast("string"))
+      .as[(Long, Long, Long, String)]
+      .filter(r => stepRank.contains(r._4))
+    typed.groupByKey(_._2)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[FunnelState]) =>
+          var times = state.getOption.map(_.times).getOrElse(Nil)
+          val before = times.size
+          var first = true
+          rows.grouped(cap).foreach { chunk =>
+            if (first) first = false else overflow.add(chunk.size)
+            val sorted = chunk.toSeq.sortBy(r => (r._3, stepRank(r._4), r._1))
+            for ((_, _, ms, tpe) <- sorted) {
+              val reach = times.size
+              if (reach == 0) {
+                if (tpe == steps.head) times = List(ms)
+              } else if (reach < k && tpe == steps(reach) &&
+                  ms >= times.last && ms <= times.head + windowMs) {
+                times = times :+ ms
+              }
+            }
+          }
+          if (times.size > before) {
+            state.update(FunnelState(times))
+            Iterator.single(FunnelOut(user, times.size.toLong, times))
+          } else Iterator.empty
+      }.toDF()
+  }
+
+  @volatile private[graft] var lastFunnelOverflow:
+      org.apache.spark.util.LongAccumulator = _
 }

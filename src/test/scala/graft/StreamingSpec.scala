@@ -331,4 +331,60 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.sum == (batch1.size + batch2.size).toLong * d)
   }
+
+  test("streaming funnel batch-parity: last progress row per user equals " +
+      "the batch funnel, single- and multi-batch, incl. a same-ms tie") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.EventAnalytics
+    val steps = Seq("view", "click", "purchase")
+    val windowMs = 100L
+    // (event_id, ts_us, user_id, event_type): ts in micros so `ts div
+    // 1000000 = ms` matches the operator's column prep; fixture covers a
+    // full conversion, a same-ms view+click tie (the >= law), a stall,
+    // a window miss, and a user with no anchor.
+    def us(ms: Long) = ms * 1000000L
+    val rows = Seq[(Long, Long, Long, String)](
+      (1L, us(0), 1L, "view"), (2L, us(10), 1L, "click"),
+      (3L, us(20), 1L, "purchase"),                       // full convert
+      (4L, us(5), 2L, "view"), (5L, us(5), 2L, "click"),  // same-ms tie
+      (6L, us(200), 2L, "purchase"),                      // outside window
+      (7L, us(0), 3L, "view"), (8L, us(1), 3L, "purchase"), // strict order
+      (9L, us(0), 4L, "click"), (10L, us(1), 4L, "purchase")) // no anchor
+
+    val batchWant = EventAnalytics.funnel(
+        rows.toDF("event_id", "ts", "user_id", "event_type")
+          .withColumn("ms", expr("ts div 1000000")),
+        steps, windowMs)
+      .collect().map { r =>
+        val times = (2 to 4).map(i => Option(r.get(i)))
+          .takeWhile(_.isDefined).map(_.get.asInstanceOf[Long])
+        r.getLong(0) -> ((r.getLong(1), times))
+      }.toMap
+
+    def run(batches: Seq[Seq[(Long, Long, Long, String)]], name: String) = {
+      val mem = MemoryStream[(Long, Long, Long, String)]
+      val events = mem.toDF().toDF("event_id", "ts", "user_id", "event_type")
+      val q = StreamingOps.streamingFunnel(events, steps, windowMs)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      for (b <- batches) { mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      // LAST emission per user = highest steps_reached (progress rows
+      // are monotone in reach)
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+        .groupBy(_._1).map { case (u, rs) =>
+          val best = rs.maxBy(_._2)
+          u -> ((best._2, best._3.toSeq))
+        }.toMap
+    }
+
+    assert(batchWant(1L)._1 == 3L && batchWant(2L)._1 == 2L &&
+      batchWant(3L)._1 == 1L && !batchWant.contains(4L),
+      s"fixture must cover all stall depths: $batchWant")
+    assert(run(Seq(rows), "funnel_stream_1") == batchWant)
+    // event-time-ordered split across batches: state carries
+    val (early, late) = rows.partition(_._2 < us(15))
+    assert(run(Seq(early, late), "funnel_stream_2") == batchWant)
+  }
 }
