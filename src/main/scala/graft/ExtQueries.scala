@@ -1233,7 +1233,20 @@ object ExtQueries {
     // active-user counts. Exact integer day bucketing (div / //).
     Q("q_retention_cohorts", (s, dir) =>
       graft.ext.EventAnalytics.retentionCohorts(Tables.eventsWithMs(s, dir)),
-      Some(graft.ext.EventAnalytics.retentionCohortsOracleSql("events")))
+      Some(graft.ext.EventAnalytics.retentionCohortsOracleSql("events"))),
+    // ---- rolling active users (DAU / trailing-7 WAU) ---------------------
+    // Rolling DISTINCT doesn't decompose: dedup to (user, day) first
+    // (the ONLY corpus-scale agg), then a x7 explode over day-deduped
+    // rows, never raw events.
+    Q("q_active_users", (s, dir) =>
+      graft.ext.EventAnalytics.activeUsers(Tables.eventsWithMs(s, dir)),
+      Some(graft.ext.EventAnalytics.activeUsersOracleSql("events"))),
+    // ---- per-session rollup ----------------------------------------------
+    // Session granularity (q_events_sessionize is per-user counts): one
+    // user-keyed shuffle carries the island window AND the rollup.
+    Q("q_session_stats", (s, dir) =>
+      graft.ext.EventAnalytics.sessionStats(Tables.eventsWithMs(s, dir)),
+      Some(graft.ext.EventAnalytics.sessionStatsOracleSql("events")))
   )
 
   /** Funnel step sequence for [[graft.ext.EventAnalytics.funnel]] over the

@@ -102,6 +102,93 @@ object EventAnalytics {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Rolling distinct-active-user counts: per UTC day, the distinct
+    * users active that day (DAU) and over the trailing `windowDays`
+    * (WAU with the default 7). Rolling DISTINCT does not decompose into
+    * a sliding sum, so the standard exact rewrite applies: dedup to
+    * (user, day) FIRST — the only corpus-scale agg — then explode each
+    * active-day into the `windowDays` window-end days it contributes to
+    * (a fixed small factor over the already-day-deduped rows, never over
+    * raw events) and count distinct users per window end. Days beyond
+    * the last activity are reported too (their windows are genuinely
+    * still populated); days with no activity in range show dau = 0.
+    */
+  def activeUsers(events: DataFrame, windowDays: Int = 7,
+                  dayMs: Long = 86400000L): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val ud = events
+      .select(col("user_id"), expr(s"ms div $dayMs").as("day"))
+      .distinct()
+    val dau = ud.groupBy("day")
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + lit(windowDays - 1)))
+          .as("day"))
+      .groupBy("day")
+      .agg(countDistinct(col("user_id")).as("wau"))
+    wau.join(dau, Seq("day"), "left")
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"), col("wau"))
+      .orderBy("day")
+  }
+
+  /** DuckDB mirror of [[activeUsers]]. */
+  def activeUsersOracleSql(table: String, windowDays: Int = 7,
+                           dayMs: Long = 86400000L,
+                           msExpr: String = "epoch_ms(\"ts\")"): String =
+    s"""WITH __ud AS (SELECT DISTINCT "user_id", $msExpr // $dayMs AS day
+       |   FROM $table),
+       | __dau AS (SELECT day, CAST(count(DISTINCT "user_id") AS BIGINT)
+       |   AS dau FROM __ud GROUP BY 1),
+       | __wau AS (SELECT day + off AS day,
+       |   CAST(count(DISTINCT "user_id") AS BIGINT) AS wau
+       |   FROM __ud CROSS JOIN generate_series(0, ${windowDays - 1}) t(off)
+       |   GROUP BY 1)
+       | SELECT day, coalesce(dau, 0) AS dau, wau
+       | FROM __wau LEFT JOIN __dau USING (day) ORDER BY day""".stripMargin
+      .replace("\n", " ")
+
+  /** Per-session statistics: gaps-and-islands session assignment (a new
+    * session opens after `gapMs` of inactivity) followed by a per-session
+    * rollup — start/end, event count, summed value. The batch mirror of
+    * [[graft.streaming.StreamingOps.sessionize]] at session granularity
+    * (the existing `q_events_sessionize` reports per-user counts only).
+    * One user-keyed shuffle; the window and the rollup both ride it.
+    */
+  def sessionStats(events: DataFrame, gapMs: Long = 1800000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    events.select(col("user_id"), col("event_id"), col("ms"), col("value"))
+      .withColumn("ns",
+        when(col("ms") - lag(col("ms"), 1).over(w) > gapMs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("ns")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ms")).as("start_ms"), max(col("ms")).as("end_ms"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("total_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** DuckDB mirror of [[sessionStats]] — identical (ms, event_id) window
+    * order and island arithmetic. */
+  def sessionStatsOracleSql(table: String, gapMs: Long = 1800000L,
+                            msExpr: String = "epoch_ms(\"ts\")"): String =
+    s"""WITH __e AS (SELECT "user_id", "event_id", $msExpr AS ms, "value"
+       |   FROM $table),
+       | __n AS (SELECT *, CASE WHEN ms - lag(ms) OVER
+       |     (PARTITION BY "user_id" ORDER BY ms, "event_id") > $gapMs
+       |   THEN 1 ELSE 0 END AS ns FROM __e),
+       | __s AS (SELECT *, sum(ns) OVER (PARTITION BY "user_id"
+       |   ORDER BY ms, "event_id" ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |   CURRENT ROW) AS session_id FROM __n)
+       | SELECT "user_id", CAST(session_id AS BIGINT) AS session_id,
+       |   min(ms) AS start_ms, max(ms) AS end_ms,
+       |   CAST(count(*) AS BIGINT) AS n_events,
+       |   round(sum("value"), 6) AS total_value
+       | FROM __s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      .replace("\n", " ")
+
   /** DuckDB mirror of [[retentionCohorts]]. Spark's integer `div` and
     * DuckDB's `//` are both exact BIGINT division — no float quotient
     * anywhere near the day bucketing. */

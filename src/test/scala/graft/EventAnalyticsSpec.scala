@@ -56,6 +56,37 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.head.getLong(1) == 1L && out.head.getLong(2) == 0L)
   }
 
+  test("activeUsers: WAU windows hand-checked; silent days show dau 0") {
+    val day = 10L
+    // (user, day) activity: user 1 on days 0 and 2; user 2 on day 0 only
+    // (two events same day -> the dedup must count it once)
+    val events = ev(
+      (1L, "view", 1L), (1L, "view", 25L),
+      (2L, "view", 3L), (2L, "click", 7L))
+    val out = EventAnalytics.activeUsers(events, windowDays = 3, dayMs = day)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // trailing-3 windows: d0 {1,2}; d1 covers day 0 {1,2}; d2 {1,2};
+    // d3 covers day 2 {1}; d4 {1}
+    assert(out == Map(
+      0L -> ((2L, 2L)), 1L -> ((0L, 2L)), 2L -> ((1L, 2L)),
+      3L -> ((0L, 1L)), 4L -> ((0L, 1L))))
+  }
+
+  test("sessionStats: gap splits sessions; rollups exact") {
+    val events = Seq(
+      (1L, 10L, 0L, 1.5), (1L, 11L, 10L, 2.5), (1L, 12L, 100L, 4.0),
+      (2L, 20L, 5L, 1.0)
+    ).toDF("user_id", "event_id", "ms", "value")
+    val out = EventAnalytics.sessionStats(events, gapMs = 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out == Map(
+      (1L, 0L) -> ((0L, 10L, 2L, 4.0)),   // events at 0 and 10 merge
+      (1L, 1L) -> ((100L, 100L, 1L, 4.0)), // 90ms gap opens session 1
+      (2L, 0L) -> ((5L, 5L, 1L, 1.0))))
+  }
+
   test("retention cohorts: day-0 row is cohort size; offsets exact") {
     val day = 10L // tiny "day" so fixtures stay readable
     val events = ev(

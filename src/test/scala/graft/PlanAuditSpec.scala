@@ -172,6 +172,11 @@ class PlanAuditSpec extends SparkSpec {
                               // (cohort, offset) distinct-count pair +
                               // orderBy; the user join reuses the user_id
                               // partitioning
+    "q_active_users" -> 8,   // (user, day) dedup + dau/wau distinct pairs
+                              // + day join + orderBy; the x7 explode rides
+                              // the ALREADY day-deduped rows, never events
+    "q_session_stats" -> 3,   // scan floor + ONE user_id shuffle carrying
+                              // the island window AND the rollup + orderBy
     "q_bigram_logprob" -> 10) // bigram explode floor + c1/c2/V aggs (each
                               // with partial/final pair) + final per-doc agg
                               // + orderBy; both model joins BROADCAST (no
