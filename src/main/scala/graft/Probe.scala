@@ -99,6 +99,33 @@ object Fo2AbProbe {
   }
 }
 
+/** A/B: window-form funnel vs the chained-join reference at a given sf
+  * (`bench_ab` protocol — one JVM, 3 timed runs per form). */
+object FunnelAbProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val steps = Seq("view", "click", "purchase")
+    def events = Tables.eventsWithMs(spark, sfDir)
+    for (form <- Seq("window", "chained"); i <- 1 to 3) {
+      val df =
+        if (form == "window")
+          graft.ext.EventAnalytics.funnel(events, steps, 3600000L)
+        else
+          graft.ext.EventAnalytics.funnelChained(events, steps, 3600000L)
+      val t0 = System.nanoTime()
+      df.queryExecution.toRdd.count()
+      println(f"[funnelab] $form run$i: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    spark.stop()
+  }
+}
+
 /** Bare-session smoke of the driver's entry contract. */
 object EntrySmoke {
   def main(args: Array[String]): Unit = {

@@ -29,9 +29,46 @@ object EventAnalytics {
     * Same-timestamp events count toward the next step (>=, the standard
     * product-analytics convention — a click logged in the same
     * millisecond as the view still converts).
-    */
+    *
+    * Formulation: each step time is a conditional-min WINDOW aggregate
+    * over the user partition (t2 = min click ms with ms >= t1, where t1
+    * is itself the previous window column), so the whole K-step chain is
+    * K unbounded-frame Window nodes sharing ONE user_id exchange and ONE
+    * scan of the events table — versus the textbook K chained
+    * filter-aggregate-join passes ([[funnelChained]], kept as the
+    * row-equivalence reference), which scan the fact table K+1 times.
+    * The per-user rollup then rides the same partitioning. */
   def funnel(events: DataFrame, steps: Seq[String],
              windowMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(steps.size >= 2, "a funnel needs at least 2 steps")
+    val w = Window.partitionBy("user_id")
+    val e = events.select(col("user_id"), col("event_type"), col("ms"))
+    val withTimes = steps.zipWithIndex.tail.foldLeft(
+      e.withColumn("t1",
+        min(when(col("event_type") === steps.head, col("ms"))).over(w))) {
+      case (df, (step, i)) =>
+        df.withColumn(s"t${i + 1}",
+          min(when(col("event_type") === step &&
+              col("ms") >= col(s"t$i") &&
+              col("ms") <= col("t1") + lit(windowMs), col("ms"))).over(w))
+    }
+    val reach = steps.indices.tail.map(i =>
+      when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _) + lit(1L)
+    val aggs = min(reach).as("steps_reached") +:
+      steps.indices.map(i => min(col(s"t${i + 1}")).as(s"t${i + 1}"))
+    withTimes.filter(col("t1").isNotNull)
+      .groupBy("user_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("user_id")
+  }
+
+  /** The textbook chained filter-aggregate-join funnel — K+1 fact-table
+    * scans, kept as the independent row-equivalence reference for
+    * [[funnel]] (`EventAnalyticsSpec` pins both forms identical). */
+  private[graft] def funnelChained(events: DataFrame, steps: Seq[String],
+                                   windowMs: Long): DataFrame = {
     require(steps.size >= 2, "a funnel needs at least 2 steps")
     val e = events.select(col("user_id"), col("event_type"), col("ms"))
     val s1 = e.filter(col("event_type") === steps.head)

@@ -56,6 +56,23 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.head.getLong(1) == 1L && out.head.getLong(2) == 0L)
   }
 
+  test("window-form funnel equals the chained-join reference, fixtures " +
+      "and real events") {
+    val fixture = ev(
+      (1L, "view", 0L), (1L, "click", 10L), (1L, "purchase", 20L),
+      (2L, "view", 0L), (2L, "purchase", 5L),
+      (3L, "click", 0L), (3L, "purchase", 1L),
+      (4L, "view", 5L), (4L, "click", 5L), (4L, "purchase", 200L))
+    for (w <- Seq(1L, 100L, 1000000L)) {
+      assert(EventAnalytics.funnel(fixture, Steps, w).collect().toSeq ==
+        EventAnalytics.funnelChained(fixture, Steps, w).collect().toSeq,
+        s"window $w")
+    }
+    val real = Tables.eventsWithMs(spark, "/root/testdata/sf0.001")
+    assert(EventAnalytics.funnel(real, Steps, 3600000L).collect().toSeq ==
+      EventAnalytics.funnelChained(real, Steps, 3600000L).collect().toSeq)
+  }
+
   test("activeUsers: WAU windows hand-checked; silent days show dau 0") {
     val day = 10L
     // (user, day) activity: user 1 on days 0 and 2; user 2 on day 0 only

@@ -163,11 +163,11 @@ class PlanAuditSpec extends SparkSpec {
     "q_length_zscore" -> 4,   // scan floor + per-group moments agg +
                               // orderBy; the (group, mu, sd) dim BROADCASTS
                               // back (no data-scale shuffle)
-    "q_event_funnel" -> 14,   // the user_id-keyed step aggs/joins; the
-                              // events subplan recurs per step in the
-                              // INITIAL plan (AQE reuse collapses) and
-                              // every join key is user_id — no second
-                              // fact-scale shuffle key anywhere
+    "q_event_funnel" -> 3,    // scan floor + ONE user_id exchange shared
+                              // by all K conditional-min Window nodes AND
+                              // the rollup + orderBy (the chained-join
+                              // form this replaced planned 14 — see
+                              // EventAnalytics.funnel vs funnelChained)
     "q_retention_cohorts" -> 6, // scan floor + first-day agg + the
                               // (cohort, offset) distinct-count pair +
                               // orderBy; the user join reuses the user_id
