@@ -1246,7 +1246,78 @@ object ExtQueries {
     // user-keyed shuffle carries the island window AND the rollup.
     Q("q_session_stats", (s, dir) =>
       graft.ext.EventAnalytics.sessionStats(Tables.eventsWithMs(s, dir)),
-      Some(graft.ext.EventAnalytics.sessionStatsOracleSql("events")))
+      Some(graft.ext.EventAnalytics.sessionStatsOracleSql("events"))),
+    // ---- multi-dimensional aggregate (ROLLUP) ----------------------------
+    // The OLAP subtotal lattice in ONE pass: Spark expands rollup into
+    // grouping sets inside a single Expand+partial-agg (no per-level
+    // re-scan); grouping_id disambiguates subtotal nulls from data nulls.
+    // Null ordering pinned explicitly (Spark NULLS FIRST vs DuckDB's
+    // NULLS LAST default).
+    Q("q_events_rollup", (s, dir) =>
+      Tables.eventsWithMs(s, dir)
+        .select(col("event_type"), expr("ms div 86400000").as("day"),
+          col("value"))
+        .rollup("event_type", "day")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          org.apache.spark.sql.functions.round(sum(col("value")), 6)
+            .as("total_value"))
+        .select(col("gid"), col("event_type"), col("day"), col("n"),
+          col("total_value"))
+        .orderBy(col("gid"), col("event_type").asc_nulls_first,
+          col("day").asc_nulls_first),
+      Some("""SELECT CAST(GROUPING("event_type", day) AS BIGINT) AS gid,
+             | "event_type", epoch_ms("ts") // 86400000 AS day,
+             | count(*) AS n, round(sum("value"), 6) AS total_value
+             | FROM events
+             | GROUP BY ROLLUP ("event_type", day)
+             | ORDER BY gid, "event_type" NULLS FIRST, day NULLS FIRST"""
+        .stripMargin.replace("\n", " "))),
+    // ---- snapshot diff ---------------------------------------------------
+    // Lakehouse table audit: full-outer key join of two snapshots with a
+    // content-hash compare -> added / removed / changed / unchanged
+    // summary. Snapshot B is derived deterministically from A here (drop
+    // id%7, revise id%11, add shifted id%13 rows) so both engines diff
+    // identical inputs.
+    Q("q_table_diff", (s, dir) => {
+      val a = Tables.read(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+      val base = Tables.read(s, dir, "documents")
+      val b = base.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          md5(org.apache.spark.sql.functions.when(col("doc_id") % 11 === 0,
+              concat(col("text"), lit(" rev2")))
+            .otherwise(col("text"))).as("fp"))
+        .unionByName(base.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+            md5(col("text")).as("fp")))
+      a.as("a").join(b.as("b"), col("a.doc_id") === col("b.doc_id"),
+          "full_outer")
+        .select(org.apache.spark.sql.functions.when(col("b.doc_id").isNull, "removed")
+          .when(col("a.doc_id").isNull, "added")
+          .when(col("a.fp") =!= col("b.fp"), "changed")
+          .otherwise("unchanged").as("status"),
+          coalesce(col("a.doc_id"), col("b.doc_id")).as("id"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+          max(col("id")).as("max_id"))
+        .orderBy("status")
+    },
+      Some("""WITH a AS (SELECT "doc_id", md5("text") AS fp FROM documents),
+             | b AS (SELECT "doc_id", md5(CASE WHEN "doc_id" % 11 = 0
+             |     THEN concat("text", ' rev2') ELSE "text" END) AS fp
+             |   FROM documents WHERE "doc_id" % 7 <> 0
+             |   UNION ALL
+             |   SELECT "doc_id" + 1000000 AS "doc_id", md5("text") AS fp
+             |   FROM documents WHERE "doc_id" % 13 = 0),
+             | d AS (SELECT CASE WHEN b."doc_id" IS NULL THEN 'removed'
+             |     WHEN a."doc_id" IS NULL THEN 'added'
+             |     WHEN a.fp <> b.fp THEN 'changed'
+             |     ELSE 'unchanged' END AS status,
+             |     coalesce(a."doc_id", b."doc_id") AS id
+             |   FROM a FULL OUTER JOIN b ON a."doc_id" = b."doc_id")
+             | SELECT status, count(*) AS n, min(id) AS min_id,
+             |   max(id) AS max_id
+             | FROM d GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")))
   )
 
   /** Funnel step sequence for [[graft.ext.EventAnalytics.funnel]] over the

@@ -176,7 +176,13 @@ class PlanAuditSpec extends SparkSpec {
                               // + day join + orderBy; the x7 explode rides
                               // the ALREADY day-deduped rows, never events
     "q_session_stats" -> 3,   // scan floor + ONE user_id shuffle carrying
-                              // the island window AND the rollup + orderBy
+                              // the island window AND the rollup + orderBy,
+    "q_events_rollup" -> 3,   // scan floor + ONE Expand+partial-agg
+                              // exchange for the whole subtotal lattice +
+                              // orderBy — never a per-level re-scan
+    "q_table_diff" -> 7,      // two snapshot subplans (scan floor each +
+                              // the added-rows union leg) + the doc_id
+                              // full-outer SMJ pair + status agg + orderBy
     "q_bigram_logprob" -> 10) // bigram explode floor + c1/c2/V aggs (each
                               // with partial/final pair) + final per-doc agg
                               // + orderBy; both model joins BROADCAST (no
