@@ -1276,8 +1276,8 @@ object ExtQueries {
     // Lakehouse table audit: full-outer key join of two snapshots with a
     // content-hash compare -> added / removed / changed / unchanged
     // summary. Snapshot B is derived deterministically from A here (drop
-    // id%7, revise id%11, add shifted id%13 rows) so both engines diff
-    // identical inputs.
+    // id%7, revise id%11, add negative-id id%13 rows) so both engines
+    // diff identical inputs.
     Q("q_table_diff", (s, dir) => {
       val a = Tables.read(s, dir, "documents")
         .select(col("doc_id"), md5(col("text")).as("fp"))
@@ -1287,8 +1287,11 @@ object ExtQueries {
           md5(org.apache.spark.sql.functions.when(col("doc_id") % 11 === 0,
               concat(col("text"), lit(" rev2")))
             .otherwise(col("text"))).as("fp"))
+        // added rows carry NEGATIVE ids (-id - 1): disjoint from the
+        // non-negative real id space at ANY corpus size, unlike a fixed
+        // positive offset a billion-doc snapshot would collide with
         .unionByName(base.filter(col("doc_id") % 13 === 0)
-          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          .select((-col("doc_id") - lit(1L)).as("doc_id"),
             md5(col("text")).as("fp")))
       a.as("a").join(b.as("b"), col("a.doc_id") === col("b.doc_id"),
           "full_outer")
@@ -1307,7 +1310,7 @@ object ExtQueries {
              |     THEN concat("text", ' rev2') ELSE "text" END) AS fp
              |   FROM documents WHERE "doc_id" % 7 <> 0
              |   UNION ALL
-             |   SELECT "doc_id" + 1000000 AS "doc_id", md5("text") AS fp
+             |   SELECT -"doc_id" - 1 AS "doc_id", md5("text") AS fp
              |   FROM documents WHERE "doc_id" % 13 = 0),
              | d AS (SELECT CASE WHEN b."doc_id" IS NULL THEN 'removed'
              |     WHEN a."doc_id" IS NULL THEN 'added'

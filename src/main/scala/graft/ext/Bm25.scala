@@ -94,8 +94,11 @@ object Bm25 {
                     k: Int = 5, k1: Double = 1.2, b: Double = 0.75,
                     idCol: String = "doc_id", textCol: String = "text"): String = {
     val id = s""""$idCol""""
+    // SLit-style single-quote escaping: a term like "it's" must render
+    // as 'it''s', not break the VALUES list
     val qVals = (for ((qid, terms) <- queries; t <- terms.distinct)
-      yield s"(CAST($qid AS BIGINT), '$t')").mkString(", ")
+      yield s"(CAST($qid AS BIGINT), '${t.replace("'", "''")}')")
+      .mkString(", ")
     s"""WITH q(query_id, term) AS (VALUES $qVals),
        | tok AS (SELECT $id AS doc_id, string_split("$textCol", ' ') AS t FROM $table),
        | base AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,

@@ -20,6 +20,23 @@ import org.apache.spark.sql.functions._
   */
 object EventAnalytics {
 
+  /** Funnel steps must be >= 2 and DISTINCT: with a repeated step name
+    * the batch chained-min lets one event satisfy two steps via `>=`
+    * while an ordered scan consumes it once — the forms (and the
+    * streaming twin) would diverge. No real funnel repeats a step. */
+  private[graft] def requireFunnelSteps(steps: Seq[String]): Unit = {
+    require(steps.size >= 2, "a funnel needs at least 2 steps")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct, got $steps")
+  }
+
+  /** steps_reached: 1 + the count of non-null later-step times. Shared by
+    * both batch forms so the semantics cannot drift apart. */
+  private def reachExpr(steps: Seq[String]) =
+    steps.indices.tail.map(i =>
+      when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _) + lit(1L)
+
   /** Strict-order, first-touch funnel: step 1 anchors at the user's
     * FIRST step-1 event; each later step takes the user's first matching
     * event at-or-after the previous step's time, all within `windowMs`
@@ -41,7 +58,7 @@ object EventAnalytics {
   def funnel(events: DataFrame, steps: Seq[String],
              windowMs: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(steps.size >= 2, "a funnel needs at least 2 steps")
+    requireFunnelSteps(steps)
     val w = Window.partitionBy("user_id")
     val e = events.select(col("user_id"), col("event_type"), col("ms"))
     val withTimes = steps.zipWithIndex.tail.foldLeft(
@@ -53,9 +70,7 @@ object EventAnalytics {
               col("ms") >= col(s"t$i") &&
               col("ms") <= col("t1") + lit(windowMs), col("ms"))).over(w))
     }
-    val reach = steps.indices.tail.map(i =>
-      when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L))
-      .reduce(_ + _) + lit(1L)
+    val reach = reachExpr(steps)
     val aggs = min(reach).as("steps_reached") +:
       steps.indices.map(i => min(col(s"t${i + 1}")).as(s"t${i + 1}"))
     withTimes.filter(col("t1").isNotNull)
@@ -69,7 +84,7 @@ object EventAnalytics {
     * [[funnel]] (`EventAnalyticsSpec` pins both forms identical). */
   private[graft] def funnelChained(events: DataFrame, steps: Seq[String],
                                    windowMs: Long): DataFrame = {
-    require(steps.size >= 2, "a funnel needs at least 2 steps")
+    requireFunnelSteps(steps)
     val e = events.select(col("user_id"), col("event_type"), col("ms"))
     val s1 = e.filter(col("event_type") === steps.head)
       .groupBy("user_id").agg(min(col("ms")).as("t1"))
@@ -86,9 +101,7 @@ object EventAnalytics {
         // left join keeps users who stalled at the previous step
         prev.join(hit, Seq("user_id"), "left")
     }
-    val reach = steps.indices.tail.map(i =>
-      when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L))
-      .reduce(_ + _) + lit(1L)
+    val reach = reachExpr(steps)
     chained
       .select(col("user_id") +: reach.as("steps_reached") +:
         steps.indices.map(i => col(s"t${i + 1}")): _*)
@@ -156,8 +169,9 @@ object EventAnalytics {
     val ud = events
       .select(col("user_id"), expr(s"ms div $dayMs").as("day"))
       .distinct()
-    val dau = ud.groupBy("day")
-      .agg(countDistinct(col("user_id")).as("dau"))
+    // ud is already distinct (user, day): a plain count IS the distinct
+    // user count — countDistinct here would plan a redundant expand pass
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
     val wau = ud
       .select(col("user_id"),
         explode(sequence(col("day"), col("day") + lit(windowDays - 1)))

@@ -357,7 +357,7 @@ object StreamingOps {
   def streamingFunnel(events: DataFrame, steps: Seq[String],
                       windowMs: Long): DataFrame = {
     import events.sparkSession.implicits._
-    require(steps.size >= 2, "a funnel needs at least 2 steps")
+    graft.ext.EventAnalytics.requireFunnelSteps(steps)
     val stepRank = steps.zipWithIndex.toMap
     val k = steps.size
     val cap = maxGroupBuffer(events)

@@ -338,18 +338,18 @@ class StreamingSpec extends SparkSpec {
     import graft.ext.EventAnalytics
     val steps = Seq("view", "click", "purchase")
     val windowMs = 100L
-    // (event_id, ts_us, user_id, event_type): ts in micros so `ts div
-    // 1000000 = ms` matches the operator's column prep; fixture covers a
-    // full conversion, a same-ms view+click tie (the >= law), a stall,
-    // a window miss, and a user with no anchor.
-    def us(ms: Long) = ms * 1000000L
+    // (event_id, ts_ns, user_id, event_type): ts in NANOS (the events
+    // table's long-ts unit) so the operator's `ts div 1000000` yields ms;
+    // fixture covers a full conversion, a same-ms view+click tie (the >=
+    // law), a stall, a window miss, and a user with no anchor.
+    def ns(ms: Long) = ms * 1000000L
     val rows = Seq[(Long, Long, Long, String)](
-      (1L, us(0), 1L, "view"), (2L, us(10), 1L, "click"),
-      (3L, us(20), 1L, "purchase"),                       // full convert
-      (4L, us(5), 2L, "view"), (5L, us(5), 2L, "click"),  // same-ms tie
-      (6L, us(200), 2L, "purchase"),                      // outside window
-      (7L, us(0), 3L, "view"), (8L, us(1), 3L, "purchase"), // strict order
-      (9L, us(0), 4L, "click"), (10L, us(1), 4L, "purchase")) // no anchor
+      (1L, ns(0), 1L, "view"), (2L, ns(10), 1L, "click"),
+      (3L, ns(20), 1L, "purchase"),                       // full convert
+      (4L, ns(5), 2L, "view"), (5L, ns(5), 2L, "click"),  // same-ms tie
+      (6L, ns(200), 2L, "purchase"),                      // outside window
+      (7L, ns(0), 3L, "view"), (8L, ns(1), 3L, "purchase"), // strict order
+      (9L, ns(0), 4L, "click"), (10L, ns(1), 4L, "purchase")) // no anchor
 
     val batchWant = EventAnalytics.funnel(
         rows.toDF("event_id", "ts", "user_id", "event_type")
@@ -384,7 +384,7 @@ class StreamingSpec extends SparkSpec {
       s"fixture must cover all stall depths: $batchWant")
     assert(run(Seq(rows), "funnel_stream_1") == batchWant)
     // event-time-ordered split across batches: state carries
-    val (early, late) = rows.partition(_._2 < us(15))
+    val (early, late) = rows.partition(_._2 < ns(15))
     assert(run(Seq(early, late), "funnel_stream_2") == batchWant)
   }
 }
