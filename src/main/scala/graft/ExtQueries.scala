@@ -1320,7 +1320,27 @@ object ExtQueries {
              |   FROM a FULL OUTER JOIN b ON a."doc_id" = b."doc_id")
              | SELECT status, count(*) AS n, min(id) AS min_id,
              |   max(id) AS max_id
-             | FROM d GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")))
+             | FROM d GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "))),
+    // ---- PageRank over the near-dup graph --------------------------------
+    // Iterative damped fixpoint (3 unrolled rounds) over the n-gram
+    // Jaccard pair graph: every round's joins key on node id, reusing one
+    // partitioning; edges symmetrized so no dangling mass. The edge-set
+    // filter uses UNROUNDED jaccard in both engines (identical integer
+    // ratio), so the graphs match exactly.
+    Q("q_pagerank", (s, dir) =>
+      graft.ext.GraphOps.pagerank(
+        Dedup.ngramJaccardPairs(Tables.read(s, dir, "documents"),
+          threshold = 0.2, k = 16, rowsPerBand = 2)),
+      Some(s"WITH $tokCte, $shCte, ${sigCte(16)}, ${bkCte(16, 2)}, $candCte, " +
+        "st AS (SELECT \"doc_id\", list_distinct(hs) AS sh2 FROM sh), " +
+        "j AS (SELECT cand.doc_a, cand.doc_b, " +
+        "CAST(len(list_intersect(x.sh2, y.sh2)) AS DOUBLE) / " +
+        "CAST(len(list_distinct(list_concat(x.sh2, y.sh2))) AS DOUBLE) AS jac " +
+        "FROM cand JOIN st x ON x.\"doc_id\" = cand.doc_a " +
+        "JOIN st y ON y.\"doc_id\" = cand.doc_b), " +
+        "__pr_e AS (SELECT doc_a AS src, doc_b AS dst FROM j WHERE jac >= 0.2e0 " +
+        "UNION SELECT doc_b AS src, doc_a AS dst FROM j WHERE jac >= 0.2e0)," +
+        graft.ext.GraphOps.pagerankOracleSql()))
   )
 
   /** Funnel step sequence for [[graft.ext.EventAnalytics.funnel]] over the

@@ -104,6 +104,23 @@ class EventAnalyticsSpec extends SparkSpec {
       (2L, 0L) -> ((5L, 5L, 1L, 1.0))))
   }
 
+  test("pagerank: hand-computed path graph; symmetry and mass") {
+    import graft.ext.GraphOps
+    // path a(1) - b(2) - c(3): deg a=1 b=2 c=1, n=3, teleport 0.15/3
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val r1 = GraphOps.pagerank(pairs, iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // one round: a = c = 0.05 + 0.85 * (1/3)/2; b = 0.05 + 0.85 * 2/3
+    assert(r1(1L) == 0.191667 && r1(3L) == 0.191667, r1.toString)
+    assert(r1(2L) == 0.616667, r1.toString)
+    val r3 = GraphOps.pagerank(pairs, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(r3(1L) == r3(3L), "path symmetry must survive iteration")
+    assert(r3(2L) > r3(1L), "the hub must outrank the leaves")
+    assert(math.abs(r3.values.sum - 1.0) < 1e-4,
+      s"rank mass must stay ~1, got ${r3.values.sum}")
+  }
+
   test("retention cohorts: day-0 row is cohort size; offsets exact") {
     val day = 10L // tiny "day" so fixtures stay readable
     val events = ev(

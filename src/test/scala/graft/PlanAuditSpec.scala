@@ -182,7 +182,11 @@ class PlanAuditSpec extends SparkSpec {
                               // orderBy — never a per-level re-scan
     "q_table_diff" -> 7,      // two snapshot subplans (scan floor each +
                               // the added-rows union leg) + the doc_id
-                              // full-outer SMJ pair + status agg + orderBy
+                              // full-outer SMJ pair + status agg + orderBy,
+    "q_pagerank" -> 14,       // checkpointed edge list (120 exchanges
+                              // without it) + ~4 node-id-keyed exchanges
+                              // per unrolled iteration + deg/orderBy —
+                              // every key is the node id
     "q_bigram_logprob" -> 10) // bigram explode floor + c1/c2/V aggs (each
                               // with partial/final pair) + final per-doc agg
                               // + orderBy; both model joins BROADCAST (no
