@@ -52,6 +52,31 @@ class RetrievalSpanSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(3) == 0L && r.getDouble(4) == 0.0))
   }
 
+  test("coverage is antitone in k: every token covered at k+1 is covered " +
+      "at k (property over a pseudo-random corpus)") {
+    // a duplicated (k+1)-gram's k-sub-grams are all duplicated too, so
+    // covered(k+1) ⊆ covered(k) per doc — the law that makes k a recall
+    // dial, not a semantics change. Deterministic pseudo-random corpus
+    // from a 6-word vocab (dense repeats at every k).
+    val vocab = Array("a", "b", "c", "d", "e", "f")
+    val docs = (1L to 40L).map { id =>
+      val n = 5 + (graft.ext.DualHash.base60(s"len:$id") % 20L).toInt
+      val words = (0 until n).map(j =>
+        vocab((graft.ext.DualHash.base60(s"w:$id:$j") % 6L).toInt))
+      (id, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val byK = Seq(2, 3, 4, 5).map { k =>
+      k -> SpanDedup.dupSpanCoverage(docs, k)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    }.toMap
+    for (k <- Seq(2, 3, 4); (doc, cov) <- byK(k + 1)) {
+      assert(cov <= byK(k)(doc),
+        s"doc $doc: covered $cov at k=${k + 1} > ${byK(k)(doc)} at k=$k")
+    }
+    // the corpus is dense enough that the law is non-vacuous
+    assert(byK(5).values.sum > 0, "fixture must produce k=5 duplicates")
+  }
+
   // ---- BM25 --------------------------------------------------------------
 
   test("bm25: single-term query ranks the higher-tf shorter doc first") {
