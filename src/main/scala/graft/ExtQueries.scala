@@ -1340,7 +1340,30 @@ object ExtQueries {
         "JOIN st y ON y.\"doc_id\" = cand.doc_b), " +
         "__pr_e AS (SELECT doc_a AS src, doc_b AS dst FROM j WHERE jac >= 0.2e0 " +
         "UNION SELECT doc_b AS src, doc_a AS dst FROM j WHERE jac >= 0.2e0)," +
-        graft.ext.GraphOps.pagerankOracleSql()))
+        graft.ext.GraphOps.pagerankOracleSql())),
+    // ---- pivot (long -> wide) --------------------------------------------
+    // Spark's pivot with an EXPLICIT value list (no value-discovery job;
+    // deterministic column order) compiles to one conditional-aggregation
+    // pass — the oracle renders the same CASE sums, so the operator is
+    // engine-portable by construction. Daily event-type count matrix.
+    Q("q_events_pivot", (s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.eventsWithMs(s, dir)
+        .select(expr("ms div 86400000").as("day"), col("event_type"))
+        .groupBy("day")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L, types)
+        .orderBy("day")
+    },
+      Some("""SELECT epoch_ms("ts") // 86400000 AS day,
+             | CAST(sum(CASE WHEN "event_type" = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             | CAST(sum(CASE WHEN "event_type" = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+             | CAST(sum(CASE WHEN "event_type" = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             | CAST(sum(CASE WHEN "event_type" = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             | CAST(sum(CASE WHEN "event_type" = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+             | FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        .replace("\n", " ")))
   )
 
   /** Funnel step sequence for [[graft.ext.EventAnalytics.funnel]] over the

@@ -183,6 +183,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_table_diff" -> 7,      // two snapshot subplans (scan floor each +
                               // the added-rows union leg) + the doc_id
                               // full-outer SMJ pair + status agg + orderBy,
+    "q_events_pivot" -> 4,    // scan floor + the pivot-agg partial/final
+                              // exchange pair (explicit value list: no
+                              // discovery job) + orderBy
     "q_pagerank" -> 14,       // checkpointed edge list (120 exchanges
                               // without it) + ~4 node-id-keyed exchanges
                               // per unrolled iteration + deg/orderBy —
