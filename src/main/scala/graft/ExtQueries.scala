@@ -1363,7 +1363,34 @@ object ExtQueries {
              | CAST(sum(CASE WHEN "event_type" = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
              | CAST(sum(CASE WHEN "event_type" = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
              | FROM events GROUP BY 1 ORDER BY 1""".stripMargin
-        .replace("\n", " ")))
+        .replace("\n", " "))),
+    // ---- inter-arrival gap quantiles -------------------------------------
+    // Per-user consecutive-event gaps (lag over the user timeline, total
+    // (ms, event_id) order) rolled into exact per-type quantiles — the
+    // latency-distribution report shape (lag + percentile composition).
+    // The gap is attributed to the LATER event's type.
+    Q("q_interarrival", (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+      Tables.eventsWithMs(s, dir)
+        .select(col("user_id"), col("event_id"), col("ms"), col("event_type"))
+        .withColumn("gap", col("ms") - lag(col("ms"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          org.apache.spark.sql.functions.round(
+            expr("percentile(gap, 0.5D)"), 6).as("p50"),
+          org.apache.spark.sql.functions.round(
+            expr("percentile(gap, 0.9D)"), 6).as("p90"))
+        .orderBy("event_type")
+    },
+      Some("""WITH g AS (SELECT "event_type", epoch_ms("ts") - lag(epoch_ms("ts"))
+             |   OVER (PARTITION BY "user_id" ORDER BY epoch_ms("ts"), "event_id")
+             |   AS gap FROM events)
+             | SELECT "event_type", count(*) AS n_gaps,
+             |   round(quantile_cont(gap, 0.5), 6) AS p50,
+             |   round(quantile_cont(gap, 0.9), 6) AS p90
+             | FROM g WHERE gap IS NOT NULL
+             | GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")))
   )
 
   /** Funnel step sequence for [[graft.ext.EventAnalytics.funnel]] over the

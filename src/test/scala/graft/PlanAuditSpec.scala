@@ -183,6 +183,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_table_diff" -> 7,      // two snapshot subplans (scan floor each +
                               // the added-rows union leg) + the doc_id
                               // full-outer SMJ pair + status agg + orderBy,
+    "q_interarrival" -> 4,    // scan floor + user window exchange + the
+                              // per-type percentile agg + orderBy
     "q_events_pivot" -> 4,    // scan floor + the pivot-agg partial/final
                               // exchange pair (explicit value list: no
                               // discovery job) + orderBy
