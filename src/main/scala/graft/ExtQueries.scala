@@ -1390,7 +1390,40 @@ object ExtQueries {
              |   round(quantile_cont(gap, 0.5), 6) AS p50,
              |   round(quantile_cont(gap, 0.9), 6) AS p90
              | FROM g WHERE gap IS NOT NULL
-             | GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")))
+             | GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "))),
+    // ---- unpivot + describe ----------------------------------------------
+    // The pandas df.describe() shape on an engine: wide -> long via
+    // stack() (one narrow Expand, no shuffle), then one per-measure
+    // summary agg. The reference's users profile every table this way
+    // before modelling.
+    Q("q_describe", (s, dir) => {
+      val measures = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val stackExpr = s"stack(${measures.size}, " + measures.map(m =>
+        s"'$m', CAST($m AS DOUBLE)").mkString(", ") + ") AS (measure, value)"
+      Tables.read(s, dir, "lineitem")
+        .select(measures.map(col): _*)
+        .selectExpr(stackExpr)
+        .groupBy("measure")
+        // mean/std at 4 decimals, not the usual 6: these are sums over
+        // the FULL fact table (no grouping key bounding partial-sum
+        // reorder), and at 1e5-magnitude values the cross-engine reorder
+        // error approaches the 1e-6 grain — 1e-4 leaves real margin.
+        // min/max are exact and keep 6.
+        .agg(count(lit(1)).as("n"),
+          org.apache.spark.sql.functions.round(avg(col("value")), 4).as("mean"),
+          org.apache.spark.sql.functions.round(stddev_samp(col("value")), 4).as("std"),
+          org.apache.spark.sql.functions.round(min(col("value")), 6).as("min_v"),
+          org.apache.spark.sql.functions.round(max(col("value")), 6).as("max_v"))
+        .orderBy("measure")
+    },
+      Some(("""WITH l AS (""" +
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map(m =>
+          s"""SELECT '$m' AS measure, CAST("$m" AS DOUBLE) AS value FROM lineitem""")
+          .mkString(" UNION ALL ") + """)
+             | SELECT measure, count(*) AS n, round(avg(value), 4) AS mean,
+             |   round(stddev_samp(value), 4) AS std,
+             |   round(min(value), 6) AS min_v, round(max(value), 6) AS max_v
+             | FROM l GROUP BY 1 ORDER BY 1""").stripMargin.replace("\n", " ")))
   )
 
   /** Funnel step sequence for [[graft.ext.EventAnalytics.funnel]] over the
