@@ -1423,7 +1423,32 @@ object ExtQueries {
              | SELECT measure, count(*) AS n, round(avg(value), 4) AS mean,
              |   round(stddev_samp(value), 4) AS std,
              |   round(min(value), 6) AS min_v, round(max(value), 6) AS max_v
-             | FROM l GROUP BY 1 ORDER BY 1""").stripMargin.replace("\n", " ")))
+             | FROM l GROUP BY 1 ORDER BY 1""").stripMargin.replace("\n", " "))),
+    // ---- sliding time windows (batch) ------------------------------------
+    // Spark's window() with slide < size: each event lands in
+    // size/slide = 2 windows via ONE in-map Expand (no self-join, no
+    // explode UDF). Oracle mirrors the assignment arithmetically: window
+    // starts are the two slide-aligned offsets covering the event.
+    Q("q_sliding_hourly", (s, dir) =>
+      Tables.eventsWithMs(s, dir)
+        .select(timestamp_millis(col("ms")).as("t"), col("event_type"),
+          col("value"))
+        .groupBy(window(col("t"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          org.apache.spark.sql.functions.round(sum(col("value")), 6)
+            .as("sum_value"))
+        .select(unix_millis(col("window.start")).as("w_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("w_start", "event_type"),
+      Some("""WITH e AS (SELECT epoch_ms("ts") AS ms, "event_type", "value"
+             |   FROM events),
+             | w AS (SELECT 1800000 * (ms // 1800000) AS w_start, * FROM e
+             |   UNION ALL
+             |   SELECT 1800000 * (ms // 1800000) - 1800000 AS w_start, * FROM e)
+             | SELECT w_start, "event_type", count(*) AS n,
+             |   round(sum("value"), 6) AS sum_value
+             | FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        .replace("\n", " ")))
   )
 
   /** Funnel step sequence for [[graft.ext.EventAnalytics.funnel]] over the

@@ -183,6 +183,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_table_diff" -> 7,      // two snapshot subplans (scan floor each +
                               // the added-rows union leg) + the doc_id
                               // full-outer SMJ pair + status agg + orderBy,
+    "q_sliding_hourly" -> 3,  // scan floor + the window-Expand agg pair +
+                              // orderBy; slide<size assignment is in-map
     "q_describe" -> 3,        // scan floor + the Expand-fed summary agg
                               // pair + orderBy; stack() itself is narrow
     "q_interarrival" -> 4,    // scan floor + user window exchange + the
