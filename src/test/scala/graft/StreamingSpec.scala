@@ -387,4 +387,41 @@ class StreamingSpec extends SparkSpec {
     val (early, late) = rows.partition(_._2 < ns(15))
     assert(run(Seq(early, late), "funnel_stream_2") == batchWant)
   }
+
+  test("streaming funnel hot key over the group-buffer cap: chunked scan " +
+      "stays exact for in-order arrival, overflow counted") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    // ONE user, 120 in-order STEP events (non-step types are filtered
+    // before grouping, so fillers must be steps to load the buffer): the
+    // anchor is the first view, the converting click/purchase land past
+    // several chunk boundaries at cap 16, and the surrounding repeats are
+    // state no-ops — exact state threading across chunks is the law.
+    val rows = (0 until 120).map { i =>
+      val tpe = if (i < 85) "view" else if (i < 99) "click" else "purchase"
+      (i.toLong, i.toLong * 1000000L, 9L, tpe)
+    }
+    spark.conf.set(StreamingOps.MaxGroupBufferKey, "16")
+    try {
+      val mem = MemoryStream[(Long, Long, Long, String)]
+      val events = mem.toDF().toDF("event_id", "ts", "user_id", "event_type")
+      val out = StreamingOps.streamingFunnel(events, steps, windowMs = 100L)
+      val overflow = StreamingOps.lastFunnelOverflow
+      overflow.reset()
+      val q = out.writeStream.format("memory").queryName("funnel_hotkey")
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      q.stop()
+      assert(overflow.value == 120L - 16L,
+        s"overflow counted ${overflow.value}, expected 104 (120 rows - cap 16)")
+      val got = spark.table("funnel_hotkey").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+        .maxBy(_._2)
+      // ts = i * 1e6 ns -> ms = i; anchor view 0, first click 85 (within
+      // the 100 ms window), first purchase 99
+      assert(got == ((9L, 3L, Seq(0L, 85L, 99L))),
+        s"chunked hot-key funnel diverged: $got")
+    } finally spark.conf.unset(StreamingOps.MaxGroupBufferKey)
+  }
 }
