@@ -178,19 +178,43 @@ object SolverQueries {
           round(f(wtArray, col("T_K"), col("P_bar"), fO2), 6).as("Fe3Fe2"))
         .orderBy("sample_id")
     }, Some(DengSql.deng2020)),
-    // Multimodal plumbing: opaque binary payload -> per-partition decode
-    // stub -> typed metadata + feature vector (schema/batching real, codec
-    // stubbed — no image libs in this container). The stub is deterministic
-    // byte arithmetic, so even it carries a full oracle: the corpus is
-    // ASCII, where ascii(substr(text, j, 1)) equals byte j of the UTF-8
-    // payload, and list_reduce keeps the feature sum in the Scala loop's
-    // order.
+    // Multimodal decode: each doc gets a REAL minimal container (PNG with
+    // CRC'd IHDR / JPEG with a marker scan past APP0+COM to SOF0 / GIF
+    // logical screen) synthesized from its key, and the real header
+    // parser (Multimodal.parseHeader — pure byte arithmetic, no codec
+    // libs) reads format/width/height back out of the bytes. The payload
+    // length is closed-form in (doc_id, text length), so DuckDB pins the
+    // whole encode -> parse round trip; independent hand-built byte
+    // fixtures live in ExtOpsSpec ("container header parser").
     Q("q_multimodal_decode", (s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      graft.ext.Multimodal.decodeFeatures(
+          graft.ext.Multimodal.synthesizedPayloads(docs))
+        .select(col("doc_id"), col("payload_bytes"), col("format"),
+          col("width"), col("height"))
+        .orderBy("doc_id")
+    }, Some("""WITH d AS (SELECT "doc_id",
+             | least(32, octet_length(CAST("text" AS BLOB))) AS k
+             | FROM documents)
+             | SELECT "doc_id",
+             |   CAST((CASE ("doc_id" % 3) WHEN 0 THEN 57
+             |         WHEN 1 THEN 45 ELSE 18 END) + k AS INTEGER)
+             |     AS "payload_bytes",
+             |   (CASE ("doc_id" % 3) WHEN 0 THEN 'png'
+             |         WHEN 1 THEN 'jpeg' ELSE 'gif' END) AS "format",
+             |   CAST((16 + ("doc_id" % 64)) AS INTEGER) AS "width",
+             |   CAST((16 + (("doc_id" // 64) % 64)) AS INTEGER) AS "height"
+             | FROM d ORDER BY "doc_id"""".stripMargin.replace("\n", " "))),
+    // Byte-sampling feature extractor over an arbitrary binary payload
+    // (here: the raw UTF-8 text bytes — the corpus is ASCII, so
+    // ascii(substr(text, j, 1)) equals byte j and list_reduce keeps the
+    // sum in the Scala loop's order). Format-agnostic half of the decode.
+    Q("q_multimodal_feature", (s, dir) => {
       val docs = Tables.read(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
       graft.ext.Multimodal.decodeFeatures(docs)
-        .select(col("doc_id"), col("payload_bytes"), col("format"),
-          col("width"), col("height"),
+        .select(col("doc_id"), col("payload_bytes"),
           round(element_at(col("feature"), 1), 6).as("f0"))
         .orderBy("doc_id")
     }, Some("""WITH d AS (SELECT "doc_id", "text",
@@ -200,24 +224,21 @@ object SolverQueries {
              |     j -> (ascii(substr("text", CAST(j AS INTEGER), 1)) / 255.0e0)),
              |     (x, y) -> (x + y)) AS acc FROM d)
              | SELECT "doc_id", CAST(n AS INTEGER) AS "payload_bytes",
-             |   (CASE WHEN (n % 3) = 0 THEN 'png'
-             |         WHEN (n % 3) = 1 THEN 'jpeg' ELSE 'webp' END) AS "format",
-             |   CAST((16 + (n % 64)) AS INTEGER) AS "width",
-             |   CAST((16 + ((n // 64) % 64)) AS INTEGER) AS "height",
              |   round((acc / greatest(1, ((n + 7) // 8))), 6) AS "f0"
              | FROM f ORDER BY "doc_id"""".stripMargin.replace("\n", " "))),
     Q("q_multimodal_resize_plan", (s, dir) => {
       val docs = Tables.read(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .select(col("doc_id"), col("text"))
       graft.ext.Multimodal.resizePlan(
-          graft.ext.Multimodal.decodeFeatures(docs), maxSide = 32)
+          graft.ext.Multimodal.decodeFeatures(
+            graft.ext.Multimodal.synthesizedPayloads(docs)), maxSide = 32)
         .select(col("doc_id"), col("width"), col("height"),
           col("out_width"), col("out_height"))
         .orderBy("doc_id")
-    }, Some("""WITH d AS (SELECT "doc_id",
-             | octet_length(CAST("text" AS BLOB)) AS n FROM documents),
-             | w AS (SELECT "doc_id", CAST((16 + (n % 64)) AS INTEGER) AS width,
-             |   CAST((16 + ((n // 64) % 64)) AS INTEGER) AS height FROM d),
+    }, Some("""WITH w AS (SELECT "doc_id",
+             |   CAST((16 + ("doc_id" % 64)) AS INTEGER) AS width,
+             |   CAST((16 + (("doc_id" // 64) % 64)) AS INTEGER) AS height
+             |   FROM documents),
              | s AS (SELECT "doc_id", width, height,
              |   least(1.0e0, (32.0e0 / greatest(width, height))) AS scale FROM w)
              | SELECT "doc_id", width AS "width", height AS "height",
@@ -228,9 +249,11 @@ object SolverQueries {
     // as (doc_id, frame_idx) work units — lateral explode, no shuffle.
     Q("q_multimodal_frames", (s, dir) => {
       val docs = Tables.read(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .select(col("doc_id"), col("text"))
       graft.ext.Multimodal.frameSamplePlan(
-          graft.ext.Multimodal.decodeFeatures(docs), everyNth = 3, frames = 10)
+          graft.ext.Multimodal.decodeFeatures(
+            graft.ext.Multimodal.synthesizedPayloads(docs)),
+          everyNth = 3, frames = 10)
         .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"))
         .orderBy("doc_id", "frame_idx")
     }, Some("""SELECT "doc_id", CAST(unnest(generate_series(0, 9, 3)) AS BIGINT)
