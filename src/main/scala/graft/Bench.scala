@@ -89,6 +89,12 @@ object Bench {
       Timing(sec, g1 - g0, c1 - c0, j1 - j0)
     }
 
+    // fO2 formulation auto-decisions (memo vs dedup — Fo2Dedup.choose):
+    // which regime each probed input landed in, with the probe estimates
+    def fo2DecisionsJson(): String =
+      graft.functions.Fo2Dedup.drainDecisions().map(_.json)
+        .mkString("[", ",", "]")
+
     def cacheJson(): String =
       (Seq(
         "deng_vol" ->
@@ -142,6 +148,7 @@ object Bench {
     }.mkString("[", ",", "]")
     val diag =
       s"""{"cold":$coldDiag,"warm":$warmDiag,"caches":${cacheJson()},""" +
+        s""""fo2_decisions":${fo2DecisionsJson()},""" +
         s""""slowest_cold":$slowDiag,""" +
         """"reading_rule":"a cold spike with jit_s on the order of sec and a small warm_sec is JVM JIT (C2) lag on the per-row solver loops - a fresh-JVM property, not a plan defect"}"""
     // millisecond precision keeps the line compact enough for line-buffered

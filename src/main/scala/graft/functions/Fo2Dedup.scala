@@ -1,46 +1,123 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{broadcast, col}
+import org.apache.spark.sql.functions.{approx_count_distinct, broadcast, col, count, lit, struct}
 
 /** Plan-level (T, P) deduplication for the EOS-solver fO2 buffers —
   * SURVEY §2.7's prescription ("fO2 depends only on (T, P, buffer,
-  * shift): `distinct()` → compute → join back"), behind a conf flag.
+  * shift): `distinct()` → compute → join back"), now AUTO-SELECTED per
+  * input (r9 verdict #2): the r9 A/B study (`bench_ab/r9_fo2_dedup_study
+  * .md`) proved the winning formulation is regime-dependent, so the
+  * engine probes the regime instead of asking the user to know it.
   *
   * The two formulations and when each wins at 100 TB:
   *
-  *  - **per-row memoised UDF** (default): ONE narrow stage, zero
-  *    shuffle; solver cost is paid per distinct condition per executor,
-  *    bounded by the memo cap with partial eviction ([[Memo]]). Right
-  *    when conditions are near-unique (continuous instrument readings:
-  *    distinct ≈ rows, so no dedup can win and a join-back would shuffle
-  *    the full-width fact table) or when the fact side dominates cost.
-  *  - **dedup-in-plan** (`spark.graft.fo2.dedupConditions=true`): project
-  *    (T, P), `distinct` (a narrow two-column shuffle), run the solver
-  *    UDF once per condition CLUSTER-WIDE, broadcast the solved
-  *    dimension back onto the fact table — no fact-table shuffle, no
-  *    per-executor recompute, no cache to thrash. Right when (T, P) is
-  *    grid-like (the common physics case: instruments step temperature/
-  *    pressure on a lattice), where distinct cardinality is thousands
-  *    regardless of row count. If the distinct set outgrows driver
-  *    memory, set `spark.graft.fo2.dedupBroadcast=false` to fall back to
-  *    a shuffle join (the fact-side exchange is then the explicit price).
+  *  - **per-row memoised UDF**: ONE narrow stage, zero shuffle; solver
+  *    cost is paid per distinct condition per executor, bounded by the
+  *    memo cap with partial eviction ([[Memo]]). Right when conditions
+  *    are near-unique (continuous instrument readings: distinct ≈ rows,
+  *    so no dedup can win and a join-back would shuffle the full-width
+  *    fact table) or when the fact side dominates cost.
+  *  - **dedup-in-plan**: project (T, P), `distinct` (a narrow two-column
+  *    shuffle), run the solver UDF once per condition CLUSTER-WIDE,
+  *    broadcast the solved dimension back onto the fact table — no
+  *    fact-table shuffle, no per-executor recompute, no cache to thrash.
+  *    Right when (T, P) is grid-like (the common physics case:
+  *    instruments step temperature/pressure on a lattice), where distinct
+  *    cardinality is thousands regardless of row count. If the distinct
+  *    set outgrows driver memory, set
+  *    `spark.graft.fo2.dedupBroadcast=false` to fall back to a shuffle
+  *    join (the fact-side exchange is then the explicit price).
+  *
+  * **Auto mode** (the default, `spark.graft.fo2.dedupConditions=auto`):
+  * a bounded plan-time probe — `approx_count_distinct(struct(T, P))`
+  * over the first [[ProbeRows]] rows — estimates the distinct ratio and
+  * flips to dedup when distinct/rows < [[DedupRatioThreshold]]. The
+  * probe is one LocalLimit + map-side HLL aggregate over two columns:
+  * its cost is bounded by ProbeRows regardless of input size (at 100 TB
+  * it reads a handful of row groups), and grid-like data is grid-like in
+  * any prefix, which is what makes a prefix probe sound. Decisions are
+  * memoised per analyzed-plan fingerprint (the probe job runs once per
+  * distinct input, not once per query build) and recorded on a bounded
+  * queue that `Bench` exports as `fo2_decisions` diag. Explicit
+  * `true`/`false` still force a formulation. Inputs smaller than
+  * [[MinAutoRows]] skip the probe and keep the memo path — at that size
+  * either plan is sub-millisecond and the probe job would cost more than
+  * it saves.
   *
   * Correctness is formulation-invariant: the SAME udf runs either way,
   * the join keys are null-safe (`<=>`), and every fact row matches
-  * exactly one distinct condition — verified by `Fo2DedupSpec` and
-  * plan-pinned by `PlanAuditSpec`. */
+  * exactly one distinct condition — verified by `Fo2DedupSpec` (including
+  * the no-flag auto laws: grid-like input plans the broadcast shape,
+  * near-unique input plans narrow) and plan-pinned by `PlanAuditSpec`. */
 object Fo2Dedup {
 
-  /** Conf flag: compute buffer fO2 over distinct (T, P) and join back. */
+  /** Conf flag: `auto` (default) probes the condition-distinct ratio;
+    * `true`/`false` force the dedup / memo formulation. */
   val DedupKey = "spark.graft.fo2.dedupConditions"
 
   /** Conf flag: broadcast the solved condition dimension (default true);
     * false falls back to a shuffle join for huge distinct sets. */
   val BroadcastKey = "spark.graft.fo2.dedupBroadcast"
 
-  def enabled(df: DataFrame): Boolean =
-    df.sparkSession.conf.get(DedupKey, "false").toBoolean
+  /** Rows the auto probe reads (LocalLimit — bounded at any input size). */
+  val ProbeRows = 65536
+
+  /** Auto picks dedup when estimated distinct/rows falls below this.
+    * Grid-like regimes measure ~0.02-0.1; near-unique ~1.0 (±HLL error
+    * of a few %), so 0.5 splits them with wide margin on both sides. */
+  val DedupRatioThreshold = 0.5
+
+  /** Below this many (probed) rows auto skips the probe job and keeps
+    * the memo path — formulation cost is noise at that size. */
+  val MinAutoRows = 1024L
+
+  /** One auto decision, for diag export. */
+  final case class Decision(family: String, dedup: Boolean,
+                            distinctEst: Long, rows: Long) {
+    def json: String =
+      s"""{"family":"$family","dedup":$dedup,"distinct_est":$distinctEst,"rows":$rows}"""
+  }
+
+  private val decisions =
+    new java.util.concurrent.ConcurrentLinkedQueue[Decision]
+  // decision memo per (analyzed-plan fingerprint, columns): the probe is
+  // a Spark job — run it once per distinct input, not once per build
+  private val probeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), Decision]
+
+  /** Drain recorded auto decisions (Bench exports them as diag). */
+  def drainDecisions(): Seq[Decision] = {
+    val b = Seq.newBuilder[Decision]
+    var d = decisions.poll()
+    while (d != null) { b += d; d = decisions.poll() }
+    b.result()
+  }
+
+  /** Formulation choice for this input: conf override, or the bounded
+    * auto probe (memoised per input plan). */
+  def choose(df: DataFrame, tCol: String, pCol: String,
+             family: String): Boolean =
+    df.sparkSession.conf.get(DedupKey, "auto") match {
+      case "true"  => true
+      case "false" => false
+      case _ =>
+        val key = (df.queryExecution.analyzed.semanticHash(), s"$tCol|$pCol")
+        if (probeCache.size > 128) probeCache.clear()
+        val d = probeCache.computeIfAbsent(key, _ => {
+          val r = df.select(col(tCol), col(pCol)).limit(ProbeRows)
+            .agg(approx_count_distinct(struct(col(tCol), col(pCol)))
+              .as("d"), count(lit(1)).as("n"))
+            .head()
+          val (dist, n) = (r.getLong(0), r.getLong(1))
+          Decision(family,
+            n >= MinAutoRows && dist.toDouble / math.max(1L, n) < DedupRatioThreshold,
+            dist, n)
+        })
+        decisions.add(d.copy(family = family))
+        while (decisions.size > 64) decisions.poll()
+        d.dedup
+    }
 
   /** `df` + column `as` = `f(tCol, pCol)` computed once per distinct
     * (T, P) condition in the plan. */

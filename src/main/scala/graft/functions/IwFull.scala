@@ -245,14 +245,12 @@ object IwFull {
   val fO2Udf = F.udf((tK: Double, pBar: Double, shift: Double) =>
     fO2(tK, pBar, shift))
 
-  /** Attach an IW-buffer `fO2` column. Default: one narrow per-row UDF
-    * stage with the per-executor (T,P) memo cache — same scale shape as
-    * [[QfmFull.withQfm]]. With `spark.graft.fo2.dedupConditions=true`
-    * the solve runs once per DISTINCT (T,P) in the plan and joins back
-    * ([[Fo2Dedup]] — the scale shape for grid-like conditions). */
+  /** Attach an IW-buffer `fO2` column: the formulation (per-row memoised
+    * UDF vs distinct+join-back) is AUTO-probed per input — or forced by
+    * conf — exactly as in [[QfmFull.withQfm]]; see [[Fo2Dedup.choose]]. */
   def withIw(df: DataFrame, tCol: String, pCol: String,
              logshift: Double = 0.0, as: String = "fO2"): DataFrame =
-    if (Fo2Dedup.enabled(df))
+    if (Fo2Dedup.choose(df, tCol, pCol, "iw"))
       Fo2Dedup.withDeduped(df, tCol, pCol, as)(
         (t, p) => fO2Udf(t, p, F.lit(logshift)))
     else

@@ -135,11 +135,12 @@ object QfmFull {
 
   /** Attach an `fO2` column: one narrow per-row UDF stage (memoised per
     * executor — see the scale note in the object doc), or the
-    * distinct+join-back plan when `spark.graft.fo2.dedupConditions` is
-    * set ([[Fo2Dedup]]). */
+    * distinct+join-back plan for grid-like (T, P) — chosen by
+    * [[Fo2Dedup.choose]]'s bounded auto probe, or forced via
+    * `spark.graft.fo2.dedupConditions`. */
   def withQfm(df: DataFrame, tCol: String, pCol: String,
               logshift: Double = 0.0, as: String = "fO2"): DataFrame =
-    if (Fo2Dedup.enabled(df))
+    if (Fo2Dedup.choose(df, tCol, pCol, "qfm"))
       Fo2Dedup.withDeduped(df, tCol, pCol, as)(
         (t, p) => fO2Udf(t, p, lit(logshift)))
     else

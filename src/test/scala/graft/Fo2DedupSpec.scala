@@ -102,6 +102,41 @@ class Fo2DedupSpec extends SparkSpec {
     assert(m.size <= 2 * cap, s"size ${m.size} far above cap $cap")
   }
 
+  test("auto (no flag): grid-like conditions plan the broadcast dedup " +
+      "shape, near-unique conditions plan narrow, decisions recorded") {
+    // no conf set — DedupKey defaults to "auto"
+    assert(spark.conf.getOption(Fo2Dedup.DedupKey).isEmpty)
+    Fo2Dedup.drainDecisions() // clear anything earlier suites probed
+    // 100-cell (T, P) lattice over 4096 rows: distinct/rows ~ 0.024 —
+    // the probe must flip to distinct+broadcast-join
+    val grid = spark.range(4096).select(col("id"),
+      (lit(1273.15) + (col("id") % 20).cast("double") * 10.0).as("T_K"),
+      (lit(1000.0) + (col("id") % 5).cast("double") * 500.0).as("P_bar"))
+    val gridPlan = QfmFull.withQfm(grid, "T_K", "P_bar")
+      .queryExecution.executedPlan.toString
+    assert(gridPlan.contains("BroadcastHashJoin"),
+      s"grid-like input must plan the dedup broadcast join:\n$gridPlan")
+    // every (T, P) unique: distinct/rows ~ 1 — memo path, ZERO joins
+    val uniq = spark.range(4096).select(col("id"),
+      (lit(1273.15) + col("id").cast("double") * 0.01).as("T_K"),
+      (lit(1000.0) + col("id").cast("double") * 0.37).as("P_bar"))
+    val uniqPlan = graft.functions.IwFull.withIw(uniq, "T_K", "P_bar")
+      .queryExecution.executedPlan.toString
+    assert(!uniqPlan.contains("Join"),
+      s"near-unique input must keep the narrow memo shape:\n$uniqPlan")
+    // both decisions surfaced for the Bench diag export
+    val ds = Fo2DedupSpec.byFamily(Fo2Dedup.drainDecisions())
+    assert(ds.get("qfm").exists(_.dedup), ds.toString)
+    assert(ds.get("iw").exists(d => !d.dedup), ds.toString)
+  }
+
+  test("auto probe skips tiny inputs: memo path below MinAutoRows") {
+    val plan = QfmFull.withQfm(fixture, "T_K", "P_bar")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"5-row input must not pay the dedup machinery:\n$plan")
+  }
+
   test("dedupBroadcast=false falls back to a non-broadcast join, same rows") {
     spark.conf.set(Fo2Dedup.DedupKey, "true")
     spark.conf.set(Fo2Dedup.BroadcastKey, "false")
@@ -115,4 +150,11 @@ class Fo2DedupSpec extends SparkSpec {
       spark.conf.unset(Fo2Dedup.BroadcastKey)
     }
   }
+}
+
+object Fo2DedupSpec {
+  /** Last decision per family (drain order is FIFO). */
+  def byFamily(ds: Seq[graft.functions.Fo2Dedup.Decision])
+      : Map[String, graft.functions.Fo2Dedup.Decision] =
+    ds.groupBy(_.family).view.mapValues(_.last).toMap
 }
