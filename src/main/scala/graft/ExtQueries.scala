@@ -297,6 +297,18 @@ object ExtQueries {
       graft.ext.Pq.adcTopK(emb, cb, k = 5).orderBy("qid", "nid")
     }, Some(graft.ext.Pq.adcOracleSql(m = 2, k = 4, iters = 2, dim = 64,
       topK = 5, bucketSql = lshBucketSql(8, 42L, 64)))),
+    // Composed IVF-PQ (Jégou 2011 §IV, the production ANN shape): coarse
+    // k-means cells + residual-PQ codes, nprobe nearest cells per query,
+    // ADC over query residuals vs reconstructed candidate residuals. All
+    // dyadic-exact, so cells, codes AND distances hash-match the oracle's
+    // stage-for-stage rendering; recall-vs-brute is gated in
+    // SemDedupPackSpec's ANN family law.
+    Q("q_knn_ivfpq", (s, dir) =>
+      graft.ext.Pq.ivfPqTopK(Tables.read(s, dir, "embeddings"),
+        coarseK = 4, coarseIters = 2, m = 2, pqK = 4, pqIters = 2,
+        dim = 64, nprobe = 2, topK = 5).orderBy("qid", "nid"),
+      Some(graft.ext.Pq.ivfPqOracleSql(coarseK = 4, coarseIters = 2,
+        m = 2, pqK = 4, pqIters = 2, dim = 64, nprobe = 2, topK = 5))),
     // SimHash banded near-dup pairs: full recall for hamming <= bands-1 by
     // pigeonhole; exact bit_count(xor) check on candidates only.
     Q("q_dedup_simhash_pairs", (s, dir) =>

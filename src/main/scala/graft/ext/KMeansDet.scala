@@ -110,10 +110,14 @@ object KMeansDet {
     * `prefix` namespaces every CTE so several fits can share one WITH
     * clause (Pq unrolls one fit per subspace); `vecExpr` overrides the
     * raw vector expression (default: the full `embedding` list — Pq
-    * passes a slice). Quantization is applied on top of `vecExpr`. */
+    * passes a slice); `fromTable` overrides the source relation (Pq's
+    * IVF-PQ composition fits residual CTEs, not the base table).
+    * Quantization is applied on top of `vecExpr` (the identity when the
+    * source is already dyadic, e.g. residuals of quantized vectors). */
   def oracleStages(k: Int, iters: Int, dim: Int, prefix: String = "",
                    vecExpr: String = "CAST(\"embedding\" AS DOUBLE[])",
-                   stagesOnly: Boolean = false): String = {
+                   stagesOnly: Boolean = false,
+                   fromTable: String = "embeddings"): String = {
     val p = prefix
     val q = s"list_transform($vecExpr, " +
       s"x -> round(x * ${Scale}e0) / ${Scale}e0)"
@@ -135,7 +139,7 @@ object KMeansDet {
          | $out AS (SELECT p.j, coalesce(u.c, p.c) AS c
          | FROM $prevC p LEFT JOIN ${out}n u ON u.j = p.j)""".stripMargin
     val stages = new scala.collection.mutable.ArrayBuffer[String]
-    stages += s"""${p}e AS (SELECT "vec_id", $q AS v FROM embeddings)"""
+    stages += s"""${p}e AS (SELECT "vec_id", $q AS v FROM $fromTable)"""
     stages += s"""${p}c0 AS (SELECT j, c FROM (SELECT
       | CAST(row_number() OVER (ORDER BY "vec_id") AS INTEGER) - 1 AS j, v AS c
       | FROM ${p}e) WHERE j < $k)""".stripMargin

@@ -137,6 +137,91 @@ object Pq {
     ranked.select(col("qid"), col("nid"), col("adist"))
   }
 
+  /** The coarse centroid array selected by a cell-id column: a literal
+    * CASE over the K cells (same shape as [[argminCode]]'s tie chain). */
+  private def centroidFor(cid: Column,
+                          cents: Array[Array[Double]]): Column = {
+    val arrs = cents.map(c => array(c.map(lit): _*))
+    if (arrs.length == 1) arrs.head
+    else arrs.zipWithIndex.tail.init
+      .foldLeft(when(cid === 0, arrs.head)) { case (acc, (a, j)) =>
+        acc.when(cid === j, a)
+      }.otherwise(arrs.last)
+  }
+
+  /** Composed IVF-PQ (Jégou 2011 §IV — the production ANN shape): a
+    * coarse [[KMeansDet]] quantizer partitions the corpus into cells,
+    * PQ codebooks are trained on the RESIDUALS v - c(cell) (residual
+    * energy is what's left after the coarse fit, so the same code budget
+    * quantizes much finer than raw-vector PQ), and each query probes its
+    * `nprobe` nearest cells, ranking that cell's candidates by the
+    * asymmetric distance between the QUERY's residual w.r.t. the probed
+    * cell and the candidate's reconstructed residual.
+    *
+    * Scale shape: training collects coarseK·D + M·K·(D/M) doubles (two
+    * KMeansDet footprints); the search is a cell-keyed equi-join — the
+    * probe side carries nprobe rows per query, the candidate side ONLY
+    * (id, cell, codes), never raw vectors — followed by one per-query
+    * top-k window. Candidates per query ≈ nprobe/coarseK of the corpus,
+    * the IVF contract. All arithmetic rides [[KMeansDet]]'s dyadic grid
+    * (residuals of dyadic values are dyadic), so cells, codes AND
+    * distances hash-match the DuckDB oracle. */
+  def ivfPqTopK(embeddings: DataFrame, coarseK: Int, coarseIters: Int,
+                m: Int, pqK: Int, pqIters: Int, dim: Int,
+                nprobe: Int, topK: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    require(nprobe >= 1 && nprobe <= coarseK)
+    val sub = dim / m
+    val cells = KMeansDet.fitCentroids(
+      embeddings.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding")),
+      coarseK, coarseIters)
+    val q = KMeansDet.quantize(col("embedding").cast("array<double>"))
+    val base = embeddings.select(col("vec_id"), q.as("v"))
+    val (cidCol, _) = argminCode(d2Cols(col("v"), cells))
+    val assigned = base.withColumn("cell", cidCol)
+      .withColumn("res",
+        zip_with(col("v"), centroidFor(col("cell"), cells), (a, b) => a - b))
+    // PQ codebooks on residuals (re-quantization is the identity: the
+    // residual of two dyadic-grid values is on the grid)
+    val codebooks = train(
+      assigned.select(col("vec_id"), col("res").as("embedding")),
+      m, pqK, pqIters, dim)
+    val codeParts = (0 until m).map { s =>
+      argminCode(d2Cols(slice(col("res"), s * sub + 1, sub), codebooks(s)))._1
+    }
+    val right = assigned.select(
+      col("vec_id").as("nid") +: col("cell") +:
+        codeParts.zipWithIndex.map { case (c, s) => c.as(s"code_$s") }: _*)
+    // probe side: the nprobe nearest cells per query — array_sort over
+    // (d2, cell) structs ties exactly like the oracle's ORDER BY d2, j
+    val cellRank = array_sort(array(d2Cols(col("v"), cells).zipWithIndex
+      .map { case (d, j) => struct(d.as("d"), lit(j).as("j")) }: _*))
+    val left = base
+      .withColumn("pc", explode(slice(cellRank, 1, nprobe)))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("pc.j").as("cell"))
+      .withColumn("qr",
+        zip_with(col("qv"), centroidFor(col("cell"), cells), (a, b) => a - b))
+    // each candidate lives in exactly one cell, so the cell equi-join
+    // yields every (query, candidate) pair at most once
+    val pairs = left.join(right, "cell").where(col("qid") =!= col("nid"))
+    val adc = (0 until m).map { s =>
+      val qs = slice(col("qr"), s * sub + 1, sub)
+      val ds = d2Cols(qs, codebooks(s))
+      ds.zipWithIndex.tail.foldLeft(
+        when(col(s"code_$s") === 0, ds.head)) { case (acc, (d, j)) =>
+          acc.when(col(s"code_$s") === j, d)
+      }.otherwise(lit(Double.NaN))
+    }.reduce(_ + _)
+    pairs.withColumn("adist", round(adc, 6))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("adist"), col("nid"))))
+      .where(col("rk") <= topK)
+      .select(col("qid"), col("nid"), col("adist"))
+  }
+
   // ---- DuckDB oracle renderings -----------------------------------------
 
   private def sliceSql(expr: String, s: Int, sub: Int): String =
@@ -168,6 +253,70 @@ object Pq {
     oracleCodeStages(m, k, iters, dim) +
       s""" SELECT "vec_id", $cols, round(qerr, 6) AS "qerr"""" +
       " FROM codes ORDER BY \"vec_id\""
+  }
+
+  /** DuckDB rendering of [[ivfPqTopK]], stage for stage: the coarse fit
+    * (prefix `cv`), the residual CTE, one per-subspace PQ fit OVER the
+    * residual CTE (`fromTable = "cvres"`), the probe ranking (same
+    * ORDER BY d2, j ties as the Spark array_sort), query residuals per
+    * probed cell, and the ADC ranking against the iteration-final
+    * residual codebooks. */
+  def ivfPqOracleSql(coarseK: Int, coarseIters: Int, m: Int, pqK: Int,
+                     pqIters: Int, dim: Int, nprobe: Int,
+                     topK: Int): String = {
+    val sub = dim / m
+    val coarse = KMeansDet.oracleStages(coarseK, coarseIters, dim,
+      prefix = "cv", stagesOnly = true)
+    val cvc = s"cvc$coarseIters"
+    val res =
+      s"""cvres AS (SELECT f."vec_id",
+         | list_transform(range(1, ${dim + 1}),
+         |   i -> (f.v[i] - c.c[i])) AS residual
+         | FROM cvfin f JOIN $cvc c ON c.j = f.cid)""".stripMargin
+    val fits = (0 until m).map { s =>
+      KMeansDet.oracleStages(pqK, pqIters, sub, prefix = s"p$s",
+        vecExpr = sliceSql("residual", s, sub), stagesOnly = true,
+        fromTable = "cvres")
+    }
+    val joinChain = (1 until m)
+      .map(s => s"JOIN p${s}fin f$s ON f$s.\"vec_id\" = f0.\"vec_id\"")
+      .mkString(" ")
+    val codeCols = (0 until m).map(s => s"f$s.cid AS code_$s").mkString(", ")
+    val codes =
+      s"""codes AS (SELECT f0."vec_id", $codeCols
+         | FROM p0fin f0 $joinChain)""".stripMargin
+    val probe =
+      s"""pb AS (SELECT "vec_id" AS qid, v AS qv, j AS cell FROM (
+         | SELECT e."vec_id", e.v, c.j,
+         |   row_number() OVER (PARTITION BY e."vec_id" ORDER BY
+         |     (list_dot_product(e.v, e.v)
+         |      - 2.0e0 * list_dot_product(e.v, c.c)
+         |      + list_dot_product(c.c, c.c)), c.j) AS rk
+         | FROM cve e CROSS JOIN $cvc c) WHERE rk <= $nprobe)""".stripMargin
+    val qres =
+      s"""qres AS (SELECT p.qid, p.cell,
+         | list_transform(range(1, ${dim + 1}),
+         |   i -> (p.qv[i] - c.c[i])) AS qr
+         | FROM pb p JOIN $cvc c ON c.j = p.cell)""".stripMargin
+    val cbJoins = (0 until m)
+      .map(s => s"JOIN p${s}c$pqIters cb$s ON cb$s.j = c2.code_$s")
+      .mkString(" ")
+    val adc = (0 until m).map { s =>
+      val qs = sliceSql("q.qr", s, sub)
+      s"(list_dot_product($qs, $qs) - 2.0e0 * list_dot_product($qs, cb$s.c)" +
+        s" + list_dot_product(cb$s.c, cb$s.c))"
+    }.mkString(" + ")
+    (s"WITH $coarse, $res, ${fits.mkString(", ")}, $codes, $probe, $qres, " +
+      s"""pr AS (SELECT q.qid, f."vec_id" AS nid, round($adc, 6) AS adist
+         | FROM qres q
+         | JOIN cvfin f ON f.cid = q.cell AND f."vec_id" <> q.qid
+         | JOIN codes c2 ON c2."vec_id" = f."vec_id" $cbJoins),
+         | r AS (SELECT qid, nid, adist,
+         |   row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rk
+         |   FROM pr)
+         | SELECT qid AS "qid", nid AS "nid", adist AS "adist"
+         | FROM r WHERE rk <= $topK ORDER BY "qid", "nid"""".stripMargin)
+      .replace("\n", " ")
   }
 
   /** Full ADC oracle: the PQ fits + codes, the shared LSH bucket

@@ -155,6 +155,118 @@ class SemDedupPackSpec extends SparkSpec {
     assert(viol == 0, s"$viol of $n pairs violate the PQ triangle bound")
   }
 
+  /** Exact L2 top-5 truth on the quantized vectors `df` carries. */
+  private def l2Truth(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] = {
+    import graft.ext.KMeansDet
+    val e = df.select(col("vec_id"),
+      KMeansDet.quantize(col("embedding").cast("array<double>")).as("v"))
+    val a = e.select(col("vec_id").as("qid"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("nid"), col("v").as("vb"))
+    val d2 = Similarity.dot(col("va"), col("va")) -
+      lit(2.0) * Similarity.dot(col("va"), col("vb")) +
+      Similarity.dot(col("vb"), col("vb"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("d2"), col("nid"))
+    a.crossJoin(b).filter(col("qid") =!= col("nid"))
+      .withColumn("d2", d2)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+  }
+
+  test("ivfPqTopK recall-vs-brute: high on clusterable data, monotone " +
+      "in nprobe with floors on the near-random fixture") {
+    import graft.ext.Pq
+    import spark.implicits._
+    // PQ's operating regime — clusterable data: 8 well-separated planted
+    // centers + dyadic jitter. The coarse quantizer finds the centers,
+    // residual energy is just the jitter, and nprobe=1 (the query's OWN
+    // cell) already holds every true neighbor. Measured recall@5 0.941;
+    // a routing or residual-encoding bug drops this to the tie-break
+    // baseline (~0.06).
+    val planted = (0 until 256).map { i =>
+      val c = i % 8
+      val v = Array.tabulate(64) { d =>
+        ((c * 7 + d) % 5).toDouble + (((i * 13 + d * 5) % 9) - 4) / 32.0
+      }
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val rPlanted = recallAt5(
+      Pq.ivfPqTopK(planted, coarseK = 8, coarseIters = 2, m = 8, pqK = 16,
+        pqIters = 2, dim = 64, nprobe = 1, topK = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))), l2Truth(planted))
+    info(f"planted-cluster recall@5 (nprobe=1): $rPlanted%.3f")
+    assert(rPlanted >= 0.9, f"clusterable-data recall $rPlanted%.3f < 0.9")
+    // near-random embeddings are PQ's worst case (residual energy ~ full
+    // energy, so quantization noise swamps the tiny neighbor gaps) —
+    // recall is LOW by nature; the law here is monotonicity in nprobe
+    // (routing correctness) plus floors above the broken-bucket baseline.
+    // Measured (m=8, pqK=16): nprobe=1 -> 0.170, 2 -> 0.201, 4 -> 0.222.
+    val truth = l2Truth(emb)
+    val rs = Seq(1, 2, 4).map(p => p -> recallAt5(
+      Pq.ivfPqTopK(emb, coarseK = 4, coarseIters = 2, m = 8, pqK = 16,
+        pqIters = 2, dim = 64, nprobe = p, topK = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))), truth))
+    info(rs.map { case (p, r) => f"nprobe=$p -> $r%.3f" }.mkString(", "))
+    rs.sliding(2).foreach { case Seq((pa, ra), (pb, rb)) =>
+      assert(rb >= ra, f"recall fell from $ra%.3f (nprobe=$pa) to $rb%.3f (nprobe=$pb)")
+    }
+    assert(rs.toMap.apply(2) >= 0.15, f"nprobe=2 recall ${rs.toMap.apply(2)}%.3f < 0.15")
+    assert(rs.toMap.apply(4) >= 0.17, f"nprobe=4 recall ${rs.toMap.apply(4)}%.3f < 0.17")
+  }
+
+  test("ivfPqTopK nprobe=coarseK equals a driver-side exhaustive ADC " +
+      "ranking (candidate routing prunes nothing when every cell probes)") {
+    import graft.ext.{KMeansDet, Pq}
+    val e = emb.select(col("vec_id"),
+      KMeansDet.quantize(col("embedding").cast("array<double>")).as("v"))
+    def run(nprobe: Int) = Pq.ivfPqTopK(emb, coarseK = 4, coarseIters = 2,
+      m = 2, pqK = 4, pqIters = 2, dim = 64, nprobe = nprobe, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // probing EVERY cell must equal the exhaustive ADC ranking over the
+    // whole corpus with the same coarse cells + residual codebooks: at
+    // nprobe=coarseK the inverted file prunes nothing, so any deviation
+    // is a candidate-routing bug, not quantization error. The baseline
+    // here is computed DRIVER-SIDE with plain Scala loops (independent
+    // of the Catalyst expressions), bit-exact thanks to the dyadic grid.
+    val allProbe = run(4).toSet
+    val vecs = e.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    val cells = KMeansDet.fitCentroids(emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding")), 4, 2)
+    def dot(x: Array[Double], y: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < x.length) { s += x(i) * y(i); i += 1 }; s
+    }
+    def dd(x: Array[Double], c: Array[Double]): Double =
+      dot(x, x) - 2.0 * dot(x, c) + dot(c, c)
+    def amin(ds: Array[Double]): Int =
+      ds.indices.minBy(j => (ds(j), j))
+    val cid = vecs.map { case (_, v) => amin(cells.map(c => dd(v, c))) }
+    val res = vecs.zip(cid).map { case ((_, v), ci) =>
+      v.zip(cells(ci)).map { case (a, b) => a - b } }
+    import spark.implicits._
+    val cb = Pq.train(vecs.map(_._1).zip(res.map(_.toSeq))
+      .toSeq.toDF("vec_id", "embedding"), m = 2, k = 4, iters = 2, dim = 64)
+    val codes = res.map(r => Array.tabulate(2)(s =>
+      amin(cb(s).map(c => dd(r.slice(s * 32, s * 32 + 32), c)))))
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exhaustive = vecs.indices.flatMap { qi =>
+      val (qid, qv) = vecs(qi)
+      val ranked = vecs.indices.filter(_ != qi).map { ni =>
+        val qr = qv.zip(cells(cid(ni))).map { case (x, c) => x - c }
+        val d = round6((0 until 2).map(s =>
+          dd(qr.slice(s * 32, s * 32 + 32), cb(s)(codes(ni)(s)))).sum)
+        (d, vecs(ni)._1)
+      }.sorted.take(5)
+      ranked.map { case (_, nid) => (qid, nid) }
+    }.toSet
+    assert(allProbe == exhaustive,
+      s"nprobe=coarseK diverged from driver-side exhaustive ADC: " +
+        s"${(allProbe -- exhaustive).take(5)} vs ${(exhaustive -- allProbe).take(5)}")
+  }
+
   test("ivfTopK recall@5 is monotone in the probe count") {
     val truth = Similarity.bruteForceTopK(emb, 5).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
