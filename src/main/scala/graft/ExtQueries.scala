@@ -1189,6 +1189,22 @@ object ExtQueries {
         "(SELECT \"doc_id\", \"lang\", \"n_chars\" FROM documents)",
         idCol = "doc_id", sizeCol = "n_chars", targetBytes = 4096L,
         partitionCols = Seq("lang"), orderBy = Seq("lang", "bin")))),
+    // The UNPARTITIONED listing path: same running-sum bin law, but the
+    // engine executes it as the two-phase bucketed cumsum (range-partition
+    // by id + broadcast prefix offsets + bin-scale dense relabel) — no
+    // single-task window anywhere (SkewSpec pins the plan). The oracle is
+    // the literal global window, which the two-phase plan must equal row
+    // for row.
+    Q("q_compaction_global", (s, dir) =>
+      graft.ext.Compaction.planSummary(
+          Tables.read(s, dir, "documents", parallelismFloor = false)
+            .select(col("doc_id"), col("n_chars")),
+          idCol = "doc_id", sizeCol = "n_chars", targetBytes = 16384L)
+        .orderBy("bin"),
+      Some(graft.ext.Compaction.planSummaryOracleSql(
+        "(SELECT \"doc_id\", \"n_chars\" FROM documents)",
+        idCol = "doc_id", sizeCol = "n_chars", targetBytes = 16384L,
+        partitionCols = Nil, orderBy = Seq("bin")))),
     // ---- duplicated-substring span coverage ------------------------------
     // Exact substring dedup's reporting half (Lee et al. 2022): per doc,
     // the token fraction covered by 4-grams that repeat anywhere in the

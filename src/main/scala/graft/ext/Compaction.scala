@@ -15,13 +15,26 @@ import org.apache.spark.sql.functions._
   * Binning is the deterministic running-sum split every lakehouse
   * compactor uses: within a partition, files in stable id order,
   * `bin = floor(cumulative_bytes_before / target)` — a file starts a new
-  * bin exactly when the bytes before it cross a target multiple. No
-  * driver-side loop, no greedy sequential state: one window over the
-  * file listing (which is partition-count-scale, not data-scale), so the
-  * plan for a million files is a sub-second job. Properties (spec-pinned):
-  * bins are contiguous from 0 per partition, conserve bytes, and no bin
-  * exceeds `target + max file size` (an unsplittable oversized file gets
-  * its own bin).
+  * bin exactly when the bytes before it cross a target multiple.
+  *
+  * With `partitionCols` the windows are partitioned by those columns —
+  * bounded by the largest table partition's listing. With NO partition
+  * columns the naive form is a single-task global window; this
+  * implementation instead runs the [[graft.ext.PipelineOps.tokenBudget]]
+  * two-phase cumsum shape (r9 verdict #4): range-partition by id into
+  * `defaultParallelism` monotone buckets, per-bucket windows + a
+  * broadcast prefix-offset table, then a bin-scale dense relabel — no
+  * single-task window over the file listing at any point, row-identical
+  * to the global window. Properties (spec-pinned): bins are contiguous
+  * from 0 per partition, conserve bytes, no bin exceeds `target + max
+  * file size` (an unsplittable oversized file gets its own bin), and the
+  * global path plans no empty-partition window.
+  *
+  * NOTE: the global (no partitionCols) path is EAGER like tokenBudget —
+  * it snapshots the listing (localCheckpoint) and runs two small jobs at
+  * call time (per-bucket byte sums: ≤ parallelism longs; distinct raw
+  * bins: ≤ totalBytes/targetBytes + #oversized values — bin-scale, e.g.
+  * 100 TB / 512 MB ≈ 200k longs).
   */
 object Compaction {
 
@@ -31,20 +44,65 @@ object Compaction {
   def plan(files: DataFrame, idCol: String, sizeCol: String,
            targetBytes: Long, partitionCols: Seq[String] = Nil): DataFrame = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
-    val w0 = if (partitionCols.isEmpty) Window.partitionBy()
-      else Window.partitionBy(partitionCols.map(col): _*)
-    val w = w0.orderBy(col(idCol))
+    if (partitionCols.isEmpty) globalPlan(files, idCol, sizeCol, targetBytes)
+    else {
+      val w0 = Window.partitionBy(partitionCols.map(col): _*)
+      val w = w0.orderBy(col(idCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // raw split ids skip after an oversized file (its bytes jump the
+      // cumulative across several target multiples); dense_rank over the
+      // SAME partitioning — no extra shuffle — relabels them contiguous
+      // from 0, so a rewrite job can size its task array as max(bin)+1.
+      files
+        .withColumn("__cum", coalesce(sum(col(sizeCol)).over(w), lit(0L)))
+        .withColumn("__rawbin", floor(col("__cum") / lit(targetBytes)))
+        .withColumn("bin",
+          (dense_rank().over(w0.orderBy(col("__rawbin"))) - 1).cast("int"))
+        .drop("__cum", "__rawbin")
+    }
+  }
+
+  /** Unpartitioned listing: two-phase global cumsum. Range-partition by
+    * id (monotone buckets, equal ids never split), window per bucket,
+    * add broadcast per-bucket prefix offsets — row-identical to the
+    * single global window because bucket index is monotone in id. The
+    * dense relabel joins a broadcast (rawbin → rank) table built from
+    * the DISTINCT raw bins (bin-scale, not listing-scale). */
+  private def globalPlan(files: DataFrame, idCol: String, sizeCol: String,
+                         targetBytes: Long): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val buckets = math.max(2, spark.sparkContext.defaultParallelism)
+    // snapshot: the bucket id of a row must be identical in the sums job
+    // and the window job (range boundaries come from a deterministic
+    // sample, but pinning the materialized assignment is free at
+    // listing scale and removes the recompute coupling entirely)
+    val base = files.repartitionByRange(buckets, col(idCol))
+      .withColumn("__bucket", spark_partition_id())
+      .localCheckpoint()
+    val sums = base.groupBy("__bucket")
+      .agg(sum(col(sizeCol).cast("long")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxB = if (sums.isEmpty) -1 else sums.keys.max
+    var acc = 0L
+    val offs = (0 to maxB).map { b =>
+      val o = acc; acc += sums.getOrElse(b, 0L); (b, o)
+    }
+    val offDf = broadcast(offs.toDF("__bucket", "__off"))
+    val w = Window.partitionBy("__bucket").orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    // raw split ids skip after an oversized file (its bytes jump the
-    // cumulative across several target multiples); dense_rank over the
-    // SAME partitioning — no extra shuffle — relabels them contiguous
-    // from 0, so a rewrite job can size its task array as max(bin)+1.
-    files
-      .withColumn("__cum", coalesce(sum(col(sizeCol)).over(w), lit(0L)))
+    val withRaw = base.join(offDf, Seq("__bucket"))
+      .withColumn("__cum",
+        coalesce(sum(col(sizeCol).cast("long")).over(w), lit(0L)) + col("__off"))
       .withColumn("__rawbin", floor(col("__cum") / lit(targetBytes)))
-      .withColumn("bin",
-        (dense_rank().over(w0.orderBy(col("__rawbin"))) - 1).cast("int"))
-      .drop("__cum", "__rawbin")
+    // bin-scale collect: one long per occupied raw bin
+    val bins = withRaw.select("__rawbin").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val rankDf = broadcast(
+      bins.toSeq.zipWithIndex.toDF("__rawbin", "__rank"))
+    withRaw.join(rankDf, Seq("__rawbin"))
+      .withColumn("bin", col("__rank").cast("int"))
+      .select(files.columns.map(col) :+ col("bin"): _*)
   }
 
   /** The compact summary a rewrite job consumes: one row per

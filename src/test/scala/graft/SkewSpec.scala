@@ -109,4 +109,37 @@ class SkewSpec extends SparkSpec {
         Seq("part")).orderBy("fid").collect().toSeq
     assert(run(1) == run(13))
   }
+
+  test("global compaction (no partitionCols): two-phase plan is " +
+      "row-identical to the literal global window") {
+    import graft.ext.Compaction
+    // expected = the naive single global window, simulated here by
+    // binning over a forced single partition column
+    val expected = Compaction.plan(
+        files.withColumn("one", lit(1)), "fid", "bytes", target, Seq("one"))
+      .drop("one").orderBy("fid").collect().toSeq
+    val got = Compaction.plan(files, "fid", "bytes", target)
+      .orderBy("fid").collect().toSeq
+    assert(got == expected, "two-phase global binning diverged")
+    // and invariant under input partitioning (range bucketing re-derives)
+    val got13 = Compaction.plan(files.repartition(13), "fid", "bytes", target)
+      .orderBy("fid").collect().toSeq
+    assert(got13 == expected)
+  }
+
+  test("global compaction plans NO empty-partition (single-task) window") {
+    import graft.ext.Compaction
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plan = Compaction.plan(files, "fid", "bytes", target)
+      .queryExecution.executedPlan
+    // AQE wraps each stage; descend into the adaptive input plans
+    val roots = plan +: plan.collect { case a: AdaptiveSparkPlanExec => a.inputPlan }
+    val windows = roots.flatMap(_.collect { case w: WindowExec => w })
+    assert(windows.nonEmpty, "two-phase cumsum still runs per-bucket windows")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"found a global (empty partitionSpec) window:\n$w")
+    }
+  }
 }
