@@ -42,6 +42,10 @@ object Bm25 {
   def topK(docs: DataFrame, queries: Seq[(Long, Seq[String])], k: Int = 5,
            k1: Double = 1.2, b: Double = 0.75,
            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queries.nonEmpty, "BM25 needs at least one query")
+    require(queries.forall(_._2.nonEmpty),
+      s"every query needs at least one term; empty: " +
+        queries.filter(_._2.isEmpty).map(_._1).mkString(","))
     val spark = docs.sparkSession
     val qRows = for ((qid, terms) <- queries; t <- terms.distinct)
       yield Row(qid, t)

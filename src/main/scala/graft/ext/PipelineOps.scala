@@ -96,6 +96,40 @@ object PipelineOps {
     * and a broadcast of the (group, rate) dimension onto the corpus scan
     * — no data-scale shuffle. Group cardinality is domain/language-scale
     * by definition. */
+  def temperatureSample(docs: DataFrame, groupCol: String, idCol: String,
+                        baseRate: Double, salt: String = ":temp"): DataFrame = {
+    require(baseRate > 0 && baseRate <= 1,
+      s"baseRate must be in (0, 1], got $baseRate")
+    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val nmax = counts.agg(max("__n").as("__nmax"))
+    val rates = counts.crossJoin(broadcast(nmax))
+      .select(col(groupCol), least(lit(1.0), lit(baseRate) *
+        sqrt(col("__nmax").cast("double") / col("__n").cast("double")))
+        .as("__rate"))
+    docs.join(broadcast(rates), groupCol)
+      .where(hashUniform(col(idCol), salt) < col("__rate"))
+      .withColumn("sample_rate", round(col("__rate"), 6))
+      .drop("__rate")
+  }
+
+  /** DuckDB rendering of [[temperatureSample]] over `tableSql` (same
+    * count → max → sqrt-boost → hash-Bernoulli arithmetic). */
+  def temperatureSampleOracleSql(tableSql: String, groupCol: String,
+                                 idCol: String, baseRate: Double,
+                                 salt: String = ":temp"): String = {
+    val b = graft.expr.E.formatDouble(baseRate)
+    val u = hashUniformSql(s""""$idCol"""", salt)
+    s"""WITH __c AS (SELECT "$groupCol", count(*) AS __n FROM $tableSql
+       |   GROUP BY 1),
+       | __m AS (SELECT max(__n) AS __nmax FROM __c),
+       | __r AS (SELECT "$groupCol", least(1.0e0, $b *
+       |     sqrt(CAST(__nmax AS DOUBLE) / CAST(__n AS DOUBLE))) AS __rate
+       |   FROM __c CROSS JOIN __m)
+       | SELECT d.*, round(__rate, 6) AS sample_rate
+       | FROM $tableSql d JOIN __r USING ("$groupCol")
+       | WHERE $u < __rate""".stripMargin.replace("\n", " ")
+  }
+
   /** Per-group standardization + outlier flag: z-score a numeric column
     * against its GROUP's mean/stddev (per-language document lengths are
     * the canonical case — a 300-char zh document is normal where a
@@ -143,40 +177,6 @@ object PipelineOps {
        |   FROM $tableSql d JOIN __s USING ("$groupCol"))
        | SELECT *, CAST(CASE WHEN abs(z) > $c THEN 1 ELSE 0 END AS BIGINT)
        |   AS is_outlier FROM __z""".stripMargin.replace("\n", " ")
-  }
-
-  def temperatureSample(docs: DataFrame, groupCol: String, idCol: String,
-                        baseRate: Double, salt: String = ":temp"): DataFrame = {
-    require(baseRate > 0 && baseRate <= 1,
-      s"baseRate must be in (0, 1], got $baseRate")
-    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
-    val nmax = counts.agg(max("__n").as("__nmax"))
-    val rates = counts.crossJoin(broadcast(nmax))
-      .select(col(groupCol), least(lit(1.0), lit(baseRate) *
-        sqrt(col("__nmax").cast("double") / col("__n").cast("double")))
-        .as("__rate"))
-    docs.join(broadcast(rates), groupCol)
-      .where(hashUniform(col(idCol), salt) < col("__rate"))
-      .withColumn("sample_rate", round(col("__rate"), 6))
-      .drop("__rate")
-  }
-
-  /** DuckDB rendering of [[temperatureSample]] over `tableSql` (same
-    * count → max → sqrt-boost → hash-Bernoulli arithmetic). */
-  def temperatureSampleOracleSql(tableSql: String, groupCol: String,
-                                 idCol: String, baseRate: Double,
-                                 salt: String = ":temp"): String = {
-    val b = graft.expr.E.formatDouble(baseRate)
-    val u = hashUniformSql(s""""$idCol"""", salt)
-    s"""WITH __c AS (SELECT "$groupCol", count(*) AS __n FROM $tableSql
-       |   GROUP BY 1),
-       | __m AS (SELECT max(__n) AS __nmax FROM __c),
-       | __r AS (SELECT "$groupCol", least(1.0e0, $b *
-       |     sqrt(CAST(__nmax AS DOUBLE) / CAST(__n AS DOUBLE))) AS __rate
-       |   FROM __c CROSS JOIN __m)
-       | SELECT d.*, round(__rate, 6) AS sample_rate
-       | FROM $tableSql d JOIN __r USING ("$groupCol")
-       | WHERE $u < __rate""".stripMargin.replace("\n", " ")
   }
 
   /** Token-budget subset selection: keep documents in deterministic

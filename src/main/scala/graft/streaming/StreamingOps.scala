@@ -37,13 +37,18 @@ object StreamingOps {
   private def maxGroupBuffer(df: DataFrame): Int =
     df.sparkSession.conf.get(MaxGroupBufferKey, "1048576").toInt
 
-  /** Overflow accumulators of the most recently BUILT operator instances
-    * (spec/observability hook; on a cluster the named accumulators also
-    * surface in the Spark UI per stage). */
-  @volatile private[graft] var lastAsOfOverflow:
-      org.apache.spark.util.LongAccumulator = _
-  @volatile private[graft] var lastSessionizeOverflow:
-      org.apache.spark.util.LongAccumulator = _
+  /** Executor-side warning when a group's micro-batch rows exceed the
+    * sort-buffer cap: the overflow accumulator counts it, but divergence
+    * risk (out-of-order arrival straddling a chunk boundary) should be
+    * visible in the logs without inspecting accumulators. Logged once per
+    * (group, batch) invocation, not per chunk. */
+  @transient private lazy val log =
+    org.slf4j.LoggerFactory.getLogger("graft.streaming")
+  private[graft] def warnOverflow(op: String, key: Any, cap: Int): Unit =
+    log.warn(s"$op: group $key exceeded the sort-buffer cap $cap; rows " +
+      "processed in cap-sized chunks - out-of-order arrival across chunk " +
+      "boundaries can diverge from batch semantics (see " +
+      s"$MaxGroupBufferKey and the overflow accumulator)")
 
   /** Read the events table as a file-source stream (one-file-per-trigger
     * emulation for tests; on a cluster this is a Kafka/file drop source). */
@@ -241,12 +246,18 @@ object StreamingOps {
                            purchase_id: java.lang.Long,
                            purchase_value: java.lang.Double)
 
-  def streamingAsOf(events: DataFrame): DataFrame = {
+  def streamingAsOf(events: DataFrame): DataFrame =
+    streamingAsOfWithMetrics(events)._1
+
+  /** [[streamingAsOf]] + its per-call overflow accumulator (each call
+    * builds its own, so concurrent streams cannot clobber each other's
+    * metric — named accumulators also surface in the Spark UI). */
+  def streamingAsOfWithMetrics(events: DataFrame)
+      : (DataFrame, org.apache.spark.util.LongAccumulator) = {
     import events.sparkSession.implicits._
     val cap = maxGroupBuffer(events)
     val overflow = events.sparkSession.sparkContext
       .longAccumulator("graft.streaming.asof.groupOverflow")
-    lastAsOfOverflow = overflow
     val typed = events.select(col("event_id").cast("long"),
         col("user_id").cast("long"),
         expr("ts div 1000000").cast("long").as("ms"),
@@ -262,8 +273,13 @@ object StreamingOps {
           // them; exact for in-order arrival, overflow counted (see
           // MaxGroupBufferKey)
           var first = true
+          var warned = false
           rows.grouped(cap).foreach { chunk =>
-            if (first) first = false else overflow.add(chunk.size)
+            if (first) first = false
+            else {
+              if (!warned) { warnOverflow("streamingAsOf", user, cap); warned = true }
+              overflow.add(chunk.size)
+            }
             val sorted = chunk.sortBy(r =>
               (r._3, if (r._4 == "purchase") 0 else 1, r._1))
             for ((id, _, ms, tpe, v) <- sorted) {
@@ -278,7 +294,7 @@ object StreamingOps {
           }
           if (st != null) state.update(st)
           out.result().iterator
-      }.toDF()
+      }.toDF() -> overflow
   }
 
   /** Per-user session aggregation with explicit state
@@ -289,12 +305,16 @@ object StreamingOps {
   final case class SessionOut(user_id: Long, session_start_ms: Long,
                               session_end_ms: Long, n_events: Long)
 
-  def sessionize(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+  def sessionize(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame =
+    sessionizeWithMetrics(events, gapMs)._1
+
+  /** [[sessionize]] + its per-call overflow accumulator. */
+  def sessionizeWithMetrics(events: DataFrame, gapMs: Long = 30 * 60 * 1000L)
+      : (DataFrame, org.apache.spark.util.LongAccumulator) = {
     import events.sparkSession.implicits._
     val cap = maxGroupBuffer(events)
     val overflow = events.sparkSession.sparkContext
       .longAccumulator("graft.streaming.sessionize.groupOverflow")
-    lastSessionizeOverflow = overflow
     val typed = events.select(col("user_id").cast("long"),
       expr("ts div 1000000").cast("long").as("ms")).as[(Long, Long)]
     typed.groupByKey(_._1)
@@ -306,8 +326,13 @@ object StreamingOps {
           val closed = Seq.newBuilder[SessionOut]
           // bounded sort buffer, as in streamingAsOf (MaxGroupBufferKey)
           var first = true
+          var warned = false
           rows.map(_._2).grouped(cap).foreach { chunk =>
-          if (first) first = false else overflow.add(chunk.size)
+          if (first) first = false
+          else {
+            if (!warned) { warnOverflow("sessionize", user, cap); warned = true }
+            overflow.add(chunk.size)
+          }
           val sorted = chunk.sorted
           for (ms <- sorted) {
             if (st.n > 0 && ms - st.lastMs > gapMs) {
@@ -327,7 +352,7 @@ object StreamingOps {
             state.setTimeoutDuration(gapMs)
           }
           closed.result().iterator
-      }.toDF()
+      }.toDF() -> overflow
   }
 
   /** Streaming strict-order funnel — the stream twin of
@@ -355,7 +380,13 @@ object StreamingOps {
                              times: Seq[Long])
 
   def streamingFunnel(events: DataFrame, steps: Seq[String],
-                      windowMs: Long): DataFrame = {
+                      windowMs: Long): DataFrame =
+    streamingFunnelWithMetrics(events, steps, windowMs)._1
+
+  /** [[streamingFunnel]] + its per-call overflow accumulator. */
+  def streamingFunnelWithMetrics(events: DataFrame, steps: Seq[String],
+                                 windowMs: Long)
+      : (DataFrame, org.apache.spark.util.LongAccumulator) = {
     import events.sparkSession.implicits._
     graft.ext.EventAnalytics.requireFunnelSteps(steps)
     val stepRank = steps.zipWithIndex.toMap
@@ -363,7 +394,6 @@ object StreamingOps {
     val cap = maxGroupBuffer(events)
     val overflow = events.sparkSession.sparkContext
       .longAccumulator("graft.streaming.funnel.groupOverflow")
-    lastFunnelOverflow = overflow
     val typed = events.select(col("event_id").cast("long"),
         col("user_id").cast("long"),
         expr("ts div 1000000").cast("long").as("ms"),
@@ -377,8 +407,13 @@ object StreamingOps {
           var times = state.getOption.map(_.times).getOrElse(Nil)
           val before = times.size
           var first = true
+          var warned = false
           rows.grouped(cap).foreach { chunk =>
-            if (first) first = false else overflow.add(chunk.size)
+            if (first) first = false
+            else {
+              if (!warned) { warnOverflow("streamingFunnel", user, cap); warned = true }
+              overflow.add(chunk.size)
+            }
             val sorted = chunk.toSeq.sortBy(r => (r._3, stepRank(r._4), r._1))
             for ((_, _, ms, tpe) <- sorted) {
               val reach = times.size
@@ -394,9 +429,25 @@ object StreamingOps {
             state.update(FunnelState(times))
             Iterator.single(FunnelOut(user, times.size.toLong, times))
           } else Iterator.empty
-      }.toDF()
+      }.toDF() -> overflow
   }
 
-  @volatile private[graft] var lastFunnelOverflow:
-      org.apache.spark.util.LongAccumulator = _
+  /** Sliding-window counts per event type with a watermark — the
+    * streaming twin of the batch `q_sliding_hourly` (slide < size, so
+    * each event lands in size/slide windows via the SAME in-map window()
+    * Expand; the state store holds only open windows inside the
+    * watermark horizon). Output schema matches the batch query:
+    * (w_start ms, event_type, n, sum_value). */
+  def slidingCounts(events: DataFrame, size: String = "1 hour",
+                    slide: String = "30 minutes",
+                    watermark: String = "2 hours"): DataFrame = {
+    val withTs = events.withColumn("event_time",
+      timestamp_micros(expr("ts div 1000")))
+    withTs
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), size, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+      .select(unix_millis(col("window.start")).as("w_start"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
 }

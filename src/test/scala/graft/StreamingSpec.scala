@@ -120,9 +120,7 @@ class StreamingSpec extends SparkSpec {
       val mem = MemoryStream[(Long, Long, Long, String, Double)]
       val events = mem.toDF()
         .toDF("event_id", "ts", "user_id", "event_type", "value")
-      val out = StreamingOps.streamingAsOf(events)
-      val overflow = StreamingOps.lastAsOfOverflow
-      overflow.reset()
+      val (out, overflow) = StreamingOps.streamingAsOfWithMetrics(events)
       val q = out.writeStream.format("memory").queryName("asof_hotkey")
         .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
       mem.addData(rows: _*)
@@ -388,6 +386,78 @@ class StreamingSpec extends SparkSpec {
     assert(run(Seq(early, late), "funnel_stream_2") == batchWant)
   }
 
+  test("streaming sliding counts batch-parity: closed windows equal the " +
+      "batch sliding query, single- and multi-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val hourNs = 3600L * 1000000000L
+    // events inside hours 0-2; every one lands in TWO 1h/30min windows
+    val rows = Seq[(Long, Long, String, Double)](
+      (1L, 0L * hourNs + 1000000L, "click", 1.5),
+      (2L, 0L * hourNs + 2000000L, "click", 2.0),
+      (3L, 0L * hourNs + 1800L * 1000000000L + 5000000L, "view", 1.0),
+      (4L, 1L * hourNs + 1000000L, "click", 4.0),
+      (5L, 2L * hourNs + 1000000L, "view", 0.5))
+    val sentinel = (99L, 50L * hourNs, "click", 0.0) // advances the watermark
+    // batch twin over the SAME rows (sentinel excluded: its windows stay
+    // open in the stream and are never emitted)
+    val want = rows.toDF("event_id", "ts", "event_type", "value")
+      .withColumn("t", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("t"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+      .select(unix_millis(col("window.start")).as("w_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(want.size == 8, s"fixture must spread over 8 (window, type) groups: $want")
+
+    def run(batches: Seq[Seq[(Long, Long, String, Double)]], name: String) = {
+      val mem = MemoryStream[(Long, Long, String, Double)]
+      val events = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+      val q = StreamingOps.slidingCounts(events)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      for (b <- batches) { mem.addData(b: _*); q.processAllAvailable() }
+      mem.addData(sentinel); q.processAllAvailable()
+      q.stop()
+      spark.table(name).collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    }
+    assert(run(Seq(rows), "sliding_stream_1") == want)
+    // split across micro-batches on event time: windows straddling the
+    // split accumulate state across batches before closing
+    val (early, late) = rows.partition(_._2 < hourNs)
+    assert(run(Seq(early, late), "sliding_stream_2") == want)
+  }
+
+  test("concurrently built stateful streams keep independent overflow " +
+      "accumulators (no shared-static clobbering)") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    spark.conf.set(StreamingOps.MaxGroupBufferKey, "16")
+    try {
+      val memA = MemoryStream[(Long, Long, Long, String)]
+      val memB = MemoryStream[(Long, Long, Long, String)]
+      val (outA, accA) = StreamingOps.streamingFunnelWithMetrics(
+        memA.toDF().toDF("event_id", "ts", "user_id", "event_type"), steps, 100L)
+      val (outB, accB) = StreamingOps.streamingFunnelWithMetrics(
+        memB.toDF().toDF("event_id", "ts", "user_id", "event_type"), steps, 100L)
+      val qA = outA.writeStream.format("memory").queryName("acc_funnel_a")
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      val qB = outB.writeStream.format("memory").queryName("acc_funnel_b")
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      // A overflows (40 rows, one user, cap 16); B stays under the cap
+      memA.addData((0 until 40).map(i =>
+        (i.toLong, i.toLong * 1000000L, 1L, "view")): _*)
+      memB.addData((0 until 8).map(i =>
+        (i.toLong, i.toLong * 1000000L, 1L, "view")): _*)
+      qA.processAllAvailable(); qB.processAllAvailable()
+      qA.stop(); qB.stop()
+      assert(accA.value == 40L - 16L, s"A overflow ${accA.value}")
+      assert(accB.value == 0L,
+        s"B's accumulator caught A's overflow: ${accB.value}")
+    } finally spark.conf.unset(StreamingOps.MaxGroupBufferKey)
+  }
+
   test("streaming funnel hot key over the group-buffer cap: chunked scan " +
       "stays exact for in-order arrival, overflow counted") {
     implicit val sqlCtx = spark.sqlContext
@@ -405,9 +475,8 @@ class StreamingSpec extends SparkSpec {
     try {
       val mem = MemoryStream[(Long, Long, Long, String)]
       val events = mem.toDF().toDF("event_id", "ts", "user_id", "event_type")
-      val out = StreamingOps.streamingFunnel(events, steps, windowMs = 100L)
-      val overflow = StreamingOps.lastFunnelOverflow
-      overflow.reset()
+      val (out, overflow) =
+        StreamingOps.streamingFunnelWithMetrics(events, steps, windowMs = 100L)
       val q = out.writeStream.format("memory").queryName("funnel_hotkey")
         .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
       mem.addData(rows: _*)
