@@ -196,10 +196,35 @@ class PlanAuditSpec extends SparkSpec {
                               // without it) + ~4 node-id-keyed exchanges
                               // per unrolled iteration + deg/orderBy —
                               // every key is the node id
-    "q_bigram_logprob" -> 10) // bigram explode floor + c1/c2/V aggs (each
+    "q_bigram_logprob" -> 10, // bigram explode floor + c1/c2/V aggs (each
                               // with partial/final pair) + final per-doc agg
                               // + orderBy; both model joins BROADCAST (no
                               // w1-keyed fact shuffle — see the skew probe)
+    "q_containment_join" -> 13, // the ranked-prefix subplan (tok explode +
+                              // df agg + per-doc rank window) appears once
+                              // per consumer (prefix side, probe side, set
+                              // agg) in the INITIAL plan, like
+                              // q_setsim_join; AQE exchange reuse collapses
+                              // the canonically-equal stages at runtime
+    "q_temperature_sample" -> 7, // scan floor + group-count agg pair + the
+                              // per-group rate derivation + orderBy; the
+                              // (group, rate) dim BROADCASTS onto the
+                              // corpus scan (no data-scale shuffle; max(n)
+                              // is the allowed one-row crossJoin)
+    // round-10 operators, pinned at their measured counts:
+    "q_knn_ivfpq" -> 4,       // scan floor + cell equi-join pair (probe
+                              // explode side + codes side) + the per-query
+                              // top-k window + orderBy; training collects
+                              // only centroid tables, candidates carry
+                              // (id, cell, codes) — never raw vectors
+    "q_compaction_global" -> 3, // range-bucket snapshot + per-bucket window
+                              // + summary agg/orderBy; offsets and the
+                              // rawbin->rank relabel BROADCAST (the
+                              // two-phase claim: no single-task window)
+    "q_multimodal_decode" -> 2, // scan floor + orderBy; encode+parse is ONE
+                              // narrow per-row stage
+    "q_multimodal_feature" -> 2) // scan floor + orderBy; byte feature is a
+                              // narrow per-row stage
 
   test("shuffle-exchange budgets hold for the heaviest queries") {
     val exch = raw"(^|[^A-Za-z])Exchange\s".r // not ReusedExchange/Broadcast
