@@ -302,12 +302,16 @@ object ExtQueries {
     // ADC over query residuals vs reconstructed candidate residuals. All
     // dyadic-exact, so cells, codes AND distances hash-match the oracle's
     // stage-for-stage rendering; recall-vs-brute is gated in
-    // SemDedupPackSpec's ANN family law.
+    // SemDedupPackSpec's ANN family law. 64 cells keep the candidate set
+    // at ~N/32 per query (the IVF contract — coarseK must grow with the
+    // corpus; 4 cells measured 62 s warm at sf0.1 from the ~N/2 pair
+    // blowup, 64 cells ~2 s). The oracle's size is coarseK-independent
+    // (centroids are CTE rows, not unrolled SQL).
     Q("q_knn_ivfpq", (s, dir) =>
       graft.ext.Pq.ivfPqTopK(Tables.read(s, dir, "embeddings"),
-        coarseK = 4, coarseIters = 2, m = 2, pqK = 4, pqIters = 2,
+        coarseK = 64, coarseIters = 2, m = 2, pqK = 4, pqIters = 2,
         dim = 64, nprobe = 2, topK = 5).orderBy("qid", "nid"),
-      Some(graft.ext.Pq.ivfPqOracleSql(coarseK = 4, coarseIters = 2,
+      Some(graft.ext.Pq.ivfPqOracleSql(coarseK = 64, coarseIters = 2,
         m = 2, pqK = 4, pqIters = 2, dim = 64, nprobe = 2, topK = 5))),
     // SimHash banded near-dup pairs: full recall for hamming <= bands-1 by
     // pigeonhole; exact bit_count(xor) check on candidates only.

@@ -97,6 +97,32 @@ object Pq {
     * codes; reconstruction happens through literal centroid tables
     * (element_at over an array-of-structs is rendered as a CASE over K
     * codes — codegen'd, no UDF). */
+  /** The classic ADC distance table, computed ON THE PROBE SIDE before
+    * the candidate join: for subspace s and code j, `dt_{s}_{j}` =
+    * d2(q_s, C_s[j]). Every candidate pair then reduces to M scalar CASE
+    * lookups — without this, each of the ~bucket-size candidates per
+    * query re-ran M·K slices and 32-dim dot products (measured 16.6 s →
+    * 2 s warm on q_knn_ivfpq at sf0.1). Identical arithmetic, evaluated
+    * once per probe row instead of once per pair. */
+  private def dtabCols(qv: Column,
+                       codebooks: Array[Array[Array[Double]]]): Seq[Column] = {
+    val sub = codebooks(0)(0).length
+    for {
+      s <- codebooks.indices
+      (d, j) <- d2Cols(slice(qv, s * sub + 1, sub), codebooks(s)).zipWithIndex
+    } yield d.as(s"dt_${s}_$j")
+  }
+
+  /** Σ_s dtab[s][code_s] as a scalar CASE chain over the joined pair. */
+  private def adcFromTable(codebooks: Array[Array[Array[Double]]]): Column =
+    codebooks.indices.map { s =>
+      val k = codebooks(s).length
+      (1 until k).foldLeft(
+        when(col(s"code_$s") === 0, col(s"dt_${s}_0"))) { (acc, j) =>
+          acc.when(col(s"code_$s") === j, col(s"dt_${s}_$j"))
+      }.otherwise(lit(Double.NaN))
+    }.reduce(_ + _)
+
   def adcTopK(embeddings: DataFrame, codebooks: Array[Array[Array[Double]]],
               k: Int, planes: Int = 8, seed: Long = 42L): DataFrame = {
     val m = codebooks.length
@@ -108,8 +134,11 @@ object Pq {
       .select(col("vec_id"), q.as("v"),
         Similarity.lshBucket(col("embedding").cast("array<double>"), hp)
           .as("bucket"))
-    val left = base.select(col("vec_id").as("qid"), col("v").as("qv"),
-      col("bucket"))
+    // probe side ships (qid, bucket, M·K distance-table scalars) — the
+    // raw vector never crosses the join
+    val left = base.select(
+      col("vec_id").as("qid") +: col("bucket") +:
+        dtabCols(col("v"), codebooks): _*)
     // neighbor side carries ONLY (id, bucket, codes) — the compressed
     // representation; codes computed inline, no join
     val codeParts = (0 until m).map { s =>
@@ -118,18 +147,8 @@ object Pq {
     val right = base.select(
       col("vec_id").as("nid") +: col("bucket") +:
         codeParts.zipWithIndex.map { case (c, s) => c.as(s"code_$s") }: _*)
-    // ADC: for subspace s, d2(q_s, C_s[code_s]) selected by a CASE over
-    // the K codes — the literal centroid d2 columns are shared subtrees
     val pairs = left.join(right, "bucket").where(col("qid") =!= col("nid"))
-    val adc = (0 until m).map { s =>
-      val qs = slice(col("qv"), s * sub + 1, sub)
-      val ds = d2Cols(qs, codebooks(s))
-      ds.zipWithIndex.tail.foldLeft(
-        when(col(s"code_$s") === 0, ds.head)) { case (acc, (d, j)) =>
-          acc.when(col(s"code_$s") === j, d)
-      }.otherwise(lit(Double.NaN))
-    }.reduce(_ + _)
-    val ranked = pairs.withColumn("adist", round(adc, 6))
+    val ranked = pairs.withColumn("adist", round(adcFromTable(codebooks), 6))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("qid")
           .orderBy(col("adist"), col("nid"))))
@@ -179,9 +198,17 @@ object Pq {
     val q = KMeansDet.quantize(col("embedding").cast("array<double>"))
     val base = embeddings.select(col("vec_id"), q.as("v"))
     val (cidCol, _) = argminCode(d2Cols(col("v"), cells))
+    // Materialize (id, v, cell, res) ONCE: the coarseK-branch centroid
+    // CASE inside `res` would otherwise be re-inlined by projection
+    // collapse into every downstream d2 column of every PQ-fit job (an
+    // expression-tree blowup that OOMs analysis at coarseK=64), and the
+    // 2m k-means jobs would each recompute scan+assign. Materializing
+    // residuals before codebook training is what every IVF-PQ trainer
+    // does; the checkpoint is N x 2·dim doubles.
     val assigned = base.withColumn("cell", cidCol)
       .withColumn("res",
         zip_with(col("v"), centroidFor(col("cell"), cells), (a, b) => a - b))
+      .localCheckpoint()
     // PQ codebooks on residuals (re-quantization is the identity: the
     // residual of two dyadic-grid values is on the grid)
     val codebooks = train(
@@ -194,7 +221,10 @@ object Pq {
       col("vec_id").as("nid") +: col("cell") +:
         codeParts.zipWithIndex.map { case (c, s) => c.as(s"code_$s") }: _*)
     // probe side: the nprobe nearest cells per query — array_sort over
-    // (d2, cell) structs ties exactly like the oracle's ORDER BY d2, j
+    // (d2, cell) structs ties exactly like the oracle's ORDER BY d2, j.
+    // Per probed cell, the M·K ADC distance table over the query's
+    // residual w.r.t. THAT cell is computed here, once, so the join
+    // ships (qid, cell, M·K scalars) and each pair is M CASE lookups.
     val cellRank = array_sort(array(d2Cols(col("v"), cells).zipWithIndex
       .map { case (d, j) => struct(d.as("d"), lit(j).as("j")) }: _*))
     val left = base
@@ -203,18 +233,11 @@ object Pq {
         col("pc.j").as("cell"))
       .withColumn("qr",
         zip_with(col("qv"), centroidFor(col("cell"), cells), (a, b) => a - b))
+      .select(col("qid") +: col("cell") +: dtabCols(col("qr"), codebooks): _*)
     // each candidate lives in exactly one cell, so the cell equi-join
     // yields every (query, candidate) pair at most once
     val pairs = left.join(right, "cell").where(col("qid") =!= col("nid"))
-    val adc = (0 until m).map { s =>
-      val qs = slice(col("qr"), s * sub + 1, sub)
-      val ds = d2Cols(qs, codebooks(s))
-      ds.zipWithIndex.tail.foldLeft(
-        when(col(s"code_$s") === 0, ds.head)) { case (acc, (d, j)) =>
-          acc.when(col(s"code_$s") === j, d)
-      }.otherwise(lit(Double.NaN))
-    }.reduce(_ + _)
-    pairs.withColumn("adist", round(adc, 6))
+    pairs.withColumn("adist", round(adcFromTable(codebooks), 6))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("qid")
           .orderBy(col("adist"), col("nid"))))

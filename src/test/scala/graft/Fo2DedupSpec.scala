@@ -137,6 +137,43 @@ class Fo2DedupSpec extends SparkSpec {
       s"5-row input must not pay the dedup machinery:\n$plan")
   }
 
+  test("production fO2 memo caches: fresh accumulators count every call, " +
+      "eviction accounting conserves (evicted <= inserted)") {
+    import org.apache.spark.sql.functions.{col, lit, sum}
+    // attach FRESH accumulators to the live caches (what Bench/Verify do),
+    // then push a real 200-row solve through both families via the public
+    // entry points (200 < MinAutoRows, so the memoised-UDF path runs)
+    val qfmStats = QfmFull.attachMetrics(spark)
+    val iwStats = IwFull.attachMetrics(spark)
+    // ONE partition: the memo counts on the shared (driver-JVM) stats
+    // instance are only exact single-threaded — concurrent task threads
+    // lose LongAccumulator adds (the documented local-mode caveat in
+    // MemoStats; the serialized-by-CAS `evicted` is exact regardless)
+    val df = spark.range(200).repartition(1).select(
+      ((col("id") % 10).cast("double") * 50.0 + lit(1273.15)).as("T_K"),
+      ((col("id") % 20).cast("double") * 250.0 + lit(1000.0)).as("P_bar"))
+    QfmFull.withQfm(df, "T_K", "P_bar").agg(sum("fO2")).head()
+    IwFull.withIw(df, "T_K", "P_bar").agg(sum("fO2")).head()
+    val top = (qfmStats ++ iwStats).filter(_.name.endsWith("fO2Cache"))
+    assert(top.size == 2, top.map(_.name).toString)
+    for (st <- top) {
+      // every row goes through the top-level cache exactly once
+      assert(st.hits.value + st.misses.value == 200L,
+        s"${st.name}: ${st.hits.value} hits + ${st.misses.value} misses != 200")
+      // the caches persist across suites, so the hit/miss split is not
+      // pinned — but with 20 distinct (T, P) conditions (lcm(10,20)=20
+      // joint values over 200 rows) a working cache must mostly hit
+      assert(st.misses.value <= 20L,
+        s"${st.name}: ${st.misses.value} misses for 20 distinct conditions")
+    }
+    for (st <- qfmStats ++ iwStats) {
+      // eviction accounting (the r9 concurrent-evictor bug): a cache can
+      // never have dropped more entries than were ever inserted
+      assert(st.evicted.value <= st.misses.value,
+        s"${st.name}: evicted ${st.evicted.value} > inserted ${st.misses.value}")
+    }
+  }
+
   test("dedupBroadcast=false falls back to a non-broadcast join, same rows") {
     spark.conf.set(Fo2Dedup.DedupKey, "true")
     spark.conf.set(Fo2Dedup.BroadcastKey, "false")
