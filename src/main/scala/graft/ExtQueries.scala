@@ -672,6 +672,31 @@ object ExtQueries {
          | FROM r WHERE rk <= 25 ORDER BY "lang", rk""".stripMargin
         .replace("\n", " ")
     }),
+    // Weighted reservoir sampling (Efraimidis-Spirakis A-Res): top-k by
+    // ln(u)/w with the deterministic hash draw — inclusion probability
+    // proportional to weight (here n_chars: longer docs drawn more) in
+    // ONE distributed top-k (TakeOrderedAndProject), no global sort.
+    Q("q_weighted_reservoir", (s, dir) =>
+      graft.ext.Sampling.weightedReservoir(
+          Tables.read(s, dir, "documents")
+            .select(col("doc_id"), col("n_chars")),
+          k = 50, idCol = "doc_id", weightCol = "n_chars")
+        .orderBy("doc_id"),
+      Some("SELECT * FROM (" +
+        graft.ext.Sampling.weightedReservoirOracleSql(
+          "(SELECT \"doc_id\", \"n_chars\" FROM documents)",
+          k = 50, idCol = "doc_id", weightCol = "n_chars") +
+        ") ORDER BY \"doc_id\"")),
+    // Inverted-index posting lists: term -> ordered (doc_id, tf) digest
+    // with df bounds — the stop-list cut (maxDf) kills corpus-sized hot
+    // lists BEFORE assembly, minDf prunes the hapax tail. The md5 digest
+    // pins every posting and its order engine-portably.
+    Q("q_inverted_index", (s, dir) =>
+      graft.ext.InvertedIndex.postings(Tables.read(s, dir, "documents"),
+          minDf = 2L, maxDf = 3000L)
+        .orderBy("term"),
+      Some(graft.ext.InvertedIndex.postingsOracleSql("documents",
+        minDf = 2L, maxDf = 3000L) + " ORDER BY term")),
     // KMV distinct-count sketch: bounded mergeable state (k=256 hash
     // minima) instead of count(DISTINCT)'s full shuffle of distinct
     // keys. Order-independent state -> the estimate is bit-reproducible
@@ -1266,6 +1291,17 @@ object ExtQueries {
     Q("q_retention_cohorts", (s, dir) =>
       graft.ext.EventAnalytics.retentionCohorts(Tables.eventsWithMs(s, dir)),
       Some(graft.ext.EventAnalytics.retentionCohortsOracleSql("events"))),
+    // ---- marketing attribution -------------------------------------------
+    // First/last-touch credit per conversion via two RANGE-framed packed
+    // long min/max windows on ONE user_id exchange — no conversion-touch
+    // self-join (the textbook form shuffles events twice).
+    Q("q_attribution", (s, dir) =>
+      graft.ext.EventAnalytics.attribution(Tables.eventsWithMs(s, dir),
+          touchTypes = Seq("view", "click", "signup"))
+        .orderBy("event_id"),
+      Some(graft.ext.EventAnalytics.attributionOracleSql("events",
+        touchTypes = Seq("view", "click", "signup")) +
+        " ORDER BY \"event_id\"")),
     // ---- rolling active users (DAU / trailing-7 WAU) ---------------------
     // Rolling DISTINCT doesn't decompose: dedup to (user, day) first
     // (the ONLY corpus-scale agg), then a x7 explode over day-deduped

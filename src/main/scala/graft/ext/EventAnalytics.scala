@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-funnel and cohort-retention analytics over the events stream —
@@ -243,6 +244,75 @@ object EventAnalytics {
   /** DuckDB mirror of [[retentionCohorts]]. Spark's integer `div` and
     * DuckDB's `//` are both exact BIGINT division — no float quotient
     * anywhere near the day bucketing. */
+  /** First/last-touch attribution: every conversion (`convType` event)
+    * is credited to the earliest and latest touch event (`touchTypes`)
+    * of the same user within `lookbackMs` at-or-before the conversion —
+    * the two canonical single-touch marketing attribution models.
+    *
+    * Shape: ONE user_id exchange carrying two RANGE-framed windows
+    * (min/max of a packed `ms*8+code` long over the lookback frame) —
+    * no self-join of conversions against touches, which is the textbook
+    * form and shuffles the event table twice. Packing makes the frame
+    * aggregate a plain long min/max: first-touch ties at the same ms
+    * resolve to the LOWEST type code, last-touch to the highest —
+    * deterministic and identical in SQL.
+    *
+    * Output: (event_id, user_id, ms, first_touch, last_touch), one row
+    * per conversion; nulls when no touch lies in the window. */
+  def attribution(events: DataFrame, touchTypes: Seq[String],
+                  convType: String = "purchase",
+                  lookbackMs: Long = 259200000L): DataFrame = {
+    require(touchTypes.nonEmpty && touchTypes.size < 8,
+      s"1..7 touch types required, got $touchTypes")
+    require(!touchTypes.contains(convType),
+      s"conversion type $convType cannot also be a touch type")
+    val code = touchTypes.zipWithIndex
+      .foldLeft(lit(null).cast("long")) { case (acc, (t, i)) =>
+        when(col("event_type") === t, lit(i.toLong + 1L)).otherwise(acc)
+      }
+    val w = Window.partitionBy("user_id").orderBy(col("ms"))
+      .rangeBetween(-lookbackMs, 0)
+    def decode(packed: Column): Column = touchTypes.zipWithIndex
+      .foldLeft(lit(null).cast("string")) { case (acc, (t, i)) =>
+        when(packed % 8 === (i + 1).toLong, lit(t)).otherwise(acc)
+      }
+    events
+      .withColumn("__packed", when(code.isNotNull, col("ms") * 8 + code))
+      .withColumn("__ft", min(col("__packed")).over(w))
+      .withColumn("__lt", max(col("__packed")).over(w))
+      .where(col("event_type") === convType)
+      .select(col("event_id"), col("user_id"), col("ms"),
+        decode(col("__ft")).as("first_touch"),
+        decode(col("__lt")).as("last_touch"))
+  }
+
+  /** DuckDB rendering of [[attribution]] over the raw events `table`
+    * (ms derived like the other event oracles). */
+  def attributionOracleSql(table: String, touchTypes: Seq[String],
+                           convType: String = "purchase",
+                           lookbackMs: Long = 259200000L,
+                           msExpr: String = "epoch_ms(\"ts\")"): String = {
+    val code = touchTypes.zipWithIndex.map { case (t, i) =>
+      s"""WHEN "event_type" = '$t' THEN ${i + 1}""" }.mkString(" ")
+    val dec = (p: String) => touchTypes.zipWithIndex.map { case (t, i) =>
+      s"WHEN ($p % 8) = ${i + 1} THEN '$t'" }.mkString(" ")
+    s"""WITH __e0 AS (SELECT "event_id", "user_id", "event_type",
+       |     $msExpr AS ms FROM $table),
+       | __e AS (SELECT *, (CASE WHEN (CASE $code END) IS NOT NULL
+       |     THEN ms * 8 + (CASE $code END) END) AS packed FROM __e0),
+       | __f AS (SELECT *,
+       |   min(packed) OVER (PARTITION BY "user_id" ORDER BY ms
+       |     RANGE BETWEEN $lookbackMs PRECEDING AND CURRENT ROW) AS ft,
+       |   max(packed) OVER (PARTITION BY "user_id" ORDER BY ms
+       |     RANGE BETWEEN $lookbackMs PRECEDING AND CURRENT ROW) AS lt
+       |   FROM __e)
+       | SELECT "event_id", "user_id", ms,
+       |   (CASE ${dec("ft")} END) AS first_touch,
+       |   (CASE ${dec("lt")} END) AS last_touch
+       | FROM __f WHERE "event_type" = '$convType'""".stripMargin
+      .replace("\n", " ")
+  }
+
   def retentionCohortsOracleSql(table: String, dayMs: Long = 86400000L,
                                 msExpr: String = "epoch_ms(\"ts\")"): String =
     s"""WITH __u AS (SELECT "user_id", $msExpr // $dayMs AS day FROM $table),

@@ -1,0 +1,57 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Weighted reservoir sampling — Efraimidis & Spirakis 2006 "Weighted
+  * random sampling with a reservoir" (A-Res): draw u ~ U(0,1) per item,
+  * rank by key u^(1/w), keep the top k. P(item in sample) is then
+  * proportional to its weight without ever materializing a cumulative
+  * distribution — the standard way to draw a weighted subset of an
+  * unmergeable stream/corpus in one pass.
+  *
+  * Two departures from the textbook, both for engine-exactness:
+  *
+  *  - u is the [[PipelineOps.hashUniform]] draw (pure hash of the id +
+  *    salt), so the sample is reproducible across runs, partitionings
+  *    and engines — no RNG state, the same property every other sampler
+  *    here has;
+  *  - items are ranked by ln(u)/w rather than u^(1/w): ln is monotone,
+  *    so the top-k set is IDENTICAL, but it avoids libm `pow`, whose
+  *    last-ulp drift differs across engines (the same reasoning that
+  *    fixed temperatureSample's boost at sqrt) — ln parity between the
+  *    engines is already load-bearing in the Gaussian draws.
+  *
+  * Scale shape: one narrow projection + a distributed top-k
+  * (TakeOrderedAndProject: per-partition heaps of k, driver merges k per
+  * partition — never a global sort, never a full shuffle). k is
+  * sample-scale; weights are read in-row. */
+object Sampling {
+
+  /** Top-`k` rows by the A-Res key. Output: the row's id + weight + the
+    * rounded ranking key (ties broken by id, so the boundary is
+    * deterministic even after rounding). */
+  def weightedReservoir(df: DataFrame, k: Int, idCol: String,
+                        weightCol: String,
+                        salt: String = ":res"): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    val key = ln(PipelineOps.hashUniform(col(idCol), salt)) /
+      col(weightCol).cast("double")
+    df.select(col(idCol), col(weightCol),
+        round(key, 9).as("res_key"))
+      .orderBy(col("res_key").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** DuckDB rendering of [[weightedReservoir]] over `tableSql`. */
+  def weightedReservoirOracleSql(tableSql: String, k: Int, idCol: String,
+                                 weightCol: String,
+                                 salt: String = ":res"): String = {
+    val u = PipelineOps.hashUniformSql(s""""$idCol"""", salt)
+    s"""SELECT "$idCol", "$weightCol",
+       | round(ln($u) / CAST("$weightCol" AS DOUBLE), 9) AS res_key
+       | FROM $tableSql
+       | ORDER BY res_key DESC, "$idCol" LIMIT $k""".stripMargin
+      .replace("\n", " ")
+  }
+}

@@ -223,8 +223,18 @@ class PlanAuditSpec extends SparkSpec {
                               // two-phase claim: no single-task window)
     "q_multimodal_decode" -> 2, // scan floor + orderBy; encode+parse is ONE
                               // narrow per-row stage
-    "q_multimodal_feature" -> 2) // scan floor + orderBy; byte feature is a
+    "q_multimodal_feature" -> 2, // scan floor + orderBy; byte feature is a
                               // narrow per-row stage
+    "q_attribution" -> 3,     // scan floor + ONE user_id exchange carrying
+                              // BOTH range-framed min/max windows +
+                              // orderBy — no conversion-touch self-join
+    "q_weighted_reservoir" -> 1, // scan floor only: the A-Res top-k is a
+                              // TakeOrderedAndProject (per-partition
+                              // heaps + driver merge), NOT a sort shuffle
+    "q_inverted_index" -> 4)  // tok explode floor + (term,doc) tf agg pair
+                              // + term posting agg + orderBy — all
+                              // map-side combinable, hot lists cut by
+                              // maxDf before assembly
 
   test("shuffle-exchange budgets hold for the heaviest queries") {
     val exch = raw"(^|[^A-Za-z])Exchange\s".r // not ReusedExchange/Broadcast
