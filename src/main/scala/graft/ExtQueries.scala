@@ -672,6 +672,19 @@ object ExtQueries {
          | FROM r WHERE rk <= 25 ORDER BY "lang", rk""".stripMargin
         .replace("\n", " ")
     }),
+    // MMR diversified re-rank (Carbonell-Goldstein 1998): the
+    // retrieval->prompt diversity stage — greedy lambda*rel -
+    // (1-lambda)*max-sim selection, unrolled into the plan. Candidate
+    // pool is the exact cosine top-10 here (exactness baseline; the ANN
+    // stage feeds it at scale); every post-candidate relation is
+    // query-scale. Dyadic lambda=0.5 keeps MMR scores exact multiples
+    // of 5e-7, so the greedy argmax ties identically on both engines.
+    Q("q_mmr_rerank", (s, dir) =>
+      graft.ext.Mmr.rerank(Tables.read(s, dir, "embeddings"),
+          col("vec_id") % 100 === 7, poolK = 10, selectK = 3)
+        .orderBy("qid", "rk"),
+      Some(graft.ext.Mmr.rerankOracleSql("(\"vec_id\" % 100) = 7",
+        poolK = 10, selectK = 3))),
     // Weighted reservoir sampling (Efraimidis-Spirakis A-Res): top-k by
     // ln(u)/w with the deterministic hash draw — inclusion probability
     // proportional to weight (here n_chars: longer docs drawn more) in

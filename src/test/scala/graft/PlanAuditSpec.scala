@@ -31,7 +31,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_bigram_logprob",        // ONE-row vocabulary scalar crossJoin
     "q_skew_diagnose",         // topK rows x the ONE-row totals aggregate
     "q_temperature_sample",    // group-count rows x the ONE-row max(n)
-    "q_bm25_topk")             // ONE-row (N, avgdl) corpus-stats crossJoin
+    "q_bm25_topk",             // ONE-row (N, avgdl) corpus-stats crossJoin
+    "q_mmr_rerank")            // exact-cosine candidate pool: the filtered
+                               // query side x corpus exactness baseline
+                               // (ANN feeds the pool at scale)
 
   test("no accidental cartesian or nested-loop joins across the registry") {
     val offenders = Queries.all.flatMap { q =>
@@ -231,10 +234,14 @@ class PlanAuditSpec extends SparkSpec {
     "q_weighted_reservoir" -> 1, // scan floor only: the A-Res top-k is a
                               // TakeOrderedAndProject (per-partition
                               // heaps + driver merge), NOT a sort shuffle
-    "q_inverted_index" -> 4)  // tok explode floor + (term,doc) tf agg pair
+    "q_inverted_index" -> 4,  // tok explode floor + (term,doc) tf agg pair
                               // + term posting agg + orderBy — all
                               // map-side combinable, hot lists cut by
                               // maxDf before assembly
+    "q_mmr_rerank" -> 1)      // candidate pool + each greedy step pinned
+                              // via query-scale localCheckpoints (52
+                              // exchanges un-pinned); only the final
+                              // orderBy remains
 
   test("shuffle-exchange budgets hold for the heaviest queries") {
     val exch = raw"(^|[^A-Za-z])Exchange\s".r // not ReusedExchange/Broadcast
