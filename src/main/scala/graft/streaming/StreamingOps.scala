@@ -432,6 +432,86 @@ object StreamingOps {
       }.toDF() -> overflow
   }
 
+  /** Streaming first/last-touch attribution — the stream twin of
+    * [[graft.ext.EventAnalytics.attribution]]. State per user is TWO
+    * packed longs (earliest and latest in-window touch), updated on
+    * touch events and read on conversions — the one-row-state shape of
+    * [[streamingAsOf]]. Rows process in (ms, event_id) order per batch
+    * (chunked under [[MaxGroupBufferKey]], overflow counted), and the
+    * lookback window is enforced against each conversion's own ms, so
+    * an in-event-time-order stream reproduces the batch operator row
+    * for row (parity law in `StreamingSpec`). Same-ms tie rule matches
+    * the batch packing: first-touch prefers the LOWEST type code,
+    * last-touch the highest. */
+  final case class TouchState(touches: List[Long]) // packed ms*8+code, asc ms
+  final case class AttribOut(event_id: Long, user_id: Long, ms: Long,
+                             first_touch: String, last_touch: String)
+
+  def streamingAttribution(events: DataFrame, touchTypes: Seq[String],
+                           convType: String = "purchase",
+                           lookbackMs: Long = 259200000L): DataFrame =
+    streamingAttributionWithMetrics(events, touchTypes, convType,
+      lookbackMs)._1
+
+  /** [[streamingAttribution]] + its per-call overflow accumulator. */
+  def streamingAttributionWithMetrics(events: DataFrame,
+      touchTypes: Seq[String], convType: String = "purchase",
+      lookbackMs: Long = 259200000L)
+      : (DataFrame, org.apache.spark.util.LongAccumulator) = {
+    import events.sparkSession.implicits._
+    require(touchTypes.nonEmpty && touchTypes.size < 8 &&
+      !touchTypes.contains(convType), s"bad touch types $touchTypes")
+    val codeOf = touchTypes.zipWithIndex.map { case (t, i) => t -> (i + 1L) }
+      .toMap
+    val cap = maxGroupBuffer(events)
+    val overflow = events.sparkSession.sparkContext
+      .longAccumulator("graft.streaming.attribution.groupOverflow")
+    val typed = events.select(col("event_id").cast("long"),
+        col("user_id").cast("long"),
+        expr("ts div 1000000").cast("long").as("ms"),
+        col("event_type").cast("string"))
+      .as[(Long, Long, Long, String)]
+      .filter(r => r._4 == convType || codeOf.contains(r._4))
+    def decode(packed: Long): String = touchTypes((packed % 8).toInt - 1)
+    typed.groupByKey(_._2)
+      .flatMapGroupsWithState[TouchState, AttribOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[TouchState]) =>
+          var touches = state.getOption.map(_.touches).getOrElse(Nil)
+          val out = Seq.newBuilder[AttribOut]
+          var first = true
+          var warned = false
+          rows.grouped(cap).foreach { chunk =>
+            if (first) first = false
+            else {
+              if (!warned) { warnOverflow("streamingAttribution", user, cap); warned = true }
+              overflow.add(chunk.size)
+            }
+            // same-ms touches land BEFORE the conversion (the batch RANGE
+            // frame is at-or-before by ms, blind to event_id)
+            for ((id, _, ms, tpe) <- chunk.toSeq.sortBy(r =>
+                (r._3, if (r._4 == convType) 1 else 0, r._1))) {
+              if (tpe == convType) {
+                val inWin = touches.filter(p => p / 8 >= ms - lookbackMs &&
+                  p / 8 <= ms)
+                out += AttribOut(id, user, ms,
+                  if (inWin.isEmpty) null else decode(inWin.min),
+                  if (inWin.isEmpty) null else decode(inWin.max))
+              } else {
+                touches = (ms * 8 + codeOf(tpe)) :: touches
+                // bound state: drop touches no conversion can ever see
+                // again (an in-order stream never looks back past the
+                // newest ms - lookback)
+                val horizon = touches.map(_ / 8).max - lookbackMs
+                touches = touches.filter(_ / 8 >= horizon)
+              }
+            }
+          }
+          state.update(TouchState(touches))
+          out.result().iterator
+      }.toDF() -> overflow
+  }
+
   /** Sliding-window counts per event type with a watermark — the
     * streaming twin of the batch `q_sliding_hourly` (slide < size, so
     * each event lands in size/slide windows via the SAME in-map window()

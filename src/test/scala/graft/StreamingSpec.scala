@@ -386,6 +386,59 @@ class StreamingSpec extends SparkSpec {
     assert(run(Seq(early, late), "funnel_stream_2") == batchWant)
   }
 
+  test("streaming attribution batch-parity: per-conversion first/last " +
+      "touch equals the batch RANGE-window operator, single- and " +
+      "multi-batch, incl. same-ms touch ties and empty windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.EventAnalytics
+    val touches = Seq("view", "click", "signup")
+    val look = 1000L // ms
+    def ns(ms: Long) = ms * 1000000L
+    // user 1: view -> click -> convert (last=click, first=view);
+    // user 2: touch OUTSIDE the lookback, then convert (nulls);
+    // user 3: same-ms view+click+convert (frame includes both; first
+    //         prefers view's lower code, last prefers click's higher);
+    // user 4: convert with NO touches ever (nulls);
+    // user 5: two conversions sharing state across the stream
+    val rows = Seq[(Long, Long, Long, String)](
+      (1L, ns(100), 1L, "view"), (2L, ns(500), 1L, "click"),
+      (3L, ns(900), 1L, "purchase"),
+      (4L, ns(0), 2L, "signup"), (5L, ns(5000), 2L, "purchase"),
+      (6L, ns(300), 3L, "view"), (7L, ns(300), 3L, "click"),
+      (8L, ns(300), 3L, "purchase"),
+      (9L, ns(50), 4L, "purchase"),
+      (10L, ns(100), 5L, "click"), (11L, ns(200), 5L, "purchase"),
+      (12L, ns(1500), 5L, "purchase"))
+
+    val batchWant = EventAnalytics.attribution(
+        rows.toDF("event_id", "ts", "user_id", "event_type")
+          .withColumn("ms", expr("ts div 1000000")),
+        touches, lookbackMs = look)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(3)), Option(r.getString(4))))).toMap
+    assert(batchWant(3L) == ((Some("view"), Some("click"))))
+    assert(batchWant(5L) == ((None, None)))
+    assert(batchWant(8L) == ((Some("view"), Some("click"))))
+    assert(batchWant(9L) == ((None, None)))
+    assert(batchWant(12L) == ((None, None)), "touch at 100 is out of window")
+
+    def run(batches: Seq[Seq[(Long, Long, Long, String)]], name: String) = {
+      val mem = MemoryStream[(Long, Long, Long, String)]
+      val events = mem.toDF().toDF("event_id", "ts", "user_id", "event_type")
+      val q = StreamingOps.streamingAttribution(events, touches,
+          lookbackMs = look)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      for (b <- batches) { mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(3)), Option(r.getString(4))))).toMap
+    }
+    assert(run(Seq(rows), "attrib_stream_1") == batchWant)
+    val (early, late) = rows.partition(_._2 < ns(400))
+    assert(run(Seq(early, late), "attrib_stream_2") == batchWant)
+  }
+
   test("streaming sliding counts batch-parity: closed windows equal the " +
       "batch sliding query, single- and multi-batch") {
     implicit val sqlCtx = spark.sqlContext
