@@ -615,6 +615,16 @@ object ExtQueries {
       CorpusStats.langQuantiles(Tables.read(s, dir, "documents"))
         .orderBy("lang"),
       Some(CorpusStats.langQuantilesOracleSql)),
+    // Curriculum bucketing: global quality deciles (one broadcast
+    // one-row cut aggregate) + deterministic within-bucket shuffle key
+    // — the ordering stage of curriculum training and the cut surface
+    // of quantile-based quality pruning.
+    Q("q_curriculum", (s, dir) =>
+      CorpusStats.curriculum(Tables.read(s, dir, "documents"),
+          E.toColumn(TA.qualityScore(text)), buckets = 10)
+        .orderBy("doc_id"),
+      Some(CorpusStats.curriculumOracleSql(E.toSql(TA.qualityScore(text)),
+        buckets = 10) + " ORDER BY \"doc_id\"")),
     // Deterministic fixed-point k-means: the full 2-iteration fit is
     // hash-matched — quantized coordinates make every distance, argmin
     // and centroid mean exact, so the oracle reproduces the fit

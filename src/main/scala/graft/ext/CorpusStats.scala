@@ -152,6 +152,57 @@ object CorpusStats {
       | round(quantile_cont("n_chars", 0.99), 6) AS "p99"
       | FROM documents GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
 
+  /** Curriculum bucketing: assign every document a difficulty/quality
+    * decile (0 = lowest score .. buckets-1) from the GLOBAL score
+    * quantiles, plus a deterministic within-bucket shuffle key — the
+    * ordering stage of curriculum training (feed easy/high-quality
+    * buckets first, shuffled within each bucket) and the cut surface of
+    * quantile-based quality pruning ("drop the bottom two deciles").
+    *
+    * Scale shape: ONE one-row aggregate computes all buckets-1 cut
+    * points (exact interpolated percentile — key-cardinality-bounded
+    * like [[langQuantiles]]; switch to approx_percentile for unbounded
+    * continuous scores), broadcast back onto the corpus scan via the
+    * allowed one-row crossJoin; bucket assignment is a per-row
+    * `size(filter(cuts, q > _))` over the tiny cut array. No
+    * data-scale shuffle, no global sort — the curriculum ORDER is
+    * (bucket, pri), which a consumer range-partitions on.
+    *
+    * Both the scores and the cut points are rounded to 6 decimals
+    * before comparison, so the bucket boundary decision is identical on
+    * both engines. */
+  def curriculum(docs: DataFrame, score: Column, buckets: Int = 10,
+                 salt: String = ":curr"): DataFrame = {
+    require(buckets >= 2, s"need at least 2 buckets, got $buckets")
+    val ps = (1 until buckets).map(i => i.toDouble / buckets)
+    val base = docs.select(col("doc_id"), round(score, 6).as("q"))
+    val cuts = base.agg(transform(
+      expr(s"percentile(q, array(${ps.map(p => s"${p}D").mkString(",")}))"),
+      c => round(c, 6)).as("cuts"))
+    base.crossJoin(broadcast(cuts))
+      .withColumn("bucket", size(filter(col("cuts"), c => col("q") > c)))
+      .withColumn("pri",
+        round(PipelineOps.hashUniform(col("doc_id"), salt), 6))
+      .select(col("doc_id"), col("q"), col("bucket"), col("pri"))
+  }
+
+  /** DuckDB rendering of [[curriculum]]; `scoreSql` is the score
+    * expression over the documents table's columns. */
+  def curriculumOracleSql(scoreSql: String, buckets: Int = 10,
+                          salt: String = ":curr"): String = {
+    val ps = (1 until buckets).map(i => i.toDouble / buckets)
+    val u = PipelineOps.hashUniformSql("\"doc_id\"", salt)
+    s"""WITH b AS (SELECT "doc_id", round($scoreSql, 6) AS q,
+       |   round($u, 6) AS pri FROM documents),
+       | c AS (SELECT list_transform(
+       |     quantile_cont(q, [${ps.mkString(", ")}]),
+       |     x -> round(x, 6)) AS cuts FROM b)
+       | SELECT "doc_id", q,
+       |   CAST(len(list_filter(c.cuts, x -> q > x)) AS INTEGER) AS bucket,
+       |   pri
+       | FROM b CROSS JOIN c""".stripMargin.replace("\n", " ")
+  }
+
   /** Tokenizer-vocabulary coverage: rank the corpus vocabulary by total
     * frequency, keep the top `v` terms (ties broken by term text, so the
     * cut is total and engine-independent), and report each document's

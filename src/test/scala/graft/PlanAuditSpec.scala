@@ -32,9 +32,11 @@ class PlanAuditSpec extends SparkSpec {
     "q_skew_diagnose",         // topK rows x the ONE-row totals aggregate
     "q_temperature_sample",    // group-count rows x the ONE-row max(n)
     "q_bm25_topk",             // ONE-row (N, avgdl) corpus-stats crossJoin
-    "q_mmr_rerank")            // exact-cosine candidate pool: the filtered
+    "q_mmr_rerank",            // exact-cosine candidate pool: the filtered
                                // query side x corpus exactness baseline
                                // (ANN feeds the pool at scale)
+    "q_curriculum")            // corpus x the ONE-row quantile-cuts agg:
+                               // a deliberate broadcast of bounded state
 
   test("no accidental cartesian or nested-loop joins across the registry") {
     val offenders = Queries.all.flatMap { q =>
@@ -238,10 +240,14 @@ class PlanAuditSpec extends SparkSpec {
                               // + term posting agg + orderBy — all
                               // map-side combinable, hot lists cut by
                               // maxDf before assembly
-    "q_mmr_rerank" -> 1)      // candidate pool + each greedy step pinned
+    "q_mmr_rerank" -> 1,      // candidate pool + each greedy step pinned
                               // via query-scale localCheckpoints (52
                               // exchanges un-pinned); only the final
                               // orderBy remains
+    "q_curriculum" -> 4)      // scan floor + the one-row percentile agg
+                              // pair + orderBy; the cuts BROADCAST onto
+                              // the corpus (allowed one-row crossJoin),
+                              // bucket assignment is in-map
 
   test("shuffle-exchange budgets hold for the heaviest queries") {
     val exch = raw"(^|[^A-Za-z])Exchange\s".r // not ReusedExchange/Broadcast
