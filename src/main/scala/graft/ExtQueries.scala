@@ -1271,6 +1271,22 @@ object ExtQueries {
     Q("q_bm25_topk", (s, dir) =>
       Bm25.topK(Tables.read(s, dir, "documents"), Bm25Queries),
       Some(Bm25.topKOracleSql("documents", Bm25Queries))),
+    // Hybrid retrieval: reciprocal-rank fusion (Cormack 2009) of the
+    // lexical BM25 leg and a dense cosine leg (query doc's embedding;
+    // doc_id/vec_id are aligned in the testdata). RRF consumes RANKS so
+    // no score calibration; fusion itself never touches the corpus —
+    // union of query-scale top-10s + one small groupBy + rank window.
+    Q("q_hybrid_rrf", (s, dir) => {
+      val lex = Bm25.topK(Tables.read(s, dir, "documents"), Bm25Queries,
+          k = 10)
+        .select(col("query_id"), col("doc_id"), col("rk"))
+      val den = graft.ext.Hybrid.denseRanking(
+        Tables.read(s, dir, "embeddings"), Bm25Queries.map(_._1), k = 10)
+      graft.ext.Hybrid.rrfFuse(Seq(lex, den), topK = 5)
+        .orderBy("query_id", "rk")
+    }, Some(graft.ext.Hybrid.rrfOracleSql(
+      Bm25.topKOracleSql("documents", Bm25Queries, k = 10),
+      Bm25Queries.map(_._1), legK = 10, topK = 5))),
     // ---- character-entropy quality gate ----------------------------------
     // Shannon entropy over a fixed 26-letter alphabet via the
     // length-difference counts: a per-row closed form (no explode, no

@@ -35,8 +35,11 @@ class PlanAuditSpec extends SparkSpec {
     "q_mmr_rerank",            // exact-cosine candidate pool: the filtered
                                // query side x corpus exactness baseline
                                // (ANN feeds the pool at scale)
-    "q_curriculum")            // corpus x the ONE-row quantile-cuts agg:
+    "q_curriculum",            // corpus x the ONE-row quantile-cuts agg:
                                // a deliberate broadcast of bounded state
+    "q_hybrid_rrf")            // dense leg: 4 query vectors x corpus
+                               // exactness baseline (plus BM25's one-row
+                               // stats crossJoin); ANN legs at scale
 
   test("no accidental cartesian or nested-loop joins across the registry") {
     val offenders = Queries.all.flatMap { q =>
@@ -244,10 +247,16 @@ class PlanAuditSpec extends SparkSpec {
                               // via query-scale localCheckpoints (52
                               // exchanges un-pinned); only the final
                               // orderBy remains
-    "q_curriculum" -> 4)      // scan floor + the one-row percentile agg
+    "q_curriculum" -> 4,      // scan floor + the one-row percentile agg
                               // pair + orderBy; the cuts BROADCAST onto
                               // the corpus (allowed one-row crossJoin),
                               // bucket assignment is in-map
+    "q_hybrid_rrf" -> 19)     // the full BM25 leg subplan (13, see
+                              // q_bm25_topk — AQE reuse collapses the
+                              // repeats) + dense-leg rank window + the
+                              // fusion groupBy/rank/orderBy; fusion
+                              // itself only ever shuffles query-scale
+                              // (query, doc, rank) triples
 
   test("shuffle-exchange budgets hold for the heaviest queries") {
     val exch = raw"(^|[^A-Za-z])Exchange\s".r // not ReusedExchange/Broadcast
