@@ -419,6 +419,18 @@ object ExtQueries {
     // subset (doc_id % 50 = 0 stands in for a benchmark table) are flagged.
     // Spark side broadcasts the eval shingle-hash set so the corpus scan
     // never shuffles; oracle recomputes the same overlap in DuckDB.
+    // Contamination SPANS — decontamination's surgical half: each maximal
+    // token interval overlapping eval-set 3-grams, so a cleaner excises
+    // spans instead of dropping documents. Eval hashes ride a broadcast
+    // JOIN (no driver collect); same doc-bounded island window as
+    // q_dup_span_coverage.
+    Q("q_contamination_spans", (s, dir) =>
+      graft.ext.SpanDedup.contaminationSpans(
+          Tables.read(s, dir, "documents"), col("doc_id") % 50 === 0, k = 3)
+        .orderBy("doc_id", "span_start"),
+      Some(graft.ext.SpanDedup.contaminationSpansOracleSql("documents",
+        "\"doc_id\" % 50 = 0", k = 3) +
+        " ORDER BY \"doc_id\", span_start")),
     Q("q_decontaminate", (s, dir) =>
       PipelineOps.decontaminate(Tables.read(s, dir, "documents"),
           col("doc_id") % 50 === 0)

@@ -41,23 +41,25 @@ object SpanDedup {
     *
     * @param k minimum duplicated run length in tokens (gram width)
     */
+  /** Hash array of a document's k-token grams (one per start position).
+    * Clamped slice length so short documents yield an empty array. */
+  private def gramHashArr(textCol: String, k: Int)
+      : org.apache.spark.sql.Column = {
+    val toks = split(col(textCol), " ")
+    val m = greatest(size(toks) - lit(k - 1), lit(0))
+    val slices = (0 until k).map(j => slice(toks, lit(j + 1), m))
+    transform(arrays_zip(slices: _*), s =>
+      Dedup.base60Col(concat_ws(" ",
+        (0 until k).map(j => s.getField(j.toString)): _*)))
+  }
+
   def dupSpanCoverage(docs: DataFrame, k: Int = 4,
                       idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
     require(k >= 2, s"gram width k must be >= 2, got $k")
     val toks = split(col(textCol), " ")
-    // m = number of k-grams; slice() with an explicitly clamped length so
-    // short documents yield an empty gram array instead of an error (and
-    // never a descending sequence()).
-    val m = greatest(size(toks) - lit(k - 1), lit(0))
-    val gramArr = {
-      val slices = (0 until k).map(j => slice(toks, lit(j + 1), m))
-      transform(arrays_zip(slices: _*), s =>
-        Dedup.base60Col(concat_ws(" ",
-          (0 until k).map(j => s.getField(j.toString)): _*)))
-    }
     val grams = docs
-      .select(col(idCol), posexplode(gramArr).as(Seq("p", "h")))
+      .select(col(idCol), posexplode(gramHashArr(textCol, k)).as(Seq("p", "h")))
     // grams occurring > 1 time corpus-wide (partial agg, then longs-only
     // join back on the hash)
     val dupH = grams.groupBy("h").agg(count(lit(1)).as("c"))
@@ -90,6 +92,70 @@ object SpanDedup {
         round(coalesce(col("covered"), lit(0L)).cast("double") /
           col("n_tokens").cast("double"), 6).as("dup_frac"))
       .orderBy(idCol)
+  }
+
+  /** Contamination SPANS — the surgical half of decontamination: where
+    * [[PipelineOps.decontaminate]] flags a document that shares ANY
+    * k-gram with the eval set, this reports each maximal token interval
+    * that overlaps eval-set grams, so a cleaner can excise the
+    * contaminated spans instead of dropping whole documents (the span
+    * form of Lee et al.'s trimming, aimed at eval contamination).
+    *
+    * Scale shape: eval gram hashes stay a DataFrame joined via
+    * `broadcast` (eval benchmarks are KB-MB scale; no driver collect, so
+    * this form also survives a larger eval set than the literal-array
+    * variant); the corpus side ships (doc_id, pos, hash) longs only, and
+    * the interval union is the same doc-bounded island window as
+    * [[dupSpanCoverage]]. Output: (doc_id, span_start, span_end,
+    * span_tokens), token positions. */
+  def contaminationSpans(docs: DataFrame, evalPred: org.apache.spark.sql.Column,
+                         k: Int = 3, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"gram width k must be >= 2, got $k")
+    val grams = docs
+      .select(col(idCol), evalPred.as("__is_eval"),
+        posexplode(gramHashArr(textCol, k)).as(Seq("p", "h")))
+    val evalH = grams.where(col("__is_eval")).select("h").distinct()
+    val hits = grams.where(!col("__is_eval")).join(broadcast(evalH), "h")
+      .select(col(idCol), col("p").cast("long").as("p"),
+        (col("p") + lit(k - 1)).cast("long").as("e"))
+    val w = Window.partitionBy(idCol).orderBy("p")
+    val prevMaxEnd = max(col("e"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      .withColumn("ni",
+        when(prevMaxEnd.isNull || col("p") > prevMaxEnd, 1L).otherwise(0L))
+      .withColumn("isl",
+        sum(col("ni")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("isl"))
+      .agg(min(col("p")).as("span_start"), max(col("e")).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + lit(1L)).as("span_tokens"))
+  }
+
+  /** DuckDB rendering of [[contaminationSpans]]; `evalPredSql` selects
+    * the eval rows of `table`. */
+  def contaminationSpansOracleSql(table: String, evalPredSql: String,
+                                  k: Int = 3, idCol: String = "doc_id",
+                                  textCol: String = "text"): String = {
+    val id = s""""$idCol""""
+    val gram = DualHash.base60Sql(
+      s"array_to_string(list_slice(t, i, i + ${k - 1}), ' ')")
+    s"""WITH tok AS (SELECT $id, string_split("$textCol", ' ') AS t FROM $table),
+       | g AS (SELECT $id, CAST(i - 1 AS BIGINT) AS p, $gram AS h
+       |   FROM tok, UNNEST(generate_series(1, len(t) - ${k - 1})) u(i)),
+       | ev AS (SELECT DISTINCT h FROM g WHERE $evalPredSql),
+       | d AS (SELECT $id, p, p + ${k - 1} AS e FROM g JOIN ev USING (h)
+       |   WHERE NOT ($evalPredSql)),
+       | i1 AS (SELECT $id, p, e,
+       |   CASE WHEN p > coalesce(max(e) OVER (PARTITION BY $id ORDER BY p
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |   THEN 1 ELSE 0 END AS ni FROM d),
+       | i2 AS (SELECT $id, p, e, sum(ni) OVER (PARTITION BY $id ORDER BY p
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM i1)
+       | SELECT $id, min(p) AS span_start, max(e) AS span_end,
+       |   max(e) - min(p) + 1 AS span_tokens
+       | FROM i2 GROUP BY $id, isl""".stripMargin.replace("\n", " ")
   }
 
   /** DuckDB rendering of the identical computation (same [[DualHash]]

@@ -251,6 +251,10 @@ class PlanAuditSpec extends SparkSpec {
                               // pair + orderBy; the cuts BROADCAST onto
                               // the corpus (allowed one-row crossJoin),
                               // bucket assignment is in-map
+    "q_contamination_spans" -> 5, // gram explode floor + the eval-hash
+                              // distinct (BROADCAST back — no corpus
+                              // reshuffle) + doc_id island window +
+                              // orderBy; hits carry longs only
     "q_hybrid_rrf" -> 19)     // the full BM25 leg subplan (13, see
                               // q_bm25_topk — AQE reuse collapses the
                               // repeats) + dense-leg rank window + the

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{InvertedIndex, Sampling}
+
+/** Behavioural laws for weighted reservoir sampling and the
+  * inverted-index builder. */
+class SamplingIndexSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("weighted reservoir: inclusion frequency tracks weight across salts") {
+    // two weight classes, 10:1 — across many independent salted draws the
+    // heavy items must be selected far more often (A-Res law: inclusion
+    // probability proportional to weight). Deterministic per salt.
+    val docs = (0L until 200L)
+      .map(i => (i, if (i < 100L) 10L else 1L)).toDF("doc_id", "w")
+    val picks = (0 until 20).flatMap { s =>
+      Sampling.weightedReservoir(docs, k = 20, "doc_id", "w", salt = s":r$s")
+        .collect().map(_.getLong(0))
+    }
+    val heavy = picks.count(_ < 100L)
+    val light = picks.size - heavy
+    info(s"heavy picks $heavy vs light $light over 20 salts")
+    // E[heavy share] = 10/11 ~ 0.909 of 400 picks; require a wide floor
+    assert(heavy > 6 * light,
+      s"weight-10 items must dominate the sample: $heavy vs $light")
+    // determinism + partition invariance: same salt, any layout
+    def ids(np: Int) = Sampling.weightedReservoir(
+      docs.repartition(np), k = 20, "doc_id", "w").collect()
+      .map(_.getLong(0)).toSeq
+    assert(ids(1) == ids(13))
+  }
+
+  test("weighted reservoir: k bounds the sample; zero-ish weights lose") {
+    val docs = (0L until 50L)
+      .map(i => (i, if (i == 7L) 1000000L else 1L)).toDF("doc_id", "w")
+    val got = Sampling.weightedReservoir(docs, k = 5, "doc_id", "w")
+      .collect()
+    assert(got.length == 5)
+    // ln(u)/w -> 0- as w grows: the million-weight item is near-certain
+    assert(got.map(_.getLong(0)).contains(7L),
+      "the overwhelming-weight item must be sampled")
+  }
+
+  test("inverted index: df bounds cut, digest pins postings, " +
+      "partition-invariant") {
+    val docs = Seq(
+      (1L, "alpha beta beta gamma"),
+      (2L, "alpha beta stop"),
+      (3L, "alpha stop stop"),
+      (4L, "alpha delta")).toDF("doc_id", "text")
+    // alpha df=4, beta df=2, stop df=2, gamma/delta df=1
+    val idx = InvertedIndex.postings(docs, minDf = 2L, maxDf = 3L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(idx.keySet == Set("beta", "stop"),
+      s"minDf=2 kills hapax, maxDf=3 kills the stopword-like alpha: $idx")
+    val (dfB, tfB, _) = idx("beta")
+    assert(dfB == 2L && tfB == 3L) // doc1 tf=2 + doc2 tf=1
+    // digest = md5 of the sorted doc:tf entries, layout-independent
+    val again = InvertedIndex.postings(docs.repartition(7),
+        minDf = 2L, maxDf = 3L)
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(again("beta") == idx("beta")._3 && again("stop") == idx("stop")._3)
+    // and it pins CONTENT: a different tf for the same df changes it
+    val mutated = Seq(
+      (1L, "alpha beta beta beta gamma"), // beta tf 2 -> 3
+      (2L, "alpha beta stop"),
+      (3L, "alpha stop stop"),
+      (4L, "alpha delta")).toDF("doc_id", "text")
+    val mut = InvertedIndex.postings(mutated, minDf = 2L, maxDf = 3L)
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(mut("beta") != idx("beta")._3, "digest must see tf changes")
+  }
+}
