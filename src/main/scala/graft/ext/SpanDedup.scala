@@ -43,7 +43,7 @@ object SpanDedup {
     */
   /** Hash array of a document's k-token grams (one per start position).
     * Clamped slice length so short documents yield an empty array. */
-  private def gramHashArr(textCol: String, k: Int)
+  private[graft] def gramHashArr(textCol: String, k: Int)
       : org.apache.spark.sql.Column = {
     val toks = split(col(textCol), " ")
     val m = greatest(size(toks) - lit(k - 1), lit(0))

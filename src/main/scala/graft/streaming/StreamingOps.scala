@@ -118,6 +118,46 @@ object StreamingOps {
     docs.filter(!arrays_overlap(shingles(col("text")), typedLit(evalHashes)))
   }
 
+  /** Streaming contamination-span reporting — the stream twin of
+    * [[graft.ext.SpanDedup.contaminationSpans]]. The eval set is static
+    * (a benchmark), so like [[streamingDecontaminate]] its distinct
+    * k-gram hashes ship as a plan literal and the whole operator is a
+    * STATELESS per-row map: each arriving document's matching gram
+    * positions fold into merged spans with an `aggregate` over the
+    * ascending position list (the same islands the batch window
+    * computes — p <= last end merges, else a new span), then explode.
+    * Nothing for a watermark to bound; batch parity is exact
+    * (`StreamingSpec`). */
+  def streamingContaminationSpans(docs: DataFrame, evalDocs: DataFrame,
+                                  k: Int = 3): DataFrame = {
+    val evalHashes = evalDocs
+      .select(explode(graft.ext.SpanDedup.gramHashArr("text", k)).as("h"))
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    val g = graft.ext.SpanDedup.gramHashArr("text", k)
+    val positions = filter(sequence(lit(0L), size(g).cast("long") - 1),
+      i => array_contains(typedLit(evalHashes), element_at(col("__g"), (i + 1).cast("int"))))
+    // empty array with the span struct schema (filter-to-empty: a typed
+    // empty literal of array<struct> has no direct constructor)
+    val empty = filter(array(struct(lit(0L).as("s"), lit(0L).as("e"))),
+      _ => lit(false))
+    val spans = aggregate(col("__pos"), empty, (acc, p) => {
+      val last = element_at(acc, -1)
+      val merged = concat(slice(acc, lit(1), size(acc) - 1),
+        array(struct(last.getField("s").as("s"), (p + lit(k - 1)).as("e"))))
+      val appended = concat(acc,
+        array(struct(p.as("s"), (p + lit(k - 1)).as("e"))))
+      when(size(acc) > 0 && p <= last.getField("e"), merged)
+        .otherwise(appended)
+    })
+    docs
+      .withColumn("__g", g)
+      .withColumn("__pos", positions)
+      .withColumn("__span", explode(spans))
+      .select(col("doc_id"),
+        col("__span.s").as("span_start"), col("__span.e").as("span_end"),
+        (col("__span.e") - col("__span.s") + 1).as("span_tokens"))
+  }
+
   /** Streaming exact dedup on a content fingerprint with watermarked state:
     * the streaming counterpart of [[graft.ext.Dedup.exact]].
     * `dropDuplicatesWithinWatermark` keeps only in-horizon fingerprints. */

@@ -386,6 +386,44 @@ class StreamingSpec extends SparkSpec {
     assert(run(Seq(early, late), "funnel_stream_2") == batchWant)
   }
 
+  test("streaming contamination spans equal the batch span report " +
+      "(stateless per-row fold vs the batch island window)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.SpanDedup
+    val evalDocs = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      // two disjoint contaminated spans (3-grams at pos 2.. and later)
+      (1L, "x y alpha beta gamma z w beta gamma delta q"),
+      // overlapping matches that must MERGE into one span
+      (2L, "alpha beta gamma delta r s t"),
+      (3L, "completely clean document text with no overlap at all"))
+      .toDF("doc_id", "text")
+    // batch truth: the corpus = eval + incoming, spans of non-eval docs
+    val batch = SpanDedup.contaminationSpans(
+        evalDocs.union(incoming), col("doc_id") === 100L, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(batch.exists(_._1 == 1L) && batch.exists(_._1 == 2L) &&
+      !batch.exists(_._1 == 3L), batch.toString)
+    // doc 2's grams at pos 0 and 1 overlap -> ONE merged span [0, 3]
+    assert(batch.filter(_._1 == 2L) == Set((2L, 0L, 3L, 4L)), batch.toString)
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingOps.streamingContaminationSpans(
+      mem.toDF().toDF("doc_id", "text"), evalDocs)
+    mem.addData((1L, "x y alpha beta gamma z w beta gamma delta q"),
+      (2L, "alpha beta gamma delta r s t"),
+      (3L, "completely clean document text with no overlap at all"))
+    val q = out.writeStream.format("memory").queryName("cont_spans")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cont_spans").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+  }
+
   test("streaming attribution batch-parity: per-conversion first/last " +
       "touch equals the batch RANGE-window operator, single- and " +
       "multi-batch, incl. same-ms touch ties and empty windows") {
