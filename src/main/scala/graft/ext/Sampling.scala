@@ -30,14 +30,23 @@ object Sampling {
 
   /** Top-`k` rows by the A-Res key. Output: the row's id + weight + the
     * rounded ranking key (ties broken by id, so the boundary is
-    * deterministic even after rounding). */
+    * deterministic even after rounding).
+    *
+    * Non-positive weights are FILTERED, not ranked: A-Res is only defined
+    * for w > 0 — w = 0 gives key ln(u)/0 = -Inf (never sampled, silently)
+    * and w < 0 flips the key's sign so the row would deterministically
+    * sort FIRST, the inverse of weighted-sampling semantics. Dropping
+    * them (in both engines) is the standard treatment: weight 0 means
+    * "never sample", and a negative weight is malformed input that must
+    * not outrank every valid row. */
   def weightedReservoir(df: DataFrame, k: Int, idCol: String,
                         weightCol: String,
                         salt: String = ":res"): DataFrame = {
     require(k > 0, s"sample size must be positive, got $k")
     val key = ln(PipelineOps.hashUniform(col(idCol), salt)) /
       col(weightCol).cast("double")
-    df.select(col(idCol), col(weightCol),
+    df.where(col(weightCol).cast("double") > 0)
+      .select(col(idCol), col(weightCol),
         round(key, 9).as("res_key"))
       .orderBy(col("res_key").desc, col(idCol))
       .limit(k)
@@ -51,6 +60,7 @@ object Sampling {
     s"""SELECT "$idCol", "$weightCol",
        | round(ln($u) / CAST("$weightCol" AS DOUBLE), 9) AS res_key
        | FROM $tableSql
+       | WHERE CAST("$weightCol" AS DOUBLE) > 0
        | ORDER BY res_key DESC, "$idCol" LIMIT $k""".stripMargin
       .replace("\n", " ")
   }

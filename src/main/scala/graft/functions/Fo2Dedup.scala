@@ -81,10 +81,21 @@ object Fo2Dedup {
 
   private val decisions =
     new java.util.concurrent.ConcurrentLinkedQueue[Decision]
-  // decision memo per (analyzed-plan fingerprint, columns): the probe is
-  // a Spark job — run it once per distinct input, not once per build
+  // Decision memo per (analyzed-plan fingerprint, schema fingerprint,
+  // columns): the probe is a Spark job — run it once per distinct input,
+  // not once per build. semanticHash alone is a 32-bit digest, so the
+  // schema string rides along to make an accidental collision reuse the
+  // other input's decision only when BOTH hashes collide (and even then
+  // the damage is a suboptimal formulation, never a wrong row — both
+  // formulations are row-identical by Fo2DedupSpec). Access-order LRU
+  // bounded at 128 under a lock: no mid-lookup wipe, unlike the previous
+  // size-triggered clear().
   private val probeCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), Decision]
+    new java.util.LinkedHashMap[(Int, Int, String), Decision](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, Int, String), Decision]): Boolean =
+        size() > 128
+    }
 
   /** Drain recorded auto decisions (Bench exports them as diag). */
   def drainDecisions(): Seq[Decision] = {
@@ -94,26 +105,56 @@ object Fo2Dedup {
     b.result()
   }
 
+  /** The probe's LocalLimit only bounds its cost when the input is
+    * scan-shaped: narrow operators over a leaf stop reading after
+    * ProbeRows rows, but a limit ABOVE a join/aggregate/window still
+    * executes the full upstream lineage once. Probe only plans made of
+    * leaves + projections/filters/repartitions; anything heavier keeps
+    * the memo path (whose cost the caller already accepted). */
+  private def probeSafe(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    plan match {
+      case _: LeafNode            => true
+      case p: Project             => probeSafe(p.child)
+      case f: Filter              => probeSafe(f.child)
+      case a: SubqueryAlias       => probeSafe(a.child)
+      case r: RepartitionOperation => probeSafe(r.child)
+      case _                      => false
+    }
+  }
+
   /** Formulation choice for this input: conf override, or the bounded
-    * auto probe (memoised per input plan). */
+    * auto probe (memoised per input plan). Auto runs an EAGER Spark job
+    * at query-build time, so it is skipped — memo path, the pre-auto
+    * default — for streaming inputs (a limit+complete-agg+head on a
+    * stream throws AnalysisException) and for non-scan-shaped plans
+    * (where the limit would not bound the probe's cost). */
   def choose(df: DataFrame, tCol: String, pCol: String,
              family: String): Boolean =
     df.sparkSession.conf.get(DedupKey, "auto") match {
       case "true"  => true
       case "false" => false
+      case _ if df.isStreaming ||
+          !probeSafe(df.queryExecution.analyzed) => false
       case _ =>
-        val key = (df.queryExecution.analyzed.semanticHash(), s"$tCol|$pCol")
-        if (probeCache.size > 128) probeCache.clear()
-        val d = probeCache.computeIfAbsent(key, _ => {
+        val key = (df.queryExecution.analyzed.semanticHash(),
+          df.schema.catalogString.hashCode, s"$tCol|$pCol")
+        val cached = probeCache.synchronized(Option(probeCache.get(key)))
+        val d = cached.getOrElse {
+          // probe OUTSIDE the lock: two threads racing the same input at
+          // worst duplicate the bounded job and agree on the decision
           val r = df.select(col(tCol), col(pCol)).limit(ProbeRows)
             .agg(approx_count_distinct(struct(col(tCol), col(pCol)))
               .as("d"), count(lit(1)).as("n"))
             .head()
           val (dist, n) = (r.getLong(0), r.getLong(1))
-          Decision(family,
+          val nd = Decision(family,
             n >= MinAutoRows && dist.toDouble / math.max(1L, n) < DedupRatioThreshold,
             dist, n)
-        })
+          probeCache.synchronized(probeCache.put(key, nd))
+          nd
+        }
         decisions.add(d.copy(family = family))
         while (decisions.size > 64) decisions.poll()
         d.dedup

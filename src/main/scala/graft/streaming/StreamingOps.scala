@@ -134,8 +134,15 @@ object StreamingOps {
       .select(explode(graft.ext.SpanDedup.gramHashArr("text", k)).as("h"))
       .distinct().collect().map(_.getLong(0)).sorted.toSeq
     val g = graft.ext.SpanDedup.gramHashArr("text", k)
-    val positions = filter(sequence(lit(0L), size(g).cast("long") - 1),
-      i => array_contains(typedLit(evalHashes), element_at(col("__g"), (i + 1).cast("int"))))
+    // Docs shorter than k tokens have an EMPTY gram array; sequence(0, -1)
+    // would then emit the descending [0, -1] (Spark's documented reverse
+    // step) and the filter's element_at would throw on every short doc —
+    // clamp to an empty position list instead, exactly like the batch
+    // operator, whose posexplode of the empty gram array yields no rows.
+    val gc = col("__g")
+    val positions = when(size(gc) === 0, typedLit(Seq.empty[Long]))
+      .otherwise(filter(sequence(lit(0L), size(gc).cast("long") - 1),
+        i => array_contains(typedLit(evalHashes), element_at(gc, (i + 1).cast("int")))))
     // empty array with the span struct schema (filter-to-empty: a typed
     // empty literal of array<struct> has no direct constructor)
     val empty = filter(array(struct(lit(0L).as("s"), lit(0L).as("e"))),

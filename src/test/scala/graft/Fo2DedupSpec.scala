@@ -130,6 +130,36 @@ class Fo2DedupSpec extends SparkSpec {
     assert(ds.get("iw").exists(d => !d.dedup), ds.toString)
   }
 
+  test("auto probe skips streaming inputs (no eager job at build time) " +
+      "and non-scan-shaped plans (limit would not bound the probe)") {
+    // streaming: the probe's limit+complete-agg+head would throw
+    // AnalysisException at query-BUILD time; auto must fall back to the
+    // memo path and build a valid streaming plan instead
+    val stream = spark.readStream.format("rate")
+      .option("rowsPerSecond", 1).load()
+      .select((col("value").cast("double") + 1273.15).as("T_K"),
+        (col("value").cast("double") * 0.37 + 1000.0).as("P_bar"))
+    assert(stream.isStreaming)
+    val streamOut = QfmFull.withQfm(stream, "T_K", "P_bar")
+    assert(streamOut.isStreaming, "build must succeed on a stream")
+    assert(!streamOut.queryExecution.analyzed.toString.contains("Join"),
+      "streaming input must keep the narrow memo shape")
+    // non-scan-shaped: a limit above an aggregate still executes the full
+    // upstream lineage, so auto must not probe — memo path, no join
+    Fo2Dedup.drainDecisions()
+    val grid = spark.range(4096).select(
+      (lit(1273.15) + (col("id") % 20).cast("double") * 10.0).as("T_K"),
+      (lit(1000.0) + (col("id") % 5).cast("double") * 500.0).as("P_bar"))
+    val agged = grid.groupBy("T_K", "P_bar")
+      .agg(count(lit(1)).as("n")).drop("n")
+    val plan = QfmFull.withQfm(agged, "T_K", "P_bar")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"agg-upstream input must not be probed:\n$plan")
+    assert(Fo2DedupSpec.byFamily(Fo2Dedup.drainDecisions()).isEmpty,
+      "no probe decision may be recorded for unprobeable inputs")
+  }
+
   test("auto probe skips tiny inputs: memo path below MinAutoRows") {
     val plan = QfmFull.withQfm(fixture, "T_K", "P_bar")
       .queryExecution.executedPlan.toString

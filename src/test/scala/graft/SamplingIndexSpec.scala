@@ -43,6 +43,18 @@ class SamplingIndexSpec extends SparkSpec {
       "the overwhelming-weight item must be sampled")
   }
 
+  test("weighted reservoir: non-positive weights are filtered, never " +
+      "ranked (a negative weight would otherwise sort FIRST)") {
+    val docs = Seq((1L, 5L), (2L, -100L), (3L, 0L), (4L, 3L), (5L, 1L))
+      .toDF("doc_id", "w")
+    val got = Sampling.weightedReservoir(docs, k = 3, "doc_id", "w")
+      .collect().map(_.getLong(0)).toSet
+    // ln(u)/(-100) > 0 > ln(u)/w for all valid w: unfiltered, doc 2 wins
+    // deterministically; ln(u)/0 = -Inf would silently bury doc 3
+    assert(got == Set(1L, 4L, 5L),
+      s"only the positive-weight rows may be sampled: $got")
+  }
+
   test("inverted index: df bounds cut, digest pins postings, " +
       "partition-invariant") {
     val docs = Seq(

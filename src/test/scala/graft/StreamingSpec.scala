@@ -397,7 +397,14 @@ class StreamingSpec extends SparkSpec {
       (1L, "x y alpha beta gamma z w beta gamma delta q"),
       // overlapping matches that must MERGE into one span
       (2L, "alpha beta gamma delta r s t"),
-      (3L, "completely clean document text with no overlap at all"))
+      (3L, "completely clean document text with no overlap at all"),
+      // shorter than k tokens: gram array is EMPTY — the streaming lift
+      // must emit nothing, not throw (sequence(0, -1) is DESCENDING in
+      // Spark, so an unclamped position list dereferences the empty
+      // array); same for a doc with a single token and the empty string
+      (4L, "alpha beta"),
+      (5L, "alpha"),
+      (6L, ""))
       .toDF("doc_id", "text")
     // batch truth: the corpus = eval + incoming, spans of non-eval docs
     val batch = SpanDedup.contaminationSpans(
@@ -406,6 +413,8 @@ class StreamingSpec extends SparkSpec {
         r.getLong(3))).toSet
     assert(batch.exists(_._1 == 1L) && batch.exists(_._1 == 2L) &&
       !batch.exists(_._1 == 3L), batch.toString)
+    // short docs produce no grams, hence no spans, in the batch report
+    assert(!batch.exists(r => r._1 >= 4L), batch.toString)
     // doc 2's grams at pos 0 and 1 overlap -> ONE merged span [0, 3]
     assert(batch.filter(_._1 == 2L) == Set((2L, 0L, 3L, 4L)), batch.toString)
     val mem = MemoryStream[(Long, String)]
@@ -413,7 +422,8 @@ class StreamingSpec extends SparkSpec {
       mem.toDF().toDF("doc_id", "text"), evalDocs)
     mem.addData((1L, "x y alpha beta gamma z w beta gamma delta q"),
       (2L, "alpha beta gamma delta r s t"),
-      (3L, "completely clean document text with no overlap at all"))
+      (3L, "completely clean document text with no overlap at all"),
+      (4L, "alpha beta"), (5L, "alpha"), (6L, ""))
     val q = out.writeStream.format("memory").queryName("cont_spans")
       .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
     q.processAllAvailable()
