@@ -12,8 +12,13 @@ import org.apache.spark.sql.SparkSession
   *
   * Cold = first execution (dominated by planning + whole-stage-codegen
   * compilation for the narrow closed-form queries — measured 30-80x the
-  * steady state); warm = second execution of the same query, the number
-  * that tracks actual operator cost and catches plan regressions.
+  * steady state); warm = per-query MINIMUM over two further executions,
+  * the number that tracks actual operator cost and catches plan
+  * regressions. A single warm pass proved untrustworthy (r10: q_total
+  * 4.8 s "warm" vs 1.26 s cold under container contention), so the main
+  * bench now applies the min-of-N discipline the bench_ab studies use,
+  * and `diag.warm_anomalies` names sub-2s-cold queries whose best warm
+  * still exceeded cold — the signature of a contaminated session.
   * `queries` stays the cold map (comparable with earlier rounds);
   * `queries_warm`/`total_warm` carry the steady-state column.
   *
@@ -122,9 +127,33 @@ object Bench {
     val s0 = jvmStats()
     val cold = ordered.map { case (name, fn) => name -> timeOnce(fn) }
     val coldDiag = passDiag("cold pass", s0)
+    // Warm = per-query MINIMUM of two post-cold passes. One warm pass is
+    // at the mercy of container contention — the r10 driver run timed
+    // q_total (a row-sum) at 4.8 s warm vs 1.26 s cold, a physical
+    // impossibility that poisoned every round-over-round warm comparison.
+    // The min-of-N protocol is the same one the bench_ab A/B studies
+    // already use; two passes bound the added wall cost at one extra
+    // registry sweep.
     val s1 = jvmStats()
-    val warm = ordered.map { case (name, fn) => name -> timeOnce(fn) }
-    val warmDiag = passDiag("warm pass", s1)
+    val warm1 = ordered.map { case (name, fn) => name -> timeOnce(fn) }
+    val warmDiag = passDiag("warm pass 1", s1)
+    val s2 = jvmStats()
+    val warm2 = ordered.map { case (name, fn) => name -> timeOnce(fn) }
+    val warm2Diag = passDiag("warm pass 2", s2)
+    val warm = warm1.zip(warm2).map { case ((n, a), (_, b)) =>
+      n -> (if (a.sec <= b.sec) a else b)
+    }
+    // Sanity flag: a sub-2s-cold query whose BEST warm exceeds cold ran
+    // under contention in every pass — name it so the round's comparison
+    // reads the number as noise, not regression.
+    val coldByName = cold.toMap
+    val warmAnomalies = warm.collect {
+      case (n, w) if w.sec > coldByName(n).sec && coldByName(n).sec < 2.0 => n
+    }
+    if (warmAnomalies.nonEmpty)
+      System.err.println(s"[bench] WARM-ANOMALY (best-of-2 warm > cold on " +
+        s"sub-2s-cold queries; treat warm totals as contaminated): " +
+        warmAnomalies.mkString(","))
     // Outlier chase (round-7 verdict): SPARK_GRAFT_REBENCH=q_a,q_b times
     // the named queries twice more at the END of the session — if a cold/
     // warm number was session noise (GC, codegen churn), these two extra
@@ -147,10 +176,14 @@ object Bench {
         f""""codegen_compiles":${t.cgN}}"""
     }.mkString("[", ",", "]")
     val diag =
-      s"""{"cold":$coldDiag,"warm":$warmDiag,"caches":${cacheJson()},""" +
+      s"""{"cold":$coldDiag,"warm":$warmDiag,"warm2":$warm2Diag,""" +
+        s""""warm_protocol":"per-query min of 2 post-cold passes",""" +
+        s""""warm_anomalies":${warmAnomalies.map("\"" + _ + "\"")
+          .mkString("[", ",", "]")},""" +
+        s""""caches":${cacheJson()},""" +
         s""""fo2_decisions":${fo2DecisionsJson()},""" +
         s""""slowest_cold":$slowDiag,""" +
-        """"reading_rule":"a cold spike with jit_s on the order of sec and a small warm_sec is JVM JIT (C2) lag on the per-row solver loops - a fresh-JVM property, not a plan defect"}"""
+        """"reading_rule":"a cold spike with jit_s on the order of sec and a small warm_sec is JVM JIT (C2) lag on the per-row solver loops - a fresh-JVM property, not a plan defect; warm is min-of-2 and warm_anomalies lists sub-2s-cold queries whose best warm still exceeded cold (container contention)"}"""
     // millisecond precision keeps the line compact enough for line-buffered
     // log capture (a full-precision line for ~100 queries risks truncation)
     def jsonMap(rs: Seq[(String, Timing)]): String =
