@@ -34,11 +34,52 @@ import org.apache.spark.sql.functions._
 object Pq {
 
   /** Per-subspace codebooks: result(m)(j) = centroid j of subspace m
-    * (each of length dim/m). Deterministic: init + fixed iterations per
-    * [[KMeansDet.fitCentroids]] on the sliced columns. */
+    * (each of length dim/m). Deterministic — identical codebooks to one
+    * [[KMeansDet.fitCentroids]] per sliced subspace (pinned by
+    * `MmrSpec`'s training-equivalence law), but ONE Spark job per
+    * iteration instead of M: every iteration stacks the M per-subspace
+    * assignments into a single exploded (s, cid, d, x) aggregation, so a
+    * production M=16 build pays iters+1 jobs, not 16·(iters+1). Exact
+    * dyadic arithmetic makes the fused aggregation order-irrelevant,
+    * which is what licenses the fusion without a bit of drift. */
   def train(embeddings: DataFrame, m: Int, k: Int, iters: Int,
             dim: Int): Array[Array[Array[Double]]] = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val e = embeddings.select(col("vec_id"),
+      KMeansDet.quantize(col("embedding").cast("array<double>")).as("v"))
+    // init: the k lowest-id vectors, sliced per subspace — one collect
+    val init = e.orderBy("vec_id").limit(k).collect()
+      .map(_.getSeq[Double](1).toArray)
+    var cents: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(s => init.map(v => v.slice(s * sub, (s + 1) * sub)))
+    for (_ <- 1 to iters) {
+      val stacked = e.select(explode(array((0 until m).map { s =>
+          val vs = slice(col("v"), s * sub + 1, sub)
+          struct(lit(s).as("s"),
+            argminCode(d2Cols(vs, cents(s)))._1.as("cid"), vs.as("sv"))
+        }: _*)).as("t"))
+        .select(col("t.s").as("s"), col("t.cid").as("cid"),
+          posexplode(col("t.sv")).as(Seq("d", "x")))
+      val rows = stacked.groupBy("s", "cid", "d")
+        .agg((round(sum((col("x") * lit(KMeansDet.Scale)).cast("long"))
+          .cast("double") / count(lit(1)).cast("double")) /
+          lit(KMeansDet.Scale)).as("c"))
+        .collect()
+      val mp = rows.map(r =>
+        (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+      cents = Array.tabulate(m)(s => Array.tabulate(k)(j =>
+        Array.tabulate(sub)(d => mp.getOrElse((s, j, d), cents(s)(j)(d)))))
+    }
+    cents
+  }
+
+  /** The pre-fusion reference trainer: one [[KMeansDet.fitCentroids]]
+    * per sliced subspace (M·iters jobs). Kept as the equivalence oracle
+    * for [[train]]'s fused single-job-per-iteration form. */
+  private[graft] def trainPerSubspace(embeddings: DataFrame, m: Int, k: Int,
+                                      iters: Int,
+                                      dim: Int): Array[Array[Array[Double]]] = {
     val sub = dim / m
     (0 until m).map { s =>
       KMeansDet.fitCentroids(
@@ -185,11 +226,22 @@ object Pq {
     * the IVF contract. All arithmetic rides [[KMeansDet]]'s dyadic grid
     * (residuals of dyadic values are dyadic), so cells, codes AND
     * distances hash-match the DuckDB oracle. */
-  def ivfPqTopK(embeddings: DataFrame, coarseK: Int, coarseIters: Int,
-                m: Int, pqK: Int, pqIters: Int, dim: Int,
-                nprobe: Int, topK: Int): DataFrame = {
+  /** A built IVF-PQ index: the coarse centroids, the residual codebooks
+    * (driver-side — coarseK·dim + m·pqK·(dim/m) doubles, the same
+    * footprint one training collect already holds) and the encoded
+    * candidate table (nid, cell, code_0..code_{m-1}) — the compressed
+    * representation the search joins against; raw vectors appear
+    * nowhere. */
+  final case class IvfPqIndex(cells: Array[Array[Double]],
+                              codebooks: Array[Array[Array[Double]]],
+                              codes: DataFrame)
+
+  /** Train the index (coarse cells + residual codebooks + codes) without
+    * persisting — the shared build half of [[ivfPqTopK]] and
+    * [[writeIndex]]. */
+  def fitIndex(embeddings: DataFrame, coarseK: Int, coarseIters: Int,
+               m: Int, pqK: Int, pqIters: Int, dim: Int): IvfPqIndex = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    require(nprobe >= 1 && nprobe <= coarseK)
     val sub = dim / m
     val cells = KMeansDet.fitCentroids(
       embeddings.select(col("vec_id"),
@@ -202,7 +254,7 @@ object Pq {
     // CASE inside `res` would otherwise be re-inlined by projection
     // collapse into every downstream d2 column of every PQ-fit job (an
     // expression-tree blowup that OOMs analysis at coarseK=64), and the
-    // 2m k-means jobs would each recompute scan+assign. Materializing
+    // k-means jobs would each recompute scan+assign. Materializing
     // residuals before codebook training is what every IVF-PQ trainer
     // does; the checkpoint is N x 2·dim doubles.
     val assigned = base.withColumn("cell", cidCol)
@@ -217,14 +269,25 @@ object Pq {
     val codeParts = (0 until m).map { s =>
       argminCode(d2Cols(slice(col("res"), s * sub + 1, sub), codebooks(s)))._1
     }
-    val right = assigned.select(
+    val codes = assigned.select(
       col("vec_id").as("nid") +: col("cell") +:
         codeParts.zipWithIndex.map { case (c, s) => c.as(s"code_$s") }: _*)
-    // probe side: the nprobe nearest cells per query — array_sort over
-    // (d2, cell) structs ties exactly like the oracle's ORDER BY d2, j.
-    // Per probed cell, the M·K ADC distance table over the query's
-    // residual w.r.t. THAT cell is computed here, once, so the join
-    // ships (qid, cell, M·K scalars) and each pair is M CASE lookups.
+    IvfPqIndex(cells, codebooks, codes)
+  }
+
+  /** ADC search against a built index: the nprobe nearest cells per
+    * query — array_sort over (d2, cell) structs ties exactly like the
+    * oracle's ORDER BY d2, j. Per probed cell, the M·K ADC distance
+    * table over the query's residual w.r.t. THAT cell is computed on the
+    * probe side, once, so the join ships (qid, cell, M·K scalars) and
+    * each candidate pair is M CASE lookups against the codes table. */
+  def searchIndex(queries: DataFrame, index: IvfPqIndex, nprobe: Int,
+                  topK: Int): DataFrame = {
+    val cells = index.cells
+    val codebooks = index.codebooks
+    require(nprobe >= 1 && nprobe <= cells.length)
+    val q = KMeansDet.quantize(col("embedding").cast("array<double>"))
+    val base = queries.select(col("vec_id"), q.as("v"))
     val cellRank = array_sort(array(d2Cols(col("v"), cells).zipWithIndex
       .map { case (d, j) => struct(d.as("d"), lit(j).as("j")) }: _*))
     val left = base
@@ -236,13 +299,89 @@ object Pq {
       .select(col("qid") +: col("cell") +: dtabCols(col("qr"), codebooks): _*)
     // each candidate lives in exactly one cell, so the cell equi-join
     // yields every (query, candidate) pair at most once
-    val pairs = left.join(right, "cell").where(col("qid") =!= col("nid"))
+    val pairs = left.join(index.codes, "cell")
+      .where(col("qid") =!= col("nid"))
     pairs.withColumn("adist", round(adcFromTable(codebooks), 6))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("qid")
           .orderBy(col("adist"), col("nid"))))
       .where(col("rk") <= topK)
       .select(col("qid"), col("nid"), col("adist"))
+  }
+
+  def ivfPqTopK(embeddings: DataFrame, coarseK: Int, coarseIters: Int,
+                m: Int, pqK: Int, pqIters: Int, dim: Int,
+                nprobe: Int, topK: Int): DataFrame =
+    searchIndex(embeddings,
+      fitIndex(embeddings, coarseK, coarseIters, m, pqK, pqIters, dim),
+      nprobe, topK)
+
+  // ---- persisted index artifact -----------------------------------------
+
+  /** Persist a trained index under `path` as two parquet tables — the
+    * production ANN shape: train ONCE, search many. `centroids` holds
+    * every centroid row-wise ((kind, s, j, c): "coarse" rows are the
+    * cell centroids, "pq" rows the per-subspace residual codebooks — a
+    * few KB total), `codes` the encoded corpus, partitioned by nothing
+    * (cell is a join key, not a pruning key, at these cardinalities; a
+    * 100 TB deployment would bucket it by cell so the search join
+    * co-locates without a shuffle). Parquet doubles round-trip exactly,
+    * so a loaded index searches bit-identically to the in-memory one. */
+  def writeIndex(embeddings: DataFrame, coarseK: Int, coarseIters: Int,
+                 m: Int, pqK: Int, pqIters: Int, dim: Int,
+                 path: String): Unit = {
+    val idx = fitIndex(embeddings, coarseK, coarseIters, m, pqK, pqIters, dim)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents =
+      idx.cells.zipWithIndex.map { case (c, j) =>
+        ("coarse", -1, j, c.toSeq) } ++
+      (for (s <- idx.codebooks.indices; j <- idx.codebooks(s).indices)
+        yield ("pq", s, j, idx.codebooks(s)(j).toSeq))
+    cents.toSeq.toDF("kind", "s", "j", "c").repartition(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    idx.codes.write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Load a persisted index: one bounded driver collect for the
+    * centroids (coarseK·dim + m·pqK·(dim/m) doubles), codes stay a lazy
+    * parquet relation for the search join. */
+  def readIndex(spark: org.apache.spark.sql.SparkSession,
+                path: String): IvfPqIndex = {
+    val cents = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getSeq[Double](3).toArray))
+    val cells = cents.filter(_._1 == "coarse").sortBy(_._3).map(_._4)
+    val pq = cents.filter(_._1 == "pq")
+    val codebooks = pq.map(_._2).distinct.sorted.map(s =>
+      pq.filter(_._2 == s).sortBy(_._3).map(_._4))
+    IvfPqIndex(cells, codebooks, spark.read.parquet(s"$path/codes"))
+  }
+
+  // one build per (corpus, params) per JVM: Verify/Bench re-invoke the
+  // registry query many times; only the FIRST pays training, exactly the
+  // build-once/search-many contract the artifact exists for. The path
+  // lives under target/ (or GRAFT_INDEX_DIR) with a per-JVM token, so a
+  // stale artifact from an earlier process is never trusted.
+  private val indexMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private val jvmToken =
+    java.lang.Long.toHexString(System.identityHashCode(indexMemo).toLong)
+
+  /** The persisted-index path for (embeddings-at-`key`, params) —
+    * building and writing it on the first call in this JVM. */
+  def persistedIndex(embeddings: DataFrame, key: String, coarseK: Int,
+                     coarseIters: Int, m: Int, pqK: Int, pqIters: Int,
+                     dim: Int): IvfPqIndex = {
+    val root = sys.env.getOrElse("GRAFT_INDEX_DIR", "target/graft-index")
+    val id = java.lang.Integer.toHexString(
+      s"$key|$coarseK|$coarseIters|$m|$pqK|$pqIters|$dim".hashCode)
+    val path = indexMemo.computeIfAbsent(id, _ => {
+      val p = s"$root/$jvmToken/ivfpq_$id"
+      writeIndex(embeddings, coarseK, coarseIters, m, pqK, pqIters, dim, p)
+      p
+    })
+    readIndex(embeddings.sparkSession, path)
   }
 
   // ---- DuckDB oracle renderings -----------------------------------------
