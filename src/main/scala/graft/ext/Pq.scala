@@ -36,7 +36,8 @@ object Pq {
   /** Per-subspace codebooks: result(m)(j) = centroid j of subspace m
     * (each of length dim/m). Deterministic — identical codebooks to one
     * [[KMeansDet.fitCentroids]] per sliced subspace (pinned by
-    * `MmrSpec`'s training-equivalence law), but ONE Spark job per
+    * `PqSpec`'s training-equivalence law, including the empty-cluster
+    * keep-previous-centroid path), but ONE Spark job per
     * iteration instead of M: every iteration stacks the M per-subspace
     * assignments into a single exploded (s, cid, d, x) aggregation, so a
     * production M=16 build pays iters+1 jobs, not 16·(iters+1). Exact
@@ -76,7 +77,10 @@ object Pq {
 
   /** The pre-fusion reference trainer: one [[KMeansDet.fitCentroids]]
     * per sliced subspace (M·iters jobs). Kept as the equivalence oracle
-    * for [[train]]'s fused single-job-per-iteration form. */
+    * for [[train]]'s fused single-job-per-iteration form — `PqSpec`'s
+    * training-equivalence law asserts `train == trainPerSubspace`
+    * element-for-element on the embeddings fixture and on an
+    * empty-cluster fixture. */
   private[graft] def trainPerSubspace(embeddings: DataFrame, m: Int, k: Int,
                                       iters: Int,
                                       dim: Int): Array[Array[Array[Double]]] = {
@@ -326,7 +330,8 @@ object Pq {
     * (cell is a join key, not a pruning key, at these cardinalities; a
     * 100 TB deployment would bucket it by cell so the search join
     * co-locates without a shuffle). Parquet doubles round-trip exactly,
-    * so a loaded index searches bit-identically to the in-memory one. */
+    * so a loaded index searches bit-identically to the in-memory one
+    * (pinned by `PqSpec`'s write→read→search round-trip law). */
   def writeIndex(embeddings: DataFrame, coarseK: Int, coarseIters: Int,
                  m: Int, pqK: Int, pqIters: Int, dim: Int,
                  path: String): Unit = {
@@ -362,22 +367,51 @@ object Pq {
   // registry query many times; only the FIRST pays training, exactly the
   // build-once/search-many contract the artifact exists for. The path
   // lives under target/ (or GRAFT_INDEX_DIR) with a per-JVM token, so a
-  // stale artifact from an earlier process is never trusted.
+  // stale artifact from an earlier process is never trusted, and the
+  // token dir is deleted on JVM exit so repeated Bench/Verify runs don't
+  // accumulate orphaned index trees. Memoised on the FULL key string —
+  // a 32-bit String.hashCode memo (the original form) would let two
+  // different (corpus, params) keys collide and silently serve search
+  // results from the wrong index; the digest is only used for the PATH,
+  // where the full-string memo already guarantees one path per key.
   private val indexMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]
   private val jvmToken =
     java.lang.Long.toHexString(System.identityHashCode(indexMemo).toLong)
+  private lazy val indexRootForCleanup: Unit = {
+    val root = sys.env.getOrElse("GRAFT_INDEX_DIR", "target/graft-index")
+    val dir = java.nio.file.Paths.get(root, jvmToken)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        if (java.nio.file.Files.exists(dir)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dir).sorted(
+            java.util.Comparator.reverseOrder[java.nio.file.Path])
+            .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      } catch { case _: Throwable => () }))
+  }
 
-  /** The persisted-index path for (embeddings-at-`key`, params) —
-    * building and writing it on the first call in this JVM. */
+  private def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"${b & 0xff}%02x").mkString
+
+  /** The persisted index for (embeddings-at-`key`, params) — building
+    * and writing it on the first call in this JVM, loading it from the
+    * parquet artifact on every call after. `key` must identify the
+    * corpus (e.g. its path); the memo key is the full (key, params)
+    * string — collision-free by construction — and the on-disk path
+    * component is its SHA-256, so distinct keys can never share a
+    * directory. */
   def persistedIndex(embeddings: DataFrame, key: String, coarseK: Int,
                      coarseIters: Int, m: Int, pqK: Int, pqIters: Int,
                      dim: Int): IvfPqIndex = {
+    indexRootForCleanup
     val root = sys.env.getOrElse("GRAFT_INDEX_DIR", "target/graft-index")
-    val id = java.lang.Integer.toHexString(
-      s"$key|$coarseK|$coarseIters|$m|$pqK|$pqIters|$dim".hashCode)
-    val path = indexMemo.computeIfAbsent(id, _ => {
-      val p = s"$root/$jvmToken/ivfpq_$id"
+    val full = s"$key|$coarseK|$coarseIters|$m|$pqK|$pqIters|$dim"
+    val path = indexMemo.computeIfAbsent(full, _ => {
+      val p = s"$root/$jvmToken/ivfpq_${sha256Hex(full)}"
       writeIndex(embeddings, coarseK, coarseIters, m, pqK, pqIters, dim, p)
       p
     })
