@@ -22,6 +22,15 @@ import org.apache.spark.sql.SparkSession
   * `queries` stays the cold map (comparable with earlier rounds);
   * `queries_warm`/`total_warm` carry the steady-state column.
   *
+  * Round-12: the same discipline applies to COLD (r11 verdict #2 — a
+  * single cold execution had inherited the contention problem warm just
+  * shed: 41s q_fo2_iw_full cold with jit_s 6.1 and warm 2.66s).
+  * `diag.cold_anomalies` names queries whose cold−warm gap exceeds 2s
+  * while measured JIT+GC cover less than half of it (contention, not
+  * fresh-JVM compilation), and `total_cold_explained` re-totals cold
+  * with those entries replaced by warm + their jit+gc — the
+  * round-over-round comparable cold headline.
+  *
   * Round-9: the artifact carries its own diagnosis. The r8 driver run had
   * solver-UDF cold spikes (armstrong 48 s cold / 2.6 s warm) that the
   * JSON could not explain because the GC/JIT/codegen/cache metrics only
@@ -154,6 +163,32 @@ object Bench {
       System.err.println(s"[bench] WARM-ANOMALY (best-of-2 warm > cold on " +
         s"sub-2s-cold queries; treat warm totals as contaminated): " +
         warmAnomalies.mkString(","))
+    // The cold pass is ONE execution, so it carries the same contention
+    // exposure the warm pass had before min-of-2 (r11: q_fo2_iw_full
+    // 41.1s cold with jit_s 6.1 and warm 2.66s — container contention,
+    // not JIT). A cold spike is EXPLAINED when JIT + GC account for the
+    // cold-minus-warm gap (fresh-JVM compilation lag, a real first-run
+    // property); when they cover less than half of a >2s gap, the spike
+    // is contention and the query is flagged so round-over-round cold
+    // deltas read from the diag alone. `total_cold_explained` re-totals
+    // cold with flagged queries replaced by warm + their measured
+    // jit+gc — the contention-robust headline companion.
+    val coldAnomalies = warm.collect {
+      case (n, w) if {
+        val c = coldByName(n)
+        val gap = c.sec - w.sec
+        gap > 2.0 && (c.jitMs + c.gcMs) / 1000.0 < 0.5 * gap
+      } => n
+    }
+    if (coldAnomalies.nonEmpty)
+      System.err.println(s"[bench] COLD-ANOMALY (cold - warm gap not " +
+        s"covered by jit+gc; treat these cold numbers as contention): " +
+        coldAnomalies.mkString(","))
+    val coldAnomalySet = coldAnomalies.toSet
+    val totalColdExplained = warm.map { case (n, w) =>
+      val c = coldByName(n)
+      if (coldAnomalySet(n)) w.sec + (c.jitMs + c.gcMs) / 1000.0 else c.sec
+    }.sum
     // Outlier chase (round-7 verdict): SPARK_GRAFT_REBENCH=q_a,q_b times
     // the named queries twice more at the END of the session — if a cold/
     // warm number was session noise (GC, codegen churn), these two extra
@@ -180,10 +215,13 @@ object Bench {
         s""""warm_protocol":"per-query min of 2 post-cold passes",""" +
         s""""warm_anomalies":${warmAnomalies.map("\"" + _ + "\"")
           .mkString("[", ",", "]")},""" +
+        s""""cold_anomalies":${coldAnomalies.map("\"" + _ + "\"")
+          .mkString("[", ",", "]")},""" +
+        f""""total_cold_explained":$totalColdExplained%.3f,""" +
         s""""caches":${cacheJson()},""" +
         s""""fo2_decisions":${fo2DecisionsJson()},""" +
         s""""slowest_cold":$slowDiag,""" +
-        """"reading_rule":"a cold spike with jit_s on the order of sec and a small warm_sec is JVM JIT (C2) lag on the per-row solver loops - a fresh-JVM property, not a plan defect; warm is min-of-2 and warm_anomalies lists sub-2s-cold queries whose best warm still exceeded cold (container contention)"}"""
+        """"reading_rule":"a cold spike with jit_s on the order of sec and a small warm_sec is JVM JIT (C2) lag on the per-row solver loops - a fresh-JVM property, not a plan defect; warm is min-of-2 and warm_anomalies lists sub-2s-cold queries whose best warm still exceeded cold (container contention); cold_anomalies lists queries whose cold-minus-warm gap exceeds 2s with jit+gc covering under half of it (contention, not JIT) and total_cold_explained re-totals cold with those replaced by warm+jit+gc - compare THAT number across rounds"}"""
     // millisecond precision keeps the line compact enough for line-buffered
     // log capture (a full-precision line for ~100 queries risks truncation)
     def jsonMap(rs: Seq[(String, Timing)]): String =
@@ -211,7 +249,7 @@ object Bench {
       kept += 1
     }
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{${entries.toString}},"queries_omitted":${cold.size - kept},"queries_full":"BENCH_LAST.json","total_warm":$totalWarm%.3f,"n_queries":${cold.size},"pass_diag":{"cold":$coldDiag,"warm":$warmDiag},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{${entries.toString}},"queries_omitted":${cold.size - kept},"queries_full":"BENCH_LAST.json","total_warm":$totalWarm%.3f,"total_cold_explained":$totalColdExplained%.3f,"n_queries":${cold.size},"pass_diag":{"cold":$coldDiag,"warm":$warmDiag},"sf":"$sfDir"}"""
     // Stop Spark BEFORE printing so shutdown chatter (block-manager /
     // context-cleaner log lines) cannot land after the JSON: the harness
     // parses the LAST stdout line, so these two prints must be final.

@@ -245,6 +245,74 @@ object SolverQueries {
              |   CAST(ceil((width * scale)) AS INTEGER) AS "out_width",
              |   CAST(ceil((height * scale)) AS INTEGER) AS "out_height"
              | FROM s ORDER BY "doc_id"""".stripMargin.replace("\n", " "))),
+    // AV-extended decode over a 5-format corpus (png/jpeg/gif/wav/mp4 by
+    // doc_id % 5): the WAV RIFF chunk walk reads channels/sample rate/
+    // data size from real bytes, the MP4 box walk reads mvhd timescale/
+    // duration past a free box — every metadata field is closed-form in
+    // (doc_id, text length), so DuckDB pins the full five-container
+    // encode -> parse round trip. Hand-built byte fixtures (truncation,
+    // bad magic, extra chunks, version-1 mvhd) live in MultimodalSpec.
+    Q("q_multimodal_av", (s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      graft.ext.Multimodal.decodeMedia(
+          graft.ext.Multimodal.synthesizedAvPayloads(docs))
+        .select(col("doc_id"), col("payload_bytes"), col("format"),
+          col("width"), col("height"), col("channels"), col("sample_rate"),
+          round(col("duration_ms"), 6).as("duration_ms"))
+        .orderBy("doc_id")
+    }, Some("""WITH d AS (SELECT "doc_id",
+             | least(32, octet_length(CAST("text" AS BLOB))) AS k
+             | FROM documents)
+             | SELECT "doc_id",
+             |   CAST((CASE ("doc_id" % 5) WHEN 0 THEN 57 WHEN 1 THEN 45
+             |         WHEN 2 THEN 18 WHEN 3 THEN 44 ELSE 140 END) + k
+             |     AS INTEGER) AS "payload_bytes",
+             |   (CASE ("doc_id" % 5) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+             |         WHEN 2 THEN 'gif' WHEN 3 THEN 'wav' ELSE 'mp4' END)
+             |     AS "format",
+             |   (CASE WHEN ("doc_id" % 5) <= 2
+             |     THEN CAST(16 + ("doc_id" % 64) AS INTEGER) END) AS "width",
+             |   (CASE WHEN ("doc_id" % 5) <= 2
+             |     THEN CAST(16 + (("doc_id" // 64) % 64) AS INTEGER) END)
+             |     AS "height",
+             |   (CASE WHEN ("doc_id" % 5) = 3
+             |     THEN CAST(1 + ("doc_id" % 2) AS INTEGER) END) AS "channels",
+             |   (CASE WHEN ("doc_id" % 5) = 3
+             |     THEN CAST(8000 + 1000 * ("doc_id" % 4) AS INTEGER) END)
+             |     AS "sample_rate",
+             |   (CASE WHEN ("doc_id" % 5) = 3 THEN round((k * 1000.0e0) /
+             |       CAST((8000 + 1000 * ("doc_id" % 4)) *
+             |            (1 + ("doc_id" % 2)) * 2 AS DOUBLE), 6)
+             |     WHEN ("doc_id" % 5) = 4 THEN round(
+             |       ((1000 + 10 * ("doc_id" % 100)) * 1000.0e0) /
+             |       CAST(600 + 100 * ("doc_id" % 10) AS DOUBLE), 6)
+             |     END) AS "duration_ms"
+             | FROM d ORDER BY "doc_id"""".stripMargin.replace("\n", " "))),
+    // Duration-driven frame sampling over the PARSED mp4 durations (2 fps,
+    // every 2nd frame): the video half of the multimodal plumbing made
+    // real — frame counts come from mvhd, not a constant.
+    Q("q_multimodal_av_frames", (s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val media = graft.ext.Multimodal.decodeMedia(
+        graft.ext.Multimodal.synthesizedAvPayloads(docs))
+      graft.ext.Multimodal.frameSamplePlanFromDuration(
+          media.where(col("format") === "mp4"), fps = 2.0, everyNth = 2)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"))
+        .orderBy("doc_id", "frame_idx")
+    }, Some("""WITH m AS (SELECT "doc_id",
+             |   ((1000 + 10 * ("doc_id" % 100)) * 1000.0e0) /
+             |     CAST(600 + 100 * ("doc_id" % 10) AS DOUBLE) AS dur_ms
+             |   FROM documents WHERE ("doc_id" % 5) = 4),
+             | f AS (SELECT "doc_id",
+             |   CAST(floor((dur_ms / 1000.0e0) * 2.0e0) AS INTEGER) AS nf
+             |   FROM m)
+             | SELECT "doc_id",
+             |   CAST(unnest(generate_series(0, nf - 1, 2)) AS BIGINT)
+             |     AS "frame_idx"
+             | FROM f WHERE nf >= 1 ORDER BY 1, 2""".stripMargin
+      .replace("\n", " "))),
     // Frame-sampling plan for video-like payloads: every 3rd frame of 10
     // as (doc_id, frame_idx) work units — lateral explode, no shuffle.
     Q("q_multimodal_frames", (s, dir) => {

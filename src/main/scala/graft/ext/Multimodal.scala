@@ -7,22 +7,26 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video payloads as opaque
   * `binary` columns with typed metadata, batch-processed per partition.
   *
-  * The DECODE step is a real container-header parser ([[parseHeader]]):
-  * pure byte arithmetic over the published container layouts — PNG
-  * signature + IHDR chunk (with CRC verification), JPEG marker scan to
-  * the first SOF frame header, GIF logical screen descriptor — no codec
-  * libraries, fully deterministic. Payloads that are none of the three
-  * fall back to [[decodeStub]]'s pseudo-metadata (format "unknown"), so
-  * the pipeline never throws on junk bytes; a production deployment adds
-  * formats by extending the parser, not by touching the pipeline.
+  * The DECODE step is a real container-header parser ([[parseHeader]] for
+  * images, [[parseAv]] for audio/video): pure byte arithmetic over the
+  * published container layouts — PNG signature + IHDR chunk (with CRC
+  * verification), JPEG marker scan to the first SOF frame header, GIF
+  * logical screen descriptor, WAV RIFF chunk walk to `fmt `/`data`
+  * (channels, sample rate, duration), MP4 ISO-BMFF box walk to
+  * `moov`/`mvhd` (timescale, duration) — no codec libraries, fully
+  * deterministic. Payloads that are none of the five fall back to
+  * [[decodeStub]]'s pseudo-metadata (format "unknown"), so the pipeline
+  * never throws on junk bytes; a production deployment adds formats by
+  * extending the parser, not by touching the pipeline.
   *
-  * [[encodePng]]/[[encodeJpeg]]/[[encodeGif]] build minimal VALID files
-  * of those layouts (real signatures, real chunk CRCs, real marker
-  * lengths) — the write half of the modality: test-vector builders for
-  * the oracle queries and the payload synthesizer for binary-column
-  * sinks. Full pixel codecs (DEFLATE for PNG IDAT, DCT for JPEG scans)
-  * are intentionally out of scope: header metadata is what a 100 TB
-  * curation pass reads, and the parser never touches pixel data.
+  * [[encodePng]]/[[encodeJpeg]]/[[encodeGif]]/[[encodeWav]]/[[encodeMp4]]
+  * build minimal VALID files of those layouts (real signatures, real
+  * chunk CRCs, real marker/box lengths) — the write half of the modality:
+  * test-vector builders for the oracle queries and the payload
+  * synthesizer for binary-column sinks. Full payload codecs (DEFLATE for
+  * PNG IDAT, DCT for JPEG scans, PCM frames, H.264 track data) are
+  * intentionally out of scope: header metadata is what a 100 TB curation
+  * pass reads, and the parser never touches sample data.
   */
 object Multimodal {
 
@@ -122,6 +126,111 @@ object Multimodal {
   def parseHeader(payload: Array[Byte]): Option[(String, Int, Int)] =
     parsePng(payload).orElse(parseJpeg(payload)).orElse(parseGif(payload))
 
+  private def le32(p: Array[Byte], off: Int): Long =
+    u8(p(off)).toLong | (u8(p(off + 1)).toLong << 8) |
+      (u8(p(off + 2)).toLong << 16) | (u8(p(off + 3)).toLong << 24)
+
+  private def fourcc(p: Array[Byte], off: Int): String =
+    new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Audio/video container metadata: channels + sample rate are WAV
+    * `fmt ` fields (None for MP4, whose mvhd carries no audio layout);
+    * durationMs is data-chunk bytes over byte rate (WAV) or mvhd
+    * duration over timescale (MP4). */
+  final case class AvMeta(format: String, channels: Option[Int],
+                          sampleRate: Option[Int], durationMs: Double)
+
+  /** WAV (RIFF): "RIFF" + LE32 size + "WAVE", then a LE chunk walk
+    * (id(4), size LE32, data, odd sizes padded to even) to the `fmt `
+    * chunk — audioFormat(LE16), channels(LE16), sampleRate(LE32),
+    * byteRate(LE32), blockAlign(LE16), bitsPerSample(LE16) — and the
+    * `data` chunk, whose byte count over the byte rate is the duration.
+    * Layout per the original Microsoft/IBM RIFF spec (the multimedia
+    * programming interface every audio tool implements); structurally
+    * invalid or truncated streams return None. */
+  private def parseWav(p: Array[Byte]): Option[AvMeta] = {
+    if (p.length < 44) return None
+    if (fourcc(p, 0) != "RIFF" || fourcc(p, 8) != "WAVE") return None
+    var i = 12
+    var fmt: Option[(Int, Int, Long)] = None // channels, sampleRate, byteRate
+    var dataBytes: Option[Long] = None
+    while (i + 8 <= p.length && (fmt.isEmpty || dataBytes.isEmpty)) {
+      val id = fourcc(p, i)
+      val sz = le32(p, i + 4)
+      if (sz < 0 || i + 8 + sz > p.length) return None
+      if (id == "fmt ") {
+        if (sz < 16) return None
+        val channels = le16(p, i + 10)
+        val rate = le32(p, i + 12)
+        val byteRate = le32(p, i + 16)
+        val blockAlign = le16(p, i + 20)
+        if (channels <= 0 || rate <= 0 || rate > Int.MaxValue ||
+          byteRate <= 0 || blockAlign <= 0) return None
+        fmt = Some((channels, rate.toInt, byteRate))
+      } else if (id == "data") dataBytes = Some(sz)
+      i += 8 + sz.toInt + (sz.toInt & 1) // chunks pad to even offsets
+    }
+    for ((ch, rate, byteRate) <- fmt; d <- dataBytes)
+      yield AvMeta("wav", Some(ch), Some(rate),
+        d.toDouble * 1000.0 / byteRate.toDouble)
+  }
+
+  /** MP4 (ISO BMFF, ISO/IEC 14496-12): a big-endian box walk — each box
+    * is size(BE32) + type(4), size 1 meaning a 64-bit largesize follows
+    * — requiring `ftyp` first (brand check only), skipping free/other
+    * boxes to `moov`, then walking moov's children to `mvhd`, whose
+    * version-0 body holds timescale at offset 12 and duration at 16
+    * (version 1: 64-bit times, timescale at 20, duration at 24).
+    * duration/timescale is the presentation length in seconds. */
+  private def parseMp4(p: Array[Byte]): Option[AvMeta] = {
+    if (p.length < 16 || fourcc(p, 4) != "ftyp") return None
+    // box walk over [from, to) returning the (start, bodyStart, end) of
+    // the first box of the wanted type
+    def findBox(from: Int, to: Int, tpe: String): Option[(Int, Int, Int)] = {
+      var i = from
+      while (i + 8 <= to) {
+        val sz0 = be32(p, i)
+        val (body, sz) =
+          if (sz0 == 1L) {
+            if (i + 16 > to) return None
+            val hi = be32(p, i + 8); val lo = be32(p, i + 12)
+            (i + 16, (hi << 32) | lo)
+          } else if (sz0 == 0L) (i + 8, (to - i).toLong) // box runs to end
+          else (i + 8, sz0)
+        if (sz < (body - i).toLong || i + sz > to) return None
+        if (fourcc(p, i + 4) == tpe) return Some((i, body, (i + sz).toInt))
+        i += sz.toInt
+      }
+      None
+    }
+    for {
+      (_, moovBody, moovEnd) <- findBox(0, p.length, "moov")
+      (_, mvhdBody, mvhdEnd) <- findBox(moovBody, moovEnd, "mvhd")
+      meta <- {
+        if (mvhdBody + 4 > mvhdEnd) None
+        else {
+          val version = u8(p(mvhdBody))
+          val (tsOff, durLen) = if (version == 1) (mvhdBody + 20, 8)
+                                else (mvhdBody + 12, 4)
+          if (tsOff + 4 + durLen > mvhdEnd) None
+          else {
+            val timescale = be32(p, tsOff)
+            val duration =
+              if (durLen == 8) (be32(p, tsOff + 4) << 32) | be32(p, tsOff + 8)
+              else be32(p, tsOff + 4)
+            if (timescale <= 0) None
+            else Some(AvMeta("mp4", None, None,
+              duration.toDouble * 1000.0 / timescale.toDouble))
+          }
+        }
+      }
+    } yield meta
+  }
+
+  /** Real AV container decode: WAV or MP4 metadata, None otherwise. */
+  def parseAv(payload: Array[Byte]): Option[AvMeta] =
+    parseWav(payload).orElse(parseMp4(payload))
+
   // ---- minimal-valid container encoders ---------------------------------
 
   private def be32b(v: Int): Array[Byte] =
@@ -175,6 +284,57 @@ object Multimodal {
     val com = Array[Byte](0x21, 0xfe.toByte, data.length.toByte) ++ data ++
       Array[Byte](0)
     hdr ++ lsd ++ com ++ Array[Byte](0x3b)
+  }
+
+  private def le16b(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte)
+
+  private def le32b(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte,
+      ((v >>> 16) & 0xff).toByte, ((v >>> 24) & 0xff).toByte)
+
+  /** Minimal valid WAV: RIFF/WAVE header, a 16-byte PCM `fmt ` chunk and
+    * a `data` chunk carrying `data` verbatim as the sample payload.
+    * 44 + data.length bytes — the canonical PCM-WAV preamble size. */
+  def encodeWav(channels: Int, sampleRate: Int, data: Array[Byte]): Array[Byte] = {
+    require(channels > 0 && sampleRate > 0)
+    val blockAlign = channels * 2 // 16-bit samples
+    val byteRate = sampleRate * blockAlign
+    val fmt = "fmt ".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      le32b(16) ++ le16b(1) ++ le16b(channels) ++ le32b(sampleRate) ++
+      le32b(byteRate) ++ le16b(blockAlign) ++ le16b(16)
+    val dataChunk =
+      "data".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+        le32b(data.length) ++ data
+    "RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      le32b(36 + data.length) ++
+      "WAVE".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      fmt ++ dataChunk
+  }
+
+  private def mp4Box(tpe: String, body: Array[Byte]): Array[Byte] =
+    be32b(8 + body.length) ++
+      tpe.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ body
+
+  /** Minimal valid MP4 (ISO BMFF): `ftyp` (brand isom), a `free` box
+    * carrying `data` (exercises the parser's box skip), and `moov`
+    * containing a version-0 `mvhd` with the given timescale/duration.
+    * 140 + data.length bytes. */
+  def encodeMp4(timescale: Int, duration: Int, data: Array[Byte]): Array[Byte] = {
+    require(timescale > 0 && duration >= 0)
+    val ftyp = mp4Box("ftyp",
+      "isom".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ be32b(0))
+    val mvhdBody = Array[Byte](0, 0, 0, 0) ++ // version 0 + flags
+      be32b(0) ++ be32b(0) ++ // creation, modification
+      be32b(timescale) ++ be32b(duration) ++
+      be32b(0x00010000) ++ // rate 1.0
+      Array[Byte](1, 0) ++ Array.fill[Byte](10)(0) ++ // volume + reserved
+      (be32b(0x00010000) ++ be32b(0) ++ be32b(0) ++
+        be32b(0) ++ be32b(0x00010000) ++ be32b(0) ++
+        be32b(0) ++ be32b(0) ++ be32b(0x40000000)) ++ // unity matrix
+      Array.fill[Byte](24)(0) ++ // pre_defined
+      be32b(1) // next_track_ID
+    ftyp ++ mp4Box("free", data) ++ mp4Box("moov", mp4Box("mvhd", mvhdBody))
   }
 
   /** Deterministic corpus payload synthesizer for the oracle queries: the
@@ -252,6 +412,77 @@ object Multimodal {
         col("d.height").as("height"), col("d.feature").as("feature"))
   }
 
+  /** Five-format synthesizer for the AV-extended decode: format by
+    * `doc_id % 5` (png/jpeg/gif/wav/mp4), image dimensions as in
+    * [[encodeSample]], WAV layout `channels = 1 + doc_id % 2`,
+    * `sampleRate = 8000 + 1000·(doc_id % 4)`, MP4 timing
+    * `timescale = 600 + 100·(doc_id % 10)`,
+    * `duration = 1000 + 10·(doc_id % 100)`; the first 32 UTF-8 bytes of
+    * `text` ride as the data segment in every format. All metadata is
+    * closed-form in (doc_id, octet_length(text)), so DuckDB pins the
+    * full encode → parse round trip across all five containers. */
+  def encodeSampleAv(docId: Long, text: String): Array[Byte] = {
+    val data = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).take(32)
+    val w = (16 + Math.floorMod(docId, 64L)).toInt
+    val h = (16 + Math.floorMod(docId / 64L, 64L)).toInt
+    Math.floorMod(docId, 5L) match {
+      case 0L => encodePng(w, h, data)
+      case 1L => encodeJpeg(w, h, data)
+      case 2L => encodeGif(w, h, data)
+      case 3L => encodeWav((1 + Math.floorMod(docId, 2L)).toInt,
+        (8000 + 1000 * Math.floorMod(docId, 4L)).toInt, data)
+      case _  => encodeMp4((600 + 100 * Math.floorMod(docId, 10L)).toInt,
+        (1000 + 10 * Math.floorMod(docId, 100L)).toInt, data)
+    }
+  }
+
+  /** `(doc_id, payload)` over all five container formats. */
+  def synthesizedAvPayloads(docs: DataFrame): DataFrame = {
+    val enc = udf((id: Long, text: String) =>
+      encodeSampleAv(id, if (text == null) "" else text))
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+      enc(col("doc_id").cast("long"), col("text")).as("payload"))
+  }
+
+  /** Unified media record: image fields for PNG/JPEG/GIF, audio/video
+    * fields for WAV/MP4, format "unknown" + stub dimensions for junk. */
+  final case class DecodedMedia(payload_bytes: Int, format: String,
+                                width: Option[Int], height: Option[Int],
+                                channels: Option[Int],
+                                sample_rate: Option[Int],
+                                duration_ms: Option[Double])
+
+  /** Decode a binary column across all five container formats: the image
+    * header parse ([[parseHeader]]) and the AV parse ([[parseAv]]) feed
+    * one typed metadata row; junk falls back to [[decodeStub]] (format
+    * "unknown") so the pipeline never throws. Same UDF-over-Tungsten
+    * shape as [[decodeFeatures]] — column pruning still reaches the scan
+    * for metadata-only consumers. */
+  def decodeMedia(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val decode = udf((payload: Array[Byte]) =>
+      if (payload == null)
+        DecodedMedia(0, null, None, None, None, None, None)
+      else parseHeader(payload) match {
+        case Some((fmt, w, h)) =>
+          DecodedMedia(payload.length, fmt, Some(w), Some(h), None, None, None)
+        case None => parseAv(payload) match {
+          case Some(av) =>
+            DecodedMedia(payload.length, av.format, None, None, av.channels,
+              av.sampleRate, Some(av.durationMs))
+          case None =>
+            val (f, sw, sh, _) = decodeStub(payload)
+            DecodedMedia(payload.length, f, Some(sw), Some(sh), None, None, None)
+        }
+      })
+    df.select(col("doc_id").cast("long").as("doc_id"),
+        decode(col(payloadCol)).as("d"))
+      .select(col("doc_id"), col("d.payload_bytes").as("payload_bytes"),
+        col("d.format").as("format"), col("d.width").as("width"),
+        col("d.height").as("height"), col("d.channels").as("channels"),
+        col("d.sample_rate").as("sample_rate"),
+        col("d.duration_ms").as("duration_ms"))
+  }
+
   /** `(doc_id, payload)` with a real synthesized container per document —
     * the binary-column source the multimodal oracle queries decode. */
   def synthesizedPayloads(docs: DataFrame): DataFrame = {
@@ -275,4 +506,18 @@ object Multimodal {
   def frameSamplePlan(features: DataFrame, everyNth: Int, frames: Int): DataFrame =
     features.select(col("doc_id"),
       explode(sequence(lit(0), lit(frames - 1), lit(everyNth))).as("frame_idx"))
+
+  /** Frame sampling driven by the PARSED duration (what [[frameSamplePlan]]
+    * presumed and [[decodeMedia]] now supplies): per payload,
+    * `floor(duration_ms / 1000 · fps)` frames, every nth exploded as
+    * (doc_id, frame_idx). Zero-frame payloads are filtered BEFORE the
+    * sequence — `sequence(0, -1, n)` is a descending array (the r11
+    * streaming-span crash), not an empty one. */
+  def frameSamplePlanFromDuration(media: DataFrame, fps: Double,
+                                  everyNth: Int): DataFrame = {
+    val nFrames = floor(col("duration_ms") / lit(1000.0) * lit(fps))
+    media.where(col("duration_ms").isNotNull && nFrames >= 1)
+      .select(col("doc_id"), explode(sequence(lit(0),
+        (nFrames - 1).cast("int"), lit(everyNth))).as("frame_idx"))
+  }
 }

@@ -109,19 +109,35 @@ object Fo2Dedup {
     * scan-shaped: narrow operators over a leaf stop reading after
     * ProbeRows rows, but a limit ABOVE a join/aggregate/window still
     * executes the full upstream lineage once. Probe only plans made of
-    * leaves + projections/filters/repartitions; anything heavier keeps
-    * the memo path (whose cost the caller already accepted). */
+    * leaves + projections/filters; anything heavier keeps the memo path
+    * (whose cost the caller already accepted). Repartitions never reach
+    * this walk: [[stripRepartitions]] removes them first — probing ABOVE
+    * a shuffling repartition would run the exchange's full map side
+    * before the limit applied (the r11-advice defect), while probing the
+    * repartition's CHILD reads the same rows bounded, because a
+    * repartition changes layout, never content. */
   private def probeSafe(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical._
     plan match {
-      case _: LeafNode            => true
-      case p: Project             => probeSafe(p.child)
-      case f: Filter              => probeSafe(f.child)
-      case a: SubqueryAlias       => probeSafe(a.child)
-      case r: RepartitionOperation => probeSafe(r.child)
-      case _                      => false
+      case _: LeafNode      => true
+      case p: Project       => probeSafe(p.child)
+      case f: Filter        => probeSafe(f.child)
+      case a: SubqueryAlias => probeSafe(a.child)
+      case _                => false
     }
+  }
+
+  /** Repartition/coalesce nodes are content-identity: the probe (and its
+    * decision memo key) runs on the stripped plan, so a `repartition(n)`
+    * over a scan probes the SCAN — bounded by the LocalLimit — instead
+    * of either paying the exchange's map side (pre-r12) or losing the
+    * probe entirely. */
+  private def stripRepartitions(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    plan.transformUp { case r: RepartitionOperation => r.child }
   }
 
   /** Formulation choice for this input: conf override, or the bounded
@@ -135,16 +151,23 @@ object Fo2Dedup {
     df.sparkSession.conf.get(DedupKey, "auto") match {
       case "true"  => true
       case "false" => false
-      case _ if df.isStreaming ||
-          !probeSafe(df.queryExecution.analyzed) => false
+      case _ if df.isStreaming => false
+      case _ if !probeSafe(stripRepartitions(df.queryExecution.analyzed)) =>
+        false
       case _ =>
-        val key = (df.queryExecution.analyzed.semanticHash(),
+        val stripped = stripRepartitions(df.queryExecution.analyzed)
+        val key = (stripped.semanticHash(),
           df.schema.catalogString.hashCode, s"$tCol|$pCol")
         val cached = probeCache.synchronized(Option(probeCache.get(key)))
         val d = cached.getOrElse {
           // probe OUTSIDE the lock: two threads racing the same input at
-          // worst duplicate the bounded job and agree on the decision
-          val r = df.select(col(tCol), col(pCol)).limit(ProbeRows)
+          // worst duplicate the bounded job and agree on the decision.
+          // The probe runs on the repartition-STRIPPED plan: same rows,
+          // but the LocalLimit sits directly above the scan, so it stops
+          // reading at ProbeRows instead of paying an exchange map side.
+          val probeDf = org.apache.spark.sql.GraftSqlBridge
+            .ofRows(df.sparkSession, stripped)
+          val r = probeDf.select(col(tCol), col(pCol)).limit(ProbeRows)
             .agg(approx_count_distinct(struct(col(tCol), col(pCol)))
               .as("d"), count(lit(1)).as("n"))
             .head()

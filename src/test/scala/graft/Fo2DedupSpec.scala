@@ -204,6 +204,57 @@ class Fo2DedupSpec extends SparkSpec {
     }
   }
 
+  test("auto probe strips repartitions: a repartition(n) input is probed " +
+      "on its bounded child (not above the exchange) and still flips " +
+      "grid-like data to dedup") {
+    Fo2Dedup.drainDecisions()
+    val grid = spark.range(4096).select(col("id"),
+      (lit(1273.15) + (col("id") % 20).cast("double") * 10.0).as("T_K"),
+      (lit(1000.0) + (col("id") % 5).cast("double") * 500.0).as("P_bar"))
+    // pre-r12 the probe's LocalLimit sat ABOVE the repartition exchange,
+    // whose map side runs over the whole input before any limit applies;
+    // now the probe runs on the repartition-stripped plan (same rows,
+    // limit directly over the scan) — so the decision survives AND its
+    // cost is bounded
+    val shuffled = QfmFull.withQfm(grid.repartition(8), "T_K", "P_bar")
+      .queryExecution.executedPlan.toString
+    assert(shuffled.contains("BroadcastHashJoin"),
+      s"repartitioned grid input must still probe (on the stripped " +
+        s"child) and dedup:\n$shuffled")
+    val d1 = Fo2DedupSpec.byFamily(Fo2Dedup.drainDecisions()).get("qfm")
+    assert(d1.exists(_.dedup), d1.toString)
+    // coalesce is likewise stripped; same decision, and the memo key is
+    // the STRIPPED plan, so this is a cache hit on the same estimates
+    val coalesced = QfmFull.withQfm(grid.coalesce(2), "T_K", "P_bar")
+      .queryExecution.executedPlan.toString
+    assert(coalesced.contains("BroadcastHashJoin"),
+      s"coalesced grid input must dedup:\n$coalesced")
+    val d2 = Fo2DedupSpec.byFamily(Fo2Dedup.drainDecisions()).get("qfm")
+    assert(d2.exists(x => x.dedup && x.distinctEst == d1.get.distinctEst &&
+      x.rows == d1.get.rows),
+      s"stripped-plan memo key must make layout variants share one " +
+        s"decision: $d1 vs $d2")
+  }
+
+  test("bench-corpus pin: the sf melts table (near-unique (T, P) lattice) " +
+      "chooses the memo path — a threshold regression fails here, not in " +
+      "a silent bench diff") {
+    // the driver benches sf0.1; any sf of the same generator shares the
+    // (1350 + okey % 250, 1 + pkey % 10000) lattice, whose distinct/rows
+    // ratio at probe scale sits far above DedupRatioThreshold
+    val dir = Seq("/root/testdata/sf0.1", "/root/testdata/sf0.01")
+      .find(d => new java.io.File(d).exists)
+    assume(dir.nonEmpty, "no testdata available")
+    Fo2Dedup.drainDecisions()
+    val melts = Tables.meltsDF(spark, dir.get)
+    assert(!Fo2Dedup.choose(melts, "T_K", "P_bar", "pin"),
+      "bench-shaped melts input must keep the memo formulation")
+    val d = Fo2DedupSpec.byFamily(Fo2Dedup.drainDecisions()).get("pin")
+    assert(d.exists(x => !x.dedup &&
+      x.distinctEst.toDouble / math.max(1L, x.rows) >=
+        Fo2Dedup.DedupRatioThreshold), d.toString)
+  }
+
   test("dedupBroadcast=false falls back to a non-broadcast join, same rows") {
     spark.conf.set(Fo2Dedup.DedupKey, "true")
     spark.conf.set(Fo2Dedup.BroadcastKey, "false")

@@ -124,4 +124,142 @@ class MultimodalSpec extends SparkSpec {
       .select(size(col("feature"))).collect().map(_.getInt(0))
     assert(feats.forall(_ == 8))
   }
+
+  // ---- WAV / MP4 (round 12) ----------------------------------------------
+
+  private def le16(v: Int) =
+    Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte)
+  private def le32(v: Int) =
+    Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte,
+      ((v >>> 16) & 0xff).toByte, ((v >>> 24) & 0xff).toByte)
+  private def be32(v: Long) =
+    Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  /** A WAV laid out byte-for-byte from the RIFF spec, independently of
+    * encodeWav: an ODD-sized LIST chunk BEFORE fmt (exercises the
+    * pad-to-even chunk walk), 2ch 8000 Hz 16-bit PCM, 12 data bytes. */
+  private def wavFixture: Array[Byte] = {
+    val list = "LIST".getBytes("US-ASCII") ++ le32(3) ++
+      Array[Byte]('I', 'N', 'F') ++ Array[Byte](0) // 3 bytes + pad
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(2) ++ le32(8000) ++ le32(8000 * 4) ++
+      le16(4) ++ le16(16)
+    val data = "data".getBytes("US-ASCII") ++ le32(12) ++
+      Array.fill[Byte](12)(0x55)
+    val body = "WAVE".getBytes("US-ASCII") ++ list ++ fmt ++ data
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  test("WAV fixture: chunk walk skips an odd LIST chunk to fmt/data; " +
+      "duration = data bytes / byte rate") {
+    val got = Multimodal.parseAv(wavFixture)
+    assert(got === Some(Multimodal.AvMeta("wav", Some(2), Some(8000),
+      12.0 * 1000.0 / 32000.0)))
+    // truncated mid-chunk: rejected, not mis-parsed
+    assert(Multimodal.parseAv(wavFixture.take(30)) === None)
+    // bad magic
+    val bad = wavFixture.clone; bad(9) = 'X'
+    assert(Multimodal.parseAv(bad) === None)
+    // a fmt chunk claiming zero channels is structurally invalid
+    val zeroCh = wavFixture.clone
+    // fmt channels live right after "fmt "+size+audioFormat in the walk;
+    // locate fmt and zero its channel count
+    val fi = zeroCh.indexOfSlice("fmt ".getBytes("US-ASCII"))
+    zeroCh(fi + 10) = 0; zeroCh(fi + 11) = 0
+    assert(Multimodal.parseAv(zeroCh) === None)
+  }
+
+  /** An MP4 laid out from ISO/IEC 14496-12 independently of encodeMp4:
+    * ftyp, a skippable box, then moov whose SECOND child is a
+    * version-1 mvhd (64-bit times, timescale 90000, duration 450000). */
+  private def mp4Fixture: Array[Byte] = {
+    def box(tpe: String, body: Array[Byte]) =
+      be32(8L + body.length) ++ tpe.getBytes("US-ASCII") ++ body
+    val ftyp = box("ftyp", "mp42".getBytes("US-ASCII") ++ be32(0) ++
+      "isom".getBytes("US-ASCII"))
+    val skip = box("skip", Array.fill[Byte](5)(9))
+    val mvhd1 = box("mvhd", Array[Byte](1, 0, 0, 0) ++ // version 1
+      Array.fill[Byte](8)(0) ++ Array.fill[Byte](8)(0) ++ // 64-bit times
+      be32(90000) ++ be32(0) ++ be32(450000) ++ // timescale, duration BE64
+      Array.fill[Byte](80)(0))
+    val moov = box("moov", box("udta", Array[Byte](1, 2)) ++ mvhd1)
+    ftyp ++ skip ++ moov
+  }
+
+  test("MP4 fixture: box walk skips to moov/mvhd, version-1 64-bit " +
+      "duration over timescale") {
+    assert(Multimodal.parseAv(mp4Fixture) ===
+      Some(Multimodal.AvMeta("mp4", None, None, 450000.0 * 1000.0 / 90000.0)))
+    // no ftyp first → rejected
+    assert(Multimodal.parseAv(mp4Fixture.drop(24)) === None)
+    // truncated inside moov → rejected
+    assert(Multimodal.parseAv(mp4Fixture.dropRight(10)) === None)
+  }
+
+  test("WAV/MP4 encode -> parse round trip and closed-form payload sizes") {
+    val d = Array.fill[Byte](7)(1)
+    for ((ch, rate) <- Seq((1, 8000), (2, 11000), (6, 48000))) {
+      val got = Multimodal.parseAv(Multimodal.encodeWav(ch, rate, d))
+      assert(got === Some(Multimodal.AvMeta("wav", Some(ch), Some(rate),
+        7.0 * 1000.0 / (rate.toDouble * ch * 2))))
+    }
+    for ((ts, dur) <- Seq((600, 0), (90000, 123456), (1000, 1))) {
+      val got = Multimodal.parseAv(Multimodal.encodeMp4(ts, dur, d))
+      assert(got === Some(Multimodal.AvMeta("mp4", None, None,
+        dur.toDouble * 1000.0 / ts)))
+    }
+    assert(Multimodal.encodeWav(2, 8000, d).length == 44 + 7)
+    assert(Multimodal.encodeMp4(600, 1000, d).length == 140 + 7)
+    // images are not AV; AV payloads are not images — the unified decode
+    // dispatches on real signatures, not doc_id arithmetic
+    assert(Multimodal.parseAv(Multimodal.encodePng(4, 4, d)) === None)
+    assert(Multimodal.parseHeader(Multimodal.encodeWav(1, 8000, d)) === None)
+  }
+
+  test("decodeMedia over the five-format synthesized corpus") {
+    import spark.implicits._
+    val docs = Seq((0L, "png doc"), (1L, "jpeg doc"), (2L, "gif doc"),
+      (3L, "wav doc"), (4L, "mp4 doc"), (13L, "wav two"), (9L, "mp4 two"))
+      .toDF("doc_id", "text")
+    val got = Multimodal.decodeMedia(Multimodal.synthesizedAvPayloads(docs))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(2),
+        Option(r.get(5)), Option(r.get(6)), Option(r.get(7))))
+    val byId = got.map(t => t._1 -> t).toMap
+    assert(byId(0L)._2 == "png" && byId(1L)._2 == "jpeg" &&
+      byId(2L)._2 == "gif")
+    // doc 3: wav, channels 1+3%2=2, rate 8000+1000*(3%4)=11000, 7-byte
+    // data ("wav doc"), byteRate 11000*2*2
+    assert(byId(3L) === ((3L, "wav", Some(2), Some(11000),
+      Some(7.0 * 1000.0 / 44000.0))))
+    // doc 13: channels 1+1=2, rate 8000+1000=9000
+    assert(byId(13L)._2 == "wav" && byId(13L)._3 === Some(2) &&
+      byId(13L)._4 === Some(9000))
+    // doc 4: mp4, timescale 600+400=1000, duration 1000+40=1040
+    assert(byId(4L) === ((4L, "mp4", None, None,
+      Some(1040.0 * 1000.0 / 1000.0))))
+    assert(byId(9L)._2 == "mp4")
+  }
+
+  test("duration-driven frame plan: counts from parsed duration, " +
+      "zero-frame payloads emit nothing (no descending sequence)") {
+    import spark.implicits._
+    val docs = Seq((4L, "a"), (9L, "b")).toDF("doc_id", "text")
+    val media = Multimodal.decodeMedia(Multimodal.synthesizedAvPayloads(docs))
+    // doc 4: 1040 ms at 2 fps → floor(2.08) = 2 frames → idx 0, 2? no —
+    // every 2nd of {0, 1} → {0}; doc 9: ts 1500, dur 1090 → 726.67 ms →
+    // floor(1.45) = 1 frame → {0}
+    val got = Multimodal.frameSamplePlanFromDuration(media, fps = 2.0,
+        everyNth = 2).orderBy("doc_id", "frame_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(got === Array((4L, 0), (9L, 0)))
+    // a sub-frame duration row vanishes instead of exploding descending
+    val tiny = Seq((0L, 100.0), (1L, 2600.0))
+      .toDF("doc_id", "duration_ms")
+    val tinyGot = Multimodal.frameSamplePlanFromDuration(tiny, 2.0, 2)
+      .orderBy("doc_id", "frame_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(tinyGot === Array((1L, 0), (1L, 2), (1L, 4)))
+  }
 }
