@@ -559,6 +559,67 @@ object StreamingOps {
       }.toDF() -> overflow
   }
 
+  /** Streaming inverted-index delta — the stream twin of
+    * [[graft.ext.InvertedIndex.postings]]'s `(term, doc_id, tf)` stage:
+    * each arriving document emits its postings rows computed ENTIRELY
+    * per-row (array_distinct over the tokens + a count of each distinct
+    * term inside the same row), so the delta is STATELESS and
+    * append-mode — the rows a serving system appends to its postings
+    * store each micro-batch. No shuffle, no state store, nothing for a
+    * watermark to bound; exact batch parity on any input (pinned in
+    * `StreamingSpec`).
+    *
+    * Assumes each document id arrives once (put [[streamingDedup]]
+    * upstream otherwise) — the same uniqueness the batch index gets
+    * from reading a deduplicated corpus. */
+  def streamingPostingsDelta(docs: DataFrame,
+                             idCol: String = "doc_id",
+                             textCol: String = "text"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    docs.select(col(idCol).cast("long").as("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        explode(array_distinct(col("__toks"))).as("term"))
+      .select(col("term"), col("doc_id"),
+        size(filter(col("__toks"), x => x === col("term")))
+          .cast("long").as("tf"))
+  }
+
+  /** Incremental document-frequency maintenance over a postings-delta
+    * stream — the df re-aggregation half of the streaming inverted
+    * index: keyed state per term holds exactly TWO longs (df, tf_total),
+    * incremented by each batch's postings rows, and the term's updated
+    * totals are re-emitted every batch it appears in (the dictionary
+    * delta a serving system upserts). A consumer takes the LATEST row
+    * per term — totals are monotone, so "latest" is also "max".
+    *
+    * State is vocabulary-bounded, not corpus-bounded — the same
+    * asymptotics as the batch index's term dictionary (and the reason an
+    * inverted index is servable at all): 16 bytes per distinct term,
+    * independent of how many billions of postings flowed through. No
+    * timeout: a term's df must survive arbitrarily long gaps — aging out
+    * dictionary entries would silently deflate df-dependent scores
+    * (BM25 idf) downstream. */
+  final case class TermStatsState(df: Long, tfTotal: Long)
+  final case class TermStats(term: String, df: Long, tf_total: Long)
+
+  def streamingTermStats(postingsDelta: DataFrame): DataFrame = {
+    import postingsDelta.sparkSession.implicits._
+    postingsDelta.select(col("term"), col("doc_id"), col("tf"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TermStatsState, TermStats](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (term, rows, state: GroupState[TermStatsState]) =>
+          var st = state.getOption.getOrElse(TermStatsState(0L, 0L))
+          var n = 0L
+          var tf = 0L
+          for ((_, _, t) <- rows) { n += 1; tf += t }
+          st = TermStatsState(st.df + n, st.tfTotal + tf)
+          state.update(st)
+          Iterator.single(TermStats(term, st.df, st.tfTotal))
+      }.toDF()
+  }
+
   /** Sliding-window counts per event type with a watermark — the
     * streaming twin of the batch `q_sliding_hourly` (slide < size, so
     * each event lands in size/slide windows via the SAME in-map window()

@@ -594,4 +594,70 @@ class StreamingSpec extends SparkSpec {
         s"chunked hot-key funnel diverged: $got")
     } finally spark.conf.unset(StreamingOps.MaxGroupBufferKey)
   }
+
+  test("streaming inverted-index delta batch-parity: appended postings " +
+      "and latest per-term stats equal the batch index, single- and " +
+      "multi-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "the quick brown fox the fox"),
+      (2L, "lazy dog and the dog"),
+      (3L, "quick quick dog"),
+      (4L, "entirely fresh vocabulary"))
+    // batch twins over the SAME corpus: the tf stage and the df stage of
+    // graft.ext.InvertedIndex (minDf=1 so nothing is filtered)
+    import spark.implicits._
+    val docsB = docs.toDF("doc_id", "text")
+    val tfWant = docsB
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val statsWant = graft.ext.InvertedIndex
+      .postings(docsB, minDf = 1L, maxDf = 1000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+
+    def run(batches: Seq[Seq[(Long, String)]], name: String) = {
+      val mem = MemoryStream[(Long, String)]
+      val stream = mem.toDF().toDF("doc_id", "text")
+      val delta = StreamingOps.streamingPostingsDelta(stream)
+      val qPost = delta.writeStream.format("memory")
+        .queryName(s"${name}_post").outputMode("append")
+        .trigger(Trigger.ProcessingTime(0)).start()
+      // chained: stateless delta feeding the one stateful df aggregator
+      val qStats = StreamingOps
+        .streamingTermStats(StreamingOps.streamingPostingsDelta(
+          mem.toDF().toDF("doc_id", "text")))
+        .writeStream.format("memory").queryName(s"${name}_stats")
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      for (b <- batches) {
+        mem.addData(b: _*); qPost.processAllAvailable()
+        qStats.processAllAvailable()
+      }
+      qPost.stop(); qStats.stop()
+      val postings = spark.table(s"${name}_post").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      // totals are monotone: the latest emission per term is the max
+      val stats = spark.table(s"${name}_stats").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).map { case (_, rows) => rows.maxBy(_._2) }.toSet
+      (postings, stats)
+    }
+
+    val (p1, s1) = run(Seq(docs), "invidx_1")
+    assert(p1 == tfWant, s"single-batch postings diverged: $p1")
+    assert(s1 == statsWant, s"single-batch stats diverged: $s1")
+    // multi-batch: terms straddling the split must accumulate df across
+    // batches and re-emit growing totals
+    val (p2, s2) = run(Seq(docs.take(2), docs.drop(2)), "invidx_2")
+    assert(p2 == tfWant, s"multi-batch postings diverged: $p2")
+    assert(s2 == statsWant, s"multi-batch stats diverged: $s2")
+    // the dictionary DELTA property: a term in both halves ("dog") was
+    // re-emitted each batch it appeared in, with strictly growing df
+    val dogRows = spark.table("invidx_2_stats").collect()
+      .filter(_.getString(0) == "dog").map(r => (r.getLong(1), r.getLong(2)))
+    assert(dogRows.length == 2 && dogRows.toSet == Set((1L, 2L), (2L, 3L)),
+      s"dog must re-emit per batch with growing totals: ${dogRows.toSeq}")
+  }
 }
