@@ -325,6 +325,21 @@ object ExtQueries {
     },
       Some(graft.ext.Pq.ivfPqOracleSql(coarseK = 64, coarseIters = 2,
         m = 2, pqK = 4, pqIters = 2, dim = 64, nprobe = 2, topK = 5))),
+    // PassJoin edit-distance self-join (Li 2012): all pairs within
+    // Levenshtein tau via the segment-pigeonhole equi-join — the typo/OCR
+    // near-dup detector the shingle family can't express. Candidates are
+    // banded (never all-pairs), verification is the banded
+    // levenshtein(threshold) DP; the oracle mirrors every stage with
+    // DuckDB's identical classic-DP levenshtein. The corpus plants
+    // near-dup pairs at distance 4, so tau=6 yields a real decision set.
+    Q("q_editdist_join", (s, dir) =>
+      graft.ext.EditDistJoin.selfJoin(
+          Tables.read(s, dir, "documents").select(col("doc_id"), col("text")),
+          tau = 6)
+        .orderBy("doc_a", "doc_b"),
+      Some("SELECT * FROM (" +
+        graft.ext.EditDistJoin.selfJoinOracleSql("documents", tau = 6) +
+        ") ORDER BY \"doc_a\", \"doc_b\"")),
     // SimHash banded near-dup pairs: full recall for hamming <= bands-1 by
     // pigeonhole; exact bit_count(xor) check on candidates only.
     Q("q_dedup_simhash_pairs", (s, dir) =>
@@ -685,27 +700,19 @@ object ExtQueries {
       Some(PipelineOps.chunkOverlapOracleSql(chunkSize = 64, stride = 48))),
     // Stratified per-language sample: fixed count per stratum, selected
     // by deterministic hash rank (reproducible + resumable, like
-    // q_domain_mix but count-exact). Rank runs through the salted
-    // two-phase groupedTopK, so no language gathers into one task.
-    Q("q_stratified_sample", (s, dir) => {
-      val base = Tables.read(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          PipelineOps.hashUniform(col("doc_id"), ":strat").as("pri"))
-      CorpusStats.groupedTopK(base, Seq(col("lang")),
-          Seq(col("pri"), col("doc_id")), col("doc_id"), k = 25)
-        .select(col("lang"), col("doc_id"),
-          org.apache.spark.sql.functions.round(col("pri"), 6).as("pri"),
-          col("rk"))
-        .orderBy("lang", "rk")
-    }, Some {
-      val u = PipelineOps.hashUniformSql("\"doc_id\"", ":strat")
-      s"""WITH b AS (SELECT "lang", "doc_id", $u AS pri FROM documents),
-         | r AS (SELECT *, row_number() OVER (PARTITION BY "lang"
-         |   ORDER BY pri, "doc_id") AS rk FROM b)
-         | SELECT "lang", "doc_id", round(pri, 6) AS "pri", rk AS "rk"
-         | FROM r WHERE rk <= 25 ORDER BY "lang", rk""".stripMargin
-        .replace("\n", " ")
-    }),
+    // q_domain_mix but count-exact). Delegates to the named
+    // Sampling.stratifiedSample API (r12 — was inline here); rank runs
+    // through the salted two-phase groupedTopK, so no language gathers
+    // into one task.
+    Q("q_stratified_sample", (s, dir) =>
+      graft.ext.Sampling.stratifiedSample(
+          Tables.read(s, dir, "documents").select(col("lang"), col("doc_id")),
+          stratumCol = "lang", idCol = "doc_id", k = 25)
+        .orderBy("stratum", "rk"),
+      Some("SELECT * FROM (" +
+        graft.ext.Sampling.stratifiedSampleOracleSql("documents",
+          stratumCol = "lang", idCol = "doc_id", k = 25) +
+        ") ORDER BY \"stratum\", \"rk\"")),
     // MMR diversified re-rank (Carbonell-Goldstein 1998): the
     // retrieval->prompt diversity stage — greedy lambda*rel -
     // (1-lambda)*max-sim selection, unrolled into the plan. Candidate
@@ -734,6 +741,22 @@ object ExtQueries {
           "(SELECT \"doc_id\", \"n_chars\" FROM documents)",
           k = 50, idCol = "doc_id", weightCol = "n_chars") +
         ") ORDER BY \"doc_id\"")),
+    // PSI drift between two corpus slices (en reference vs de current)
+    // over n_chars buckets: ONE corpus pass of conditional bucket
+    // counts, all further arithmetic on the constant-size bucket spine.
+    Q("q_psi_drift", (s, dir) =>
+      graft.ext.Drift.psi(
+          Tables.read(s, dir, "documents")
+            .select(col("lang"), col("n_chars")),
+          valueCol = "n_chars",
+          refPred = col("lang") === "en", curPred = col("lang") === "de",
+          bucketWidth = 64, nBuckets = 9)
+        .orderBy("bucket"),
+      Some("SELECT * FROM (" +
+        graft.ext.Drift.psiOracleSql("documents", valueCol = "n_chars",
+          refSql = "\"lang\" = 'en'", curSql = "\"lang\" = 'de'",
+          bucketWidth = 64, nBuckets = 9) +
+        ") ORDER BY \"bucket\"")),
     // Inverted-index posting lists: term -> ordered (doc_id, tf) digest
     // with df bounds — the stop-list cut (maxDf) kills corpus-sized hot
     // lists BEFORE assembly, minDf prunes the hapax tail. The md5 digest

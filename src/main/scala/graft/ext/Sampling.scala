@@ -52,6 +52,46 @@ object Sampling {
       .limit(k)
   }
 
+  /** Stratified sampling: the top `k` rows PER STRATUM by the
+    * hash-uniform draw — the corpus-rebalancing primitive (equal-size
+    * per-language/per-source subsets for training-mixture construction,
+    * eval-set carving, per-source audits). Deterministic like every
+    * sampler here: the draw is a pure hash of (id, salt), so the sample
+    * is reproducible across runs, partitionings and engines, and
+    * stable under corpus append (a new row only enters the sample by
+    * out-ranking the boundary, never by reshuffling ranks).
+    *
+    * Scale shape: one narrow projection + [[CorpusStats.groupedTopK]]'s
+    * two-phase salted rank — per-(stratum, salt-bucket) heads first, so
+    * no task ever buffers a whole stratum (strata are data-scale: "all
+    * English documents" is most of a web corpus). */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       k: Int, salt: String = ":strat"): DataFrame = {
+    require(k > 0, s"per-stratum sample size must be positive, got $k")
+    val u = round(PipelineOps.hashUniform(col(idCol), salt), 9)
+    CorpusStats.groupedTopK(
+        df.select(col(stratumCol).as("stratum"), col(idCol),
+          u.as("smp_key")),
+        group = Seq(col("stratum")),
+        order = Seq(col("smp_key"), col(idCol)),
+        salt = hash(col(idCol)), k = k)
+      .select(col("stratum"), col(idCol), col("smp_key"), col("rk"))
+  }
+
+  /** DuckDB rendering of [[stratifiedSample]] over `tableSql`. */
+  def stratifiedSampleOracleSql(tableSql: String, stratumCol: String,
+                                idCol: String, k: Int,
+                                salt: String = ":strat"): String = {
+    val u = PipelineOps.hashUniformSql(s""""$idCol"""", salt)
+    s"""WITH u AS (SELECT "$stratumCol" AS stratum, "$idCol",
+       |   round($u, 9) AS smp_key FROM $tableSql),
+       | r AS (SELECT stratum, "$idCol", smp_key,
+       |   row_number() OVER (PARTITION BY stratum
+       |     ORDER BY smp_key, "$idCol") AS rk FROM u)
+       | SELECT stratum AS "stratum", "$idCol", smp_key AS "smp_key",
+       |   rk AS "rk" FROM r WHERE rk <= $k""".stripMargin.replace("\n", " ")
+  }
+
   /** DuckDB rendering of [[weightedReservoir]] over `tableSql`. */
   def weightedReservoirOracleSql(tableSql: String, k: Int, idCol: String,
                                  weightCol: String,

@@ -37,9 +37,12 @@ class PlanAuditSpec extends SparkSpec {
                                // (ANN feeds the pool at scale)
     "q_curriculum",            // corpus x the ONE-row quantile-cuts agg:
                                // a deliberate broadcast of bounded state
-    "q_hybrid_rrf")            // dense leg: 4 query vectors x corpus
+    "q_hybrid_rrf",            // dense leg: 4 query vectors x corpus
                                // exactness baseline (plus BM25's one-row
                                // stats crossJoin); ANN legs at scale
+    "q_psi_drift")             // bucket spine (constant B rows) x the
+                               // ONE-row totals/psi aggregates: deliberate
+                               // broadcasts of bounded state (ext/Drift)
 
   test("no accidental cartesian or nested-loop joins across the registry") {
     val offenders = Queries.all.flatMap { q =>

@@ -85,4 +85,63 @@ class SamplingIndexSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getString(3)).toMap
     assert(mut("beta") != idx("beta")._3, "digest must see tf changes")
   }
+
+  test("stratified sample: exactly min(k, stratum size) per stratum, " +
+      "partition-invariant, append-stable") {
+    val docs = (0L until 200L).map(i =>
+      (i, if (i % 10 < 6) "en" else if (i % 10 < 9) "de" else "zh"))
+      .toDF("doc_id", "lang") // 120 en, 60 de, 20 zh
+    val got = Sampling.stratifiedSample(docs, "lang", "doc_id", k = 30)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val byStratum = got.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(byStratum == Map("en" -> 30, "de" -> 30, "zh" -> 20),
+      s"per-stratum allocation wrong: $byStratum")
+    // layout invariance: the draw is a pure hash of (id, salt)
+    val again = Sampling.stratifiedSample(docs.repartition(13), "lang",
+        "doc_id", k = 30)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(again.toSet == got.toSet, "sample must be layout-invariant")
+    // append stability: adding rows can only displace by out-ranking —
+    // the surviving intersection keeps its membership
+    val appended = docs.union(
+      (200L until 260L).map(i => (i, "en")).toDF("doc_id", "lang"))
+    val after = Sampling.stratifiedSample(appended, "lang", "doc_id",
+        k = 30).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val beforeEn = got.filter(_._1 == "en").map(_._2).toSet
+    val afterEn = after.filter(_._1 == "en").map(_._2)
+    // every pre-append member still present was NOT displaced arbitrarily:
+    // the kept set is exactly the old members minus those out-ranked
+    assert(afterEn.intersect(beforeEn).subsetOf(beforeEn) &&
+      after.filter(_._1 == "de").map(_._2) ==
+        got.filter(_._1 == "de").map(_._2).toSet,
+      "untouched strata must keep their exact sample under append")
+  }
+
+  test("PSI drift: identical slices score 0, disjoint slices score " +
+      "high, spine buckets always present, values clamp into the last") {
+    import graft.ext.Drift
+    val docs = (0L until 300L).map { i =>
+      val lang = if (i % 2 == 0) "en" else "de"
+      // en ~ uniform [0, 300); de shifted [300, 600) for the drift case
+      val v = if (lang == "en") (i * 7) % 300 else 300 + (i * 7) % 300
+      (i, lang, v)
+    }.toDF("doc_id", "lang", "v")
+    // identical: compare en with itself
+    val same = Drift.psi(docs, "v", col("lang") === "en",
+        col("lang") === "en", bucketWidth = 64, nBuckets = 8)
+      .collect()
+    assert(same.length == 8, "every spine bucket must be present")
+    assert(same.forall(_.getDouble(6) == 0.0),
+      s"identical slices must score PSI 0: ${same.map(_.getDouble(6)).toSeq}")
+    // disjoint value ranges: conventional "investigate" is 0.2; these
+    // score far beyond it
+    val drift = Drift.psi(docs, "v", col("lang") === "en",
+        col("lang") === "de", bucketWidth = 64, nBuckets = 8)
+      .collect()
+    assert(drift.head.getDouble(6) > 1.0,
+      s"disjoint distributions must score high: ${drift.head.getDouble(6)}")
+    // clamp: de values reach 599 // 64 = 9 > 7 — they land in bucket 7
+    val last = drift.find(_.getLong(0) == 7L).get
+    assert(last.getLong(2) > 0, "over-range values must clamp into the last bucket")
+  }
 }
