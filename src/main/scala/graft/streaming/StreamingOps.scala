@@ -620,6 +620,56 @@ object StreamingOps {
       }.toDF()
   }
 
+  /** Streaming distribution-drift monitoring — the stream twin of
+    * [[graft.ext.Drift.psi]]: per event-time window, the PSI of the
+    * arriving value distribution against a STATIC reference
+    * distribution (the accepted corpus), emitted when the watermark
+    * closes the window. The ingest-monitoring use: a drifting source
+    * shows up as a high-PSI window hours after the shift, not at the
+    * next nightly batch.
+    *
+    * The reference is bounded (B bucket counts), so like the eval set in
+    * [[streamingDecontaminate]] it ships as plan literals. The whole
+    * operator is ONE windowed aggregation: the per-bucket current counts
+    * are B conditional sums inside a single groupBy(window) — no
+    * second stateful stage, which streaming would reject — and the PSI
+    * closed form (identical smoothing + ln arithmetic to the batch
+    * operator) is a stateless projection over the closed window's B
+    * count columns. State per open window: B+1 longs.
+    *
+    * @param refCounts spine-complete (bucket → count) of the reference
+    *                  distribution — e.g. read off `Drift.psi`'s n_ref
+    *                  column or a `groupBy(bucket).count` of the
+    *                  accepted corpus
+    */
+  def streamingPsiDrift(docs: DataFrame, eventTimeCol: String,
+                        valueCol: String, refCounts: Map[Long, Long],
+                        bucketWidth: Int, nBuckets: Int,
+                        windowSize: String = "1 hour",
+                        watermark: String = "2 hours"): DataFrame = {
+    require(bucketWidth > 0 && nBuckets > 1)
+    val totRef = refCounts.values.sum
+    val bucket = least(lit(nBuckets - 1L),
+      expr(s"CAST($valueCol AS BIGINT) div $bucketWidth"))
+    val counts = (0L until nBuckets).map(b =>
+      sum(when(bucket === b, 1L).otherwise(0L)).as(s"n_$b"))
+    val agged = docs
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy(window(col(eventTimeCol), windowSize))
+      .agg(counts.head, counts.tail :+ count(lit(1)).as("n_cur"): _*)
+    val contribs = (0L until nBuckets).map { b =>
+      val pRef = (refCounts.getOrElse(b, 0L).toDouble + 0.5) /
+        (totRef.toDouble + 0.5 * nBuckets)
+      val pCur = (col(s"n_$b").cast("double") + lit(0.5)) /
+        (col("n_cur").cast("double") + lit(0.5) * nBuckets)
+      // qualified: the object's slf4j `log` member shadows functions.log
+      (pCur - lit(pRef)) *
+        org.apache.spark.sql.functions.log(pCur / lit(pRef))
+    }
+    agged.select(unix_millis(col("window.start")).as("w_start"),
+      col("n_cur"), round(contribs.reduce(_ + _), 6).as("psi"))
+  }
+
   /** Sliding-window counts per event type with a watermark — the
     * streaming twin of the batch `q_sliding_hourly` (slide < size, so
     * each event lands in size/slide windows via the SAME in-map window()

@@ -595,6 +595,59 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset(StreamingOps.MaxGroupBufferKey)
   }
 
+  test("streaming PSI drift: per-window score equals the batch formula, " +
+      "matching windows score low, shifted windows high, multi-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val hourMs = 3600L * 1000L
+    val nBuckets = 4
+    val width = 100
+    // reference: uniform over buckets 0..3
+    val ref = Map(0L -> 25L, 1L -> 25L, 2L -> 25L, 3L -> 25L)
+    // window 0: matches the reference shape; window 1: everything in
+    // bucket 3 (shifted distribution)
+    val w0 = (0 until 40).map(i => (i.toLong, (i % 4) * 100L + 10L, 5L * 60000L))
+    val w1 = (0 until 40).map(i => (100L + i, 330L, hourMs + 5L * 60000L))
+    val sentinel = Seq((999L, 0L, 10L * hourMs))
+    def psiOf(values: Seq[Long]): Double = {
+      val totRef = ref.values.sum.toDouble
+      val cur = values.map(v => math.min(nBuckets - 1L, v / width))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = values.size.toDouble
+      (0L until nBuckets).map { b =>
+        val pR = (ref(b).toDouble + 0.5) / (totRef + 0.5 * nBuckets)
+        val pC = (cur.getOrElse(b, 0L).toDouble + 0.5) / (n + 0.5 * nBuckets)
+        (pC - pR) * math.log(pC / pR)
+      }.sum
+    }
+    def rnd6(x: Double) = math.rint(x * 1e6) / 1e6
+
+    def run(batches: Seq[Seq[(Long, Long, Long)]], name: String) = {
+      val mem = MemoryStream[(Long, Long, Long)]
+      val docs = mem.toDF().toDF("doc_id", "v", "ts_ms")
+        .withColumn("event_time", timestamp_millis(col("ts_ms")))
+      val out = StreamingOps.streamingPsiDrift(docs, "event_time", "v",
+        ref, bucketWidth = width, nBuckets = nBuckets)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      for (b <- batches) { mem.addData(b: _*); q.processAllAvailable() }
+      mem.addData(sentinel: _*); q.processAllAvailable()
+      q.stop()
+      spark.table(name).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    }
+    val want = Map(
+      0L -> ((40L, rnd6(psiOf(w0.map(_._2))))),
+      hourMs -> ((40L, rnd6(psiOf(w1.map(_._2))))))
+    val got1 = run(Seq(w0 ++ w1), "psi_stream_1")
+    assert(got1 == want, s"single-batch: $got1 vs $want")
+    // the semantics check: matched shape scores near 0, shift scores high
+    assert(got1(0L)._2 < 0.05 && got1(hourMs)._2 > 1.0, got1.toString)
+    // multi-batch: window 0's counts accumulate across two batches
+    val (a, b) = w0.splitAt(20)
+    val got2 = run(Seq(a, b ++ w1), "psi_stream_2")
+    assert(got2 == want, s"multi-batch: $got2 vs $want")
+  }
+
   test("streaming inverted-index delta batch-parity: appended postings " +
       "and latest per-term stats equal the batch index, single- and " +
       "multi-batch") {
