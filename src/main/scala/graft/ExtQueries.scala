@@ -167,6 +167,24 @@ object ExtQueries {
         "UNION SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id) " +
         "SELECT id AS \"doc_id\", min(lbl) AS \"cluster_id\" FROM reach " +
         "GROUP BY 1 ORDER BY 1")),
+    // Leakage-safe split: train/val/test hashed on the NEAR-DUP CLUSTER
+    // label (same CC chain as q_dedup_clusters), so near-duplicate docs
+    // can never straddle the split — the train/test contamination a
+    // per-doc hash split permits on an un-deduped corpus. One extra hash
+    // projection on the label table; text never shuffles.
+    Q("q_split_leakage", (s, dir) =>
+      PipelineOps.leakageSafeSplit(Tables.read(s, dir, "documents"),
+        trainFrac = 0.9, valFrac = 0.05, salt = ":split",
+        k = 16, rowsPerBand = 2)
+        .orderBy("doc_id"),
+      Some(s"WITH RECURSIVE $tokCte, $shCte, ${sigCte(16)}, ${bkCte(16, 2)}, $candCte, " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand " +
+        "UNION ALL SELECT doc_b, doc_a FROM cand), " +
+        "reach AS (SELECT \"doc_id\" AS id, CAST(\"doc_id\" AS BIGINT) AS lbl FROM documents " +
+        "UNION SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id), " +
+        "labels AS (SELECT id AS \"doc_id\", min(lbl) AS \"cluster_id\" FROM reach GROUP BY 1) " +
+        PipelineOps.leakageSafeSplitOracleSql("labels",
+          trainFrac = 0.9, valFrac = 0.05, salt = ":split"))),
     // Survivor selection — the dedup pipeline's last mile: within each
     // near-dup cluster keep the highest-quality document (quality desc,
     // doc_id tiebreak). Composes the cluster labels with the quality
@@ -784,6 +802,22 @@ object ExtQueries {
             .round(Sketches.kmvEstimate(col("h"), 256), 6)
             .as("est_distinct")),
       Some(Sketches.kmvOracleSql("lineitem", "\"l_orderkey\"", ":kmv", 256))),
+    // HyperLogLog distinct-count sketch (p=8, 256 int registers): the
+    // industry-standard mergeable cardinality format, here with an
+    // externally-reproducible register layout (md5-bit arithmetic both
+    // engines render identically; Sigma 2^-rho is EXACT in doubles, see
+    // Sketches.Hll scaladoc) so the ESTIMATE hash-matches — unlike
+    // approx_count_distinct's opaque HLL++ buffer. One partial-agg
+    // exchange of a single 256-int state row.
+    Q("q_hll_distinct", (s, dir) =>
+      Tables.read(s, dir, "lineitem")
+        .agg(Sketches.hllEstimate(col("l_orderkey"), ":hll", p = 8).as("h"))
+        .select(
+          org.apache.spark.sql.functions.round(col("h._1"), 6)
+            .as("est_distinct"),
+          col("h._2").as("n_zero")),
+      Some(Sketches.hllOracleSql("lineitem", "\"l_orderkey\"", ":hll",
+        p = 8))),
     // Model-based quality filtering: fixed-weight logistic score over the
     // heuristic text features — a codegen'd closed-form projection.
     docQ("q_quality_logit",
@@ -1475,6 +1509,35 @@ object ExtQueries {
              | SELECT status, count(*) AS n, min(id) AS min_id,
              |   max(id) AS max_id
              | FROM d GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "))),
+    // ---- SCD2 snapshot merge ---------------------------------------------
+    // Dimension maintenance: the t0/t1 snapshot pair (derived
+    // deterministically from orders — drop key%11, restate status on
+    // key%5) folded into the SCD2 validity-interval row set in ONE
+    // full-outer key join + a narrow 1-2-row in-map emission (no union
+    // re-scan; the oracle's UNION ALL arms are SQL's spelling of the
+    // same emission).
+    Q("q_scd2_merge", (s, dir) => {
+      val orders = Tables.read(s, dir, "orders")
+      val base = orders.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val next = orders.filter(col("o_orderkey") % 11 =!= 0)
+        .select(col("o_orderkey"),
+          org.apache.spark.sql.functions.when(col("o_orderkey") % 5 === 0,
+            lit("X")).otherwise(col("o_orderstatus")).as("o_orderstatus"),
+          col("o_totalprice"))
+      graft.ext.Scd2.snapshotMerge(base, next, key = "o_orderkey",
+          attrs = Seq("o_orderstatus", "o_totalprice"), t0 = 100L, t1 = 200L)
+        .orderBy("o_orderkey", "valid_from")
+    },
+      Some("SELECT * FROM (" + graft.ext.Scd2.snapshotMergeOracleSql(
+        baseSql = "SELECT \"o_orderkey\", \"o_orderstatus\", " +
+          "\"o_totalprice\" FROM orders WHERE \"o_orderkey\" % 7 <> 0",
+        nextSql = "SELECT \"o_orderkey\", CASE WHEN \"o_orderkey\" % 5 = 0 " +
+          "THEN 'X' ELSE \"o_orderstatus\" END AS \"o_orderstatus\", " +
+          "\"o_totalprice\" FROM orders WHERE \"o_orderkey\" % 11 <> 0",
+        key = "o_orderkey", attrs = Seq("o_orderstatus", "o_totalprice"),
+        t0 = 100L, t1 = 200L) +
+        ") ORDER BY \"o_orderkey\", \"valid_from\"")),
     // ---- PageRank over the near-dup graph --------------------------------
     // Iterative damped fixpoint (3 unrolled rounds) over the n-gram
     // Jaccard pair graph: every round's joins key on node id, reusing one

@@ -549,6 +549,52 @@ object PipelineOps {
        | GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
   }
 
+  /** Leakage-safe train/val/test assignment: the split hash is keyed by
+    * the document's NEAR-DUP CLUSTER label, not its own id, so two
+    * near-duplicate documents can never land on opposite sides of the
+    * split — the eval-set leakage that per-doc hashing (and every
+    * RNG-based splitter) permits whenever the corpus still contains
+    * near-dups (Lee et al. 2022, arXiv:2107.06499 §6.2 measure exactly
+    * this train/test overlap). Singleton documents are their own
+    * cluster (label = own id), so on a fully-deduped corpus this
+    * degrades to [[splitAssign]]'s per-doc behavior.
+    *
+    * Scale shape: [[Dedup.nearDupClusters]]'s banded (id, label) passes
+    * dominate; the split itself adds ONE hash projection on the label
+    * table — no extra shuffle, text never moves. Deterministic like
+    * [[splitAssign]]: adding documents can merge clusters (which moves a
+    * cluster only if its min-id label changes) but never re-rolls the
+    * dice on untouched clusters. */
+  def leakageSafeSplit(docs: DataFrame, trainFrac: Double = 0.9,
+                       valFrac: Double = 0.05, salt: String = ":split",
+                       k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1,
+      "need 0 < trainFrac, 0 <= valFrac, trainFrac + valFrac < 1")
+    val cl = Dedup.nearDupClusters(docs, threshold = 0.0, k = k,
+      rowsPerBand = rowsPerBand)
+    val u = hashUniform(col("cluster_id"), salt)
+    cl.select(col("doc_id"), col("cluster_id"), round(u, 6).as("u"),
+      when(u < trainFrac, "train")
+        .when(u < trainFrac + valFrac, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** DuckDB mirror of [[leakageSafeSplit]]'s split arithmetic over a
+    * `labels(doc_id, cluster_id)` relation the caller provides (the
+    * recursive connected-components CTE q_dedup_clusters already
+    * renders). */
+  def leakageSafeSplitOracleSql(labelsRel: String, trainFrac: Double,
+                                valFrac: Double, salt: String): String = {
+    val u = hashUniformSql("\"cluster_id\"", salt)
+    val tf = graft.expr.E.formatDouble(trainFrac)
+    val tv = graft.expr.E.formatDouble(trainFrac + valFrac)
+    s"""SELECT "doc_id", "cluster_id", round($u, 6) AS "u",
+       | CASE WHEN $u < $tf THEN 'train'
+       |   WHEN $u < $tv THEN 'val'
+       |   ELSE 'test' END AS "split"
+       | FROM $labelsRel ORDER BY "doc_id"""".stripMargin.replace("\n", " ")
+  }
+
   /** Deterministic train/val/test assignment by document-id hash — the
     * split stage of corpus assembly. A pure per-row projection
     * (shuffle-free); the same document lands in the same split on every

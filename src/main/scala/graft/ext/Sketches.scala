@@ -71,6 +71,116 @@ object Sketches {
   /** The sketch as an untyped aggregate column over a hashUnit column. */
   def kmvEstimate(h: Column, k: Int): Column = udaf(new KMV(k)).apply(h)
 
+  // ---- HyperLogLog ------------------------------------------------------
+
+  /** The 52-bit hash as a raw integer (same md5 prefix as [[hashUnit]],
+    * un-normalised) — the register/rank source for [[Hll]]. */
+  def hashBits52(key: Column, salt: String): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, HexDigits),
+      16, 10).cast("long")
+
+  def hashBits52Sql(keyExpr: String, salt: String): String =
+    s"CAST(concat('0x', substr(md5(concat(CAST($keyExpr AS VARCHAR), " +
+      s"'$salt')), 1, $HexDigits)) AS BIGINT)"
+
+  /** HyperLogLog distinct-count sketch (Flajolet et al. 2007) with a
+    * bit-reproducible, externally-checkable register layout — the thing
+    * Spark's own approx_count_distinct deliberately doesn't offer (its
+    * HLL++ buffer is an internal format no oracle reproduces; this one is
+    * 2^p integer registers over the documented 52-bit md5 hash, so DuckDB
+    * rebuilds the identical registers in SQL and the estimate
+    * hash-matches).
+    *
+    * Register arithmetic: `reg` = top p hash bits, `w` = low (52−p)
+    * bits, rank ρ = 1-based position of w's leftmost 1-bit =
+    * (53−p) − bitLength(w), with ρ = 53−p for w = 0 — all integer ops
+    * rendered identically in both engines (`bin()` string length).
+    *
+    * Determinism under any merge tree: registers combine by max
+    * (associative/commutative/idempotent), and the estimator's
+    * Σ 2^−ρ is EXACT in double arithmetic — every term is a power of
+    * two ≥ 2^−(53−p) and every partial sum is a multiple of that lsb
+    * bounded by 2^p, so at p = 8 a partial sum needs ≤ 8+45 = 53
+    * significand bits: no rounding ever occurs and summation order
+    * cannot matter. The state is 2^p ints (1 KiB at p = 8) with
+    * map-side partial merge — at 100 TB one single-row exchange, vs
+    * KMV's k doubles; HLL's σ ≈ 1.04/√m trades ~35% worse accuracy per
+    * byte of state for O(1) reduce cost and the industry-standard
+    * mergeable format. Small-range correction: linear counting
+    * m·ln(m/V) when E ≤ 2.5m and zero registers remain (the classic
+    * bias regime); no large-range correction is needed under a 52-bit
+    * hash. */
+  class Hll(p: Int) extends Aggregator[(Int, Int), Seq[Int], (Double, Long)] {
+    require(p >= 4 && p <= 12, "Hll needs 4 <= p <= 12")
+    private val m = 1 << p
+
+    def zero: Seq[Int] = Vector.fill(m)(0)
+
+    def reduce(b: Seq[Int], a: (Int, Int)): Seq[Int] =
+      if (a._2 > b(a._1)) b.updated(a._1, a._2) else b
+
+    def merge(b1: Seq[Int], b2: Seq[Int]): Seq[Int] =
+      Vector.tabulate(m)(i => math.max(b1(i), b2(i)))
+
+    def finish(b: Seq[Int]): (Double, Long) = {
+      val s = b.foldLeft(0.0)((acc, r) => acc + math.pow(2.0, -r))
+      val v = b.count(_ == 0)
+      val e = Hll.alpha(m) * m * m / s
+      val est =
+        if (e <= 2.5 * m && v > 0) m * math.log(m.toDouble / v) else e
+      (est, v.toLong)
+    }
+
+    def bufferEncoder: Encoder[Seq[Int]] = ExpressionEncoder()
+    def outputEncoder: Encoder[(Double, Long)] = ExpressionEncoder()
+  }
+
+  object Hll {
+    /** α_m for m ≥ 128 (Flajolet et al. 2007, §4 practical form). */
+    def alpha(m: Int): Double = 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /** (reg, rank) input columns for [[Hll]] from a [[hashBits52]] hash. */
+  def hllRegRank(h: Column, p: Int): (Column, Column) = {
+    val low = 52 - p
+    val w = h.bitwiseAND(lit((1L << low) - 1L))
+    val reg = shiftright(h, low).cast("int")
+    val rank = when(w === 0L, lit(low + 1))
+      .otherwise(lit(low + 1) - length(bin(w))).cast("int")
+    (reg, rank)
+  }
+
+  /** The sketch as an untyped aggregate column: struct(est, n_zero). */
+  def hllEstimate(key: Column, salt: String, p: Int): Column = {
+    val (reg, rank) = hllRegRank(hashBits52(key, salt), p)
+    udaf(new Hll(p), ExpressionEncoder[(Int, Int)]()).apply(reg, rank)
+  }
+
+  /** DuckDB mirror of [[hllEstimate]]: identical register build
+    * (integer shift/mask + bin-string bit length), max per register over
+    * a dense range(0, m) spine, the exact Σ 2^−ρ, and the same
+    * estimator with linear-counting fallback. */
+  def hllOracleSql(table: String, keyExpr: String, salt: String,
+                   p: Int): String = {
+    val m = 1 << p
+    val low = 52 - p
+    val mask = (1L << low) - 1L
+    val aLit = graft.expr.E.formatDouble(Hll.alpha(m))
+    val m2 = graft.expr.E.formatDouble(m.toDouble * m)
+    s"""WITH hv AS (SELECT ${hashBits52Sql(keyExpr, salt)} AS h FROM $table),
+       | rr AS (SELECT h >> $low AS reg, h & $mask AS w FROM hv),
+       | mx AS (SELECT reg, max(CASE WHEN w = 0 THEN ${low + 1}
+       |   ELSE ${low + 1} - length(bin(w)) END) AS rho FROM rr GROUP BY 1),
+       | regs AS (SELECT r.range AS reg, coalesce(mx.rho, 0) AS rho
+       |   FROM range(0, $m) r LEFT JOIN mx ON mx.reg = r.range),
+       | s AS (SELECT sum(power(2.0e0, -rho)) AS s,
+       |   sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS v FROM regs)
+       | SELECT round(CASE WHEN $aLit * $m2 / s <= ${2.5 * m}e0 AND v > 0
+       |     THEN $m.0e0 * ln($m.0e0 / v) ELSE $aLit * $m2 / s END, 6)
+       |   AS "est_distinct", CAST(v AS BIGINT) AS "n_zero"
+       | FROM s""".stripMargin.replace("\n", " ")
+  }
+
   /** Quantile sketch on the same KMV backbone: the k rows with the
     * smallest key hashes form a deterministic uniform sample (the k-min
     * set is partitioning/merge-order independent, exactly like [[KMV]]),

@@ -93,6 +93,67 @@ class ChunkSketchSpec extends SparkSpec {
     r.getSeq[Double](0)
   }
 
+  test("HLL estimate is bit-invariant under repartitioning (merge order)") {
+    val li = Tables.read(spark, sf, "lineitem")
+    val ests = Seq(1, 7, 32).map { p =>
+      li.repartition(p)
+        .agg(Sketches.hllEstimate(col("l_orderkey"), ":hll", 8).as("h"))
+        .select(col("h._1"), col("h._2")).head
+    }.map(r => (r.getDouble(0), r.getLong(1)))
+    assert(ests.distinct.size == 1,
+      s"max-merge registers + exact power-of-two sum must be " +
+        s"order-independent, got $ests")
+  }
+
+  test("HLL duplicate keys do not move the sketch; registers match a " +
+      "driver-side md5 reference") {
+    val ids = (1 to 500)
+    val once = ids.toDF("id")
+    val dups = ids.flatMap(i => Seq.fill(4)(i)).toDF("id")
+    def est(df: org.apache.spark.sql.DataFrame) =
+      df.agg(Sketches.hllEstimate(col("id"), ":t", 8).as("h"))
+        .select(col("h._1"), col("h._2")).head
+    assert(est(once) == est(dups))
+    // driver-side reference sketch over the same md5-prefix hash
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val regs = Array.fill(256)(0)
+    ids.foreach { i =>
+      val hex = md.digest(s"$i:t".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString.take(13)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val reg = (h >>> 44).toInt
+      val w = h & ((1L << 44) - 1)
+      val rho = if (w == 0) 45 else 45 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      if (rho > regs(reg)) regs(reg) = rho
+    }
+    val s = regs.foldLeft(0.0)((a, r) => a + math.pow(2.0, -r))
+    val v = regs.count(_ == 0)
+    val e = Sketches.Hll.alpha(256) * 256 * 256 / s
+    val expect = if (e <= 640.0 && v > 0) 256 * math.log(256.0 / v) else e
+    val got = est(once)
+    assert(got.getDouble(0) == expect && got.getLong(1) == v.toLong,
+      s"engine sketch ${got} != reference ($expect, $v)")
+  }
+
+  test("HLL relative error stays inside 4 standard deviations; " +
+      "linear-counting regime is near-exact on small sets") {
+    val n = Tables.read(spark, sf, "lineitem")
+      .select(col("l_orderkey")).distinct().count()
+    val est = Tables.read(spark, sf, "lineitem")
+      .agg(Sketches.hllEstimate(col("l_orderkey"), ":hll", 8).as("h"))
+      .select(col("h._1")).head.getDouble(0)
+    val sd = 1.04 / math.sqrt(256.0)
+    assert(math.abs(est - n) / n <= 4 * sd,
+      s"HLL est $est vs exact $n outside 4 sigma ($sd)")
+    // 60 distinct keys at m=256 sits deep in the linear-counting regime:
+    // expected error is that of occupancy estimation, well under 4 sigma
+    val smallEst = (1 to 60).toDF("id")
+      .agg(Sketches.hllEstimate(col("id"), ":t2", 8).as("h"))
+      .select(col("h._1")).head.getDouble(0)
+    assert(math.abs(smallEst - 60.0) <= 10.0,
+      s"linear counting estimate $smallEst too far from 60")
+  }
+
   test("quantile sketch with k >= n is the exact nearest-rank quantile") {
     // values 1..100 shuffled by hash; any k >= 100 sees them all
     val d = (1 to 100).toDF("id").select(

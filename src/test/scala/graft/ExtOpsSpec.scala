@@ -366,4 +366,34 @@ class ExtOpsSpec extends SparkSpec {
     assert(out(1L)._2 == 3.0) // 'the' x3
     assert(out(1L)._3 == "en")
   }
+
+  test("Scd2.snapshotMerge: hand-computed interval rows for every change " +
+      "kind; nulls compare null-safe") {
+    val base = Seq[(Long, String, Option[Double])](
+      (1L, "A", Some(10.0)),   // unchanged
+      (2L, "B", Some(20.0)),   // changed (price)
+      (3L, "C", None),         // unchanged with a null attr
+      (4L, "D", Some(40.0))    // removed
+    ).toDF("k", "status", "price")
+    val next = Seq[(Long, String, Option[Double])](
+      (1L, "A", Some(10.0)),
+      (2L, "B", Some(25.0)),
+      (3L, "C", None),
+      (5L, "E", Some(50.0))    // added
+    ).toDF("k", "status", "price")
+    // columns: k, status, price, valid_from, valid_to, change
+    val out = graft.ext.Scd2.snapshotMerge(base, next, "k",
+        Seq("status", "price"), t0 = 100L, t1 = 200L)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(5), r.getString(1),
+        Option(r.get(2)), r.getLong(3), Option(r.get(4))))
+      .toSet
+    assert(out == Set(
+      (1L, "unchanged",   "A", Some(10.0), 100L, None),
+      (2L, "changed_old", "B", Some(20.0), 100L, Some(200L)),
+      (2L, "changed_new", "B", Some(25.0), 200L, None),
+      (3L, "unchanged",   "C", None,       100L, None),
+      (4L, "removed",     "D", Some(40.0), 100L, Some(200L)),
+      (5L, "added",       "E", Some(50.0), 200L, None)), out.toString)
+  }
 }

@@ -181,6 +181,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(a.forall { case (id, s) => grown(id) == s })
   }
 
+  test("leakageSafeSplit: near-dup pairs never straddle the split; " +
+      "singletons split by their own id hash") {
+    // docs 10/11 are near-dups (shared shingles), 12/13/14 are singletons
+    val docs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again today"),
+      (11L, "the quick brown fox jumps over the lazy dog again tonight"),
+      (12L, "completely different text about distributed query planning"),
+      (13L, "yet another unrelated document with its own vocabulary set"),
+      (14L, "entirely separate words covering unrelated topics throughout")
+    ).toDF("doc_id", "text")
+    val out = PipelineOps.leakageSafeSplit(docs, k = 16, rowsPerBand = 2)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(3))).toMap
+    assert(out.keySet == Set(10L, 11L, 12L, 13L, 14L))
+    // the near-dup pair shares one cluster, hence one split
+    assert(out(10L)._1 == 10L && out(11L)._1 == 10L,
+      s"near-dups must share the min-id cluster label: $out")
+    assert(out(10L)._2 == out(11L)._2,
+      s"near-dups must land in the same split: $out")
+    // singletons: cluster label is the own id, so the assignment equals
+    // splitAssign's per-doc hash — the documented degradation law
+    val perDoc = PipelineOps.splitAssign(
+        docs.filter(col("doc_id") >= 12L).select(col("doc_id")))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    Seq(12L, 13L, 14L).foreach { id =>
+      assert(out(id)._1 == id, s"singleton $id must label itself")
+      assert(out(id)._2 == perDoc(id),
+        s"singleton $id must match the per-doc split: $out vs $perDoc")
+    }
+  }
+
   test("temperatureSample: largest group keeps baseRate, smaller groups " +
       "boosted monotonically, selection partition-invariant") {
     import org.apache.spark.sql.functions._
