@@ -102,4 +102,25 @@ class EditDistJoinSpec extends SparkSpec {
       assert(got.contains((id, mid, lev(s, m).toLong)),
         s"planted pair ($id, $mid) at distance ${lev(s, m)} missed")
   }
+
+  test("candidate exchanges carry NO string column: the tau-squared " +
+      "fan-out shuffles only (id, len, i, xxhash64(seg)) fixed-width rows") {
+    import org.apache.spark.sql.functions._
+    val base = Seq(0L -> "the quick brown fox", 1L -> "the quick brown fix")
+      .toDF("doc_id", "text")
+      .select(col("doc_id").as("id"), col("text").as("t"),
+        length(col("text")).as("len"))
+      .where(col("len") >= 3)
+    val cand = EditDistJoin.candidatePairs(base, tau = 2)
+    val fmt = cand.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val exchInputs =
+      """(?s)\(\d+\) Exchange.*?Input \[\d+\]: \[(.*?)\]""".r
+    val inputs = exchInputs.findAllMatchIn(fmt).map(_.group(1)).toSeq
+    assert(inputs.nonEmpty, s"no Exchange found in candidate plan:\n$fmt")
+    val stringAttr = """(^|[,\s\(])(t|t_a|t_b|seg)#""".r
+    for (attrs <- inputs)
+      assert(stringAttr.findFirstIn(attrs).isEmpty,
+        s"text/segment string rides the candidate exchange: [$attrs]\n$fmt")
+  }
 }
