@@ -149,19 +149,43 @@ object Bench {
     val s2 = jvmStats()
     val warm2 = ordered.map { case (name, fn) => name -> timeOnce(fn) }
     val warm2Diag = passDiag("warm pass 2", s2)
-    val warm = warm1.zip(warm2).map { case ((n, a), (_, b)) =>
+    val warmMin2 = warm1.zip(warm2).map { case ((n, a), (_, b)) =>
       n -> (if (a.sec <= b.sec) a else b)
     }
-    // Sanity flag: a sub-2s-cold query whose BEST warm exceeds cold ran
-    // under contention in every pass — name it so the round's comparison
-    // reads the number as noise, not regression.
+    // Sanity flag at ANY magnitude: on a JIT-warmed JVM the best-of-2
+    // warm can only beat cold, so warm > cold + margin means every warm
+    // pass of that query ran under contention (the r12 blind spot: the
+    // old sub-2s-cold guard let a 9.0s-warm / 8.6s-cold inversion stand
+    // unflagged and poisoned the round's warm total). Margin 0.2s + 5%
+    // absorbs timer noise on par-speed queries.
     val coldByName = cold.toMap
-    val warmAnomalies = warm.collect {
-      case (n, w) if w.sec > coldByName(n).sec && coldByName(n).sec < 2.0 => n
+    def inverted(n: String, w: Timing): Boolean =
+      w.sec > coldByName(n).sec * 1.05 + 0.2
+    val flagged = warmMin2.collect { case (n, w) if inverted(n, w) => n }
+    // Self-healing: re-time the flagged queries at session end (the
+    // contention window has usually moved by then) and take the overall
+    // minimum, so the ARTIFACT carries an uncontended warm number instead
+    // of a footnote. Queries still inverted after the retry are the
+    // reported warm_anomalies.
+    val retried: Map[String, Timing] =
+      if (flagged.isEmpty) Map.empty
+      else {
+        System.err.println(s"[bench] warm>cold inversions, re-timing at " +
+          s"session end: ${flagged.mkString(",")}")
+        val byName = ordered.toMap
+        flagged.map { n =>
+          val t = (1 to 2).map(_ => timeOnce(byName(n))).minBy(_.sec)
+          System.err.println(f"[bench] re-timed $n: ${t.sec}%.3fs")
+          n -> t
+        }.toMap
+      }
+    val warm = warmMin2.map { case (n, w) =>
+      n -> retried.get(n).filter(_.sec < w.sec).getOrElse(w)
     }
+    val warmAnomalies = warm.collect { case (n, w) if inverted(n, w) => n }
     if (warmAnomalies.nonEmpty)
-      System.err.println(s"[bench] WARM-ANOMALY (best-of-2 warm > cold on " +
-        s"sub-2s-cold queries; treat warm totals as contaminated): " +
+      System.err.println(s"[bench] WARM-ANOMALY (best warm of 2+2 passes " +
+        s"still exceeds cold; treat these warm numbers as contaminated): " +
         warmAnomalies.mkString(","))
     // The cold pass is ONE execution, so it carries the same contention
     // exposure the warm pass had before min-of-2 (r11: q_fo2_iw_full
@@ -221,7 +245,7 @@ object Bench {
         s""""caches":${cacheJson()},""" +
         s""""fo2_decisions":${fo2DecisionsJson()},""" +
         s""""slowest_cold":$slowDiag,""" +
-        """"reading_rule":"a cold spike with jit_s on the order of sec and a small warm_sec is JVM JIT (C2) lag on the per-row solver loops - a fresh-JVM property, not a plan defect; warm is min-of-2 and warm_anomalies lists sub-2s-cold queries whose best warm still exceeded cold (container contention); cold_anomalies lists queries whose cold-minus-warm gap exceeds 2s with jit+gc covering under half of it (contention, not JIT) and total_cold_explained re-totals cold with those replaced by warm+jit+gc - compare THAT number across rounds"}"""
+        """"reading_rule":"a cold spike with jit_s on the order of sec and a small warm_sec is JVM JIT (C2) lag on the per-row solver loops - a fresh-JVM property, not a plan defect; warm is min-of-2 post-cold passes, any query whose best warm still exceeded cold+5%+0.2s (an inversion a healthy JVM cannot produce) was re-timed twice at session end and the overall minimum kept, and warm_anomalies lists queries STILL inverted after that - their warm numbers are contention residue; cold_anomalies lists queries whose cold-minus-warm gap exceeds 2s with jit+gc covering under half of it (contention, not JIT) and total_cold_explained re-totals cold with those replaced by warm+jit+gc - compare total_warm and total_cold_explained across rounds"}"""
     // millisecond precision keeps the line compact enough for line-buffered
     // log capture (a full-precision line for ~100 queries risks truncation)
     def jsonMap(rs: Seq[(String, Timing)]): String =

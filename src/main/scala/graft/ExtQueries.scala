@@ -89,6 +89,15 @@ object ExtQueries {
       "quality" -> TA.qualityScore(text)),
     docQ("q_token_count", "n_tokens" -> TA.tokenCount(text),
       "n_tokens_bpe" -> E.round(TA.bpeTokenEstimate(text), 6)),
+    // REAL greedy-BPE token counting (not the regression estimate above):
+    // a literal creation-ordered merges table compiled into a chain of
+    // left-to-right `replace` passes both engines execute identically —
+    // the unit a training budget is actually denominated in. Pure per-row
+    // projection; equivalence to priority-queue BPE is law-pinned in
+    // BpeSpec.
+    docQ("q_bpe_token_count",
+      "n_tokens_ws" -> TA.tokenCount(text),
+      "n_tokens_bpe" -> graft.ext.Bpe.tokenCountE(text)),
     docQ("q_lang_id", "lang_pred" -> TA.langId(text),
       "score_en" -> TA.langScore(text, "en"),
       "score_de" -> TA.langScore(text, "de")),
@@ -580,14 +589,52 @@ object ExtQueries {
            | FROM c WHERE cum <= 6000 ORDER BY "doc_id"""".stripMargin
           .replace("\n", " ")
       }),
+    // The same budget denominated in REAL BPE tokens (Bpe.tokenCount):
+    // the production form of q_token_budget — the selection machinery is
+    // identical two-phase bucketed cumsum, only the per-row token
+    // accounting changes, and the oracle swaps in the identical
+    // dual-rendered BPE expression.
+    Q("q_bpe_token_budget", (s, dir) =>
+      PipelineOps.tokenBudget(Tables.read(s, dir, "documents"), 6000L,
+          salt = ":bpebudget",
+          nTokens = graft.ext.Bpe.tokenCount(col("text")))
+        .orderBy("doc_id"),
+      Some {
+        val u = PipelineOps.hashUniformSql("\"doc_id\"", ":bpebudget")
+        val n = graft.ext.Bpe.tokenCountSql("\"text\"")
+        s"""WITH b AS (SELECT "doc_id",
+           | CAST($n AS BIGINT) AS n_tokens,
+           | $u AS pri FROM documents),
+           | c AS (SELECT "doc_id", n_tokens, pri, sum(n_tokens) OVER
+           |   (ORDER BY pri, "doc_id" ROWS UNBOUNDED PRECEDING) AS cum FROM b)
+           | SELECT "doc_id", n_tokens AS "n_tokens", round(pri, 6) AS "pri"
+           | FROM c WHERE cum <= 6000 ORDER BY "doc_id"""".stripMargin
+          .replace("\n", " ")
+      }),
     // End-to-end corpus clean: quality gate -> language filter -> exact
     // dedup (keep smallest doc_id per fingerprint). The one shuffle is the
     // dedup window on fp — hash-partitioned, carries (id, fp, 2 doubles),
     // never text.
     Q("q_pipeline_clean", (s, dir) => {
       val base = Pipeline.applySpark(Tables.read(s, dir, "documents"), cleanStages)
+        // pushdown barrier: without it Catalyst substitutes the FULL
+        // quality/lang expression trees (hundreds of string primitives)
+        // into the filter condition, whose generated filter method then
+        // exceeds Janino's 64 KB limit and the whole stage silently
+        // falls back to interpreted eval. PushDownPredicates cannot
+        // cross a Project containing a nondeterministic expression, so
+        // the predicate stays a comparison over the already-projected
+        // columns and the stage keeps whole-stage codegen — but the
+        // barrier must be REFERENCED by the filter (third, always-true
+        // conjunct: the id is nonnegative by contract) or ColumnPruning
+        // deletes it first and pushdown proceeds anyway. (The predicate
+        // reads computed text features, so parquet pushdown was never on
+        // the table; rows and results are unchanged.)
+        .withColumn("_barrier", monotonically_increasing_id())
       val w = Window.partitionBy("fp").orderBy("doc_id")
-      base.filter(col("quality") >= 0.2 && col("lang_pred") === "en")
+      base.filter(col("quality") >= 0.2 && col("lang_pred") === "en" &&
+          col("_barrier") >= 0L)
+        .drop("_barrier")
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("doc_id"), col("n_tokens"),
@@ -818,6 +865,44 @@ object ExtQueries {
           col("h._2").as("n_zero")),
       Some(Sketches.hllOracleSql("lineitem", "\"l_orderkey\"", ":hll",
         p = 8))),
+    // The MERGEABLE-ARTIFACT path of the HLL sketch — the 100 TB shape:
+    // per-partition register arrays (here one per l_returnflag, standing in
+    // for one per day-partition written to parquet) merged by
+    // register-wise max, estimate read off the MERGED state with pure
+    // column arithmetic. Max-merge associativity + the exact-in-doubles
+    // Sigma 2^-rho make the rollup estimate bit-identical to one global
+    // pass — which is exactly what the oracle computes, so the
+    // hash-match IS the merge-correctness proof. Parquet round-trip of
+    // the register column is pinned in ChunkSketchSpec.
+    Q("q_hll_merged", (s, dir) =>
+      Tables.read(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(Sketches.hllRegisters(col("l_orderkey"), ":hll", p = 8)
+          .as("regs"))
+        .agg(Sketches.hllMergeRegisters(col("regs"), p = 8).as("m"))
+        .select(Sketches.hllEstimateFromRegisters(col("m"), p = 8).as("h"))
+        .select(
+          org.apache.spark.sql.functions.round(col("h._1"), 6)
+            .as("est_distinct"),
+          col("h._2").as("n_zero")),
+      Some(Sketches.hllOracleSql("lineitem", "\"l_orderkey\"", ":hll",
+        p = 8))),
+    // Same rollup shape for KMV: per-group k-min states merged into the
+    // global k-min set (every globally-k-smallest hash is k-smallest
+    // within its own group, so the merge loses nothing — the estimate is
+    // bit-identical to the single-pass q_kmv_distinct and the oracle's
+    // global DISTINCT -> ORDER BY -> LIMIT k).
+    Q("q_kmv_merged", (s, dir) =>
+      Tables.read(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(Sketches.kmvState(
+          Sketches.hashUnit(col("l_orderkey"), ":kmv"), 256).as("st"))
+        .agg(Sketches.kmvMergeState(col("st"), 256).as("m"))
+        .select(
+          org.apache.spark.sql.functions
+            .round(Sketches.kmvEstimateFromState(col("m"), 256), 6)
+            .as("est_distinct")),
+      Some(Sketches.kmvOracleSql("lineitem", "\"l_orderkey\"", ":kmv", 256))),
     // Model-based quality filtering: fixed-weight logistic score over the
     // heuristic text features — a codegen'd closed-form projection.
     docQ("q_quality_logit",

@@ -31,9 +31,11 @@ object Verify {
       // single-threaded). The final orderBy range-partitions, and part
       // files are read back in partition (= name) order, so global row
       // order survives a multi-file write.
-      try fn(spark, sfDir).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        System.err.println(s"[verify] $name ok")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

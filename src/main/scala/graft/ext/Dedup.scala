@@ -340,9 +340,17 @@ object Dedup {
     * canonical doc of each cluster. */
   def nearDupClusters(docs: DataFrame, threshold: Double,
                       k: Int = 16, rowsPerBand: Int = 4,
-                      maxIters: Int = 20): DataFrame =
+                      maxIters: Int = 20): DataFrame = {
+    // threshold <= 0 accepts EVERY candidate (jaccard is never negative),
+    // so the shingle-set verification joins would compute a similarity
+    // only to compare it against a bound it always clears — skip straight
+    // to the banded candidates and spare two corpus-keyed joins (the
+    // leakage-safe splitter's default path).
+    val edges =
+      if (threshold <= 0.0) minhashCandidates(docs, k, rowsPerBand)
+      else ngramJaccardPairs(docs, threshold, k, rowsPerBand)
     clusterPairs(docs.select(col("doc_id")),
-      ngramJaccardPairs(docs, threshold, k, rowsPerBand)
-        .select(col("doc_a"), col("doc_b")),
+      edges.select(col("doc_a"), col("doc_b")),
       maxIters)
+  }
 }

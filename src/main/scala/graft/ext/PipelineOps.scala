@@ -206,12 +206,17 @@ object PipelineOps {
     * at call time and snapshots the input as of that run. Compose it at
     * the end of a pipeline, not inside a lazily re-planned view.
     *
+    * @param nTokens the token accounting — whitespace count by default;
+    *   pass e.g. [[Bpe.tokenCount]] to denominate the budget in real BPE
+    *   tokens (still a per-row projection: the scale shape is unchanged)
     * @return kept docs: doc_id, n_tokens, pri (the priority draw, rounded)
     */
   def tokenBudget(docs: DataFrame, budgetTokens: Long, salt: String = ":budget",
-                  buckets: Int = 1024): DataFrame = {
+                  buckets: Int = 1024,
+                  nTokens: Column =
+                    size(split(col("text"), " ")).cast("long")): DataFrame = {
     val base = docs.select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        nTokens.as("n_tokens"),
         hashUniform(col("doc_id"), salt).as("pri"))
       .withColumn("bucket", floor(col("pri") * buckets).cast("long"))
     val sums = base.groupBy("bucket").agg(sum("n_tokens").as("toks"))
@@ -561,16 +566,23 @@ object PipelineOps {
     *
     * Scale shape: [[Dedup.nearDupClusters]]'s banded (id, label) passes
     * dominate; the split itself adds ONE hash projection on the label
-    * table — no extra shuffle, text never moves. Deterministic like
-    * [[splitAssign]]: adding documents can merge clusters (which moves a
-    * cluster only if its min-id label changes) but never re-rolls the
-    * dice on untouched clusters. */
+    * table — no extra shuffle, text never moves. At the default
+    * `threshold = 0.0` every LSH band collision is an edge and the
+    * clusterer skips the shingle-set verification joins entirely (the
+    * conservative reading: ANY plausible near-dup pair is kept on the
+    * same side — over-grouping can never leak, it only makes the split
+    * slightly coarser); raise `threshold` to verify candidates with the
+    * exact n-gram Jaccard before they can link clusters. Deterministic
+    * like [[splitAssign]]: adding documents can merge clusters (which
+    * moves a cluster only if its min-id label changes) but never
+    * re-rolls the dice on untouched clusters. */
   def leakageSafeSplit(docs: DataFrame, trainFrac: Double = 0.9,
                        valFrac: Double = 0.05, salt: String = ":split",
-                       k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+                       k: Int = 16, rowsPerBand: Int = 4,
+                       threshold: Double = 0.0): DataFrame = {
     require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1,
       "need 0 < trainFrac, 0 <= valFrac, trainFrac + valFrac < 1")
-    val cl = Dedup.nearDupClusters(docs, threshold = 0.0, k = k,
+    val cl = Dedup.nearDupClusters(docs, threshold = threshold, k = k,
       rowsPerBand = rowsPerBand)
     val u = hashUniform(col("cluster_id"), salt)
     cl.select(col("doc_id"), col("cluster_id"), round(u, 6).as("u"),

@@ -397,22 +397,47 @@ object Pq {
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map(b => f"${b & 0xff}%02x").mkString
 
+  /** Cheap content fingerprint of the corpus: row count, max vec_id, and
+    * the XOR of per-row xxhash64(vec_id, embedding). One narrow scan, no
+    * shuffle beyond the one-row aggregate; XOR makes it order- and
+    * partitioning-independent with no overflow under ANSI arithmetic.
+    * This is what lets the memo key notice an IN-PLACE corpus rewrite
+    * (same path, new rows or new vectors) instead of silently serving a
+    * stale index — the snapshot contract a production build-once/
+    * search-many artifact needs. */
+  private[graft] def corpusFingerprint(embeddings: DataFrame): String = {
+    import org.apache.spark.sql.functions.{bit_xor, xxhash64, count => cnt}
+    val r = embeddings.agg(
+      cnt(lit(1)),
+      coalesce(max(col("vec_id").cast("long")), lit(-1L)),
+      coalesce(bit_xor(xxhash64(col("vec_id"), col("embedding"))), lit(0L)))
+      .head
+    s"${r.getLong(0)}:${r.getLong(1)}:${java.lang.Long.toHexString(r.getLong(2))}"
+  }
+
   /** The persisted index for (embeddings-at-`key`, params) — building
     * and writing it on the first call in this JVM, loading it from the
-    * parquet artifact on every call after. `key` must identify the
-    * corpus (e.g. its path); the memo key is the full (key, params)
-    * string — collision-free by construction — and the on-disk path
-    * component is its SHA-256, so distinct keys can never share a
-    * directory. */
+    * parquet artifact on every call after. `key` names the corpus (e.g.
+    * its path) and a [[corpusFingerprint]] snapshot is folded into the
+    * memo key (and echoed into the artifact as `_fingerprint`), so a
+    * corpus rewritten in place during the JVM's lifetime builds a fresh
+    * index rather than silently serving the stale one. The memo key is
+    * the full (key, fingerprint, params) string — collision-free by
+    * construction — and the on-disk path component is its SHA-256, so
+    * distinct keys can never share a directory. */
   def persistedIndex(embeddings: DataFrame, key: String, coarseK: Int,
                      coarseIters: Int, m: Int, pqK: Int, pqIters: Int,
                      dim: Int): IvfPqIndex = {
     indexRootForCleanup
     val root = sys.env.getOrElse("GRAFT_INDEX_DIR", "target/graft-index")
-    val full = s"$key|$coarseK|$coarseIters|$m|$pqK|$pqIters|$dim"
+    val fp = corpusFingerprint(embeddings)
+    val full = s"$key|fp=$fp|$coarseK|$coarseIters|$m|$pqK|$pqIters|$dim"
     val path = indexMemo.computeIfAbsent(full, _ => {
       val p = s"$root/$jvmToken/ivfpq_${sha256Hex(full)}"
       writeIndex(embeddings, coarseK, coarseIters, m, pqK, pqIters, dim, p)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(p, "_fingerprint"), full)
+      catch { case _: Throwable => () }
       p
     })
     readIndex(embeddings.sparkSession, path)

@@ -22,12 +22,32 @@ import org.apache.spark.sql.functions._
   * Output: key, the attribute columns (old values on closed rows, new
   * values on open ones), `valid_from`, `valid_to` (null = still open) and
   * `change` ∈ {unchanged, changed_old, changed_new, added, removed}.
+  *
+  * PRECONDITION: `key` must be unique within EACH snapshot — that is what
+  * makes a snapshot a dimension extract rather than a fact stream.
+  * Duplicate keys would make the full-outer join emit cross-product
+  * interval rows (corrupt SCD2 output, in any engine — DuckDB's MERGE
+  * recipe corrupts identically), so the default `checkUnique = true`
+  * plans a one-row count(*) vs count(distinct key) probe per side and
+  * fails LOUDLY instead; pass `checkUnique = false` to skip the two probe
+  * jobs when the key is already guaranteed by the source's own contract
+  * (e.g. a primary-keyed extract).
   */
 object Scd2 {
 
   def snapshotMerge(base: DataFrame, next: DataFrame, key: String,
-                    attrs: Seq[String], t0: Long, t1: Long): DataFrame = {
+                    attrs: Seq[String], t0: Long, t1: Long,
+                    checkUnique: Boolean = true): DataFrame = {
     require(attrs.nonEmpty, "need at least one tracked attribute")
+    if (checkUnique) {
+      for ((df, side) <- Seq(base -> "base", next -> "next")) {
+        val r = df.agg(count(col(key)), count_distinct(col(key))).head
+        require(r.getLong(0) == r.getLong(1),
+          s"Scd2.snapshotMerge: key '$key' is not unique in the $side " +
+            s"snapshot (${r.getLong(0)} rows, ${r.getLong(1)} distinct) — " +
+            "duplicate keys would cross-product into corrupt intervals")
+      }
+    }
     val b = base.select(
       (col(key) +: attrs.map(c => col(c).as(s"b_$c"))) :+
         lit(true).as("in_b"): _*)

@@ -39,14 +39,19 @@ object Sketches {
 
   /** KMV state = the k smallest DISTINCT hash values seen, kept sorted
     * ascending. reduce is O(1) for the overwhelmingly common case (value
-    * above the current k-th minimum once the buffer fills). */
-  class KMV(k: Int) extends Aggregator[Double, Seq[Double], Double] {
+    * above the current k-th minimum once the buffer fills). NULL keys
+    * hash to NaN (see [[kmvEstimate]]) and are skipped — the same
+    * null-ignoring semantics as count(DISTINCT) and the DuckDB oracle,
+    * whose DISTINCT hash stream silently drops the NULL row. */
+  class KMV(k: Int) extends Aggregator[Double, Seq[Double], Seq[Double]] {
     require(k >= 2, "KMV needs k >= 2")
 
     def zero: Seq[Double] = Vector.empty
 
     def reduce(b: Seq[Double], a: Double): Seq[Double] =
-      if (b.size >= k && a >= b.last) b else insert(b, a)
+      if (a.isNaN) b // null key sentinel: not a distinct value
+      else if (b.size >= k && a >= b.last) b
+      else insert(b, a)
 
     def merge(b1: Seq[Double], b2: Seq[Double]): Seq[Double] =
       b2.foldLeft(b1)(reduce)
@@ -60,16 +65,52 @@ object Sketches {
       }
     }
 
-    def finish(b: Seq[Double]): Double =
-      if (b.size < k) b.size.toDouble // fewer distincts than k: exact
-      else (k - 1).toDouble / b.last
+    def finish(b: Seq[Double]): Seq[Double] = b
 
     def bufferEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
-    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+    def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
   }
 
-  /** The sketch as an untyped aggregate column over a hashUnit column. */
-  def kmvEstimate(h: Column, k: Int): Column = udaf(new KMV(k)).apply(h)
+  /** Merge of stored KMV states (array<double> columns): the k-min set
+    * of a union of streams is the k-min of the per-stream k-min sets, so
+    * folding stored states through the same insert path reproduces the
+    * single-pass state EXACTLY — the mergeable-artifact half of the
+    * sketch (write per-partition states to parquet, roll them up later;
+    * see [[kmvState]]/[[kmvEstimateFromState]]). */
+  class KMVMerge(k: Int)
+      extends Aggregator[Seq[Double], Seq[Double], Seq[Double]] {
+    private val kmv = new KMV(k)
+    def zero: Seq[Double] = Vector.empty
+    def reduce(b: Seq[Double], a: Seq[Double]): Seq[Double] = kmv.merge(b, a)
+    def merge(b1: Seq[Double], b2: Seq[Double]): Seq[Double] =
+      kmv.merge(b1, b2)
+    def finish(b: Seq[Double]): Seq[Double] = b
+    def bufferEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
+  }
+
+  /** The stored-state form of the sketch: the sorted k-min hash set as an
+    * array<double> column — write it per day/partition, [[kmvMergeState]]
+    * it at rollup, read the estimate with [[kmvEstimateFromState]]. */
+  def kmvState(h: Column, k: Int): Column =
+    udaf(new KMV(k)).apply(coalesce(h, lit(Double.NaN)))
+
+  /** Merge stored KMV states (exact: same state as one pass, see
+    * [[KMVMerge]]). */
+  def kmvMergeState(state: Column, k: Int): Column =
+    udaf(new KMVMerge(k)).apply(state)
+
+  /** The (k−1)/h_(k) estimator read off a stored state — pure column
+    * arithmetic, bit-identical to the single-pass estimate. */
+  def kmvEstimateFromState(state: Column, k: Int): Column =
+    when(size(state) < k, size(state).cast("double"))
+      .otherwise(lit((k - 1).toDouble) / element_at(state, -1))
+
+  /** The sketch as an untyped aggregate column over a hashUnit column.
+    * NULL hashes (null keys) are skipped, matching the oracle's
+    * DISTINCT-stream semantics. */
+  def kmvEstimate(h: Column, k: Int): Column =
+    kmvEstimateFromState(kmvState(h, k), k)
 
   // ---- HyperLogLog ------------------------------------------------------
 
@@ -110,34 +151,101 @@ object Sketches {
     * m·ln(m/V) when E ≤ 2.5m and zero registers remain (the classic
     * bias regime); no large-range correction is needed under a 52-bit
     * hash. */
-  class Hll(p: Int) extends Aggregator[(Int, Int), Seq[Int], (Double, Long)] {
+  class Hll(p: Int)
+      extends Aggregator[(Int, Int), Array[Int], (Double, Long)] {
     require(p >= 4 && p <= 12, "Hll needs 4 <= p <= 12")
     private val m = 1 << p
 
-    def zero: Seq[Int] = Vector.fill(m)(0)
+    def zero: Array[Int] = new Array[Int](m)
 
-    def reduce(b: Seq[Int], a: (Int, Int)): Seq[Int] =
-      if (a._2 > b(a._1)) b.updated(a._1, a._2) else b
+    // mutable in-place update — the Aggregator contract permits reusing
+    // the buffer, and a per-row Vector copy (2^p elements) would be the
+    // aggregate loop's dominant allocation at real row counts. A
+    // negative register is the NULL-key sentinel (see [[hllEstimate]]):
+    // skipped, matching count(DISTINCT)/approx_count_distinct and the
+    // oracle's null-dropping group-by spine.
+    def reduce(b: Array[Int], a: (Int, Int)): Array[Int] = {
+      if (a._1 >= 0 && a._2 > b(a._1)) b(a._1) = a._2
+      b
+    }
 
-    def merge(b1: Seq[Int], b2: Seq[Int]): Seq[Int] =
-      Vector.tabulate(m)(i => math.max(b1(i), b2(i)))
+    def merge(b1: Array[Int], b2: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < m) { if (b2(i) > b1(i)) b1(i) = b2(i); i += 1 }
+      b1
+    }
 
-    def finish(b: Seq[Int]): (Double, Long) = {
-      val s = b.foldLeft(0.0)((acc, r) => acc + math.pow(2.0, -r))
-      val v = b.count(_ == 0)
-      val e = Hll.alpha(m) * m * m / s
+    def finish(b: Array[Int]): (Double, Long) = Hll.estimate(b, m)
+
+    def bufferEncoder: Encoder[Array[Int]] = ExpressionEncoder()
+    def outputEncoder: Encoder[(Double, Long)] = ExpressionEncoder()
+  }
+
+  /** [[Hll]] that finishes with its REGISTERS instead of the estimate —
+    * the storable artifact form (array<int> column; 2^p ints). Write one
+    * per day/partition, [[hllMergeRegisters]] them at rollup, read the
+    * estimate with [[hllEstimateFromRegisters]]; max-merge associativity
+    * makes the rollup estimate bit-identical to a single pass. */
+  class HllSketch(p: Int) extends Aggregator[(Int, Int), Array[Int], Seq[Int]] {
+    private val hll = new Hll(p)
+    def zero: Array[Int] = hll.zero
+    def reduce(b: Array[Int], a: (Int, Int)): Array[Int] = hll.reduce(b, a)
+    def merge(b1: Array[Int], b2: Array[Int]): Array[Int] = hll.merge(b1, b2)
+    def finish(b: Array[Int]): Seq[Int] = b.toIndexedSeq
+    def bufferEncoder: Encoder[Array[Int]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[Int]] = ExpressionEncoder()
+  }
+
+  /** Register-wise max over stored register arrays (array<int> columns). */
+  class HllMerge(p: Int) extends Aggregator[Seq[Int], Array[Int], Seq[Int]] {
+    private val m = 1 << p
+    def zero: Array[Int] = new Array[Int](m)
+    def reduce(b: Array[Int], a: Seq[Int]): Array[Int] = {
+      var i = 0
+      while (i < m) { val r = a(i); if (r > b(i)) b(i) = r; i += 1 }
+      b
+    }
+    def merge(b1: Array[Int], b2: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < m) { if (b2(i) > b1(i)) b1(i) = b2(i); i += 1 }
+      b1
+    }
+    def finish(b: Array[Int]): Seq[Int] = b.toIndexedSeq
+    def bufferEncoder: Encoder[Array[Int]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[Int]] = ExpressionEncoder()
+  }
+
+  object Hll {
+    /** α_m (Flajolet et al. 2007, §4): the small-m constants 0.673 /
+      * 0.697 / 0.709 for m = 16/32/64, the practical closed form for
+      * m ≥ 128. */
+    def alpha(m: Int): Double = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+
+    /** The shared estimator: raw E = α·m·m / Σ2^−ρ with the
+      * linear-counting fallback m·ln(m/V) when E ≤ 2.5m and zero
+      * registers remain. One code path for [[Hll.finish]] and the
+      * driver-side spec references; [[hllEstimateFromRegisters]] mirrors
+      * the identical constant and operation order in columns. */
+    def estimate(regs: Array[Int], m: Int): (Double, Long) = {
+      var s = 0.0
+      var v = 0
+      var i = 0
+      while (i < m) {
+        val r = regs(i)
+        s += math.pow(2.0, -r)
+        if (r == 0) v += 1
+        i += 1
+      }
+      val e = alpha(m) * m * m / s
       val est =
         if (e <= 2.5 * m && v > 0) m * math.log(m.toDouble / v) else e
       (est, v.toLong)
     }
-
-    def bufferEncoder: Encoder[Seq[Int]] = ExpressionEncoder()
-    def outputEncoder: Encoder[(Double, Long)] = ExpressionEncoder()
-  }
-
-  object Hll {
-    /** α_m for m ≥ 128 (Flajolet et al. 2007, §4 practical form). */
-    def alpha(m: Int): Double = 0.7213 / (1.0 + 1.079 / m)
   }
 
   /** (reg, rank) input columns for [[Hll]] from a [[hashBits52]] hash. */
@@ -150,10 +258,46 @@ object Sketches {
     (reg, rank)
   }
 
+  /** NULL-key-safe (reg, rank): a null key's md5 is null, which the
+    * non-nullable tuple encoder would reject at runtime — map it to the
+    * (−1, 0) sentinel the aggregator skips instead, so null keys are
+    * ignored exactly as the oracle (whose null register falls off the
+    * range(0, m) spine) and approx_count_distinct ignore them. */
+  private def hllInput(key: Column, salt: String, p: Int): (Column, Column) = {
+    val (reg, rank) = hllRegRank(hashBits52(key, salt), p)
+    (coalesce(reg, lit(-1)), coalesce(rank, lit(0)))
+  }
+
   /** The sketch as an untyped aggregate column: struct(est, n_zero). */
   def hllEstimate(key: Column, salt: String, p: Int): Column = {
-    val (reg, rank) = hllRegRank(hashBits52(key, salt), p)
+    val (reg, rank) = hllInput(key, salt, p)
     udaf(new Hll(p), ExpressionEncoder[(Int, Int)]()).apply(reg, rank)
+  }
+
+  /** The registers as a storable aggregate column (array<int>, 2^p
+    * elements) — the mergeable-artifact form of [[hllEstimate]]. */
+  def hllRegisters(key: Column, salt: String, p: Int): Column = {
+    val (reg, rank) = hllInput(key, salt, p)
+    udaf(new HllSketch(p), ExpressionEncoder[(Int, Int)]()).apply(reg, rank)
+  }
+
+  /** Merge stored register arrays (register-wise max — associative,
+    * commutative, idempotent: any merge tree gives the same state). */
+  def hllMergeRegisters(regs: Column, p: Int): Column =
+    udaf(new HllMerge(p)).apply(regs)
+
+  /** struct(est_distinct, n_zero) read off a stored register array —
+    * pure column arithmetic (Σ2^−ρ is exact in doubles, so this is
+    * bit-identical to [[Hll.estimate]] on the same registers). */
+  def hllEstimateFromRegisters(regs: Column, p: Int): Column = {
+    val m = 1 << p
+    val s = aggregate(regs, lit(0.0),
+      (acc, r) => acc + pow(lit(2.0), -r.cast("double")))
+    val v = size(filter(regs, _ === 0))
+    val e = lit(Hll.alpha(m) * m * m) / s
+    val est = when(e <= lit(2.5 * m) && v > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / v.cast("double"))).otherwise(e)
+    struct(est.as("_1"), v.cast("long").as("_2"))
   }
 
   /** DuckDB mirror of [[hllEstimate]]: identical register build

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Bpe
+
+/** Laws for the greedy-BPE tokenizer:
+  *
+  *  - the engine's rank-sequential replace-chain tokenization is
+  *    EQUIVALENT to the classic priority-queue BPE (merge all
+  *    occurrences of the lowest-ranked pair present, repeat) — the
+  *    property the creation-ordered merges table licenses;
+  *  - the count column equals the non-space token count;
+  *  - merge-table validity (creation order) is enforced at load.
+  */
+class BpeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def engineTokens(texts: Seq[String]): Seq[Vector[String]] = {
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    df.select(col("id"), Bpe.tokens(col("text")).as("toks"))
+      .orderBy("id").collect()
+      .map(_.getSeq[String](1).toVector).toSeq
+  }
+
+  test("engine tokenization equals priority-queue BPE on the corpus " +
+      "vocabulary and crafted derivation chains") {
+    val texts = Seq(
+      "the fast key order sort table scan merge part window small hash",
+      "batch batch stream spark window dup join order",
+      "scanning batches and sorting the windowed merges",
+      "a", "", " ", "ab", "thethethe", "aaaa", "ststst",
+      "sort sorted sorts resort", "batch batching batched",
+      "keys keyed keying", "order ordering ordered orders",
+      "join joins joining joined", "hash hashes hashing")
+    val got = engineTokens(texts)
+    for ((t, toks) <- texts.zip(got)) {
+      assert(toks == Bpe.referenceTokens(t),
+        s"'$t': engine $toks != reference ${Bpe.referenceTokens(t)}")
+    }
+  }
+
+  test("randomized equivalence: 300 random [a-z ] strings tokenize " +
+      "identically to the priority-queue reference") {
+    val rnd = new scala.util.Random(1234)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz "
+    // bias toward merge-table letters so merges actually fire
+    val biased = "thethinandineranorstbatchscanwinkeymergsortjoin " * 2 +
+      alphabet
+    val texts = (0 until 300).map { _ =>
+      val n = 1 + rnd.nextInt(60)
+      (0 until n).map(_ => biased(rnd.nextInt(biased.length))).mkString
+    }
+    val got = engineTokens(texts)
+    for ((t, toks) <- texts.zip(got))
+      assert(toks == Bpe.referenceTokens(t),
+        s"'$t': engine $toks != reference ${Bpe.referenceTokens(t)}")
+  }
+
+  test("tokenCount equals the non-space token count and undercuts the " +
+      "whitespace proxy on merging text") {
+    val texts = Seq(
+      "the fast key order sort table scan merge part window small hash",
+      "batch batch stream spark window dup join order", "", "a b c")
+    val counts = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), Bpe.tokenCount(col("text")).as("n"))
+      .orderBy("id").collect().map(_.getLong(1)).toSeq
+    for ((t, n) <- texts.zip(counts)) {
+      val ref = Bpe.referenceTokens(t).count(_ != " ")
+      assert(n == ref, s"'$t': count $n != reference $ref")
+    }
+    // "the" is one BPE token but the char count is 3: BPE < chars;
+    // and multi-word text has BPE >= word count (no cross-space merges)
+    assert(counts.head < texts.head.count(_ != ' '))
+    assert(counts.head >= texts.head.split(" ").length)
+  }
+
+  test("merges table is creation-ordered by construction (object loads) " +
+      "and a non-creation-ordered table would be rejected") {
+    assert(Bpe.Merges.nonEmpty) // touching the object runs the validation
+    // "ing" as a SIDE before (i,n) exists is the classic invalid table
+    val bad = Seq("in" -> "g")
+    val produced = scala.collection.mutable.Set[String]()
+    val invalid = bad.exists { case (x, y) =>
+      !((x.length == 1 || produced.contains(x)) &&
+        (y.length == 1 || produced.contains(y)))
+    }
+    assert(invalid, "validation logic must reject un-derived sides")
+  }
+}

@@ -396,4 +396,18 @@ class ExtOpsSpec extends SparkSpec {
       (4L, "removed",     "D", Some(40.0), 100L, Some(200L)),
       (5L, "added",       "E", Some(50.0), 200L, None)), out.toString)
   }
+
+  test("Scd2.snapshotMerge: duplicate keys fail loudly instead of " +
+      "cross-producting corrupt intervals; checkUnique=false skips probes") {
+    val base = Seq((1L, "A"), (1L, "A'"), (2L, "B")).toDF("k", "status")
+    val next = Seq((1L, "A"), (2L, "B")).toDF("k", "status")
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.Scd2.snapshotMerge(base, next, "k", Seq("status"),
+        t0 = 1L, t1 = 2L)
+    }
+    assert(e.getMessage.contains("not unique"))
+    // the escape hatch still plans (caller vouches for the key)
+    graft.ext.Scd2.snapshotMerge(next, next, "k", Seq("status"),
+      t0 = 1L, t1 = 2L, checkUnique = false).collect()
+  }
 }

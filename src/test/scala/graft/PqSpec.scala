@@ -113,8 +113,9 @@ class PqSpec extends SparkSpec {
     val e = emb.filter(col("vec_id") < 80)
     Pq.persistedIndex(e, key = "memo-probe", coarseK = 4, coarseIters = 1,
       m = 2, pqK = 4, pqIters = 1, dim = 64)
-    // locate the artifact (same digest scheme as persistedIndex)
-    val full = "memo-probe|4|1|2|4|1|64"
+    // locate the artifact (same digest scheme as persistedIndex: the key
+    // carries the corpus snapshot fingerprint)
+    val full = s"memo-probe|fp=${Pq.corpusFingerprint(e)}|4|1|2|4|1|64"
     val sha = java.security.MessageDigest.getInstance("SHA-256")
       .digest(full.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
     val root = sys.env.getOrElse("GRAFT_INDEX_DIR", "target/graft-index")
@@ -130,5 +131,30 @@ class PqSpec extends SparkSpec {
       m = 2, pqK = 4, pqIters = 1, dim = 64)
     val t1 = java.nio.file.Files.getLastModifiedTime(success)
     assert(t0 == t1, "second persistedIndex call rewrote the artifact")
+  }
+
+  test("persistedIndex notices an in-place corpus rewrite: same key, " +
+      "changed rows -> fresh index, not the stale artifact") {
+    val before = emb.filter(col("vec_id") < 60)
+    val after = emb.filter(col("vec_id") >= 60 && col("vec_id") < 120)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    Pq.persistedIndex(before, key = "rewrite-probe", coarseK = 4,
+      coarseIters = 1, m = 2, pqK = 4, pqIters = 1, dim = 64)
+    // "rewrite in place": the SAME key now resolves to different rows
+    val got = Pq.persistedIndex(after, key = "rewrite-probe", coarseK = 4,
+      coarseIters = 1, m = 2, pqK = 4, pqIters = 1, dim = 64)
+    val fresh = Pq.fitIndex(after, coarseK = 4, coarseIters = 1, m = 2,
+      pqK = 4, pqIters = 1, dim = 64)
+    assert(rows(Pq.searchIndex(after, got, nprobe = 2, topK = 3)) ==
+      rows(Pq.searchIndex(after, fresh, nprobe = 2, topK = 3)),
+      "stale index served after the corpus changed under the same key")
+    // and a content-only change (same ids, rescaled vectors) also misses
+    val rescaled = before.withColumn("embedding",
+      org.apache.spark.sql.functions.transform(col("embedding"),
+        v => v * lit(2.0f)))
+    assert(Pq.corpusFingerprint(before) != Pq.corpusFingerprint(rescaled),
+      "fingerprint blind to a content-only rewrite")
   }
 }
