@@ -132,7 +132,13 @@ object Bench {
         f""""codegen_compiles":${cgN1 - cgN0}}"""
     }
 
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the sweep for local iteration
+    // (the driver never sets it, so round artifacts always cover all).
+    val onlyQ: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").filter(_.nonEmpty)
+        .map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => onlyQ.forall(_.contains(n)) }
     val s0 = jvmStats()
     val cold = ordered.map { case (name, fn) => name -> timeOnce(fn) }
     val coldDiag = passDiag("cold pass", s0)

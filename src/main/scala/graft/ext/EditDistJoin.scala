@@ -110,9 +110,19 @@ object EditDistJoin {
 
     // probe side: for every partner length ℓ in [len-τ, len] (partner
     // is the shorter side; ℓ ≥ k so its segments are non-empty) and
-    // every segment index, the substrings at the canonical start ± τ,
-    // clamped to the probe string's bounds — hashed in the projection
-    // that drops the text.
+    // every segment index, the substrings at the canonical start plus a
+    // shift window — hashed in the projection that drops the text.
+    //
+    // Multi-match-aware shift window (Li 2012 §4): it is complete to
+    // cover every true pair through its FIRST surviving segment i, whose
+    // shift δ must satisfy  max(i, |δ|) + |Δ − δ| ≤ τ  (Δ = len_a − ℓ):
+    // the edits before i number ≥ i (all earlier segments are touched)
+    // and ≥ |δ| (the shift is net indels before), the edits after number
+    // ≥ |Δ − δ| (the tail length mismatch), and they total ≤ τ. The
+    // feasible δ form the interval
+    //   [max(−⌊(τ−Δ)/2⌋, i+Δ−τ), min(⌊(τ+Δ)/2⌋, τ−i+Δ)]
+    // — ~2.5× fewer probe rows than the naive |δ| ≤ τ window at τ = 6
+    // (completeness stays pinned by EditDistJoinSpec's brute-force law).
     val probe = base
       .select(col("id").as("id_a"), col("t"), col("len").as("len_a"),
         explode(sequence(greatest(col("len") - tau, lit(k)), col("len")))
@@ -120,11 +130,20 @@ object EditDistJoin {
       .select(col("id_a"), col("t"), col("len_a"), col("l"), segIdx)
       .select(col("id_a"), col("t"), col("len_a"), col("l"), col("i"),
         segStart(k)(col("l"), col("i")).as("p"),
-        segWidth(k)(col("l"), col("i")).as("w"))
+        segWidth(k)(col("l"), col("i")).as("w"),
+        (col("len_a") - col("l")).cast("int").as("d"))
       .select(col("id_a"), col("t"), col("l"), col("i"), col("w"),
         explode(sequence(
-          greatest(col("p") - tau, lit(0)),
-          least(col("p") + tau, col("len_a") - col("w")))).as("s"))
+          greatest(
+            col("p") + greatest(
+              -((lit(tau) - col("d")) / 2).cast("int"),
+              col("i") + col("d") - lit(tau)),
+            lit(0)),
+          least(
+            col("p") + least(
+              ((lit(tau) + col("d")) / 2).cast("int"),
+              lit(tau) - col("i") + col("d")),
+            col("len_a") - col("w")))).as("s"))
       .select(col("id_a"), col("l"), col("i"),
         xxhash64(col("t").substr(col("s") + 1, col("w"))).as("segh"))
 
@@ -201,7 +220,11 @@ object EditDistJoin {
        | pr AS (SELECT id_a, l, i,
        |   substr(t_a, CAST(p + o2 + 1 AS INTEGER), CAST(w AS INTEGER)) AS seg
        |   FROM pw CROSS JOIN range(${-tau}, ${tau + 1}) g2(o2)
-       |   WHERE p + o2 >= 0 AND p + o2 <= len_a - w),
+       |   WHERE p + o2 >= 0 AND p + o2 <= len_a - w
+       |     AND o2 >= greatest(-(($tau - (len_a - l)) // 2),
+       |       i + (len_a - l) - $tau)
+       |     AND o2 <= least((($tau + (len_a - l)) // 2),
+       |       $tau - i + (len_a - l))),
        | cand AS (SELECT DISTINCT least(pr.id_a, seg.id_b) AS doc_a,
        |     greatest(pr.id_a, seg.id_b) AS doc_b
        |   FROM pr JOIN seg ON pr.l = seg.len_b AND pr.i = seg.i
