@@ -1181,6 +1181,46 @@ object ExtQueries {
            | FROM top ORDER BY exact_cnt DESC, tok""".stripMargin
           .replace("\n", " ")
       }),
+    // The CMS rollup path: per-partition sketches (stand-in: doc_id % 8)
+    // merged by element-wise counter sum — CMS is linear, so the merged
+    // sketch is bit-identical to one global pass and the oracle IS the
+    // global q_cms_counts computation. Completes the mergeable-artifact
+    // surface across all three sketch families (HLL registers, KMV k-min
+    // sets, CMS counters); parquet round-trip law in ChunkSketchSpec.
+    Q("q_cms_merged", (s, dir) => {
+      val (d, w) = (CmsD, CmsW)
+      val hashed = Tables.read(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"), col("tok"),
+          Dedup.base60Col(col("tok")).as("h"))
+      val sk = hashed
+        .groupBy((col("doc_id") % 8).as("part"))
+        .agg(CountMin.sketch(col("h"), d, w).as("sk"))
+        .agg(CountMin.mergeSketch(col("sk"), d, w).as("sk"))
+      hashed.groupBy("tok")
+        .agg(count(lit(1)).as("exact_cnt"), min("h").as("h"))
+        .orderBy(desc("exact_cnt"), col("tok")).limit(20)
+        .crossJoin(broadcast(sk))
+        .select(col("tok"), col("exact_cnt"),
+          CountMin.estimate(col("sk"), col("h"), d, w).as("cms_est"))
+        .orderBy(desc("exact_cnt"), col("tok"))
+    },
+      Some {
+        val (d, w) = (CmsD, CmsW)
+        val sums = (0 until d).map(r =>
+          s"s$r AS (${CountMin.bucketSumsSql(r, w, "hh")})").mkString(", ")
+        val est = (0 until d).map(r =>
+          CountMin.estimateSql(r, w, s"s$r", "h")).mkString("least(", ", ", ")")
+        s"""WITH occ AS (SELECT unnest(string_split("text", ' ')) AS tok
+           |  FROM documents),
+           | hh AS (SELECT tok, ${DualHash.base60Sql("tok")} AS h FROM occ),
+           | $sums,
+           | top AS (SELECT tok, count(*) AS exact_cnt, min(h) AS h FROM hh
+           |   GROUP BY 1 ORDER BY exact_cnt DESC, tok LIMIT 20)
+           | SELECT tok AS "tok", exact_cnt AS "exact_cnt", $est AS "cms_est"
+           | FROM top ORDER BY exact_cnt DESC, tok""".stripMargin
+          .replace("\n", " ")
+      }),
     // ---- bigram log-probability (perplexity-style quality filter) --------
     // CCNet-style language-model filtering re-expressed exactly: train an
     // add-one-smoothed bigram model ON the corpus (two aggregations), then

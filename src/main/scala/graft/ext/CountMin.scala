@@ -52,6 +52,35 @@ object CountMin {
   /** Sketch aggregate column over a base60-hash column. */
   def sketch(h: Column, d: Int, w: Int): Column = udaf(new CMS(d, w)).apply(h)
 
+  /** Merge of STORED sketch arrays (array<bigint> columns): element-wise
+    * sum — CMS counters are pure linear counts, so the merged sketch is
+    * bit-identical to one built over the concatenated streams. This is
+    * the mergeable-artifact half (write per-partition sketches to
+    * parquet, roll them up at read time), same surface as
+    * [[Sketches.hllMergeRegisters]] / [[Sketches.kmvMergeState]];
+    * [[estimate]] already reads from any stored array column. */
+  class CMSMerge(d: Int, w: Int)
+      extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+    def zero: Array[Long] = new Array[Long](d * w)
+    def reduce(b: Array[Long], a: Seq[Long]): Array[Long] = {
+      var i = 0
+      while (i < b.length) { b(i) += a(i); i += 1 }
+      b
+    }
+    def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < b1.length) { b1(i) += b2(i); i += 1 }
+      b1
+    }
+    def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+  }
+
+  /** Merge aggregate over stored sketch-array columns. */
+  def mergeSketch(sketchArr: Column, d: Int, w: Int): Column =
+    udaf(new CMSMerge(d, w)).apply(sketchArr)
+
   /** Point estimate from a sketch array column for a base60-hash column:
     * min over rows of the addressed counter (codegen'd `element_at` /
     * `least`, no UDF). */

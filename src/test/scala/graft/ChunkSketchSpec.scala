@@ -244,6 +244,23 @@ class ChunkSketchSpec extends SparkSpec {
     assert(merged == single, s"rollup estimate $merged != single-pass $single")
   }
 
+  test("CMS sketches round-trip through parquet; merged rollup estimates " +
+      "are bit-identical to the single-pass sketch (linearity)") {
+    import graft.ext.{CountMin, Dedup}
+    val (d, w) = (3, 64)
+    val hashed = Tables.read(spark, sf, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), col("tok"), Dedup.base60Col(col("tok")).as("h"))
+    val single = hashed.agg(CountMin.sketch(col("h"), d, w)).head.getSeq[Long](0)
+    val dir = java.nio.file.Files.createTempDirectory("cms_rt").toString
+    hashed.groupBy((col("doc_id") % 8).as("part"))
+      .agg(CountMin.sketch(col("h"), d, w).as("sk"))
+      .write.mode("overwrite").parquet(dir)
+    val merged = spark.read.parquet(dir)
+      .agg(CountMin.mergeSketch(col("sk"), d, w)).head.getSeq[Long](0)
+    assert(merged == single, "merged CMS counters != single-pass counters")
+  }
+
   test("null keys are skipped by both sketches (no crash, estimate " +
       "matches the non-null subset)") {
     val withNulls = ((1 to 400).map(i => Some(i)) ++ Seq.fill(50)(None))

@@ -27,6 +27,7 @@ class PlanAuditSpec extends SparkSpec {
                                // scale (see CorpusStats.sourceOverlap)
     "q_cms_counts",            // 20 top tokens x the ONE-row sketch:
                                // a deliberate broadcast of bounded state
+    "q_cms_merged",            // same shape over the merged rollup sketch
     "q_kmv_overlap",           // crossJoin of three ONE-row sketch aggs
     "q_bigram_logprob",        // ONE-row vocabulary scalar crossJoin
     "q_skew_diagnose",         // topK rows x the ONE-row totals aggregate
