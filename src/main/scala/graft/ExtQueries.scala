@@ -994,6 +994,68 @@ object ExtQueries {
     }, Some(Sketches.kmvQuantilesOracleSql("documents", "\"doc_id\"",
       "CAST(len(string_split(\"text\", ' ')) AS DOUBLE)", ":qsk", 128,
       Seq(0.25 -> "q25", 0.5 -> "q50", 0.75 -> "q75", 0.9 -> "q90")))),
+    // Quantile-sketch rollup: per-partition k-min samples (stand-in:
+    // doc_id % 8) merged into the global k-min sample — merge-path
+    // independence makes the rollup state bit-identical to one pass, so
+    // the oracle IS the single-pass quantile SQL. Fourth and last sketch
+    // family with the full artifact surface (state column + merge
+    // aggregate + read-from-state); parquet round-trip in ChunkSketchSpec.
+    Q("q_quantiles_merged", (s, dir) => {
+      val agg = Tables.read(s, dir, "documents")
+        .select(col("doc_id"),
+          Sketches.hashUnit(col("doc_id"), ":qsk").as("h"),
+          size(split(col("text"), " ")).cast("double").as("v"))
+        .groupBy((col("doc_id") % 8).as("part"))
+        .agg(Sketches.kmvQuantilesState(col("h"), col("v"), 128).as("st"))
+        .agg(Sketches.kmvQuantilesMergeState(col("st"), 128).as("st"))
+        .select(Sketches.kmvQuantilesFromState(col("st"),
+          Seq(0.25, 0.5, 0.75, 0.9)).as("qs"))
+      agg.select(
+        org.apache.spark.sql.functions.round(col("qs").getItem(0), 6).as("q25"),
+        org.apache.spark.sql.functions.round(col("qs").getItem(1), 6).as("q50"),
+        org.apache.spark.sql.functions.round(col("qs").getItem(2), 6).as("q75"),
+        org.apache.spark.sql.functions.round(col("qs").getItem(3), 6).as("q90"))
+    }, Some(Sketches.kmvQuantilesOracleSql("documents", "\"doc_id\"",
+      "CAST(len(string_split(\"text\", ' ')) AS DOUBLE)", ":qsk", 128,
+      Seq(0.25 -> "q25", 0.5 -> "q50", 0.75 -> "q75", 0.9 -> "q90")))),
+    // Group-wise quantile sketch: per-source token-length percentiles in
+    // ONE aggregation pass — the corpus-audit form ("is source X's length
+    // distribution drifting?"). Same bounded k-min state per group, no
+    // global sort, no per-group window; the oracle runs the identical
+    // rank arithmetic per group.
+    Q("q_group_quantiles", (s, dir) => {
+      val base = Tables.read(s, dir, "documents")
+        .select((col("doc_id") % 4).as("grp"),
+          Sketches.hashUnit(col("doc_id"), ":gq").as("h"),
+          size(split(col("text"), " ")).cast("double").as("v"))
+      base.groupBy("grp")
+        .agg(Sketches.kmvQuantiles(col("h"), col("v"), 64,
+          Seq(0.5, 0.9)).as("qs"))
+        .select(col("grp"),
+          org.apache.spark.sql.functions.round(col("qs").getItem(0), 6)
+            .as("q50"),
+          org.apache.spark.sql.functions.round(col("qs").getItem(1), 6)
+            .as("q90"))
+        .orderBy("grp")
+    }, Some {
+      val u = Sketches.hashUnitSql("\"doc_id\"", ":gq")
+      s"""WITH b AS (SELECT DISTINCT ON (("doc_id" % 4), h)
+         |   ("doc_id" % 4) AS grp, $u AS h,
+         |   CAST(len(string_split("text", ' ')) AS DOUBLE) AS v
+         |   FROM documents ORDER BY ("doc_id" % 4), h, v),
+         | tk AS (SELECT grp, h, v, row_number() OVER
+         |     (PARTITION BY grp ORDER BY h) AS hrn FROM b),
+         | s AS (SELECT grp, v FROM tk WHERE hrn <= 64),
+         | r AS (SELECT grp, v, row_number() OVER
+         |     (PARTITION BY grp ORDER BY v) AS rn,
+         |   count(*) OVER (PARTITION BY grp) AS m FROM s)
+         | SELECT grp AS "grp",
+         |   round(max(CASE WHEN rn = least(m, greatest(1,
+         |     CAST(ceil(0.5e0 * m) AS BIGINT))) THEN v END), 6) AS "q50",
+         |   round(max(CASE WHEN rn = least(m, greatest(1,
+         |     CAST(ceil(0.9e0 * m) AS BIGINT))) THEN v END), 6) AS "q90"
+         | FROM r GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
+    }),
     // ---- as-of join: the point-in-time operator Spark lacks --------------
     // Single-shuffle tagged-union rendering (no join node in the plan);
     // the oracle is DuckDB's NATIVE ASOF LEFT JOIN — what a DuckDB user

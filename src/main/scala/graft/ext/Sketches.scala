@@ -392,6 +392,67 @@ object Sketches {
     udaf(new KMVQuantiles(k, qs),
       ExpressionEncoder[(Double, Double)]()).apply(h, v)
 
+  /** [[KMVQuantiles]] finishing with its STATE — the k rows with the
+    * smallest key hashes as an array<struct<_1:double,_2:double>> column:
+    * the storable artifact form of the quantile sketch (write one per
+    * partition, [[kmvQuantilesMergeState]] at rollup, read quantiles with
+    * [[kmvQuantilesFromState]]). The k-min sample is merge-path
+    * independent, so the rollup state is bit-identical to one pass. */
+  class KMVQuantilesState(k: Int)
+      extends Aggregator[(Double, Double), Seq[(Double, Double)],
+        Seq[(Double, Double)]] {
+    private val q = new KMVQuantiles(k, Seq(0.5))
+    def zero: Seq[(Double, Double)] = Vector.empty
+    def reduce(b: Seq[(Double, Double)],
+               a: (Double, Double)): Seq[(Double, Double)] = q.reduce(b, a)
+    def merge(b1: Seq[(Double, Double)],
+              b2: Seq[(Double, Double)]): Seq[(Double, Double)] =
+      q.merge(b1, b2)
+    def finish(b: Seq[(Double, Double)]): Seq[(Double, Double)] = b
+    def bufferEncoder: Encoder[Seq[(Double, Double)]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[(Double, Double)]] = ExpressionEncoder()
+  }
+
+  /** Merge of stored quantile-sketch states. */
+  class KMVQuantilesMerge(k: Int)
+      extends Aggregator[Seq[(Double, Double)], Seq[(Double, Double)],
+        Seq[(Double, Double)]] {
+    private val q = new KMVQuantiles(k, Seq(0.5))
+    def zero: Seq[(Double, Double)] = Vector.empty
+    def reduce(b: Seq[(Double, Double)],
+               a: Seq[(Double, Double)]): Seq[(Double, Double)] =
+      q.merge(b, a)
+    def merge(b1: Seq[(Double, Double)],
+              b2: Seq[(Double, Double)]): Seq[(Double, Double)] =
+      q.merge(b1, b2)
+    def finish(b: Seq[(Double, Double)]): Seq[(Double, Double)] = b
+    def bufferEncoder: Encoder[Seq[(Double, Double)]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[(Double, Double)]] = ExpressionEncoder()
+  }
+
+  def kmvQuantilesState(h: Column, v: Column, k: Int): Column =
+    udaf(new KMVQuantilesState(k),
+      ExpressionEncoder[(Double, Double)]()).apply(h, v)
+
+  def kmvQuantilesMergeState(state: Column, k: Int): Column =
+    udaf(new KMVQuantilesMerge(k)).apply(state)
+
+  /** Nearest-rank quantiles read off a stored state with pure column
+    * arithmetic: value-sort the sample (`array_sort` on `_2` with `_1`
+    * tiebreak is unnecessary — values sort totally as doubles after the
+    * min-value collision rule), index ceil(q·m). Bit-identical to
+    * [[KMVQuantiles.finish]] on the same state. */
+  def kmvQuantilesFromState(state: Column, qs: Seq[Double]): Column = {
+    val vals = array_sort(transform(state, s => s.getField("_2")))
+    val m = size(vals)
+    val reads = qs.map { q =>
+      when(m === 0, lit(Double.NaN)).otherwise(
+        element_at(vals,
+          least(m, greatest(lit(1), ceil(lit(q) * m).cast("int")))))
+    }
+    array(reads: _*)
+  }
+
   /** DuckDB mirror: k smallest key hashes → value-sorted sample → the
     * identical nearest-rank read-off, one aliased column per quantile. */
   def kmvQuantilesOracleSql(table: String, keyExpr: String, valExpr: String,

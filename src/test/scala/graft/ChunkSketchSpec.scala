@@ -244,6 +244,25 @@ class ChunkSketchSpec extends SparkSpec {
     assert(merged == single, s"rollup estimate $merged != single-pass $single")
   }
 
+  test("quantile-sketch states round-trip through parquet; merged rollup " +
+      "quantiles are bit-identical to the single-pass sketch") {
+    val base = Tables.read(spark, sf, "documents").select(
+      col("doc_id"),
+      Sketches.hashUnit(col("doc_id"), ":qrt").as("h"),
+      size(split(col("text"), " ")).cast("double").as("v"))
+    val single = base.agg(Sketches.kmvQuantiles(col("h"), col("v"), 64,
+      Seq(0.25, 0.5, 0.9)).as("q")).head.getSeq[Double](0)
+    val dir = java.nio.file.Files.createTempDirectory("qsk_rt").toString
+    base.groupBy((col("doc_id") % 8).as("part"))
+      .agg(Sketches.kmvQuantilesState(col("h"), col("v"), 64).as("st"))
+      .write.mode("overwrite").parquet(dir)
+    val merged = spark.read.parquet(dir)
+      .agg(Sketches.kmvQuantilesMergeState(col("st"), 64).as("st"))
+      .select(Sketches.kmvQuantilesFromState(col("st"), Seq(0.25, 0.5, 0.9)))
+      .head.getSeq[Double](0)
+    assert(merged == single, s"rollup quantiles $merged != single $single")
+  }
+
   test("CMS sketches round-trip through parquet; merged rollup estimates " +
       "are bit-identical to the single-pass sketch (linearity)") {
     import graft.ext.{CountMin, Dedup}
