@@ -903,6 +903,58 @@ object ExtQueries {
             .round(Sketches.kmvEstimateFromState(col("m"), 256), 6)
             .as("est_distinct")),
       Some(Sketches.kmvOracleSql("lineitem", "\"l_orderkey\"", ":kmv", 256))),
+    // Theta-style set algebra from two STORED KMV states (no corpus
+    // re-scan, unlike q_kmv_overlap's union pass): which parts were ever
+    // ordered (intersection) and which never (difference), estimated
+    // from two kilobyte artifacts — sampling-rate arithmetic on the
+    // common threshold theta = min(theta_a, theta_b). Both one-row
+    // states broadcast; the oracle mirrors the identical k-min lists,
+    // theta, and counts in SQL.
+    Q("q_kmv_setops", (s, dir) => {
+      val k = 256
+      val a = Tables.read(s, dir, "part")
+        .agg(Sketches.kmvState(
+          Sketches.hashUnit(col("p_partkey"), ":set"), k).as("a"))
+      val b = Tables.read(s, dir, "lineitem")
+        .agg(Sketches.kmvState(
+          Sketches.hashUnit(col("l_partkey"), ":set"), k).as("b"))
+      a.crossJoin(broadcast(b)).select(
+        org.apache.spark.sql.functions
+          .round(Sketches.kmvEstimateFromState(col("a"), k), 6)
+          .as("est_parts"),
+        org.apache.spark.sql.functions
+          .round(Sketches.kmvIntersectEstimate(col("a"), col("b"), k), 6)
+          .as("est_ordered"),
+        org.apache.spark.sql.functions
+          .round(Sketches.kmvDiffEstimate(col("a"), col("b"), k), 6)
+          .as("est_never_ordered"))
+    }, Some {
+      val k = 256
+      val ua = Sketches.hashUnitSql("\"p_partkey\"", ":set")
+      val ub = Sketches.hashUnitSql("\"l_partkey\"", ":set")
+      s"""WITH ah AS (SELECT DISTINCT $ua AS h FROM part),
+         | atk AS (SELECT h FROM ah ORDER BY h LIMIT $k),
+         | bh AS (SELECT DISTINCT $ub AS h FROM lineitem),
+         | btk AS (SELECT h FROM bh ORDER BY h LIMIT $k),
+         | st AS (SELECT (SELECT count(*) FROM atk) AS na,
+         |   (SELECT max(h) FROM atk) AS tha,
+         |   (SELECT count(*) FROM btk) AS nb,
+         |   (SELECT max(h) FROM btk) AS thb),
+         | th AS (SELECT na, nb,
+         |   least(CASE WHEN na < $k THEN 1.0e0 ELSE tha END,
+         |     CASE WHEN nb < $k THEN 1.0e0 ELSE thb END) AS theta,
+         |   CASE WHEN na < $k THEN 1.0e0 ELSE tha END AS ta FROM st),
+         | cm AS (SELECT count(*) AS c FROM atk JOIN btk USING (h), th
+         |   WHERE h < theta),
+         | da AS (SELECT count(*) AS c FROM atk, th WHERE h < theta
+         |   AND h NOT IN (SELECT h FROM btk))
+         | SELECT round(CASE WHEN th.na < $k THEN CAST(th.na AS DOUBLE)
+         |     ELSE ${k - 1}.0e0 / th.ta END, 6) AS "est_parts",
+         |   round(CAST(cm.c AS DOUBLE) / th.theta, 6) AS "est_ordered",
+         |   round(CAST(da.c AS DOUBLE) / th.theta, 6)
+         |     AS "est_never_ordered"
+         | FROM th, cm, da""".stripMargin.replace("\n", " ")
+    }),
     // Model-based quality filtering: fixed-weight logistic score over the
     // heuristic text features — a codegen'd closed-form projection.
     docQ("q_quality_logit",

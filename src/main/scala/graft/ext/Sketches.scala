@@ -112,6 +112,36 @@ object Sketches {
   def kmvEstimate(h: Column, k: Int): Column =
     kmvEstimateFromState(kmvState(h, k), k)
 
+  /** Theta-sketch-style set algebra over two STORED KMV states (Beyer et
+    * al. SIGMOD 2007 §4; the DataSketches theta framework is the same
+    * construction): let θ_X be state X's k-th minimum (or 1.0 when the
+    * state holds fewer than k values — then it is the EXACT distinct
+    * set), and θ = min(θ_A, θ_B). Every distinct hash below θ was
+    * retained by BOTH sketches, so {h ∈ A∩B : h < θ} is an exact uniform
+    * sample of the true intersection at sampling rate θ:
+    *   |A ∩ B| ≈ |{h ∈ A ∩ B : h < θ}| / θ,
+    * and |A \\ B| ≈ |{h ∈ A : h < θ, h ∉ B}| / θ. Deterministic — pure
+    * arithmetic on the two sorted arrays (array_intersect/except +
+    * filter), no re-scan of either corpus: the 100 TB form of "how big
+    * is the overlap between yesterday's and today's url sets" from two
+    * kilobyte artifacts. Unlike [[kmvOverlapOracleSql]]'s
+    * inclusion-exclusion (which needs a union PASS over both streams),
+    * this reads stored states only. */
+  def kmvTheta(state: Column, k: Int): Column =
+    when(size(state) < k, lit(1.0)).otherwise(element_at(state, -1))
+
+  def kmvIntersectEstimate(a: Column, b: Column, k: Int): Column = {
+    val theta = least(kmvTheta(a, k), kmvTheta(b, k))
+    val common = size(filter(array_intersect(a, b), h => h < theta))
+    common.cast("double") / theta
+  }
+
+  def kmvDiffEstimate(a: Column, b: Column, k: Int): Column = {
+    val theta = least(kmvTheta(a, k), kmvTheta(b, k))
+    val only = size(filter(array_except(a, b), h => h < theta))
+    only.cast("double") / theta
+  }
+
   // ---- HyperLogLog ------------------------------------------------------
 
   /** The 52-bit hash as a raw integer (same md5 prefix as [[hashUnit]],

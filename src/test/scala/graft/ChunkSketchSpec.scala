@@ -280,6 +280,47 @@ class ChunkSketchSpec extends SparkSpec {
     assert(merged == single, "merged CMS counters != single-pass counters")
   }
 
+  test("theta set algebra: exact below k (full-overlap, disjoint, " +
+      "partial), and within 4 sigma against exact counts on the corpus") {
+    import org.apache.spark.sql.Row
+    def states(aIds: Seq[Int], bIds: Seq[Int], k: Int) = {
+      val a = aIds.toDF("id")
+        .agg(Sketches.kmvState(Sketches.hashUnit(col("id"), ":th"), k).as("a"))
+      val b = bIds.toDF("id")
+        .agg(Sketches.kmvState(Sketches.hashUnit(col("id"), ":th"), k).as("b"))
+      a.crossJoin(b).select(
+        Sketches.kmvIntersectEstimate(col("a"), col("b"), k).as("i"),
+        Sketches.kmvDiffEstimate(col("a"), col("b"), k).as("d")).head
+    }
+    // below k both states are the exact distinct hash sets
+    assert(states(1 to 50, 1 to 50, 128) == Row(50.0, 0.0))
+    assert(states(1 to 50, 51 to 90, 128) == Row(0.0, 50.0))
+    assert(states(1 to 50, 26 to 90, 128) == Row(25.0, 25.0))
+    // corpus-scale accuracy: parts ordered in lineitem (true containment)
+    val k = 256
+    val part = Tables.read(spark, sf, "part")
+    val li = Tables.read(spark, sf, "lineitem")
+    val exactParts = part.select("p_partkey").distinct().count().toDouble
+    val exactOrdered = part.select(col("p_partkey"))
+      .join(li.select(col("l_partkey")).distinct(),
+        col("p_partkey") === col("l_partkey")).count().toDouble
+    val r = part
+      .agg(Sketches.kmvState(
+        Sketches.hashUnit(col("p_partkey"), ":th2"), k).as("a"))
+      .crossJoin(li.agg(Sketches.kmvState(
+        Sketches.hashUnit(col("l_partkey"), ":th2"), k).as("b")))
+      .select(
+        Sketches.kmvIntersectEstimate(col("a"), col("b"), k).as("i"),
+        Sketches.kmvDiffEstimate(col("a"), col("b"), k).as("d")).head
+    // theta sampling error: sigma ~ sqrt(n/theta)/... use the KMV bound
+    // on the union scale: 4 * (union/sqrt(k-1)) absolute slack
+    val slack = 4.0 * (exactParts / math.sqrt(k - 1.0))
+    assert(math.abs(r.getDouble(0) - exactOrdered) <= slack,
+      s"intersect est ${r.getDouble(0)} vs exact $exactOrdered (±$slack)")
+    assert(math.abs(r.getDouble(1) - (exactParts - exactOrdered)) <= slack,
+      s"diff est ${r.getDouble(1)} vs exact ${exactParts - exactOrdered}")
+  }
+
   test("null keys are skipped by both sketches (no crash, estimate " +
       "matches the non-null subset)") {
     val withNulls = ((1 to 400).map(i => Some(i)) ++ Seq.fill(50)(None))
