@@ -670,6 +670,60 @@ object StreamingOps {
       col("n_cur"), round(contribs.reduce(_ + _), 6).as("psi"))
   }
 
+  /** Streaming per-window distinct counting — the stream twin of
+    * [[graft.ext.Sketches.hllRegisters]]: one HLL sketch per event-time
+    * window, emitted at window close with BOTH the estimate and the raw
+    * register array, so a downstream daily/monthly rollup can
+    * [[graft.ext.Sketches.hllMergeRegisters]] the streamed artifacts —
+    * hourly "distinct users" at 2^p ints of state per open window, never
+    * a distinct-key shuffle or an unbounded key set in the state store.
+    *
+    * ONE windowed aggregation (the typed HLL Aggregator's buffer IS the
+    * streaming state), a stateless estimate projection after close —
+    * same single-stage discipline as [[streamingPsiDrift]]. Batch parity
+    * is exact: max-merge registers are micro-batch-order independent, so
+    * closed windows equal the batch groupBy(window) sketch bit-for-bit
+    * (pinned in StreamingSpec). */
+  def streamingDistinct(events: DataFrame, eventTimeCol: String,
+                        keyCol: String, salt: String = ":shll", p: Int = 8,
+                        windowSize: String = "1 hour",
+                        watermark: String = "2 hours"): DataFrame = {
+    import graft.ext.Sketches
+    events
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy(window(col(eventTimeCol), windowSize))
+      .agg(Sketches.hllRegisters(col(keyCol), salt, p).as("regs"))
+      .select(unix_millis(col("window.start")).as("w_start"),
+        round(Sketches.hllEstimateFromRegisters(col("regs"), p)
+          .getField("_1"), 6).as("est_distinct"),
+        col("regs"))
+  }
+
+  /** Streaming per-window frequency sketching — the stream twin of
+    * [[graft.ext.CountMin]]: one CMS per event-time window over the
+    * token/key stream, emitted at window close as the raw d×w counter
+    * array. CMS is linear, so streamed window artifacts merge by
+    * element-wise sum ([[graft.ext.CountMin.mergeSketch]]) into any
+    * coarser rollup bit-identically, and point estimates read off the
+    * stored arrays with [[graft.ext.CountMin.estimate]] — hourly "which
+    * tokens are spiking" at d·w longs of state per open window, with no
+    * per-key state and no top-k shuffle in the hot path.
+    *
+    * `keyHashCol` is a base60 hash column (e.g.
+    * [[graft.ext.Dedup.base60Col]] of the token) — hashing stays in the
+    * stateless projection, the stateful stage only increments counters. */
+  def streamingCms(events: DataFrame, eventTimeCol: String,
+                   keyHashCol: Column, d: Int = 3, w: Int = 256,
+                   windowSize: String = "1 hour",
+                   watermark: String = "2 hours"): DataFrame = {
+    import graft.ext.CountMin
+    events
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy(window(col(eventTimeCol), windowSize))
+      .agg(CountMin.sketch(keyHashCol, d, w).as("sk"))
+      .select(unix_millis(col("window.start")).as("w_start"), col("sk"))
+  }
+
   /** Sliding-window counts per event type with a watermark — the
     * streaming twin of the batch `q_sliding_hourly` (slide < size, so
     * each event lands in size/slide windows via the SAME in-map window()

@@ -713,4 +713,112 @@ class StreamingSpec extends SparkSpec {
     assert(dogRows.length == 2 && dogRows.toSet == Set((1L, 2L), (2L, 3L)),
       s"dog must re-emit per batch with growing totals: ${dogRows.toSeq}")
   }
+
+  test("streaming HLL distinct batch-parity: closed windows carry the " +
+      "bit-identical sketch (estimate AND registers) as the batch " +
+      "groupBy, single- and multi-batch") {
+    import graft.ext.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    val hourNs = 3600L * 1000000000L
+    // user ids repeat within and across hours; hour 1 sees a superset
+    val rows = Seq[(Long, Long)](          // (ts, user_id)
+      (0L * hourNs + 1000000L, 1L), (0L * hourNs + 2000000L, 2L),
+      (0L * hourNs + 3000000L, 1L), (0L * hourNs + 9000000L, 3L),
+      (1L * hourNs + 1000000L, 1L), (1L * hourNs + 2000000L, 4L),
+      (1L * hourNs + 5000000L, 5L), (1L * hourNs + 6000000L, 4L))
+    val sentinel = (50L * hourNs, 999L)
+    val want = rows.toDF("ts", "user_id")
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("event_time"), "1 hour"))
+      .agg(Sketches.hllRegisters(col("user_id"), ":shll", 8).as("regs"))
+      .select(unix_millis(col("window.start")).as("w_start"),
+        round(Sketches.hllEstimateFromRegisters(col("regs"), 8)
+          .getField("_1"), 6).as("est"), col("regs"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Int](2))).toSet
+    assert(want.size == 2)
+    // 3 and 5 distinct keys sit deep in linear counting: near-exact
+    assert(want.map(_._2).toSeq.sorted.zip(Seq(3.0, 5.0))
+      .forall { case (e, n) => math.abs(e - n) < 0.2 })
+
+    def run(batches: Seq[Seq[(Long, Long)]], name: String) = {
+      val mem = MemoryStream[(Long, Long)]
+      val events = mem.toDF().toDF("ts", "user_id")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      val q = StreamingOps.streamingDistinct(events, "event_time", "user_id")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      for (b <- batches) { mem.addData(b: _*); q.processAllAvailable() }
+      mem.addData(sentinel); q.processAllAvailable()
+      q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Int](2))).toSet
+    }
+    assert(run(Seq(rows), "shll_1") == want)
+    // split MID-WINDOW: hour-0 state must accumulate across micro-batches
+    val (early, late) = rows.splitAt(3)
+    assert(run(Seq(early, late), "shll_2") == want)
+    // and the streamed register artifacts roll up like batch ones:
+    // merging the two window sketches equals one sketch over all rows
+    val streamed = run(Seq(rows), "shll_3")
+    val mergedEst = streamed.toSeq.map(_._3).map(s => s.toArray)
+      .reduce((a, b) => a.zip(b).map { case (x, y) => math.max(x, y) })
+    val global = rows.toDF("ts", "user_id")
+      .agg(Sketches.hllRegisters(col("user_id"), ":shll", 8)).head
+      .getSeq[Int](0).toArray
+    assert(mergedEst.toSeq == global.toSeq,
+      "streamed window registers must max-merge to the global sketch")
+  }
+
+  test("streaming CMS batch-parity: closed windows carry bit-identical " +
+      "counter arrays; window sketches sum-merge to the global sketch " +
+      "and point estimates bound the exact counts") {
+    import graft.ext.{CountMin, Dedup}
+    implicit val sqlCtx = spark.sqlContext
+    val hourNs = 3600L * 1000000000L
+    val (d, w) = (3, 64)
+    val rows = Seq[(Long, String)](
+      (0L * hourNs + 1000000L, "cat"), (0L * hourNs + 2000000L, "cat"),
+      (0L * hourNs + 3000000L, "dog"), (0L * hourNs + 9000000L, "cat"),
+      (1L * hourNs + 1000000L, "dog"), (1L * hourNs + 2000000L, "emu"),
+      (1L * hourNs + 5000000L, "dog"))
+    val sentinel = (50L * hourNs, "zzz")
+    def prep(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withColumn("h", Dedup.base60Col(col("tok")))
+    val want = prep(rows.toDF("ts", "tok"))
+      .groupBy(window(col("event_time"), "1 hour"))
+      .agg(CountMin.sketch(col("h"), d, w).as("sk"))
+      .select(unix_millis(col("window.start")).as("w_start"), col("sk"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    assert(want.size == 2)
+
+    def run(batches: Seq[Seq[(Long, String)]], name: String) = {
+      val mem = MemoryStream[(Long, String)]
+      val events = prep(mem.toDF().toDF("ts", "tok"))
+      val q = StreamingOps.streamingCms(events, "event_time", col("h"),
+          d, w)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      for (b <- batches) { mem.addData(b: _*); q.processAllAvailable() }
+      mem.addData(sentinel); q.processAllAvailable()
+      q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    }
+    assert(run(Seq(rows), "scms_1") == want)
+    val (early, late) = rows.splitAt(3)
+    assert(run(Seq(early, late), "scms_2") == want)
+    // linearity: summed window sketches = one sketch over all rows, and
+    // the point estimate upper-bounds (here: equals) the exact count
+    val merged = run(Seq(rows), "scms_3").toSeq.map(_._2.toArray)
+      .reduce((a, b) => a.zip(b).map { case (x, y) => x + y })
+    val global = prep(rows.toDF("ts", "tok"))
+      .agg(CountMin.sketch(col("h"), d, w)).head.getSeq[Long](0)
+    assert(merged.toSeq == global, "window sketches must sum to global")
+    val est = prep(rows.toDF("ts", "tok")).limit(1)
+      .select(CountMin.estimate(
+        typedLit(merged.toSeq), col("h"), d, w)).head.getLong(0)
+    assert(est >= 3L, s"cat estimate $est must bound the exact 3")
+  }
 }
