@@ -299,6 +299,36 @@ object ExtQueries {
              | ORDER BY "qid", "nid"""".stripMargin.replace("\n", " ")
         .replace("CENTHASH",
           DualHash.base60Sql("concat(CAST(\"vec_id\" AS VARCHAR), ':42')")))),
+    // Hard-negative mining for contrastive training: per anchor, top-3
+    // neighbours with cosine in the [0.3, 0.9) "hard" band — close enough
+    // to teach the margin, below the near-dup zone that would make them
+    // FALSE negatives. Same IVF probed-cell candidate topology (and the
+    // same oracle CTEs) as q_knn_ivf with a band filter before the rank.
+    Q("q_hard_negatives", (s, dir) =>
+      Similarity.hardNegatives(Tables.read(s, dir, "embeddings"), k = 3,
+          lo = 0.3, hi = 0.9)
+        .orderBy("qid", "nid"),
+      Some("""WITH e AS (SELECT "vec_id", CAST("embedding" AS DOUBLE[]) AS v FROM embeddings),
+             | n AS (SELECT "vec_id", v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+             | cent AS (SELECT "vec_id" AS cid, v AS cv, nrm AS cn FROM n
+             |   ORDER BY CENTHASH, "vec_id" LIMIT 16),
+             | sc AS (SELECT n."vec_id" AS vid, n.v, n.nrm, c.cid,
+             |   round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) AS csim
+             |   FROM n CROSS JOIN cent c),
+             | rk AS (SELECT vid, v, nrm, cid,
+             |   row_number() OVER (PARTITION BY vid ORDER BY csim DESC, cid) AS crk FROM sc),
+             | home AS (SELECT cid AS cell, vid AS nid, v AS vb, nrm AS nb FROM rk WHERE crk = 1),
+             | pr AS (SELECT cid AS cell, vid AS qid, v AS va, nrm AS na FROM rk WHERE crk <= 2),
+             | p AS (SELECT qid, nid, round(list_dot_product(va, vb) / (na * nb), 6) AS sim
+             |   FROM pr JOIN home USING (cell) WHERE qid <> nid),
+             | b AS (SELECT qid, nid, sim FROM p
+             |   WHERE sim >= 0.3e0 AND sim < 0.9e0),
+             | r AS (SELECT qid, nid, sim,
+             |   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk2 FROM b)
+             | SELECT qid AS "qid", nid AS "nid", sim AS "sim" FROM r WHERE rk2 <= 3
+             | ORDER BY "qid", "nid"""".stripMargin.replace("\n", " ")
+        .replace("CENTHASH",
+          DualHash.base60Sql("concat(CAST(\"vec_id\" AS VARCHAR), ':42')")))),
     // ---- product quantization (IVF-PQ's compression half) ---------------
     // PQ codes: 2 subspaces x 4 centroids trained with the deterministic
     // dyadic k-means on sliced vectors — 64 float64 dims (512 B) become 2
@@ -587,6 +617,26 @@ object ExtQueries {
            |   (ORDER BY pri, "doc_id" ROWS UNBOUNDED PRECEDING) AS cum FROM b)
            | SELECT "doc_id", n_tokens AS "n_tokens", round(pri, 6) AS "pri"
            | FROM c WHERE cum <= 6000 ORDER BY "doc_id"""".stripMargin
+          .replace("\n", " ")
+      }),
+    // The learned-vocabulary view of the tokenizer: corpus-wide BPE token
+    // frequencies (top 20) — the "is my merges table earning its keep"
+    // audit, and the end-to-end proof that both engines produce the
+    // IDENTICAL token stream (not just identical counts): the oracle
+    // splits the same dual-rendered merged separator string and unnests.
+    // One explode + one hash aggregation; text never shuffles (tokens do,
+    // pre-aggregated map-side).
+    Q("q_bpe_vocab", (s, dir) =>
+      Tables.read(s, dir, "documents")
+        .select(explode(graft.ext.Bpe.tokens(col("text"))).as("tok"))
+        .where(col("tok") =!= " ")
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("tok")).limit(20),
+      Some {
+        val toks = graft.ext.Bpe.tokensSql("\"text\"")
+        s"""WITH t AS (SELECT unnest($toks) AS tok FROM documents)
+           | SELECT tok AS "tok", count(*) AS "n" FROM t
+           | GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin
           .replace("\n", " ")
       }),
     // The same budget denominated in REAL BPE tokens (Bpe.tokenCount):

@@ -120,6 +120,15 @@ object Bpe {
   def tokenCountSql(textExpr: String): String =
     E.toSql(tokenCountE(graft.expr.Raw(null, textExpr)))
 
+  /** DuckDB rendering of the token LIST (the `||`-split of the merged
+    * separator string, empties and space tokens removed) — lets the
+    * oracle unnest the identical token stream the engine's [[tokens]]
+    * produces. */
+  def tokensSql(textExpr: String): String = {
+    val merged = E.toSql(mergedE(graft.expr.Raw(null, textExpr)))
+    s"list_filter(string_split($merged, '||'), t -> t <> '' AND t <> ' ')"
+  }
+
   /** Driver-side reference: classic priority-queue BPE (merge ALL
     * left-to-right non-overlapping occurrences of the lowest-ranked pair
     * present, repeat until none applies). BpeSpec pins engine ≡ this. */

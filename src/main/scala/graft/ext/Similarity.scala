@@ -164,8 +164,11 @@ object Similarity {
     * Scale shape: assignment is a broadcast join (cells x dim doubles),
     * the candidate join shuffles (cell, id, vec) like the LSH bucket join,
     * and no stage ever materialises the n^2 pair space. */
-  def ivfTopK(embeddings: DataFrame, k: Int, cells: Int = 16,
-              probes: Int = ConfiguredIvfProbes, seed: Long = 42L): DataFrame = {
+  /** Shared IVF candidate machinery: (qid, nid, sim) over the probed
+    * cells. Each neighbour has exactly ONE home cell, so a (qid, nid)
+    * pair appears at most once across the probed cells — no distinct. */
+  private def ivfCandidatePairs(embeddings: DataFrame, cells: Int,
+                                probes: Int, seed: Long): DataFrame = {
     val nProbes = resolveProbes(embeddings, probes)
     val e = prepared(embeddings)
     // deterministic centroid sample: lowest `cells` dual-compilable hashes
@@ -188,15 +191,41 @@ object Similarity {
       .select(col("cid").as("cell"), col("vec_id").as("nid"),
         col("v").as("vb"), col("nrm").as("nb"))
     val sim = round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
-    val wq = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-    // no distinct needed: each neighbour has exactly ONE home cell, so a
-    // (qid, nid) pair appears at most once across the probed cells
     ranked.filter(col("crk") <= nProbes)
       .select(col("cid").as("cell"), col("vec_id").as("qid"),
         col("v").as("va"), col("nrm").as("na"))
       .join(home, Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), sim.as("sim"))
+  }
+
+  def ivfTopK(embeddings: DataFrame, k: Int, cells: Int = 16,
+              probes: Int = ConfiguredIvfProbes, seed: Long = 42L): DataFrame = {
+    val wq = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    ivfCandidatePairs(embeddings, cells, probes, seed)
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("sim"))
+  }
+
+  /** Hard-negative mining for contrastive embedding training (the
+    * in-batch-negatives upgrade every retrieval/embedding recipe calls
+    * for — e.g. DPR, Karpukhin 2020 §4.2: negatives that are CLOSE to
+    * the anchor teach the margin; random negatives are too easy): per
+    * anchor, the top-`k` neighbours whose cosine lies in [lo, hi) — the
+    * "hard" band below the near-duplicate zone (a near-dup is a false
+    * negative, not a hard one, hence the `hi` ceiling). Candidates come
+    * from the same IVF probed-cell topology as [[ivfTopK]] — at 100 TB
+    * the pair space stays per-cell, and mining cost is the ANN search
+    * cost, not an all-pairs pass. Fully dual-compilable: same centroid
+    * sample, cell ranks, rounded cosine, band filter and rank. */
+  def hardNegatives(embeddings: DataFrame, k: Int, lo: Double, hi: Double,
+                    cells: Int = 16, probes: Int = ConfiguredIvfProbes,
+                    seed: Long = 42L): DataFrame = {
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val wq = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    ivfCandidatePairs(embeddings, cells, probes, seed)
+      .filter(col("sim") >= lo && col("sim") < hi)
       .withColumn("rk", row_number().over(wq))
       .filter(col("rk") <= k)
       .select(col("qid"), col("nid"), col("sim"))
