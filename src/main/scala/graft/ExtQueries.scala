@@ -329,6 +329,19 @@ object ExtQueries {
              | ORDER BY "qid", "nid"""".stripMargin.replace("\n", " ")
         .replace("CENTHASH",
           DualHash.base60Sql("concat(CAST(\"vec_id\" AS VARCHAR), ':42')")))),
+    // Scalar int8 quantization: max-abs symmetric codes + per-vector
+    // reconstruction error — the 1-byte/dim storage tier of the embedding
+    // stack (PQ below covers the sub-byte tier). Codes AND qerr
+    // hash-match (floor(x+0.5) rounding, dot-kernel summation); pure
+    // per-row projection.
+    Q("q_embed_quantize", (s, dir) =>
+      graft.ext.Quantize.int8(Tables.read(s, dir, "embeddings"))
+        .select(col("vec_id"),
+          org.apache.spark.sql.functions.round(col("scale"), 6).as("scale"),
+          col("codes"),
+          org.apache.spark.sql.functions.round(col("qerr"), 6).as("qerr"))
+        .orderBy("vec_id"),
+      Some(graft.ext.Quantize.int8OracleSql())),
     // ---- product quantization (IVF-PQ's compression half) ---------------
     // PQ codes: 2 subspaces x 4 centroids trained with the deterministic
     // dyadic k-means on sliced vectors — 64 float64 dims (512 B) become 2

@@ -397,6 +397,37 @@ class ExtOpsSpec extends SparkSpec {
       (5L, "added",       "E", Some(50.0), 200L, None)), out.toString)
   }
 
+  test("Quantize.int8: codes bounded, zero vectors safe, dequantized " +
+      "cosine within 1% of the f64 cosine on the corpus") {
+    import graft.ext.{Quantize, Similarity}
+    val emb = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = Quantize.int8(emb)
+    // bounds: |code| <= 127 everywhere
+    val oob = q.select(explode(col("codes")).as("c"))
+      .filter(abs(col("c")) > 127).count()
+    assert(oob == 0L, s"$oob codes out of [-127, 127]")
+    // zero vector: all-zero codes, zero error
+    val z = Quantize.int8(
+      Seq((0L, Array.fill(8)(0.0f))).toDF("vec_id", "embedding")).head
+    assert(z.getSeq[Int](2).forall(_ == 0) && z.getDouble(3) == 0.0)
+    // semantic fidelity: cosine(recon_a, recon_b) ~ cosine(a, b)
+    val recon = q.select(col("vec_id"),
+      transform(col("codes"),
+        c => c.cast("double") * col("scale") / lit(127.0)).as("embedding"))
+    def topPairs(df: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteForceTopK(df.limit(60), 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+    val exact = topPairs(emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding")))
+    val approx = topPairs(recon)
+    val shared = exact.keySet intersect approx.keySet
+    assert(shared.size >= exact.size / 2, "recon top-k diverged wholesale")
+    for (k <- shared)
+      assert(math.abs(exact(k) - approx(k)) <= 0.01,
+        s"pair $k cosine ${exact(k)} vs recon ${approx(k)}")
+  }
+
   test("Scd2.snapshotMerge: duplicate keys fail loudly instead of " +
       "cross-producting corrupt intervals; checkUnique=false skips probes") {
     val base = Seq((1L, "A"), (1L, "A'"), (2L, "B")).toDF("k", "status")
