@@ -1109,6 +1109,57 @@ object ExtQueries {
     }, Some(Sketches.kmvQuantilesOracleSql("documents", "\"doc_id\"",
       "CAST(len(string_split(\"text\", ' ')) AS DOUBLE)", ":qsk", 128,
       Seq(0.25 -> "q25", 0.5 -> "q50", 0.75 -> "q75", 0.9 -> "q90")))),
+    // Robust outlier flagging (median/MAD, the length-filter form every
+    // corpus clean runs — robust-z, not mean/stddev, because the outliers
+    // being hunted poison the moments they would be scored against):
+    // median and MAD come from the SAME mergeable k-min quantile sketch
+    // in two passes (values, then absolute deviations), both broadcast as
+    // one-row aggregates; the flag is a stateless projection. The 1.4826
+    // constant normalises MAD to sigma under normality (Hampel).
+    Q("q_robust_outliers", (s, dir) => {
+      val base = Tables.read(s, dir, "documents")
+        .select(col("doc_id"),
+          Sketches.hashUnit(col("doc_id"), ":mad").as("h"),
+          size(split(col("text"), " ")).cast("double").as("v"))
+      val med = base.agg(Sketches.kmvQuantiles(col("h"), col("v"), 256,
+        Seq(0.5)).getItem(0).as("med"))
+      val withMed = base.crossJoin(broadcast(med))
+      val mad = withMed
+        .select(col("h"),
+          org.apache.spark.sql.functions.abs(col("v") - col("med")).as("av"))
+        .agg(Sketches.kmvQuantiles(col("h"), col("av"), 256,
+          Seq(0.5)).getItem(0).as("mad"))
+      // the flag reads the UNROUNDED score (as the oracle does), so a
+      // value rounding across the 3.5 boundary cannot flip it
+      val rz = (col("v") - col("med")) / (lit(1.4826) * col("mad"))
+      withMed.crossJoin(broadcast(mad))
+        .select(col("doc_id"), col("v").cast("long").as("n_tokens"),
+          org.apache.spark.sql.functions.round(rz, 6).as("robust_z"),
+          (org.apache.spark.sql.functions.abs(rz) > 3.5).cast("int")
+            .as("outlier"))
+        .orderBy("doc_id")
+    }, Some {
+      val u = Sketches.hashUnitSql("\"doc_id\"", ":mad")
+      s"""WITH b AS (SELECT "doc_id", $u AS h,
+         |   CAST(len(string_split("text", ' ')) AS DOUBLE) AS v
+         |   FROM documents),
+         | tk AS (SELECT v FROM (SELECT DISTINCT ON (h) h, v FROM b
+         |   ORDER BY h, v) ORDER BY h LIMIT 256),
+         | m AS (SELECT v AS med FROM (SELECT v, row_number()
+         |     OVER (ORDER BY v) AS rn, count(*) OVER () AS n FROM tk)
+         |   WHERE rn = least(n, greatest(1, CAST(ceil(0.5e0 * n) AS BIGINT)))),
+         | ad AS (SELECT b.h, abs(b.v - m.med) AS av FROM b, m),
+         | atk AS (SELECT av FROM (SELECT DISTINCT ON (h) h, av FROM ad
+         |   ORDER BY h, av) ORDER BY h LIMIT 256),
+         | md AS (SELECT av AS mad FROM (SELECT av, row_number()
+         |     OVER (ORDER BY av) AS rn, count(*) OVER () AS n FROM atk)
+         |   WHERE rn = least(n, greatest(1, CAST(ceil(0.5e0 * n) AS BIGINT))))
+         | SELECT "doc_id", CAST(v AS BIGINT) AS "n_tokens",
+         |   round((v - m.med) / (1.4826e0 * md.mad), 6) AS "robust_z",
+         |   CAST(abs((v - m.med) / (1.4826e0 * md.mad)) > 3.5e0 AS INTEGER)
+         |     AS "outlier"
+         | FROM b, m, md ORDER BY "doc_id"""".stripMargin.replace("\n", " ")
+    }),
     // Quantile-sketch rollup: per-partition k-min samples (stand-in:
     // doc_id % 8) merged into the global k-min sample — merge-path
     // independence makes the rollup state bit-identical to one pass, so

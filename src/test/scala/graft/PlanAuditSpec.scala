@@ -31,6 +31,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_cms_merged",            // same shape over the merged rollup sketch
     "q_kmv_overlap",           // crossJoin of three ONE-row sketch aggs
     "q_kmv_setops",            // crossJoin of two ONE-row stored states
+    "q_robust_outliers",       // corpus x ONE-row median/MAD sketch aggs
     "q_bigram_logprob",        // ONE-row vocabulary scalar crossJoin
     "q_skew_diagnose",         // topK rows x the ONE-row totals aggregate
     "q_temperature_sample",    // group-count rows x the ONE-row max(n)
