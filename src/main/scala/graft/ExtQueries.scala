@@ -814,6 +814,17 @@ object ExtQueries {
     // Concat-and-chunk sequence packing: the (doc, seq) overlap index for
     // fixed-length pretraining batches. Two-phase bucketed cumsum on the
     // Spark side; the oracle runs the literal global window.
+    // BPE-denominated packing: identical two-phase layout machinery, the
+    // per-row accounting swapped for the real tokenizer (the sequence
+    // boundaries a trainer would actually cut).
+    Q("q_bpe_seq_pack", (s, dir) =>
+      PipelineOps.seqPack(Tables.read(s, dir, "documents"), 512L,
+          salt = ":bpepack",
+          nTokens = graft.ext.Bpe.tokenCount(col("text")))
+        .orderBy("seq_id", "doc_id"),
+      Some(PipelineOps.seqPackOracleSql(512L, salt = ":bpepack",
+        nTokensSql =
+          s"CAST(${graft.ext.Bpe.tokenCountSql("\"text\"")} AS BIGINT)"))),
     Q("q_seq_pack", (s, dir) =>
       PipelineOps.seqPack(Tables.read(s, dir, "documents"), 512L)
         .orderBy("seq_id", "doc_id"),

@@ -262,9 +262,11 @@ object PipelineOps {
     * a Spark job at call time, snapshotting the input.
     */
   def seqPack(docs: DataFrame, seqLen: Long, salt: String = ":pack",
-              buckets: Int = 1024): DataFrame = {
+              buckets: Int = 1024,
+              nTokens: Column =
+                size(split(col("text"), " ")).cast("long")): DataFrame = {
     val base = docs.select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        nTokens.as("n_tokens"),
         hashUniform(col("doc_id"), salt).as("pri"))
       .withColumn("bucket", floor(col("pri") * buckets).cast("long"))
     val sums = base.groupBy("bucket").agg(sum("n_tokens").as("toks"))
@@ -296,11 +298,14 @@ object PipelineOps {
 
   /** DuckDB mirror of [[seqPack]]: the literal global cumsum window plus
     * a lateral generate_series over the spanned sequence ids. */
-  def seqPackOracleSql(seqLen: Long, salt: String = ":pack"): String = {
+  def seqPackOracleSql(seqLen: Long, salt: String = ":pack",
+                       nTokensSql: String =
+                         "CAST(len(string_split(\"text\", ' ')) AS BIGINT)")
+      : String = {
     val u = hashUniformSql("\"doc_id\"", salt)
     val L = s"${seqLen}"
     s"""WITH b AS (SELECT "doc_id",
-       | CAST(len(string_split("text", ' ')) AS BIGINT) AS n,
+       | $nTokensSql AS n,
        | $u AS pri FROM documents),
        | c AS (SELECT "doc_id", n, sum(n) OVER
        |   (ORDER BY pri, "doc_id" ROWS UNBOUNDED PRECEDING) AS cum FROM b),
