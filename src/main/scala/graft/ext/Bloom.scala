@@ -105,6 +105,16 @@ object Bloom {
     arr
   }
 
+  /** OR-merge of built filters — the mergeable-artifact form (store one
+    * word array per eval-set partition, OR them at probe time): OR is
+    * commutative/associative/idempotent, so partition-built filters
+    * merge to the exact global filter, false positives included. */
+  def mergeWords(a: Array[Long], b: Array[Long]): Array[Long] = {
+    require(a.length == b.length,
+      s"filter widths differ: ${a.length} vs ${b.length} words")
+    Array.tabulate(a.length)(i => a(i) | b(i))
+  }
+
   /** Probe `docs` against a built filter: per document, the count of its
     * distinct shingles whose every bit is set, and the contaminated flag.
     * Shuffle-free codegen'd projection; works unchanged on a streaming

@@ -123,6 +123,18 @@ class AsOfBloomSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("bloom filters built per partition OR-merge to the exact global " +
+      "filter (mergeable artifact; false positives included)") {
+    val ev = corpus.filter(col("doc_id") % 50 === 0)
+    val whole = Bloom.buildWords(ev)
+    val merged = Bloom.mergeWords(
+      Bloom.buildWords(ev.filter(col("doc_id") % 100 === 0)),
+      Bloom.buildWords(ev.filter(col("doc_id") % 100 =!= 0)))
+    assert(merged.toSeq == whole.toSeq)
+    assertThrows[IllegalArgumentException](
+      Bloom.mergeWords(whole, new Array[Long](1)))
+  }
+
   test("bloom probe is a shuffle-free projection (no join, no exchange)") {
     val words = Bloom.buildWords(corpus.filter(col("doc_id") % 50 === 0))
     val plan = Bloom.probe(corpus, words)

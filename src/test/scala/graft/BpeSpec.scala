@@ -77,6 +77,21 @@ class BpeSpec extends SparkSpec {
     assert(counts.head >= texts.head.split(" ").length)
   }
 
+  test("corpus documents tokenize identically to the priority-queue " +
+      "reference (real data, not just synthetic strings)") {
+    val docs = Tables.read(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") % 25 === 0) // ~20 real documents
+      .select(col("doc_id"), col("text"),
+        Bpe.tokenCount(col("text")).as("n"))
+      .collect()
+    assert(docs.length >= 10, "sample too small to be meaningful")
+    for (r <- docs) {
+      val ref = Bpe.referenceTokens(r.getString(1)).count(_ != " ")
+      assert(r.getLong(2) == ref,
+        s"doc ${r.getLong(0)}: engine ${r.getLong(2)} != reference $ref")
+    }
+  }
+
   test("merges table is creation-ordered by construction (object loads) " +
       "and a non-creation-ordered table would be rejected") {
     assert(Bpe.Merges.nonEmpty) // touching the object runs the validation
