@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import graft.expr.{E, SLit, Lit, C}
+import graft.expr.{E, SLit, Lit}
 
 /** Deterministic greedy byte-pair-encoding token counting with a LITERAL
   * merges table (Sennrich, Haddow, Birch, "Neural Machine Translation of
