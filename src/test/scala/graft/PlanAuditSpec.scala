@@ -262,12 +262,26 @@ class PlanAuditSpec extends SparkSpec {
                               // distinct (BROADCAST back — no corpus
                               // reshuffle) + doc_id island window +
                               // orderBy; hits carry longs only
-    "q_hybrid_rrf" -> 19)     // the full BM25 leg subplan (13, see
+    "q_hybrid_rrf" -> 19,     // the full BM25 leg subplan (13, see
                               // q_bm25_topk — AQE reuse collapses the
                               // repeats) + dense-leg rank window + the
                               // fusion groupBy/rank/orderBy; fusion
                               // itself only ever shuffles query-scale
                               // (query, doc, rank) triples
+    "q_editdist_join" -> 6,   // probe + index fan-out exchanges into the
+                              // banded equi-join, the bare-id-pair
+                              // distinct, TWO id-keyed text-fetch joins,
+                              // and the final orderBy — with the
+                              // no-string-in-exchange law in
+                              // EditDistJoinSpec this pins both the
+                              // COUNT and the WIDTH of the candidate
+                              // shuffles
+    "q_robust_outliers" -> 8) // two one-row sketch aggregates (partial +
+                              // final each) over three corpus passes
+                              // (median, MAD, flag) + the final orderBy —
+                              // the honest two-pass robust-z; a 9th
+                              // exchange means someone added a window or
+                              // join
 
   test("shuffle-exchange budgets hold for the heaviest queries") {
     val exch = raw"(^|[^A-Za-z])Exchange\s".r // not ReusedExchange/Broadcast
