@@ -1171,6 +1171,55 @@ object ExtQueries {
          |     AS "outlier"
          | FROM b, m, md ORDER BY "doc_id"""".stripMargin.replace("\n", " ")
     }),
+    // Range-partition planning: N-way range boundaries for a balanced
+    // sort/write read OFF the quantile sketch (one bounded aggregation —
+    // never the global sort a naive range planner pays), then the
+    // realized per-bucket row counts/extents as the balance report. The
+    // boundary rule (v above cut i ⟺ cut_i < v... counted as cuts <= v,
+    // ties go UP) is identical arithmetic in both engines, so bucket
+    // assignment hash-matches — this is Spark's own RangePartitioner
+    // shape (sample -> cuts -> assign) made deterministic and auditable.
+    Q("q_range_plan", (s, dir) => {
+      val nB = 8
+      val base = Tables.read(s, dir, "documents")
+        .select(col("doc_id"),
+          Sketches.hashUnit(col("doc_id"), ":rp").as("h"),
+          size(split(col("text"), " ")).cast("double").as("v"))
+      val cuts = base.agg(Sketches.kmvQuantiles(col("h"), col("v"), 256,
+        (1 until nB).map(_.toDouble / nB)).as("cuts"))
+      base.crossJoin(broadcast(cuts))
+        .select(col("v"),
+          size(filter(col("cuts"), c => c <= col("v"))).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          org.apache.spark.sql.functions.round(min("v"), 6).as("v_min"),
+          org.apache.spark.sql.functions.round(max("v"), 6).as("v_max"))
+        .orderBy("bucket")
+    }, Some {
+      val nB = 8
+      val u = Sketches.hashUnitSql("\"doc_id\"", ":rp")
+      val qs = (1 until nB).map(i => i.toDouble / nB)
+      val cutCols = qs.zipWithIndex.map { case (q, i) =>
+        val qLit = graft.expr.E.formatDouble(q)
+        s"""max(CASE WHEN rn = least(m, greatest(1,
+           | CAST(ceil($qLit * m) AS BIGINT))) THEN v END) AS c$i"""
+          .stripMargin.replace("\n", " ")
+      }.mkString(", ")
+      val bucketExpr = qs.indices.map(i =>
+        s"(CASE WHEN k.c$i <= b.v THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH b AS (SELECT "doc_id", $u AS h,
+         |   CAST(len(string_split("text", ' ')) AS DOUBLE) AS v
+         |   FROM documents),
+         | tk AS (SELECT v FROM (SELECT DISTINCT ON (h) h, v FROM b
+         |   ORDER BY h, v) ORDER BY h LIMIT 256),
+         | r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+         |   count(*) OVER () AS m FROM tk),
+         | k AS (SELECT $cutCols FROM r)
+         | SELECT ($bucketExpr) AS "bucket",
+         |   count(*) AS "n_rows", round(min(b.v), 6) AS "v_min",
+         |   round(max(b.v), 6) AS "v_max"
+         | FROM b, k GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
+    }),
     // Quantile-sketch rollup: per-partition k-min samples (stand-in:
     // doc_id % 8) merged into the global k-min sample — merge-path
     // independence makes the rollup state bit-identical to one pass, so

@@ -32,6 +32,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_kmv_overlap",           // crossJoin of three ONE-row sketch aggs
     "q_kmv_setops",            // crossJoin of two ONE-row stored states
     "q_robust_outliers",       // corpus x ONE-row median/MAD sketch aggs
+    "q_range_plan",            // corpus x the ONE-row boundary-cuts agg
     "q_bigram_logprob",        // ONE-row vocabulary scalar crossJoin
     "q_skew_diagnose",         // topK rows x the ONE-row totals aggregate
     "q_temperature_sample",    // group-count rows x the ONE-row max(n)
