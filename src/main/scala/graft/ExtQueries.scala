@@ -829,6 +829,43 @@ object ExtQueries {
       PipelineOps.seqPack(Tables.read(s, dir, "documents"), 512L)
         .orderBy("seq_id", "doc_id"),
       Some(PipelineOps.seqPackOracleSql(512L))),
+    // Packing-efficiency audit over the packed layout: fill ratio and
+    // docs-per-sequence — the metric that says whether the packer wastes
+    // FLOPs on padding. All stats derive from exact integer sums (one
+    // division at the end), so the aggregate is order-independent and
+    // hash-exact; concat-and-chunk fills every sequence except the last,
+    // which the query verifies rather than assumes (n_full = n_seqs − 1).
+    Q("q_pack_efficiency", (s, dir) => {
+      val L = 512L
+      val perSeq = PipelineOps.seqPack(Tables.read(s, dir, "documents"), L)
+        .groupBy("seq_id")
+        .agg(sum("n_in_seq").as("toks"), count(lit(1)).as("n_docs"))
+      perSeq.agg(
+        count(lit(1)).as("n_seqs"),
+        sum(org.apache.spark.sql.functions.when(col("toks") === L, 1L)
+          .otherwise(0L)).as("n_full"),
+        min("toks").as("min_fill_toks"),
+        org.apache.spark.sql.functions.round(
+          sum("toks").cast("double") /
+            (count(lit(1)).cast("double") * L.toDouble), 6).as("avg_fill"),
+        org.apache.spark.sql.functions.round(
+          sum("n_docs").cast("double") / count(lit(1)).cast("double"), 6)
+          .as("avg_docs_per_seq"))
+    }, Some {
+      val inner = PipelineOps.seqPackOracleSql(512L)
+      s"""WITH pk AS ($inner),
+         | ps AS (SELECT "seq_id", sum("n_in_seq") AS toks,
+         |   count(*) AS n_docs FROM pk GROUP BY 1)
+         | SELECT count(*) AS "n_seqs",
+         |   CAST(sum(CASE WHEN toks = 512 THEN 1 ELSE 0 END) AS BIGINT)
+         |     AS "n_full",
+         |   CAST(min(toks) AS BIGINT) AS "min_fill_toks",
+         |   round(CAST(sum(toks) AS DOUBLE)
+         |     / (CAST(count(*) AS DOUBLE) * 512.0e0), 6) AS "avg_fill",
+         |   round(CAST(sum(n_docs) AS DOUBLE)
+         |     / CAST(count(*) AS DOUBLE), 6) AS "avg_docs_per_seq"
+         | FROM ps""".stripMargin.replace("\n", " ")
+    }),
     // RAG-style overlapping token chunking: 64-token windows advancing by
     // 48 (16-token overlap), last window shortened to the doc end. Pure
     // per-row explode — no shuffle; chunk text compared byte-for-byte.
