@@ -2115,7 +2115,182 @@ object ExtQueries {
              | SELECT w_start, "event_type", count(*) AS n,
              |   round(sum("value"), 6) AS sum_value
              | FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-        .replace("\n", " ")))
+        .replace("\n", " "))),
+    // ---- ANN recall evaluation --------------------------------------------
+    // Recall@5 of the IVF search vs the exact brute-force ground truth —
+    // the acceptance gate an index retune runs before deployment. Both
+    // legs rank on the 6-decimal-rounded cosine with id tiebreak, so the
+    // truth set (hence recall) is engine-reproducible. At 100 TB the brute
+    // leg runs over a query SAMPLE; the compare itself joins two
+    // k-rows-per-query sets — eval-scale, never corpus-scale.
+    Q("q_ann_recall", (s, dir) =>
+      Similarity.annRecall(Tables.read(s, dir, "embeddings"), k = 5)
+        .orderBy("qid"),
+      Some("""WITH e AS (SELECT "vec_id", CAST("embedding" AS DOUBLE[]) AS v FROM embeddings),
+             | n AS (SELECT "vec_id", v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+             | cent AS (SELECT "vec_id" AS cid, v AS cv, nrm AS cn FROM n
+             |   ORDER BY CENTHASH, "vec_id" LIMIT 16),
+             | sc AS (SELECT n."vec_id" AS vid, n.v, n.nrm, c.cid,
+             |   round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) AS csim
+             |   FROM n CROSS JOIN cent c),
+             | rk AS (SELECT vid, v, nrm, cid,
+             |   row_number() OVER (PARTITION BY vid ORDER BY csim DESC, cid) AS crk FROM sc),
+             | home AS (SELECT cid AS cell, vid AS nid, v AS vb, nrm AS nb FROM rk WHERE crk = 1),
+             | pr AS (SELECT cid AS cell, vid AS qid, v AS va, nrm AS na FROM rk WHERE crk <= 2),
+             | ip AS (SELECT qid, nid, round(list_dot_product(va, vb) / (na * nb), 6) AS sim
+             |   FROM pr JOIN home USING (cell) WHERE qid <> nid),
+             | ir AS (SELECT qid, nid,
+             |   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS irk FROM ip),
+             | ivf AS (SELECT qid, nid FROM ir WHERE irk <= 5),
+             | bp AS (SELECT a."vec_id" AS qid, b."vec_id" AS nid,
+             |   round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
+             |   FROM n a JOIN n b ON a."vec_id" <> b."vec_id"),
+             | br AS (SELECT qid, nid,
+             |   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS brk FROM bp),
+             | truth AS (SELECT qid, nid FROM br WHERE brk <= 5),
+             | j AS (SELECT t.qid, CASE WHEN i.nid IS NULL THEN 0 ELSE 1 END AS hit
+             |   FROM truth t LEFT JOIN ivf i ON t.qid = i.qid AND t.nid = i.nid)
+             | SELECT qid AS "qid", count(*) AS "k_truth",
+             |   CAST(sum(hit) AS BIGINT) AS "n_hits",
+             |   round(CAST(CAST(sum(hit) AS BIGINT) AS DOUBLE)
+             |     / CAST(count(*) AS DOUBLE), 6) AS "recall"
+             | FROM j GROUP BY 1 ORDER BY "qid"""".stripMargin.replace("\n", " ")
+        .replace("CENTHASH",
+          DualHash.base60Sql("concat(CAST(\"vec_id\" AS VARCHAR), ':42')")))),
+    // ---- PMI collocations -------------------------------------------------
+    // Corpus-wide top-20 bigram collocations by pointwise mutual
+    // information (min pair count 3): PMI = ln(p(x,y) / (p(x)p(y))) over
+    // exact integer counts — every operand cast to double individually and
+    // ONE ln at the edge, so both engines compute the identical float.
+    // Plan shape: one token explode + one bigram explode, partial-agg
+    // counts, the vocabulary-sized unigram table joined twice (AQE
+    // broadcasts it once the pair table is count-filtered), ONE-row
+    // total-count crossJoins, TakeOrdered top-20 — no global sort.
+    Q("q_pmi_collocations", (s, dir) => {
+      val F = org.apache.spark.sql.functions
+      val ts = split(col("text"), " ")
+      val docs = Tables.read(s, dir, "documents")
+      val bg = docs.select(explode(arrays_zip(slice(ts, lit(1), size(ts) - 1),
+          slice(ts, lit(2), size(ts) - 1))).as("bg"))
+        .select(col("bg").getField("0").as("w1"),
+          col("bg").getField("1").as("w2"))
+      val tk = docs.select(explode(ts).as("w"))
+      val uni = tk.groupBy("w").agg(count(lit(1)).as("c"))
+      val nn = tk.agg(count(lit(1)).as("n"))
+      val mm = bg.agg(count(lit(1)).as("m"))
+      bg.groupBy("w1", "w2").agg(count(lit(1)).as("pair_count"))
+        .filter(col("pair_count") >= 3)
+        .join(uni.select(col("w").as("w1"), col("c").as("c1x")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("c").as("c2x")), Seq("w2"))
+        .crossJoin(nn).crossJoin(mm)
+        .select(col("w1"), col("w2"), col("pair_count"),
+          F.round(F.log((col("pair_count").cast("double") * col("n").cast("double")
+              * col("n").cast("double"))
+            / (col("m").cast("double") * col("c1x").cast("double")
+              * col("c2x").cast("double"))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(20)
+    },
+      Some("""WITH toks AS (SELECT string_split("text", ' ') AS t FROM documents),
+             | bg AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM toks,
+             |   UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+             | tk AS (SELECT unnest(t) AS w FROM toks),
+             | uni AS (SELECT w, count(*) AS c FROM tk GROUP BY 1),
+             | nn AS (SELECT count(*) AS n FROM tk),
+             | mm AS (SELECT count(*) AS m FROM bg),
+             | p AS (SELECT w1, w2, count(*) AS pc FROM bg GROUP BY 1, 2
+             |   HAVING count(*) >= 3)
+             | SELECT w1 AS "w1", w2 AS "w2", pc AS "pair_count",
+             |   round(ln((CAST(pc AS DOUBLE) * CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE))
+             |     / (CAST(mm.m AS DOUBLE) * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))), 6) AS "pmi"
+             | FROM p JOIN uni u1 ON p.w1 = u1.w JOIN uni u2 ON p.w2 = u2.w
+             | CROSS JOIN nn CROSS JOIN mm
+             | ORDER BY "pmi" DESC, "w1", "w2" LIMIT 20""".stripMargin
+        .replace("\n", " "))),
+    // ---- per-source distinctive terms --------------------------------------
+    // What characterises each source: top-5 tokens per source by smoothed
+    // log-likelihood ratio ln( ((c_st+1)/(C_s+V)) / ((c_t-c_st+1)/(N-C_s+V)) )
+    // — source-relative frequency vs the REST of the corpus, add-one
+    // smoothed. Exact integer counts, one ln. The per-source top-5 runs
+    // through the two-phase salted groupedTopK (no task ever gathers a
+    // whole source's vocabulary); the oracle runs the row-identical global
+    // window.
+    Q("q_source_distinctive", (s, dir) => {
+      val F = org.apache.spark.sql.functions
+      val tk = Tables.read(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      val cst = tk.groupBy("source", "t").agg(count(lit(1)).as("c_st"))
+      val ct = tk.groupBy("t").agg(count(lit(1)).as("c_t"))
+      val cs = tk.groupBy("source").agg(count(lit(1)).as("c_s"))
+      val nv = tk.agg(count(lit(1)).as("n"), countDistinct(col("t")).as("v"))
+      val sc = cst.join(ct, Seq("t"))
+        .join(org.apache.spark.sql.functions.broadcast(cs), Seq("source"))
+        .crossJoin(nv)
+        .select(col("source"), col("t"), col("c_st"),
+          F.round(F.log(((col("c_st") + 1).cast("double")
+              * (col("n") - col("c_s") + col("v")).cast("double"))
+            / ((col("c_s") + col("v")).cast("double")
+              * (col("c_t") - col("c_st") + 1).cast("double"))), 6).as("score"))
+      CorpusStats.groupedTopK(sc, Seq(col("source")),
+          Seq(col("score").desc, col("t")), xxhash64(col("t")), 5)
+        .select(col("source"), col("t").as("token"), col("c_st"),
+          col("score"), col("rk"))
+        .orderBy("source", "rk")
+    },
+      Some("""WITH tk AS (SELECT "source", unnest(string_split("text", ' ')) AS t
+             |   FROM documents),
+             | cst AS (SELECT "source", t, count(*) AS c_st FROM tk GROUP BY 1, 2),
+             | ct AS (SELECT t, count(*) AS c_t FROM tk GROUP BY 1),
+             | cs AS (SELECT "source", count(*) AS c_s FROM tk GROUP BY 1),
+             | nn AS (SELECT count(*) AS n, count(DISTINCT t) AS v FROM tk),
+             | sc AS (SELECT cst."source", cst.t, cst.c_st,
+             |   round(ln((CAST(cst.c_st + 1 AS DOUBLE) * CAST(nn.n - cs.c_s + nn.v AS DOUBLE))
+             |     / (CAST(cs.c_s + nn.v AS DOUBLE) * CAST(ct.c_t - cst.c_st + 1 AS DOUBLE))), 6) AS score
+             |   FROM cst JOIN ct USING (t) JOIN cs USING ("source") CROSS JOIN nn),
+             | r AS (SELECT *, row_number() OVER
+             |   (PARTITION BY "source" ORDER BY score DESC, t) AS rk FROM sc)
+             | SELECT "source", t AS "token", c_st AS "c_st", score AS "score",
+             |   rk AS "rk"
+             | FROM r WHERE rk <= 5 ORDER BY "source", rk""".stripMargin
+        .replace("\n", " "))),
+    // ---- output shard balance audit ----------------------------------------
+    // Writer-balance report for a hash-sharded corpus sink: docs scatter to
+    // 8 shards on the dual-compilable md5-base60 hash of doc_id; per shard,
+    // doc count, token sum, deviation from the uniform doc share, and token
+    // share. ONE map-side-combinable aggregation + an 8-row totals
+    // crossJoin — the pre-write audit that decides whether the shard key
+    // needs salting before a 100 TB export.
+    Q("q_shard_balance", (s, dir) => {
+      val F = org.apache.spark.sql.functions
+      val g = Tables.read(s, dir, "documents")
+        .select(pmod(graft.ext.Dedup.base60Col(
+            concat(col("doc_id").cast("string"), lit(":shard"))), lit(8L))
+          .as("shard"),
+          size(split(col("text"), " ")).cast("long").as("nt"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      val tot = g.agg(sum(col("n_docs")).as("td"), sum(col("n_tokens")).as("tt"))
+      g.crossJoin(tot)
+        .select(col("shard"), col("n_docs"), col("n_tokens"),
+          F.round(col("n_docs").cast("double") * 8.0d / col("td").cast("double")
+            - 1.0d, 6).as("doc_dev"),
+          F.round(col("n_tokens").cast("double") / col("tt").cast("double"), 6)
+            .as("token_share"))
+        .orderBy("shard")
+    },
+      Some("""WITH d AS (SELECT (BASE60 % 8) AS shard,
+             |   CAST(len(string_split("text", ' ')) AS BIGINT) AS nt FROM documents),
+             | g AS (SELECT shard, count(*) AS n_docs,
+             |   CAST(sum(nt) AS BIGINT) AS n_tokens FROM d GROUP BY 1),
+             | t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+             |   CAST(sum(n_tokens) AS BIGINT) AS tt FROM g)
+             | SELECT shard AS "shard", n_docs AS "n_docs", n_tokens AS "n_tokens",
+             |   round(CAST(n_docs AS DOUBLE) * 8.0 / CAST(td AS DOUBLE) - 1.0, 6) AS "doc_dev",
+             |   round(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS "token_share"
+             | FROM g CROSS JOIN t ORDER BY "shard"""".stripMargin
+        .replace("\n", " ")
+        .replace("BASE60",
+          DualHash.base60Sql("concat(CAST(\"doc_id\" AS VARCHAR), ':shard')"))))
   )
 
   /** Funnel step sequence for [[graft.ext.EventAnalytics.funnel]] over the

@@ -231,6 +231,31 @@ object Similarity {
       .select(col("qid"), col("nid"), col("sim"))
   }
 
+  /** ANN recall evaluation harness: per-query recall@k of the IVF search
+    * against the exact brute-force ground truth — the acceptance gate every
+    * ANN deployment runs before trusting an index (and after every probe /
+    * cell retune). Ground truth is [[bruteForceTopK]] (O(n^2) — in
+    * production this runs on a SAMPLE of queries, never the full corpus;
+    * the operator contract is identical), the candidate system is
+    * [[ivfTopK]] with the same deterministic centroid sample. The compare
+    * is a (qid, nid) left join of two k-row-per-query sets — eval-scale,
+    * not corpus-scale. Both legs use the 6-decimal-rounded similarity with
+    * id tiebreak, so the truth set (and therefore recall) is reproducible
+    * across engines. */
+  def annRecall(embeddings: DataFrame, k: Int, cells: Int = 16,
+                probes: Int = ConfiguredIvfProbes, seed: Long = 42L): DataFrame = {
+    val truth = bruteForceTopK(embeddings, k).select(col("qid"), col("nid"))
+    val approx = ivfTopK(embeddings, k, cells, probes, seed)
+      .select(col("qid"), col("nid"), lit(1L).as("hit"))
+    truth.join(approx, Seq("qid", "nid"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("k_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("qid"), col("k_truth"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("k_truth").cast("double"), 6)
+          .as("recall"))
+  }
+
   /** LSH-bucketed embedding near-duplicate pairs — the 100 TB production
     * form of [[cosineNearDupPairs]]: candidate pairs come from an equi-join
     * on the sign-bit bucket key (shuffle carries (bucket, id, vec) and each

@@ -724,6 +724,38 @@ object StreamingOps {
       .select(unix_millis(col("window.start")).as("w_start"), col("sk"))
   }
 
+  /** Streaming per-window quantile sketching — the stream twin of
+    * [[graft.ext.Sketches.kmvQuantilesState]]: one KMV k-min quantile
+    * sketch per event-time window, emitted at window close with the
+    * nearest-rank read-offs AND the raw (hash, value) sample state, so
+    * downstream rollups [[graft.ext.Sketches.kmvQuantilesMergeState]] the
+    * streamed artifacts into daily/monthly quantiles — per-window latency
+    * percentiles at k (hash, value) pairs of state per open window, never
+    * a sorted-value shuffle or per-key state.
+    *
+    * ONE windowed aggregation (the typed Aggregator's k-min buffer IS the
+    * streaming state) + a stateless read-off projection after close. The
+    * k-min sample is merge-path independent (law-pinned in
+    * ChunkSketchSpec), so closed windows equal the batch groupBy(window)
+    * sketch bit-for-bit regardless of micro-batch boundaries. */
+  def streamingQuantiles(events: DataFrame, eventTimeCol: String,
+                         keyCol: Column, valCol: Column,
+                         salt: String = ":sq", k: Int = 64,
+                         windowSize: String = "1 hour",
+                         watermark: String = "2 hours"): DataFrame = {
+    import graft.ext.Sketches
+    val reads = Sketches.kmvQuantilesFromState(col("state"), Seq(0.5, 0.9))
+    events
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy(window(col(eventTimeCol), windowSize))
+      .agg(Sketches.kmvQuantilesState(
+        Sketches.hashUnit(keyCol, salt), valCol, k).as("state"))
+      .select(unix_millis(col("window.start")).as("w_start"),
+        round(element_at(reads, 1), 6).as("p50"),
+        round(element_at(reads, 2), 6).as("p90"),
+        col("state"))
+  }
+
   /** Sliding-window counts per event type with a watermark — the
     * streaming twin of the batch `q_sliding_hourly` (slide < size, so
     * each event lands in size/slide windows via the SAME in-map window()

@@ -45,9 +45,15 @@ class PlanAuditSpec extends SparkSpec {
     "q_hybrid_rrf",            // dense leg: 4 query vectors x corpus
                                // exactness baseline (plus BM25's one-row
                                // stats crossJoin); ANN legs at scale
-    "q_psi_drift")             // bucket spine (constant B rows) x the
+    "q_psi_drift",             // bucket spine (constant B rows) x the
                                // ONE-row totals/psi aggregates: deliberate
                                // broadcasts of bounded state (ext/Drift)
+    "q_ann_recall",            // brute-force ground-truth leg + the IVF
+                               // centroid broadcast (eval harness; the
+                               // brute leg samples queries at scale)
+    "q_pmi_collocations",      // ONE-row total-token/bigram-count scalars
+    "q_source_distinctive",    // ONE-row (N, V) corpus-stats crossJoin
+    "q_shard_balance")         // 8 shard rows x the ONE-row totals agg
 
   test("no accidental cartesian or nested-loop joins across the registry") {
     val offenders = Queries.all.flatMap { q =>

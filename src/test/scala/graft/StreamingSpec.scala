@@ -821,4 +821,66 @@ class StreamingSpec extends SparkSpec {
         typedLit(merged.toSeq), col("h"), d, w)).head.getLong(0)
     assert(est >= 3L, s"cat estimate $est must bound the exact 3")
   }
+
+  test("streaming quantile-sketch batch-parity: closed windows carry " +
+      "bit-identical k-min states regardless of micro-batch splits, and " +
+      "streamed window states merge-rollup to the global sketch") {
+    import graft.ext.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    val hourNs = 3600L * 1000000000L
+    val k = 8
+    val rows = Seq[(Long, Long, Double)](
+      (0L * hourNs + 1000000L, 1L, 10.0), (0L * hourNs + 2000000L, 2L, 40.0),
+      (0L * hourNs + 3000000L, 3L, 20.0), (0L * hourNs + 9000000L, 4L, 90.0),
+      (1L * hourNs + 1000000L, 5L, 15.0), (1L * hourNs + 2000000L, 6L, 55.0),
+      (1L * hourNs + 5000000L, 7L, 35.0), (1L * hourNs + 6000000L, 8L, 75.0))
+    val sentinel = (50L * hourNs, 99L, 0.0)
+    def prep(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    def render(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getSeq[org.apache.spark.sql.Row](3)
+          .map(s => (s.getDouble(0), s.getDouble(1))))).toSet
+    val reads = Sketches.kmvQuantilesFromState(col("state"), Seq(0.5, 0.9))
+    val want = render(prep(rows.toDF("ts", "uid", "v"))
+      .groupBy(window(col("event_time"), "1 hour"))
+      .agg(Sketches.kmvQuantilesState(
+        Sketches.hashUnit(col("uid"), ":sq"), col("v"), k).as("state"))
+      .select(unix_millis(col("window.start")).as("w_start"),
+        round(element_at(reads, 1), 6).as("p50"),
+        round(element_at(reads, 2), 6).as("p90"),
+        col("state")))
+    assert(want.size == 2)
+
+    def run(batches: Seq[Seq[(Long, Long, Double)]], name: String) = {
+      val mem = MemoryStream[(Long, Long, Double)]
+      val events = prep(mem.toDF().toDF("ts", "uid", "v"))
+      val q = StreamingOps.streamingQuantiles(events, "event_time",
+          col("uid"), col("v"), k = k)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      for (b <- batches) { mem.addData(b: _*); q.processAllAvailable() }
+      mem.addData(sentinel); q.processAllAvailable()
+      q.stop()
+      render(spark.table(name))
+    }
+    assert(run(Seq(rows), "sqk_1") == want)
+    // split MID-WINDOW: the k-min sample must accumulate across batches
+    val (early, late) = rows.splitAt(3)
+    assert(run(Seq(early, late), "sqk_2") == want)
+    // rollup: merging the two streamed window states reads off the same
+    // quantiles as one global sketch over all rows
+    val states = run(Seq(rows), "sqk_3").toSeq.map(_._4.toSeq)
+    val rolled = states.toDF("st")
+      .agg(Sketches.kmvQuantilesMergeState(col("st"), k).as("state"))
+      .select(round(element_at(reads, 1), 6), round(element_at(reads, 2), 6))
+      .head
+    val global = prep(rows.toDF("ts", "uid", "v"))
+      .agg(Sketches.kmvQuantilesState(
+        Sketches.hashUnit(col("uid"), ":sq"), col("v"), k).as("state"))
+      .select(round(element_at(reads, 1), 6), round(element_at(reads, 2), 6))
+      .head
+    assert(rolled == global,
+      "merged streamed window states must read off the global quantiles")
+  }
 }
