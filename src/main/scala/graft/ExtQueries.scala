@@ -639,6 +639,16 @@ object ExtQueries {
     // splits the same dual-rendered merged separator string and unnests.
     // One explode + one hash aggregation; text never shuffles (tokens do,
     // pre-aggregated map-side).
+    // BPE merge TRAINING (the learning half of the tokenizer stack): 8
+    // merges learned from corpus word counts — ONE corpus-scale word-count
+    // shuffle, then vocabulary-scale argmax rounds (pair counts weighted
+    // by word frequency, (n DESC, lhs, rhs) tiebreak) with a one-row
+    // driver collect per round. The oracle replays the identical rounds
+    // as chained CTEs with scalar-subquery argmaxes — both engines DERIVE
+    // the merges table from the data, no literal crosses.
+    Q("q_bpe_train", (s, dir) =>
+      graft.ext.Bpe.train(Tables.read(s, dir, "documents"), rounds = 8),
+      Some(graft.ext.Bpe.trainOracleSql("documents", rounds = 8))),
     Q("q_bpe_vocab", (s, dir) =>
       Tables.read(s, dir, "documents")
         .select(explode(graft.ext.Bpe.tokens(col("text"))).as("tok"))

@@ -129,6 +129,136 @@ object Bpe {
     s"list_filter(string_split($merged, '||'), t -> t <> '' AND t <> ' ')"
   }
 
+  // ---- merge TRAINING (Sennrich 2016 §3.2, the learning half) ----------
+
+  /** The seeded separator form of a WORD (no spaces): `||` + one `||`
+    * after every letter — the round-0 symbol sequence of the trainer,
+    * shared between the engine plan and the oracle rendering. */
+  private def seedWordE(w: E): E =
+    E.concatS(SLit("||"), ('a' to 'z').map(_.toString)
+      .foldLeft(w)((s, c) => E.replace(s, SLit(c), SLit(c + "||"))))
+
+  private def applyMergesE(seeded: E, merges: Seq[(String, String)]): E =
+    merges.foldLeft(seeded) { case (s, (x, y)) =>
+      E.replace(s, SLit("|" + x + "||" + y + "|"), SLit("|" + x + y + "|"))
+    }
+
+  /** Distributed BPE merge training: learn `rounds` merges from the
+    * corpus. The classic trainer (Sennrich 2016; HuggingFace tokenizers'
+    * word-count model) aggregates word frequencies ONCE, then iterates on
+    * that aggregate — which is exactly the 100 TB shape: the corpus is
+    * scanned once (word count, one shuffle, map-side combinable); every
+    * round after that is a VOCABULARY-scale job (adjacent-pair counts
+    * weighted by word frequency → argmax → rewrite), plus a one-row
+    * driver collect for the winning pair (the literal the next round's
+    * rewrite compiles in). Pair statistics count every adjacent position
+    * (so a self-adjacent pair like (a,a) in "aaa" counts twice — the
+    * classic convention); the rewrite is the same left-to-right
+    * non-overlapping `replace` the APPLY side uses, so learned tables are
+    * creation-ordered by construction and feed [[mergedE]]-style
+    * application directly. Ties break on (pair count DESC, left, right).
+    *
+    * Returns (rank, left, right, pair_count) rows, rank-ordered. Throws
+    * if the vocabulary exhausts before `rounds` merges (no pair left) —
+    * a corpus small enough to exhaust is not a training corpus.
+    *
+    * The DuckDB oracle ([[trainOracleSql]]) replays the identical rounds
+    * as chained CTEs with scalar-subquery argmaxes — no literal leaves
+    * the engine, both sides DERIVE the same table from the data. */
+  def train(docs: org.apache.spark.sql.DataFrame, rounds: Int,
+            textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds must be in [1,64]: $rounds")
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.functions.{filter => afilter}
+    val wc = docs
+      .select(explode(split(lower(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .cache()
+    try {
+      val learned = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+      for (r <- 0 until rounds) {
+        val seqCol = E.toColumn(applyMergesE(
+          seedWordE(graft.expr.Raw(col("w"), "?")), learned.toSeq.map(m => (m._1, m._2))))
+        val toks = afilter(split(seqCol, "\\|\\|"), t => t =!= "")
+        val best = wc
+          .select(toks.as("t"), col("c"))
+          .select(explode(arrays_zip(
+            slice(col("t"), lit(1), size(col("t")) - 1),
+            slice(col("t"), lit(2), size(col("t")) - 1))).as("p"), col("c"))
+          .select(col("p").getField("0").as("lhs"),
+            col("p").getField("1").as("rhs"), col("c"))
+          .groupBy("lhs", "rhs").agg(sum(col("c")).as("n"))
+          .orderBy(col("n").desc, col("lhs"), col("rhs"))
+          .limit(1).collect()
+        require(best.nonEmpty,
+          s"BPE training exhausted the vocabulary at round $r of $rounds")
+        val row = best.head
+        learned += ((row.getString(0), row.getString(1), row.getLong(2)))
+      }
+      import spark.implicits._
+      learned.toSeq.zipWithIndex
+        .map { case ((l, rr, n), rank) => (rank.toLong, l, rr, n) }
+        .toDF("rank", "left", "right", "pair_count")
+        .orderBy("rank")
+    } finally wc.unpersist()
+  }
+
+  /** DuckDB replay of [[train]]: the same word-count aggregate, then per
+    * round a lateral-unnest pair count, a (n DESC, lhs, rhs) argmax, and
+    * a scalar-subquery rewrite — chained CTEs, no driver literal. */
+  def trainOracleSql(table: String, rounds: Int,
+                     textExpr: String = "\"text\""): String = {
+    val seed = E.toSql(seedWordE(graft.expr.Raw(null, "w")))
+    val sb = new StringBuilder
+    sb ++= s"""WITH wc AS MATERIALIZED (SELECT w, count(*) AS c FROM (SELECT unnest(string_split(lower($textExpr), ' ')) AS w FROM $table) q WHERE w <> '' GROUP BY 1), """
+    sb ++= s"s0 AS MATERIALIZED (SELECT $seed AS seq, c FROM wc)"
+    for (r <- 0 until rounds) {
+      sb ++= s""", p$r AS MATERIALIZED (SELECT t[i] AS lhs, t[i + 1] AS rhs, sum(c) AS n FROM (SELECT list_filter(string_split(seq, '||'), x -> x <> '') AS t, c FROM s$r) q, UNNEST(generate_series(1, len(t) - 1)) AS u(i) GROUP BY 1, 2)"""
+      sb ++= s""", b$r AS MATERIALIZED (SELECT lhs, rhs, n FROM p$r ORDER BY n DESC, lhs, rhs LIMIT 1)"""
+      if (r + 1 < rounds)
+        sb ++= s""", s${r + 1} AS MATERIALIZED (SELECT replace(seq, '|' || (SELECT lhs FROM b$r) || '||' || (SELECT rhs FROM b$r) || '|', '|' || (SELECT lhs FROM b$r) || (SELECT rhs FROM b$r) || '|') AS seq, c FROM s$r)"""
+    }
+    val union = (0 until rounds).map(r =>
+      s"""SELECT CAST($r AS BIGINT) AS "rank", lhs AS "left", rhs AS "right", CAST(n AS BIGINT) AS "pair_count" FROM b$r""")
+      .mkString(" UNION ALL ")
+    sb ++= s""" SELECT * FROM ($union) ORDER BY "rank""""
+    sb.result()
+  }
+
+  /** Driver-side reference trainer for the spec law: the same word-count
+    * model computed with plain Scala collections — adjacent-position pair
+    * counts (overlapping counted, the classic convention), (n DESC, lhs,
+    * rhs) argmax, left-to-right non-overlapping merge application. */
+  private[graft] def referenceTrain(wordCounts: Map[String, Long],
+                                    rounds: Int): Seq[(String, String, Long)] = {
+    var seqs: Seq[(Vector[String], Long)] = wordCounts.toSeq.map {
+      case (w, c) => (w.toLowerCase.map(_.toString).toVector, c)
+    }
+    val out = Seq.newBuilder[(String, String, Long)]
+    for (_ <- 0 until rounds) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((toks, c) <- seqs; i <- 0 until toks.length - 1)
+        counts((toks(i), toks(i + 1))) =
+          counts.getOrElse((toks(i), toks(i + 1)), 0L) + c
+      require(counts.nonEmpty, "reference trainer exhausted")
+      val ((x, y), n) = counts.toSeq
+        .sortBy { case ((l, rr), nn) => (-nn, l, rr) }.head
+      out += ((x, y, n))
+      seqs = seqs.map { case (toks, c) =>
+        val b = Vector.newBuilder[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == x && toks(i + 1) == y) {
+            b += (x + y); i += 2
+          } else { b += toks(i); i += 1 }
+        }
+        (b.result(), c)
+      }
+    }
+    out.result()
+  }
+
   /** Driver-side reference: classic priority-queue BPE (merge ALL
     * left-to-right non-overlapping occurrences of the lowest-ranked pair
     * present, repeat until none applies). BpeSpec pins engine ≡ this. */

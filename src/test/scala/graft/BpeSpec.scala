@@ -92,6 +92,34 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("distributed merge training equals the driver reference trainer " +
+      "on randomized corpora, and learned tables are creation-ordered") {
+    val rnd = new scala.util.Random(77)
+    val words = Seq("the", "then", "batch", "batching", "scan", "scans",
+      "sort", "sorted", "win", "window", "key", "keys", "merge", "hash")
+    for (trial <- 0 until 3) {
+      val texts = (0 until 40).map { _ =>
+        (0 until (3 + rnd.nextInt(8)))
+          .map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+      }
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Bpe.train(df, rounds = 6).collect()
+        .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      val wc = texts.flatMap(_.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+      val want = Bpe.referenceTrain(wc, rounds = 6)
+      assert(got == want, s"trial $trial: engine $got != reference $want")
+      // creation order: every learned side is a letter or an earlier output
+      val produced = scala.collection.mutable.Set[String]()
+      for ((x, y, _) <- got) {
+        def ok(s: String) = s.length == 1 || produced.contains(s)
+        assert(ok(x) && ok(y), s"($x, $y) not creation-ordered")
+        produced += (x + y)
+      }
+    }
+  }
+
   test("merges table is creation-ordered by construction (object loads) " +
       "and a non-creation-ordered table would be rejected") {
     assert(Bpe.Merges.nonEmpty) // touching the object runs the validation
