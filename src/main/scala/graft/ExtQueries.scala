@@ -2300,7 +2300,44 @@ object ExtQueries {
              | FROM g CROSS JOIN t ORDER BY "shard"""".stripMargin
         .replace("\n", " ")
         .replace("BASE60",
-          DualHash.base60Sql("concat(CAST(\"doc_id\" AS VARCHAR), ':shard')"))))
+          DualHash.base60Sql("concat(CAST(\"doc_id\" AS VARCHAR), ':shard')")))),
+    // ---- distribution-matched resampling (DSIR shape) ---------------------
+    // Resample the corpus so its token-length-bucket distribution matches
+    // the English subset's (the in-corpus proxy for "match the target
+    // domain's length profile"): per-bucket importance ratios off two
+    // bucket-count aggregates, normalised by the ONE-row max into accept
+    // probabilities, deterministic hashUniform Bernoulli keep. The corpus
+    // never shuffles — only bucket-cardinality aggregates move.
+    Q("q_dist_match", (s, dir) => {
+      val F = org.apache.spark.sql.functions
+      val base = Tables.read(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("nt"))
+      PipelineOps.distributionMatch(base, expr("nt div 20"),
+          col("lang") === "en")
+        .select(col("doc_id"), col("nt").as("n_tokens"), col("bucket"),
+          F.round(col("accept_p"), 6).as("accept_p"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH b AS (SELECT "doc_id", "lang",
+             |   CAST(len(string_split("text", ' ')) AS BIGINT) AS nt FROM documents),
+             | bb AS (SELECT *, (nt // 20) AS bucket FROM b),
+             | cur AS (SELECT bucket, count(*) AS c_b FROM bb GROUP BY 1),
+             | tgt AS (SELECT bucket, count(*) AS t_b FROM bb WHERE "lang" = 'en' GROUP BY 1),
+             | nn AS (SELECT count(*) AS n FROM bb),
+             | mm AS (SELECT count(*) AS m FROM bb WHERE "lang" = 'en'),
+             | rate AS (SELECT cur.bucket,
+             |   (CAST(COALESCE(tgt.t_b, 0) AS DOUBLE) * CAST(nn.n AS DOUBLE))
+             |     / (CAST(mm.m AS DOUBLE) * CAST(cur.c_b AS DOUBLE)) AS ratio
+             |   FROM cur LEFT JOIN tgt USING (bucket) CROSS JOIN nn CROSS JOIN mm),
+             | rmax AS (SELECT max(ratio) AS rmax FROM rate),
+             | acc AS (SELECT bucket, ratio / rmax AS accept_p FROM rate CROSS JOIN rmax)
+             | SELECT bb."doc_id", bb.nt AS "n_tokens", bb.bucket AS "bucket",
+             |   round(acc.accept_p, 6) AS "accept_p"
+             | FROM bb JOIN acc USING (bucket)
+             | WHERE HASHU < acc.accept_p
+             | ORDER BY bb."doc_id"""".stripMargin.replace("\n", " ")
+        .replace("HASHU", PipelineOps.hashUniformSql("\"doc_id\"", ":dmatch"))))
   )
 
   /** Funnel step sequence for [[graft.ext.EventAnalytics.funnel]] over the

@@ -670,4 +670,41 @@ object PipelineOps {
     round(lit(1.0) - size(array_distinct(bg)).cast("double") /
       size(bg).cast("double"), 6)
   }
+
+  /** Distribution-matched importance resampling (the DSIR shape — Xie et
+    * al. 2023, arXiv:2302.03169 — over an explicit bucket feature): keep a
+    * deterministic subset of `docs` whose distribution over `bucketCol`
+    * matches the distribution of the rows satisfying `targetPred` (the
+    * in-corpus proxy for the target domain). Per bucket b the raw
+    * importance ratio is (t_b/M)/(c_b/N); dividing by the max ratio turns
+    * it into the acceptance probability of the LARGEST subset with exact
+    * target proportions in expectation, and the accept draw is the same
+    * deterministic [[hashUniform]] Bernoulli the rest of the sampling
+    * family uses — rerun-stable, growth-stable, no RNG state.
+    *
+    * Scale shape: two map-side-combinable bucket-count aggregates (bucket
+    * cardinality rows, not data rows), a ONE-row max, and a broadcast
+    * bucket→rate join back onto the scan — the corpus shuffles nothing.
+    * Buckets where the target has no mass get rate 0 (dropped entirely),
+    * matching the exact-proportion contract. */
+  def distributionMatch(docs: DataFrame, bucketCol: Column,
+                        targetPred: Column,
+                        salt: String = ":dmatch"): DataFrame = {
+    val base = docs.withColumn("bucket", bucketCol)
+    val cur = base.groupBy("bucket").agg(count(lit(1)).as("c_b"))
+    val tgt = base.filter(targetPred)
+      .groupBy("bucket").agg(count(lit(1)).as("t_b"))
+    val nn = base.agg(count(lit(1)).as("n"))
+    val mm = base.filter(targetPred).agg(count(lit(1)).as("m"))
+    val rate = cur.join(tgt, Seq("bucket"), "left").na.fill(0L, Seq("t_b"))
+      .crossJoin(nn).crossJoin(mm)
+      .select(col("bucket"),
+        ((col("t_b").cast("double") * col("n").cast("double"))
+          / (col("m").cast("double") * col("c_b").cast("double"))).as("ratio"))
+    val rmax = rate.agg(max(col("ratio")).as("rmax"))
+    val acc = rate.crossJoin(rmax)
+      .select(col("bucket"), (col("ratio") / col("rmax")).as("accept_p"))
+    base.join(broadcast(acc), Seq("bucket"))
+      .filter(hashUniform(col("doc_id"), salt) < col("accept_p"))
+  }
 }

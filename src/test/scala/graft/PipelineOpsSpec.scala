@@ -267,6 +267,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(2L)._1 == -0.707107 && out(3L)._1 == 0.707107)
   }
 
+  test("distributionMatch: max-ratio bucket keeps everything, zero-target " +
+      "buckets drop entirely, and the kept distribution tracks the target") {
+    val rnd = new scala.util.Random(5)
+    // bucket 0: rare in target; bucket 1: common; bucket 2: absent from it
+    val rows = (0 until 3000).map { i =>
+      val b = i % 3
+      val isTarget = b match {
+        case 0 => rnd.nextDouble() < 0.1
+        case 1 => rnd.nextDouble() < 0.6
+        case _ => false
+      }
+      (i.toLong, if (isTarget) "en" else "xx", b.toLong)
+    }
+    val df = rows.toDF("doc_id", "lang", "b")
+    val kept = PipelineOps.distributionMatch(df, col("b"),
+        col("lang") === "en")
+      .select(col("doc_id"), col("bucket"), col("accept_p")).collect()
+    val byBucket = kept.groupBy(_.getLong(1)).map { case (b, rs) =>
+      b -> (rs.length, rs.head.getDouble(2))
+    }
+    // zero-target bucket is gone
+    assert(!byBucket.contains(2L), s"bucket 2 survived: $byBucket")
+    // the max-ratio bucket (1: highest target share) keeps ALL its rows
+    assert(byBucket(1L)._2 == 1.0, s"bucket 1 accept_p ${byBucket(1L)._2}")
+    assert(byBucket(1L)._1 == 1000, s"bucket 1 kept ${byBucket(1L)._1}")
+    // achieved proportions track the target's bucket shares
+    val tgt = rows.filter(_._2 == "en").groupBy(_._3)
+      .map { case (b, rs) => b -> rs.size.toDouble }
+    val tgtShare0 = tgt(0L) / (tgt(0L) + tgt(1L))
+    val keptTotal = kept.length.toDouble
+    val gotShare0 = byBucket(0L)._1 / keptTotal
+    assert(math.abs(gotShare0 - tgtShare0) < 0.05,
+      s"kept share $gotShare0 vs target share $tgtShare0")
+  }
+
   test("hashUniform draws are uniform-ish and salt-decorrelated") {
     val n = 2000
     val ids = spark.range(n).select(col("id").as("doc_id"))

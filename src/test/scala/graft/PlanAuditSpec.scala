@@ -53,7 +53,10 @@ class PlanAuditSpec extends SparkSpec {
                                // brute leg samples queries at scale)
     "q_pmi_collocations",      // ONE-row total-token/bigram-count scalars
     "q_source_distinctive",    // ONE-row (N, V) corpus-stats crossJoin
-    "q_shard_balance")         // 8 shard rows x the ONE-row totals agg
+    "q_shard_balance",         // 8 shard rows x the ONE-row totals agg
+    "q_dist_match")            // ONE-row (N, M) + ONE-row max-ratio
+                               // crossJoins; the corpus side only sees a
+                               // broadcast bucket->rate join
 
   test("no accidental cartesian or nested-loop joins across the registry") {
     val offenders = Queries.all.flatMap { q =>
