@@ -2337,7 +2337,56 @@ object ExtQueries {
              | FROM bb JOIN acc USING (bucket)
              | WHERE HASHU < acc.accept_p
              | ORDER BY bb."doc_id"""".stripMargin.replace("\n", " ")
-        .replace("HASHU", PipelineOps.hashUniformSql("\"doc_id\"", ":dmatch"))))
+        .replace("HASHU", PipelineOps.hashUniformSql("\"doc_id\"", ":dmatch")))),
+    // Normalization-tolerant exact dedup (the C4 convention: dedup on the
+    // CANONICAL form, not the raw bytes): group on the md5 of lowercased,
+    // space-stripped text — catches case/whitespace-only duplicates raw
+    // q_dedup_exact misses. Same one-aggregation shape: text never
+    // shuffles, only the 16-byte fingerprint does.
+    Q("q_dedup_norm", (s, dir) => {
+      val fpn = E.toColumn(TA.normalizedFingerprint(
+        graft.expr.Raw(col("text"), "?")))
+      Tables.read(s, dir, "documents")
+        .select(fpn.as("fp_norm"), col("doc_id"))
+        .groupBy("fp_norm")
+        .agg(min(col("doc_id")).as("keep_doc_id"),
+          count(lit(1)).cast("double").as("dup_count"))
+        .orderBy("fp_norm")
+    },
+      Some("SELECT " +
+        E.toSql(TA.normalizedFingerprint(graft.expr.Raw(null, "\"text\""))) +
+        """ AS "fp_norm", min("doc_id") AS "keep_doc_id",
+          | CAST(count(*) AS DOUBLE) AS "dup_count"
+          | FROM documents GROUP BY 1 ORDER BY "fp_norm"""".stripMargin
+          .replace("\n", " "))),
+    // Tokenizer compression audit: chars per BPE token, per source — the
+    // "is the tokenizer efficient on THIS domain" check run before
+    // committing a vocabulary (a domain at 5+ chars/token trains fine; one
+    // near 1 is being shredded char-by-char). ONE map-side-combinable
+    // aggregation over the dual-rendered BPE count; shuffle carries only
+    // per-source partial sums.
+    Q("q_bpe_compression", (s, dir) =>
+      Tables.read(s, dir, "documents")
+        .select(col("source"),
+          org.apache.spark.sql.functions.length(col("text")).cast("long")
+            .as("nc"),
+          graft.ext.Bpe.tokenCount(col("text")).as("ntb"))
+        .groupBy("source")
+        .agg(sum(col("nc")).as("n_chars"),
+          sum(col("ntb")).as("n_tokens_bpe"),
+          org.apache.spark.sql.functions.round(
+            sum(col("nc")).cast("double") / sum(col("ntb")).cast("double"), 6)
+            .as("chars_per_token"))
+        .orderBy("source"),
+      Some(("""WITH b AS (SELECT "source", CAST(length("text") AS BIGINT) AS nc,
+              |   CAST(BPECOUNT AS BIGINT) AS ntb FROM documents)
+              | SELECT "source", CAST(sum(nc) AS BIGINT) AS "n_chars",
+              |   CAST(sum(ntb) AS BIGINT) AS "n_tokens_bpe",
+              |   round(CAST(sum(nc) AS DOUBLE) / CAST(sum(ntb) AS DOUBLE), 6)
+              |     AS "chars_per_token"
+              | FROM b GROUP BY 1 ORDER BY "source"""").stripMargin
+        .replace("\n", " ")
+        .replace("BPECOUNT", graft.ext.Bpe.tokenCountSql("\"text\""))))
   )
 
   /** Funnel step sequence for [[graft.ext.EventAnalytics.funnel]] over the
