@@ -2386,7 +2386,54 @@ object ExtQueries {
               |     AS "chars_per_token"
               | FROM b GROUP BY 1 ORDER BY "source"""").stripMargin
         .replace("\n", " ")
-        .replace("BPECOUNT", graft.ext.Bpe.tokenCountSql("\"text\""))))
+        .replace("BPECOUNT", graft.ext.Bpe.tokenCountSql("\"text\"")))),
+    // ---- event-rate anomaly detection --------------------------------------
+    // Rolling z-score on HOURLY counts per event type (trailing-24h frame,
+    // excluding the current hour; needs >= 12 history hours): the ops
+    // alert every ingestion pipeline runs. The window slides over the
+    // hourly AGGREGATE (hours x types rows, time-bounded), never raw
+    // events — at 100 TB the fact table contributes one map-side-combined
+    // count and is done. The anomaly decision reads the ROUNDED z so the
+    // |z| > 3 boundary can't flip between engines.
+    Q("q_rate_anomaly", (s, dir) => {
+      val F = org.apache.spark.sql.functions
+      val hourly = Tables.eventsWithMs(s, dir, parallelismFloor = false)
+        .groupBy(col("event_type"), expr("ms div 3600000").as("h"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(-24, -1)
+      val st = hourly
+        .withColumn("hist_n", count(lit(1)).over(w))
+        .withColumn("mu", F.avg(col("n")).over(w))
+        .withColumn("sd", F.stddev_pop(col("n")).over(w))
+        .filter(col("hist_n") >= 12)
+      val z = F.round(F.when(col("sd") > 0,
+        (col("n").cast("double") - col("mu")) / col("sd"))
+        .otherwise(lit(0.0)), 6)
+      st.select(col("event_type"), col("h"), col("n"),
+          F.round(col("mu"), 6).as("mu"), F.round(col("sd"), 6).as("sd"),
+          z.as("z"))
+        .withColumn("anomaly", (F.abs(col("z")) > 3.0).cast("long"))
+        .orderBy("event_type", "h")
+    },
+      Some("""WITH e AS (SELECT "event_type", epoch_ms("ts") // 3600000 AS h
+             |   FROM events),
+             | hourly AS (SELECT "event_type", h, count(*) AS n FROM e GROUP BY 1, 2),
+             | st AS (SELECT "event_type", h, n,
+             |   count(*) OVER w AS hist_n, avg(n) OVER w AS mu,
+             |   stddev_pop(n) OVER w AS sd
+             |   FROM hourly WINDOW w AS (PARTITION BY "event_type" ORDER BY h
+             |     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+             | f AS (SELECT "event_type", h, n, mu, sd,
+             |   round(CASE WHEN sd > 0 THEN (CAST(n AS DOUBLE) - mu) / sd
+             |     ELSE 0.0e0 END, 6) AS z
+             |   FROM st WHERE hist_n >= 12)
+             | SELECT "event_type", h AS "h", n AS "n", round(mu, 6) AS "mu",
+             |   round(sd, 6) AS "sd", z AS "z",
+             |   CAST(CASE WHEN abs(z) > 3.0e0 THEN 1 ELSE 0 END AS BIGINT)
+             |     AS "anomaly"
+             | FROM f ORDER BY "event_type", "h"""".stripMargin
+        .replace("\n", " ")))
   )
 
   /** Funnel step sequence for [[graft.ext.EventAnalytics.funnel]] over the
