@@ -724,6 +724,47 @@ object StreamingOps {
       .select(unix_millis(col("window.start")).as("w_start"), col("sk"))
   }
 
+  /** Streaming per-window rate anomaly — the stream twin of the batch
+    * `q_rate_anomaly`: per-type counts in event-time windows, scored
+    * against STATIC per-type baseline stats (mu, sd) learned from the
+    * accepted history (e.g. read off the batch query's trailing-window
+    * columns) and shipped as plan literals — same bounded-reference
+    * discipline as [[streamingPsiDrift]]. ONE windowed count
+    * aggregation; the z-score and the |z| > zCut flag are stateless
+    * projections at window close (the flag reads the ROUNDED z, the
+    * batch convention). Types absent from the baseline emit with a NULL
+    * z and anomaly = 1 — a never-seen event type is itself the alert,
+    * and a post-aggregation type filter is not an option anyway: a
+    * deterministic grouping-key predicate gets pushed below the
+    * watermark node by the optimizer, so a stream whose trailing events
+    * are all unknown types would stop advancing the watermark and never
+    * close a window. State per open window: one long per (window, type)
+    * group — bounded by type cardinality. */
+  def streamingRateAnomaly(events: DataFrame, eventTimeCol: String,
+                           typeCol: String,
+                           baseline: Map[String, (Double, Double)],
+                           zCut: Double = 3.0,
+                           windowSize: String = "1 hour",
+                           watermark: String = "2 hours"): DataFrame = {
+    require(baseline.nonEmpty, "baseline stats must be non-empty")
+    val muM = typedLit(baseline.map { case (k, v) => k -> v._1 })
+    val sdM = typedLit(baseline.map { case (k, v) => k -> v._2 })
+    val agged = events
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy(window(col(eventTimeCol), windowSize), col(typeCol))
+      .agg(count(lit(1)).as("n"))
+    val sd = element_at(sdM, col(typeCol))
+    // sd null = type not in baseline; sd = 0 = degenerate history (z 0)
+    val z = round(when(sd.isNotNull && sd > 0,
+      (col("n").cast("double") - element_at(muM, col(typeCol))) / sd)
+      .otherwise(when(sd.isNotNull, lit(0.0))), 6)
+    val anomaly = when(sd.isNull, lit(1L))
+      .otherwise((abs(z) > zCut).cast("long"))
+    agged.select(unix_millis(col("window.start")).as("w_start"),
+      col(typeCol).as("event_type"), col("n"), z.as("z"),
+      anomaly.as("anomaly"))
+  }
+
   /** Streaming per-window quantile sketching — the stream twin of
     * [[graft.ext.Sketches.kmvQuantilesState]]: one KMV k-min quantile
     * sketch per event-time window, emitted at window close with the

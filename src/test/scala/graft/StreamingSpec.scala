@@ -822,6 +822,64 @@ class StreamingSpec extends SparkSpec {
     assert(est >= 3L, s"cat estimate $est must bound the exact 3")
   }
 
+  test("streaming rate-anomaly batch-parity: closed windows score " +
+      "identically to the batch projection, micro-batch splits cannot " +
+      "change counts, and unknown types emit as anomalies with null z") {
+    implicit val sqlCtx = spark.sqlContext
+    val hourNs = 3600L * 1000000000L
+    val baseline = Map("view" -> (10.0, 2.0), "click" -> (4.0, 0.0))
+    val rows = (0 until 30).map(i =>
+      (0L * hourNs + i * 1000000L, "view")) ++ Seq(
+      (0L * hourNs + 1000000L, "click"),   // sd = 0 -> z pinned to 0
+      (0L * hourNs + 2000000L, "mystery"), // not in baseline: flagged
+      (1L * hourNs + 1000000L, "view"),    // n=1 vs mu=10: big negative z
+      (1L * hourNs + 2000000L, "view"))
+    val sentinel = (50L * hourNs, "zzz")
+    def prep(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    def render(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]), r.getLong(4))).toSet
+    val muM = typedLit(baseline.map { case (k, v) => k -> v._1 })
+    val sdM = typedLit(baseline.map { case (k, v) => k -> v._2 })
+    val sd = element_at(sdM, col("tok"))
+    val zB = round(when(sd.isNotNull && sd > 0,
+      (col("n").cast("double") - element_at(muM, col("tok"))) / sd)
+      .otherwise(when(sd.isNotNull, lit(0.0))), 6)
+    val aB = when(sd.isNull, lit(1L))
+      .otherwise((abs(zB) > 3.0).cast("long"))
+    val want = render(prep(rows.toDF("ts", "tok"))
+      .groupBy(window(col("event_time"), "1 hour"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start")).as("w_start"),
+        col("tok").as("event_type"), col("n"), zB.as("z"),
+        aB.as("anomaly")))
+    assert(want.size == 4)
+    assert(want.exists { case (_, t, _, z, a) =>
+      t == "view" && z.exists(_ < -3.0) && a == 1L }, s"no anomaly in $want")
+    assert(want.exists { case (_, t, _, z, a) =>
+      t == "click" && z.contains(0.0) && a == 0L }, s"sd=0 not pinned in $want")
+    assert(want.exists { case (_, t, _, z, a) =>
+      t == "mystery" && z.isEmpty && a == 1L },
+      s"unknown type not flagged in $want")
+
+    def run(batches: Seq[Seq[(Long, String)]], name: String) = {
+      val mem = MemoryStream[(Long, String)]
+      val events = prep(mem.toDF().toDF("ts", "tok"))
+      val q = StreamingOps.streamingRateAnomaly(events, "event_time",
+          "tok", baseline)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      for (b <- batches) { mem.addData(b: _*); q.processAllAvailable() }
+      mem.addData(sentinel); q.processAllAvailable()
+      q.stop()
+      render(spark.table(name))
+    }
+    assert(run(Seq(rows), "sra_1") == want)
+    val (early, late) = rows.splitAt(7) // split MID-WINDOW
+    assert(run(Seq(early, late), "sra_2") == want)
+  }
+
   test("streaming quantile-sketch batch-parity: closed windows carry " +
       "bit-identical k-min states regardless of micro-batch splits, and " +
       "streamed window states merge-rollup to the global sketch") {
