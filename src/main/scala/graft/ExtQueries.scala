@@ -2433,6 +2433,81 @@ object ExtQueries {
              |   CAST(CASE WHEN abs(z) > 3.0e0 THEN 1 ELSE 0 END AS BIGINT)
              |     AS "anomaly"
              | FROM f ORDER BY "event_type", "h"""".stripMargin
+        .replace("\n", " "))),
+    // ---- data-contract expectations (Deequ-style) ---------------------------
+    // Declarative constraint suite over the corpus table, evaluated in ONE
+    // map-side-combinable aggregation pass (the distinct-count for the
+    // uniqueness check is the only Expand): key non-null + unique, range,
+    // domain membership, non-emptiness, and a derived-column consistency
+    // check (stored n_chars == length(text)). One row per constraint with
+    // its violation count — the pre-ingest gate a lakehouse runs before
+    // accepting a drop.
+    Q("q_expectations", (s, dir) => {
+      val F = org.apache.spark.sql.functions
+      val langs = Seq("en", "de", "es", "fr", "zh")
+      def viol(c: org.apache.spark.sql.Column) =
+        sum(F.when(c, 1L).otherwise(0L))
+      val agg = Tables.read(s, dir, "documents").agg(
+        viol(col("doc_id").isNull).as("v_null"),
+        (count(lit(1)) - countDistinct(col("doc_id"))).as("v_dup"),
+        viol(!col("n_chars").between(1L, 100000L)).as("v_range"),
+        viol(!col("lang").isin(langs: _*)).as("v_domain"),
+        viol(F.length(col("text")) === 0).as("v_empty"),
+        viol(col("n_chars") =!=
+          F.length(col("text")).cast("long")).as("v_consistent"))
+      agg.select(expr(
+        "stack(6, 'doc_id_not_null', v_null, 'doc_id_unique', v_dup, " +
+          "'n_chars_in_range', v_range, 'lang_in_domain', v_domain, " +
+          "'text_not_empty', v_empty, 'n_chars_consistent', v_consistent) " +
+          "AS (constraint, violations)"))
+        .withColumn("passed", (col("violations") === 0L).cast("long"))
+        .orderBy("constraint")
+    },
+      Some("""WITH a AS MATERIALIZED (SELECT
+             |   CAST(sum(CASE WHEN "doc_id" IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+             |   CAST(count(*) - count(DISTINCT "doc_id") AS BIGINT) AS v_dup,
+             |   CAST(sum(CASE WHEN NOT ("n_chars" BETWEEN 1 AND 100000) THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+             |   CAST(sum(CASE WHEN "lang" NOT IN ('en', 'de', 'es', 'fr', 'zh') THEN 1 ELSE 0 END) AS BIGINT) AS v_domain,
+             |   CAST(sum(CASE WHEN length("text") = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_empty,
+             |   CAST(sum(CASE WHEN "n_chars" <> CAST(length("text") AS BIGINT) THEN 1 ELSE 0 END) AS BIGINT) AS v_consistent
+             |   FROM documents),
+             | u AS (
+             |   SELECT 'doc_id_not_null' AS c, v_null AS v FROM a
+             |   UNION ALL SELECT 'doc_id_unique', v_dup FROM a
+             |   UNION ALL SELECT 'n_chars_in_range', v_range FROM a
+             |   UNION ALL SELECT 'lang_in_domain', v_domain FROM a
+             |   UNION ALL SELECT 'text_not_empty', v_empty FROM a
+             |   UNION ALL SELECT 'n_chars_consistent', v_consistent FROM a)
+             | SELECT c AS "constraint", v AS "violations",
+             |   CAST(CASE WHEN v = 0 THEN 1 ELSE 0 END AS BIGINT) AS "passed"
+             | FROM u ORDER BY "constraint"""".stripMargin
+        .replace("\n", " "))),
+    // ---- per-label embedding centroids --------------------------------------
+    // Class prototypes (nearest-class-mean classification, semdedup seeds,
+    // per-class drift probes): element-wise mean of the embedding per
+    // label, emitted LONG-form (label, pos, centroid) so no array
+    // reassembly or ordering ambiguity exists. One posexplode + one
+    // (label, pos)-keyed aggregation — (labels x dim) output rows; the
+    // same groupZScore round-6 discipline bounds float reorder noise.
+    Q("q_label_centroids", (s, dir) => {
+      val F = org.apache.spark.sql.functions
+      Tables.read(s, dir, "embeddings")
+        .select(col("label").cast("long").as("label"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(count(lit(1)).as("n"), F.round(F.avg(col("x")), 6).as("centroid"))
+        .select(col("label"), col("pos").cast("long").as("pos"), col("n"),
+          col("centroid"))
+        .orderBy("label", "pos")
+    },
+      Some("""WITH e AS (SELECT CAST("label" AS BIGINT) AS label,
+             |   CAST("embedding" AS DOUBLE[]) AS v FROM embeddings),
+             | x AS (SELECT label, i - 1 AS pos, v[i] AS x FROM e,
+             |   UNNEST(generate_series(1, len(v))) AS u(i))
+             | SELECT label AS "label", CAST(pos AS BIGINT) AS "pos",
+             |   count(*) AS "n", round(avg(x), 6) AS "centroid"
+             | FROM x GROUP BY 1, 2 ORDER BY "label", "pos"""".stripMargin
         .replace("\n", " ")))
   )
 
