@@ -724,6 +724,44 @@ object StreamingOps {
       .select(unix_millis(col("window.start")).as("w_start"), col("sk"))
   }
 
+  /** Streaming per-window data-contract monitoring — the stream twin of
+    * the batch `q_expectations`, minus the corpus-uniqueness constraint
+    * (distinct-across-corpus is batch semantics; silently narrowing it to
+    * per-window distinct would change the contract): every constraint is
+    * a conditional sum inside ONE windowed aggregation, and the long-form
+    * (constraint, violations, passed) rendering is a stateless explode at
+    * window close. State per open window: one long per constraint. The
+    * ingest-monitoring use: a producer that starts shipping nulls or
+    * out-of-domain values shows up in the next window, not at the
+    * nightly batch gate.
+    *
+    * @param constraints (name, violation predicate) pairs — a row
+    *                    matching the predicate VIOLATES the constraint
+    */
+  def streamingExpectations(docs: DataFrame, eventTimeCol: String,
+                            constraints: Seq[(String, Column)],
+                            windowSize: String = "1 hour",
+                            watermark: String = "2 hours"): DataFrame = {
+    require(constraints.nonEmpty, "need at least one constraint")
+    val aggs = constraints.zipWithIndex.map { case ((_, pred), i) =>
+      sum(when(pred, 1L).otherwise(0L)).as(s"v_$i")
+    }
+    val agged = docs
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy(window(col(eventTimeCol), windowSize))
+      .agg(aggs.head, aggs.tail :+ count(lit(1)).as("n_rows"): _*)
+    val pairs = array(constraints.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("constraint"), col(s"v_$i").as("violations"))
+    }: _*)
+    agged
+      .select(unix_millis(col("window.start")).as("w_start"),
+        col("n_rows"), explode(pairs).as("c"))
+      .select(col("w_start"), col("n_rows"),
+        col("c.constraint").as("constraint"),
+        col("c.violations").as("violations"),
+        (col("c.violations") === 0L).cast("long").as("passed"))
+  }
+
   /** Streaming per-window rate anomaly — the stream twin of the batch
     * `q_rate_anomaly`: per-type counts in event-time windows, scored
     * against STATIC per-type baseline stats (mu, sd) learned from the

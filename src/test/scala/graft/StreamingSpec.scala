@@ -822,6 +822,45 @@ class StreamingSpec extends SparkSpec {
     assert(est >= 3L, s"cat estimate $est must bound the exact 3")
   }
 
+  test("streaming expectations batch-parity: per-window violation counts " +
+      "equal the batch conditional sums and survive mid-window splits") {
+    implicit val sqlCtx = spark.sqlContext
+    val hourNs = 3600L * 1000000000L
+    val rows = Seq[(Long, String, Long)](
+      (0L * hourNs + 1000000L, "en", 50L), (0L * hourNs + 2000000L, "xx", 20L),
+      (0L * hourNs + 3000000L, "de", -1L), (0L * hourNs + 4000000L, "en", 30L),
+      (1L * hourNs + 1000000L, "zz", 999999L), (1L * hourNs + 2000000L, "fr", 10L))
+    val sentinel = (50L * hourNs, "en", 1L)
+    val constraints = Seq(
+      "lang_in_domain" -> !col("lang").isin("en", "de", "es", "fr", "zh"),
+      "n_in_range" -> !col("n").between(0L, 1000L))
+    def prep(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    def render(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val want = Set(
+      (0L, 4L, "lang_in_domain", 1L, 0L), (0L, 4L, "n_in_range", 1L, 0L),
+      (3600000L, 2L, "lang_in_domain", 1L, 0L),
+      (3600000L, 2L, "n_in_range", 1L, 0L))
+
+    def run(batches: Seq[Seq[(Long, String, Long)]], name: String) = {
+      val mem = MemoryStream[(Long, String, Long)]
+      val events = prep(mem.toDF().toDF("ts", "lang", "n"))
+      val q = StreamingOps.streamingExpectations(events, "event_time",
+          constraints)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      for (b <- batches) { mem.addData(b: _*); q.processAllAvailable() }
+      mem.addData(sentinel); q.processAllAvailable()
+      q.stop()
+      render(spark.table(name))
+    }
+    assert(run(Seq(rows), "sexp_1") == want)
+    val (early, late) = rows.splitAt(2) // split MID-WINDOW
+    assert(run(Seq(early, late), "sexp_2") == want)
+  }
+
   test("streaming rate-anomaly batch-parity: closed windows score " +
       "identically to the batch projection, micro-batch splits cannot " +
       "change counts, and unknown types emit as anomalies with null z") {
