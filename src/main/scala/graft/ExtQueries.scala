@@ -2133,8 +2133,13 @@ object ExtQueries {
     // truth set (hence recall) is engine-reproducible. At 100 TB the brute
     // leg runs over a query SAMPLE; the compare itself joins two
     // k-rows-per-query sets — eval-scale, never corpus-scale.
+    // probes pinned to 2 explicitly: the oracle CTE hardwires crk <= 2,
+    // so the registry query must NOT read the ivfProbes deploy conf — a
+    // retune through the conf key would silently break the hash-match.
+    // Retune evaluation calls Similarity.annRecall directly.
     Q("q_ann_recall", (s, dir) =>
-      Similarity.annRecall(Tables.read(s, dir, "embeddings"), k = 5)
+      Similarity.annRecall(Tables.read(s, dir, "embeddings"), k = 5,
+          probes = 2)
         .orderBy("qid"),
       Some("""WITH e AS (SELECT "vec_id", CAST("embedding" AS DOUBLE[]) AS v FROM embeddings),
              | n AS (SELECT "vec_id", v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
@@ -2327,11 +2332,14 @@ object ExtQueries {
              | nn AS (SELECT count(*) AS n FROM bb),
              | mm AS (SELECT count(*) AS m FROM bb WHERE "lang" = 'en'),
              | rate AS (SELECT cur.bucket,
-             |   (CAST(COALESCE(tgt.t_b, 0) AS DOUBLE) * CAST(nn.n AS DOUBLE))
-             |     / (CAST(mm.m AS DOUBLE) * CAST(cur.c_b AS DOUBLE)) AS ratio
+             |   CASE WHEN mm.m > 0 THEN
+             |     (CAST(COALESCE(tgt.t_b, 0) AS DOUBLE) * CAST(nn.n AS DOUBLE))
+             |       / (CAST(mm.m AS DOUBLE) * CAST(cur.c_b AS DOUBLE))
+             |   ELSE 0.0e0 END AS ratio
              |   FROM cur LEFT JOIN tgt USING (bucket) CROSS JOIN nn CROSS JOIN mm),
              | rmax AS (SELECT max(ratio) AS rmax FROM rate),
-             | acc AS (SELECT bucket, ratio / rmax AS accept_p FROM rate CROSS JOIN rmax)
+             | acc AS (SELECT bucket, CASE WHEN rmax > 0 THEN ratio / rmax
+             |   ELSE 0.0e0 END AS accept_p FROM rate CROSS JOIN rmax)
              | SELECT bb."doc_id", bb.nt AS "n_tokens", bb.bucket AS "bucket",
              |   round(acc.accept_p, 6) AS "accept_p"
              | FROM bb JOIN acc USING (bucket)
@@ -2388,21 +2396,31 @@ object ExtQueries {
         .replace("\n", " ")
         .replace("BPECOUNT", graft.ext.Bpe.tokenCountSql("\"text\"")))),
     // ---- event-rate anomaly detection --------------------------------------
-    // Rolling z-score on HOURLY counts per event type (trailing-24h frame,
-    // excluding the current hour; needs >= 12 history hours): the ops
-    // alert every ingestion pipeline runs. The window slides over the
-    // hourly AGGREGATE (hours x types rows, time-bounded), never raw
-    // events — at 100 TB the fact table contributes one map-side-combined
-    // count and is done. The anomaly decision reads the ROUNDED z so the
+    // Rolling z-score on HOURLY counts per event type over a DENSE hour
+    // spine (each type's observed [min, max] hour span, zero-filled):
+    // zero-event hours emit rows and CAN alert — a total outage is the
+    // severest rate anomaly, and on a sparse hourly table it would
+    // otherwise be invisible AND silently stretch a 24-ROW frame across
+    // days. On the dense spine the 24-row trailing frame (current hour
+    // excluded; >= 12 history hours) IS trailing-24-hours. Everything
+    // slides over the time-bounded hourly aggregate, never raw events —
+    // at 100 TB the fact table contributes one map-side-combined count
+    // and is done. The anomaly decision reads the ROUNDED z so the
     // |z| > 3 boundary can't flip between engines.
     Q("q_rate_anomaly", (s, dir) => {
       val F = org.apache.spark.sql.functions
       val hourly = Tables.eventsWithMs(s, dir, parallelismFloor = false)
         .groupBy(col("event_type"), expr("ms div 3600000").as("h"))
         .agg(count(lit(1)).as("n"))
+      val spine = hourly.groupBy("event_type")
+        .agg(F.min(col("h")).as("h0"), F.max(col("h")).as("h1"))
+        .select(col("event_type"),
+          explode(F.sequence(col("h0"), col("h1"))).as("h"))
+      val filled = spine.join(hourly, Seq("event_type", "h"), "left")
+        .na.fill(0L, Seq("n"))
       val w = Window.partitionBy("event_type").orderBy("h")
         .rowsBetween(-24, -1)
-      val st = hourly
+      val st = filled
         .withColumn("hist_n", count(lit(1)).over(w))
         .withColumn("mu", F.avg(col("n")).over(w))
         .withColumn("sd", F.stddev_pop(col("n")).over(w))
@@ -2419,10 +2437,17 @@ object ExtQueries {
       Some("""WITH e AS (SELECT "event_type", epoch_ms("ts") // 3600000 AS h
              |   FROM events),
              | hourly AS (SELECT "event_type", h, count(*) AS n FROM e GROUP BY 1, 2),
+             | b AS (SELECT "event_type", min(h) AS h0, max(h) AS h1
+             |   FROM hourly GROUP BY 1),
+             | spine AS (SELECT "event_type", unnest(generate_series(h0, h1)) AS h
+             |   FROM b),
+             | filled AS (SELECT s."event_type", s.h, COALESCE(hourly.n, 0) AS n
+             |   FROM spine s LEFT JOIN hourly
+             |   ON s."event_type" = hourly."event_type" AND s.h = hourly.h),
              | st AS (SELECT "event_type", h, n,
              |   count(*) OVER w AS hist_n, avg(n) OVER w AS mu,
              |   stddev_pop(n) OVER w AS sd
-             |   FROM hourly WINDOW w AS (PARTITION BY "event_type" ORDER BY h
+             |   FROM filled WINDOW w AS (PARTITION BY "event_type" ORDER BY h
              |     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
              | f AS (SELECT "event_type", h, n, mu, sd,
              |   round(CASE WHEN sd > 0 THEN (CAST(n AS DOUBLE) - mu) / sd
@@ -2441,20 +2466,23 @@ object ExtQueries {
     // domain membership, non-emptiness, and a derived-column consistency
     // check (stored n_chars == length(text)). One row per constraint with
     // its violation count — the pre-ingest gate a lakehouse runs before
-    // accepting a drop.
+    // accepting a drop. Every predicate is NULL-HOSTILE: a NULL lang /
+    // n_chars / text VIOLATES its constraint rather than slipping through
+    // on three-valued logic — a producer that starts shipping nulls is
+    // exactly what the gate exists to catch.
     Q("q_expectations", (s, dir) => {
       val F = org.apache.spark.sql.functions
       val langs = Seq("en", "de", "es", "fr", "zh")
       def viol(c: org.apache.spark.sql.Column) =
-        sum(F.when(c, 1L).otherwise(0L))
+        sum(F.when(F.coalesce(c, lit(true)), 1L).otherwise(0L))
       val agg = Tables.read(s, dir, "documents").agg(
         viol(col("doc_id").isNull).as("v_null"),
         (count(lit(1)) - countDistinct(col("doc_id"))).as("v_dup"),
         viol(!col("n_chars").between(1L, 100000L)).as("v_range"),
         viol(!col("lang").isin(langs: _*)).as("v_domain"),
         viol(F.length(col("text")) === 0).as("v_empty"),
-        viol(col("n_chars") =!=
-          F.length(col("text")).cast("long")).as("v_consistent"))
+        viol(!(col("n_chars") <=>
+          F.length(col("text")).cast("long"))).as("v_consistent"))
       agg.select(expr(
         "stack(6, 'doc_id_not_null', v_null, 'doc_id_unique', v_dup, " +
           "'n_chars_in_range', v_range, 'lang_in_domain', v_domain, " +
@@ -2466,10 +2494,10 @@ object ExtQueries {
       Some("""WITH a AS MATERIALIZED (SELECT
              |   CAST(sum(CASE WHEN "doc_id" IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
              |   CAST(count(*) - count(DISTINCT "doc_id") AS BIGINT) AS v_dup,
-             |   CAST(sum(CASE WHEN NOT ("n_chars" BETWEEN 1 AND 100000) THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
-             |   CAST(sum(CASE WHEN "lang" NOT IN ('en', 'de', 'es', 'fr', 'zh') THEN 1 ELSE 0 END) AS BIGINT) AS v_domain,
-             |   CAST(sum(CASE WHEN length("text") = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_empty,
-             |   CAST(sum(CASE WHEN "n_chars" <> CAST(length("text") AS BIGINT) THEN 1 ELSE 0 END) AS BIGINT) AS v_consistent
+             |   CAST(sum(CASE WHEN COALESCE(NOT ("n_chars" BETWEEN 1 AND 100000), TRUE) THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+             |   CAST(sum(CASE WHEN COALESCE("lang" NOT IN ('en', 'de', 'es', 'fr', 'zh'), TRUE) THEN 1 ELSE 0 END) AS BIGINT) AS v_domain,
+             |   CAST(sum(CASE WHEN COALESCE(length("text") = 0, TRUE) THEN 1 ELSE 0 END) AS BIGINT) AS v_empty,
+             |   CAST(sum(CASE WHEN "n_chars" IS DISTINCT FROM CAST(length("text") AS BIGINT) THEN 1 ELSE 0 END) AS BIGINT) AS v_consistent
              |   FROM documents),
              | u AS (
              |   SELECT 'doc_id_not_null' AS c, v_null AS v FROM a

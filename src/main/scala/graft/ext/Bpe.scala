@@ -165,31 +165,46 @@ object Bpe {
     * The DuckDB oracle ([[trainOracleSql]]) replays the identical rounds
     * as chained CTEs with scalar-subquery argmaxes — no literal leaves
     * the engine, both sides DERIVE the same table from the data. */
+  /** The trainer's corpus-scale pass: word → count (one shuffle,
+    * map-side combinable). Exposed for the plan audit. */
+  private[graft] def wordCounts(docs: org.apache.spark.sql.DataFrame,
+                                textCol: String): org.apache.spark.sql.DataFrame =
+    docs
+      .select(explode(split(lower(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+
+  /** One training round's weighted adjacent-pair aggregate over the
+    * word-count table, ranked (n DESC, lhs, rhs) — exposed so the
+    * plan-audit net can inspect the REAL per-round plan ([[train]]
+    * itself must collect, which the registry-wide planning-only walk
+    * cannot do). */
+  private[graft] def roundCandidates(wc: org.apache.spark.sql.DataFrame,
+                                     merges: Seq[(String, String)])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{filter => afilter}
+    val seqCol = E.toColumn(applyMergesE(
+      seedWordE(graft.expr.Raw(col("w"), "?")), merges))
+    val toks = afilter(split(seqCol, "\\|\\|"), t => t =!= "")
+    wc.select(toks.as("t"), col("c"))
+      .select(explode(arrays_zip(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1))).as("p"), col("c"))
+      .select(col("p").getField("0").as("lhs"),
+        col("p").getField("1").as("rhs"), col("c"))
+      .groupBy("lhs", "rhs").agg(sum(col("c")).as("n"))
+      .orderBy(col("n").desc, col("lhs"), col("rhs"))
+  }
+
   def train(docs: org.apache.spark.sql.DataFrame, rounds: Int,
             textCol: String = "text"): org.apache.spark.sql.DataFrame = {
     require(rounds >= 1 && rounds <= 64, s"rounds must be in [1,64]: $rounds")
     val spark = docs.sparkSession
-    import org.apache.spark.sql.functions.{filter => afilter}
-    val wc = docs
-      .select(explode(split(lower(col(textCol)), " ")).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy("w").agg(count(lit(1)).as("c"))
-      .cache()
+    val wc = wordCounts(docs, textCol).cache()
     try {
       val learned = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
       for (r <- 0 until rounds) {
-        val seqCol = E.toColumn(applyMergesE(
-          seedWordE(graft.expr.Raw(col("w"), "?")), learned.toSeq.map(m => (m._1, m._2))))
-        val toks = afilter(split(seqCol, "\\|\\|"), t => t =!= "")
-        val best = wc
-          .select(toks.as("t"), col("c"))
-          .select(explode(arrays_zip(
-            slice(col("t"), lit(1), size(col("t")) - 1),
-            slice(col("t"), lit(2), size(col("t")) - 1))).as("p"), col("c"))
-          .select(col("p").getField("0").as("lhs"),
-            col("p").getField("1").as("rhs"), col("c"))
-          .groupBy("lhs", "rhs").agg(sum(col("c")).as("n"))
-          .orderBy(col("n").desc, col("lhs"), col("rhs"))
+        val best = roundCandidates(wc, learned.toSeq.map(m => (m._1, m._2)))
           .limit(1).collect()
         require(best.nonEmpty,
           s"BPE training exhausted the vocabulary at round $r of $rounds")
@@ -229,11 +244,16 @@ object Bpe {
   /** Driver-side reference trainer for the spec law: the same word-count
     * model computed with plain Scala collections — adjacent-position pair
     * counts (overlapping counted, the classic convention), (n DESC, lhs,
-    * rhs) argmax, left-to-right non-overlapping merge application. */
+    * rhs) argmax, left-to-right non-overlapping merge application. The
+    * round-0 symbolisation mirrors [[seedWordE]] exactly: only [a-z] get
+    * a separator (split AFTER each letter), so an out-of-alphabet char
+    * fuses with the letters around it the same way on both sides —
+    * "x2y" symbolises as [x, 2y], not [x, 2, y]. */
   private[graft] def referenceTrain(wordCounts: Map[String, Long],
                                     rounds: Int): Seq[(String, String, Long)] = {
     var seqs: Seq[(Vector[String], Long)] = wordCounts.toSeq.map {
-      case (w, c) => (w.toLowerCase.map(_.toString).toVector, c)
+      case (w, c) => (w.toLowerCase.split("(?<=[a-z])")
+        .toVector.filter(_.nonEmpty), c)
     }
     val out = Seq.newBuilder[(String, String, Long)]
     for (_ <- 0 until rounds) {

@@ -696,14 +696,26 @@ object PipelineOps {
       .groupBy("bucket").agg(count(lit(1)).as("t_b"))
     val nn = base.agg(count(lit(1)).as("n"))
     val mm = base.filter(targetPred).agg(count(lit(1)).as("m"))
+    // m > 0 guard on the ratio itself: ANSI mode (Spark 4 default)
+    // raises DIVIDE_BY_ZERO on the 0-denominator division outright, so
+    // the empty-target case must short-circuit BEFORE dividing
     val rate = cur.join(tgt, Seq("bucket"), "left").na.fill(0L, Seq("t_b"))
       .crossJoin(nn).crossJoin(mm)
       .select(col("bucket"),
-        ((col("t_b").cast("double") * col("n").cast("double"))
-          / (col("m").cast("double") * col("c_b").cast("double"))).as("ratio"))
+        when(col("m") > 0,
+          (col("t_b").cast("double") * col("n").cast("double"))
+            / (col("m").cast("double") * col("c_b").cast("double")))
+          .otherwise(lit(0.0)).as("ratio"))
     val rmax = rate.agg(max(col("ratio")).as("rmax"))
+    // rmax > 0 guard: with an EMPTY target (m = 0, every t_b = 0) the
+    // ratios are 0/0 = NaN, and an unguarded accept_p = NaN would keep
+    // every row (hash < NaN is true under Spark's NaN-sorts-greatest
+    // semantics) — the exact opposite of "match an empty target". Pin
+    // accept_p to 0 instead: nothing to match -> empty resample.
     val acc = rate.crossJoin(rmax)
-      .select(col("bucket"), (col("ratio") / col("rmax")).as("accept_p"))
+      .select(col("bucket"),
+        when(col("rmax") > 0, col("ratio") / col("rmax"))
+          .otherwise(lit(0.0)).as("accept_p"))
     base.join(broadcast(acc), Seq("bucket"))
       .filter(hashUniform(col("doc_id"), salt) < col("accept_p"))
   }

@@ -234,18 +234,38 @@ object Similarity {
   /** ANN recall evaluation harness: per-query recall@k of the IVF search
     * against the exact brute-force ground truth — the acceptance gate every
     * ANN deployment runs before trusting an index (and after every probe /
-    * cell retune). Ground truth is [[bruteForceTopK]] (O(n^2) — in
-    * production this runs on a SAMPLE of queries, never the full corpus;
-    * the operator contract is identical), the candidate system is
-    * [[ivfTopK]] with the same deterministic centroid sample. The compare
-    * is a (qid, nid) left join of two k-row-per-query sets — eval-scale,
-    * not corpus-scale. Both legs use the 6-decimal-rounded similarity with
-    * id tiebreak, so the truth set (and therefore recall) is reproducible
-    * across engines. */
+    * cell retune). The candidate system is [[ivfTopK]] with the same
+    * deterministic centroid sample; the compare is a (qid, nid) left join
+    * of two k-row-per-query sets — eval-scale, not corpus-scale. Both legs
+    * use the 6-decimal-rounded similarity with id tiebreak, so the truth
+    * set (and therefore recall) is reproducible across engines.
+    *
+    * `queryPred` is the 100 TB lever: it restricts the PROBE side only —
+    * ground truth for each sampled query is still ranked against the FULL
+    * corpus, and the IVF index (centroids, cells) is still built on the
+    * full corpus, so sampled recall is the production index's recall, not
+    * a shrunken look-alike's. The brute leg's pair space becomes
+    * |sample| x n instead of n^2. Law-pinned: sampled output ==
+    * full-corpus output filtered to the sampled qids. */
   def annRecall(embeddings: DataFrame, k: Int, cells: Int = 16,
-                probes: Int = ConfiguredIvfProbes, seed: Long = 42L): DataFrame = {
-    val truth = bruteForceTopK(embeddings, k).select(col("qid"), col("nid"))
+                probes: Int = ConfiguredIvfProbes, seed: Long = 42L,
+                queryPred: Column = lit(true)): DataFrame = {
+    val qids = broadcast(
+      embeddings.filter(queryPred).select(col("vec_id").as("qid")))
+    val e = prepared(embeddings)
+    val a = e.join(qids, e("vec_id") === qids("qid"))
+      .select(col("qid"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("nid"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val sim = round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    val truth = a.crossJoin(b).filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), sim.as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"))
     val approx = ivfTopK(embeddings, k, cells, probes, seed)
+      .join(qids, Seq("qid"))
       .select(col("qid"), col("nid"), lit(1L).as("hit"))
     truth.join(approx, Seq("qid", "nid"), "left")
       .groupBy("qid")

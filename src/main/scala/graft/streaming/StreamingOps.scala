@@ -736,7 +736,12 @@ object StreamingOps {
     * nightly batch gate.
     *
     * @param constraints (name, violation predicate) pairs — a row
-    *                    matching the predicate VIOLATES the constraint
+    *                    matching the predicate VIOLATES the constraint.
+    *                    Predicates are made NULL-HOSTILE here: a NULL
+    *                    evaluation counts as a violation (the batch
+    *                    q_expectations convention — nulls are what the
+    *                    gate exists to catch, not a free pass through
+    *                    three-valued logic)
     */
   def streamingExpectations(docs: DataFrame, eventTimeCol: String,
                             constraints: Seq[(String, Column)],
@@ -744,7 +749,7 @@ object StreamingOps {
                             watermark: String = "2 hours"): DataFrame = {
     require(constraints.nonEmpty, "need at least one constraint")
     val aggs = constraints.zipWithIndex.map { case ((_, pred), i) =>
-      sum(when(pred, 1L).otherwise(0L)).as(s"v_$i")
+      sum(when(coalesce(pred, lit(true)), 1L).otherwise(0L)).as(s"v_$i")
     }
     val agged = docs
       .withWatermark(eventTimeCol, watermark)

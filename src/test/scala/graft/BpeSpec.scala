@@ -95,8 +95,12 @@ class BpeSpec extends SparkSpec {
   test("distributed merge training equals the driver reference trainer " +
       "on randomized corpora, and learned tables are creation-ordered") {
     val rnd = new scala.util.Random(77)
+    // includes out-of-alphabet chars: digits/punct are NOT seeded, so
+    // they fuse with surrounding letters ("v2" -> [v, 2...]-style
+    // segments) — the reference trainer must symbolise identically
     val words = Seq("the", "then", "batch", "batching", "scan", "scans",
-      "sort", "sorted", "win", "window", "key", "keys", "merge", "hash")
+      "sort", "sorted", "win", "window", "key", "keys", "merge", "hash",
+      "v2", "a-b", "2fast", "x99")
     for (trial <- 0 until 3) {
       val texts = (0 until 40).map { _ =>
         (0 until (3 + rnd.nextInt(8)))

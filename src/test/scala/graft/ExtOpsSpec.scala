@@ -119,6 +119,28 @@ class ExtOpsSpec extends SparkSpec {
       assert(math.abs(bf(pair) - sim) < 1e-9, pair.toString)
   }
 
+  test("annRecall query sampling restricts the probe side only: sampled " +
+      "output equals the full-corpus output filtered to the sampled qids") {
+    val vecs = (0 until 40).map { i =>
+      val v = Array.tabulate(48)(j =>
+        (math.sin(i * 48 + j) + (if (i % 4 == j % 4) 2.0 else 0.0)).toFloat)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    def render(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val full = render(Similarity.annRecall(vecs, k = 5, cells = 8,
+      probes = 2))
+    assert(full.size == 40 && full.forall(r => r._2 == 5L))
+    val sampled = render(Similarity.annRecall(vecs, k = 5, cells = 8,
+      probes = 2, queryPred = col("vec_id") % 5 === 0))
+    assert(sampled == full.filter(_._1 % 5 == 0),
+      "sampled recall must be the production index's recall on those qids")
+    // the IVF approximation is imperfect but sane on this fixture
+    assert(full.exists(_._4 < 1.0) || full.forall(_._4 == 1.0))
+    assert(full.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
+  }
+
   test("DualHash base60 matches DuckDB's hex-cast and Spark's conv/md5") {
     // Reference value from DuckDB:
     //   CAST(concat('0x', substr(md5('hello'), 1, 15)) AS BIGINT)

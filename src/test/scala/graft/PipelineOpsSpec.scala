@@ -300,6 +300,11 @@ class PipelineOpsSpec extends SparkSpec {
     val gotShare0 = byBucket(0L)._1 / keptTotal
     assert(math.abs(gotShare0 - tgtShare0) < 0.05,
       s"kept share $gotShare0 vs target share $tgtShare0")
+    // EMPTY target: nothing to match -> empty resample, never a NaN
+    // accept_p silently keeping the full corpus
+    val none = PipelineOps.distributionMatch(df, col("b"),
+      col("lang") === "nope").count()
+    assert(none == 0L, s"empty target kept $none rows")
   }
 
   test("hashUniform draws are uniform-ish and salt-decorrelated") {

@@ -59,7 +59,11 @@ class PlanAuditSpec extends SparkSpec {
                                // broadcast bucket->rate join
 
   test("no accidental cartesian or nested-loop joins across the registry") {
-    val offenders = Queries.all.flatMap { q =>
+    // q_bpe_train is excluded from the planning-only walk: its builder
+    // EXECUTES the training rounds (the per-round argmax is a driver
+    // collect by design) and returns a trivial local relation — the real
+    // per-round plans get their own dedicated audit below.
+    val offenders = Queries.all.filterNot(_.name == "q_bpe_train").flatMap { q =>
       val plan =
         try q.build(spark, sfDir).queryExecution.executedPlan.toString
         catch { case e: Throwable => s"PLANNING FAILED: $e" }
@@ -74,6 +78,26 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  /** The BPE trainer's real plans, audited directly (its registry builder
+    * executes rounds, so the walk above cannot see them): the corpus-scale
+    * word-count pass and a mid-training round's candidate aggregate. */
+  test("BPE training round plans: no cartesian, bounded exchanges") {
+    val docs = Tables.read(spark, sfDir, "documents")
+    val wc = graft.ext.Bpe.wordCounts(docs, "text")
+    val round = graft.ext.Bpe.roundCandidates(wc,
+      Seq("t" -> "h", "th" -> "e"))
+    for ((name, df) <- Seq("wordCounts" -> wc, "roundCandidates" -> round)) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), s"$name: nested loop")
+      val exch = raw"(^|[^A-Za-z])Exchange\s".r
+      val n = plan.linesIterator.count(l => exch.findFirstIn(l).isDefined)
+      // word-count agg; round adds the pair agg + the rank's range
+      // partitioning (train() itself runs limit(1), not a global sort)
+      assert(n <= 4, s"$name: $n exchanges > 4")
+    }
   }
 
   test("the distinct+broadcast shape stays out of the fO2 buffer queries " +
