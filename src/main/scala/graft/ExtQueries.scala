@@ -1142,6 +1142,49 @@ object ExtQueries {
       PipelineOps.splitAssign(Tables.read(s, dir, "documents"))
         .orderBy("doc_id"),
       Some(PipelineOps.splitAssignOracleSql(0.9, 0.05, ":split"))),
+    // k-fold cross-validation assignment: fold = floor(u * k) over the
+    // same deterministic hashUniform draw as the split family —
+    // exhaustive (every doc gets exactly one fold), growth-stable
+    // (adding docs never moves existing ones), rerun-stable. A pure
+    // shuffle-free projection.
+    Q("q_kfold_assign", (s, dir) => {
+      val F = org.apache.spark.sql.functions
+      val u = PipelineOps.hashUniform(col("doc_id"), ":kfold")
+      Tables.read(s, dir, "documents")
+        .select(col("doc_id"),
+          F.floor(u * lit(5.0)).cast("long").as("fold"),
+          F.round(u, 6).as("u"))
+        .orderBy("doc_id")
+    },
+      Some {
+        val u = PipelineOps.hashUniformSql("\"doc_id\"", ":kfold")
+        s"""SELECT "doc_id", CAST(floor($u * 5.0) AS BIGINT) AS "fold",
+           | round($u, 6) AS "u" FROM documents
+           | ORDER BY "doc_id"""".stripMargin.replace("\n", " ")
+      }),
+    // k-anonymity audit over quasi-identifiers (lang, source, length
+    // decile): group sizes + an at-risk flag for equivalence classes
+    // smaller than k=5 — the re-identification screen run before a
+    // corpus with joinable metadata ships. ONE map-side-combinable
+    // aggregation over derived quasi-identifier columns; group count is
+    // bounded by the QI-combination cardinality, never data scale.
+    Q("q_k_anonymity", (s, dir) => {
+      val F = org.apache.spark.sql.functions
+      Tables.read(s, dir, "documents")
+        .select(col("lang"), col("source"),
+          expr("n_chars div 100").as("len_bucket"))
+        .groupBy("lang", "source", "len_bucket")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("at_risk", (col("n") < 5L).cast("long"))
+        .orderBy("lang", "source", "len_bucket")
+    },
+      Some("""SELECT "lang", "source", ("n_chars" // 100) AS "len_bucket",
+             | count(*) AS "n",
+             | CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS BIGINT)
+             |   AS "at_risk"
+             | FROM documents GROUP BY 1, 2, 3
+             | ORDER BY "lang", "source", "len_bucket"""".stripMargin
+        .replace("\n", " "))),
     // Pairwise source-overlap audit via per-source MinHash signatures:
     // one partial-aggregated groupBy carrying 32 longs per source; the
     // pairwise stage is a source-cardinality cross (whitelisted in
