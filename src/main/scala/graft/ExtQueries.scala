@@ -2234,9 +2234,13 @@ object ExtQueries {
           col("bg").getField("1").as("w2"))
       val tk = docs.select(explode(ts).as("w"))
       val uni = tk.groupBy("w").agg(count(lit(1)).as("c"))
-      val nn = tk.agg(count(lit(1)).as("n"))
-      val mm = bg.agg(count(lit(1)).as("m"))
-      bg.groupBy("w1", "w2").agg(count(lit(1)).as("pair_count"))
+      val bgc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("pair_count"))
+      // totals DERIVED from the aggregates (sum of partial counts ==
+      // direct count), so the corpus-scale explodes run once each —
+      // not re-run for a bare count(*)
+      val nn = uni.agg(sum(col("c")).as("n"))
+      val mm = bgc.agg(sum(col("pair_count")).as("m"))
+      bgc
         .filter(col("pair_count") >= 3)
         .join(uni.select(col("w").as("w1"), col("c").as("c1x")), Seq("w1"))
         .join(uni.select(col("w").as("w2"), col("c").as("c2x")), Seq("w2"))
@@ -2254,10 +2258,10 @@ object ExtQueries {
              |   UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
              | tk AS (SELECT unnest(t) AS w FROM toks),
              | uni AS (SELECT w, count(*) AS c FROM tk GROUP BY 1),
-             | nn AS (SELECT count(*) AS n FROM tk),
-             | mm AS (SELECT count(*) AS m FROM bg),
-             | p AS (SELECT w1, w2, count(*) AS pc FROM bg GROUP BY 1, 2
-             |   HAVING count(*) >= 3)
+             | pc0 AS (SELECT w1, w2, count(*) AS pc FROM bg GROUP BY 1, 2),
+             | nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+             | mm AS (SELECT CAST(sum(pc) AS BIGINT) AS m FROM pc0),
+             | p AS (SELECT w1, w2, pc FROM pc0 WHERE pc >= 3)
              | SELECT w1 AS "w1", w2 AS "w2", pc AS "pair_count",
              |   round(ln((CAST(pc AS DOUBLE) * CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE))
              |     / (CAST(mm.m AS DOUBLE) * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))), 6) AS "pmi"
@@ -2277,10 +2281,13 @@ object ExtQueries {
       val F = org.apache.spark.sql.functions
       val tk = Tables.read(s, dir, "documents")
         .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      // ONE corpus-scale explode+aggregation; every other table derives
+      // from the (source, token) counts at vocabulary scale (sum of
+      // partial counts == direct count, so values are identical)
       val cst = tk.groupBy("source", "t").agg(count(lit(1)).as("c_st"))
-      val ct = tk.groupBy("t").agg(count(lit(1)).as("c_t"))
-      val cs = tk.groupBy("source").agg(count(lit(1)).as("c_s"))
-      val nv = tk.agg(count(lit(1)).as("n"), countDistinct(col("t")).as("v"))
+      val ct = cst.groupBy("t").agg(sum(col("c_st")).as("c_t"))
+      val cs = cst.groupBy("source").agg(sum(col("c_st")).as("c_s"))
+      val nv = ct.agg(sum(col("c_t")).as("n"), count(lit(1)).as("v"))
       val sc = cst.join(ct, Seq("t"))
         .join(org.apache.spark.sql.functions.broadcast(cs), Seq("source"))
         .crossJoin(nv)
@@ -2298,9 +2305,9 @@ object ExtQueries {
       Some("""WITH tk AS (SELECT "source", unnest(string_split("text", ' ')) AS t
              |   FROM documents),
              | cst AS (SELECT "source", t, count(*) AS c_st FROM tk GROUP BY 1, 2),
-             | ct AS (SELECT t, count(*) AS c_t FROM tk GROUP BY 1),
-             | cs AS (SELECT "source", count(*) AS c_s FROM tk GROUP BY 1),
-             | nn AS (SELECT count(*) AS n, count(DISTINCT t) AS v FROM tk),
+             | ct AS (SELECT t, CAST(sum(c_st) AS BIGINT) AS c_t FROM cst GROUP BY 1),
+             | cs AS (SELECT "source", CAST(sum(c_st) AS BIGINT) AS c_s FROM cst GROUP BY 1),
+             | nn AS (SELECT CAST(sum(c_t) AS BIGINT) AS n, count(*) AS v FROM ct),
              | sc AS (SELECT cst."source", cst.t, cst.c_st,
              |   round(ln((CAST(cst.c_st + 1 AS DOUBLE) * CAST(nn.n - cs.c_s + nn.v AS DOUBLE))
              |     / (CAST(cs.c_s + nn.v AS DOUBLE) * CAST(ct.c_t - cst.c_st + 1 AS DOUBLE))), 6) AS score
@@ -2327,8 +2334,14 @@ object ExtQueries {
           size(split(col("text"), " ")).cast("long").as("nt"))
         .groupBy("shard")
         .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
-      val tot = g.agg(sum(col("n_docs")).as("td"), sum(col("n_tokens")).as("tt"))
-      g.crossJoin(tot)
+      // totals via an unpartitioned window over the 8-ROW aggregate —
+      // bounded by shard cardinality by construction (the global-window
+      // ban applies to data-scale rows, not an 8-row report), and it
+      // avoids a totals crossJoin that would re-scan the corpus
+      val whole = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      g.withColumn("td", sum(col("n_docs")).over(whole))
+        .withColumn("tt", sum(col("n_tokens")).over(whole))
         .select(col("shard"), col("n_docs"), col("n_tokens"),
           F.round(col("n_docs").cast("double") * 8.0d / col("td").cast("double")
             - 1.0d, 6).as("doc_dev"),
@@ -2339,13 +2352,13 @@ object ExtQueries {
       Some("""WITH d AS (SELECT (BASE60 % 8) AS shard,
              |   CAST(len(string_split("text", ' ')) AS BIGINT) AS nt FROM documents),
              | g AS (SELECT shard, count(*) AS n_docs,
-             |   CAST(sum(nt) AS BIGINT) AS n_tokens FROM d GROUP BY 1),
-             | t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td,
-             |   CAST(sum(n_tokens) AS BIGINT) AS tt FROM g)
+             |   CAST(sum(nt) AS BIGINT) AS n_tokens FROM d GROUP BY 1)
              | SELECT shard AS "shard", n_docs AS "n_docs", n_tokens AS "n_tokens",
-             |   round(CAST(n_docs AS DOUBLE) * 8.0 / CAST(td AS DOUBLE) - 1.0, 6) AS "doc_dev",
-             |   round(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS "token_share"
-             | FROM g CROSS JOIN t ORDER BY "shard"""".stripMargin
+             |   round(CAST(n_docs AS DOUBLE) * 8.0
+             |     / CAST(CAST(sum(n_docs) OVER () AS BIGINT) AS DOUBLE) - 1.0, 6) AS "doc_dev",
+             |   round(CAST(n_tokens AS DOUBLE)
+             |     / CAST(CAST(sum(n_tokens) OVER () AS BIGINT) AS DOUBLE), 6) AS "token_share"
+             | FROM g ORDER BY "shard"""".stripMargin
         .replace("\n", " ")
         .replace("BASE60",
           DualHash.base60Sql("concat(CAST(\"doc_id\" AS VARCHAR), ':shard')")))),
@@ -2370,16 +2383,17 @@ object ExtQueries {
       Some("""WITH b AS (SELECT "doc_id", "lang",
              |   CAST(len(string_split("text", ' ')) AS BIGINT) AS nt FROM documents),
              | bb AS (SELECT *, (nt // 20) AS bucket FROM b),
-             | cur AS (SELECT bucket, count(*) AS c_b FROM bb GROUP BY 1),
-             | tgt AS (SELECT bucket, count(*) AS t_b FROM bb WHERE "lang" = 'en' GROUP BY 1),
-             | nn AS (SELECT count(*) AS n FROM bb),
-             | mm AS (SELECT count(*) AS m FROM bb WHERE "lang" = 'en'),
-             | rate AS (SELECT cur.bucket,
-             |   CASE WHEN mm.m > 0 THEN
-             |     (CAST(COALESCE(tgt.t_b, 0) AS DOUBLE) * CAST(nn.n AS DOUBLE))
-             |       / (CAST(mm.m AS DOUBLE) * CAST(cur.c_b AS DOUBLE))
+             | cnt AS (SELECT bucket, count(*) AS c_b,
+             |   CAST(sum(CASE WHEN "lang" = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t_b
+             |   FROM bb GROUP BY 1),
+             | nm AS (SELECT CAST(sum(c_b) AS BIGINT) AS n,
+             |   CAST(sum(t_b) AS BIGINT) AS m FROM cnt),
+             | rate AS (SELECT cnt.bucket,
+             |   CASE WHEN nm.m > 0 THEN
+             |     (CAST(cnt.t_b AS DOUBLE) * CAST(nm.n AS DOUBLE))
+             |       / (CAST(nm.m AS DOUBLE) * CAST(cnt.c_b AS DOUBLE))
              |   ELSE 0.0e0 END AS ratio
-             |   FROM cur LEFT JOIN tgt USING (bucket) CROSS JOIN nn CROSS JOIN mm),
+             |   FROM cnt CROSS JOIN nm),
              | rmax AS (SELECT max(ratio) AS rmax FROM rate),
              | acc AS (SELECT bucket, CASE WHEN rmax > 0 THEN ratio / rmax
              |   ELSE 0.0e0 END AS accept_p FROM rate CROSS JOIN rmax)

@@ -691,16 +691,18 @@ object PipelineOps {
                         targetPred: Column,
                         salt: String = ":dmatch"): DataFrame = {
     val base = docs.withColumn("bucket", bucketCol)
-    val cur = base.groupBy("bucket").agg(count(lit(1)).as("c_b"))
-    val tgt = base.filter(targetPred)
-      .groupBy("bucket").agg(count(lit(1)).as("t_b"))
-    val nn = base.agg(count(lit(1)).as("n"))
-    val mm = base.filter(targetPred).agg(count(lit(1)).as("m"))
+    // ONE corpus-scale aggregation carries both distributions (the
+    // target's bucket counts as a conditional sum), and the totals
+    // derive from it at bucket scale — the stats side reads the corpus
+    // exactly once; the keep-filter join below is the only other scan
+    val counts = base.groupBy("bucket").agg(
+      count(lit(1)).as("c_b"),
+      sum(when(targetPred, 1L).otherwise(0L)).as("t_b"))
+    val nm = counts.agg(sum(col("c_b")).as("n"), sum(col("t_b")).as("m"))
     // m > 0 guard on the ratio itself: ANSI mode (Spark 4 default)
     // raises DIVIDE_BY_ZERO on the 0-denominator division outright, so
     // the empty-target case must short-circuit BEFORE dividing
-    val rate = cur.join(tgt, Seq("bucket"), "left").na.fill(0L, Seq("t_b"))
-      .crossJoin(nn).crossJoin(mm)
+    val rate = counts.crossJoin(nm)
       .select(col("bucket"),
         when(col("m") > 0,
           (col("t_b").cast("double") * col("n").cast("double"))
