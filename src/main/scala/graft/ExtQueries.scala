@@ -1217,6 +1217,72 @@ object ExtQueries {
     // in two passes (values, then absolute deviations), both broadcast as
     // one-row aggregates; the flag is a stateless projection. The 1.4826
     // constant normalises MAD to sigma under normality (Hampel).
+    // Per-GROUP robust outlier gates: the per-language variant of
+    // q_robust_outliers below — each language gets its own median/MAD
+    // (a zh document is judged against zh lengths, not the en-dominated
+    // global mix). The sketches become ONE groupBy aggregation each
+    // (group-cardinality rows, broadcast back); a degenerate group
+    // (MAD 0: half its docs share a length) pins z to 0 instead of
+    // tripping ANSI's divide-by-zero — the groupZScore convention.
+    Q("q_robust_outliers_grouped", (s, dir) => {
+      val F = org.apache.spark.sql.functions
+      val base = Tables.read(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          Sketches.hashUnit(col("doc_id"), ":gmad").as("h"),
+          size(split(col("text"), " ")).cast("double").as("v"))
+      val med = base.groupBy("lang")
+        .agg(Sketches.kmvQuantiles(col("h"), col("v"), 256, Seq(0.5))
+          .getItem(0).as("med"))
+      val withMed = base.join(F.broadcast(med), Seq("lang"))
+      val mad = withMed
+        .select(col("lang"), col("h"), F.abs(col("v") - col("med")).as("av"))
+        .groupBy("lang")
+        .agg(Sketches.kmvQuantiles(col("h"), col("av"), 256, Seq(0.5))
+          .getItem(0).as("mad"))
+      val rz = F.when(col("mad") > 0,
+        (col("v") - col("med")) / (lit(1.4826) * col("mad")))
+        .otherwise(lit(0.0))
+      withMed.join(F.broadcast(mad), Seq("lang"))
+        .select(col("doc_id"), col("lang"),
+          col("v").cast("long").as("n_tokens"),
+          F.round(rz, 6).as("robust_z"),
+          (F.abs(rz) > 3.5).cast("int").as("outlier"))
+        .orderBy("doc_id")
+    }, Some {
+      val u = Sketches.hashUnitSql("\"doc_id\"", ":gmad")
+      s"""WITH b AS (SELECT "doc_id", "lang", $u AS h,
+         |   CAST(len(string_split("text", ' ')) AS DOUBLE) AS v
+         |   FROM documents),
+         | dd AS (SELECT DISTINCT ON ("lang", h) "lang", h, v FROM b
+         |   ORDER BY "lang", h, v),
+         | tk AS (SELECT "lang", v FROM (SELECT "lang", h, v, row_number()
+         |     OVER (PARTITION BY "lang" ORDER BY h) AS hr FROM dd)
+         |   WHERE hr <= 256),
+         | m AS (SELECT "lang", v AS med FROM (SELECT "lang", v, row_number()
+         |     OVER (PARTITION BY "lang" ORDER BY v) AS rn,
+         |     count(*) OVER (PARTITION BY "lang") AS n FROM tk)
+         |   WHERE rn = least(n, greatest(1, CAST(ceil(0.5e0 * n) AS BIGINT)))),
+         | ad AS (SELECT b."lang", b.h, abs(b.v - m.med) AS av
+         |   FROM b JOIN m USING ("lang")),
+         | ad2 AS (SELECT DISTINCT ON ("lang", h) "lang", h, av FROM ad
+         |   ORDER BY "lang", h, av),
+         | atk AS (SELECT "lang", av FROM (SELECT "lang", h, av, row_number()
+         |     OVER (PARTITION BY "lang" ORDER BY h) AS hr FROM ad2)
+         |   WHERE hr <= 256),
+         | md AS (SELECT "lang", av AS mad FROM (SELECT "lang", av, row_number()
+         |     OVER (PARTITION BY "lang" ORDER BY av) AS rn,
+         |     count(*) OVER (PARTITION BY "lang") AS n FROM atk)
+         |   WHERE rn = least(n, greatest(1, CAST(ceil(0.5e0 * n) AS BIGINT))))
+         | SELECT b."doc_id", b."lang", CAST(b.v AS BIGINT) AS "n_tokens",
+         |   round(CASE WHEN md.mad > 0
+         |     THEN (b.v - m.med) / (1.4826e0 * md.mad) ELSE 0.0e0 END, 6)
+         |     AS "robust_z",
+         |   CAST(CASE WHEN md.mad > 0
+         |     THEN abs((b.v - m.med) / (1.4826e0 * md.mad)) > 3.5e0
+         |     ELSE FALSE END AS INTEGER) AS "outlier"
+         | FROM b JOIN m USING ("lang") JOIN md USING ("lang")
+         | ORDER BY "doc_id"""".stripMargin.replace("\n", " ")
+    }),
     Q("q_robust_outliers", (s, dir) => {
       val base = Tables.read(s, dir, "documents")
         .select(col("doc_id"),
