@@ -176,6 +176,34 @@ object ExtQueries {
         "UNION SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id) " +
         "SELECT id AS \"doc_id\", min(lbl) AS \"cluster_id\" FROM reach " +
         "GROUP BY 1 ORDER BY 1")),
+    // The dedup AUDIT report every pipeline prints before acting: the
+    // near-dup cluster-size histogram (how many singletons, pairs,
+    // triples...), docs per size class, and the removable-doc count
+    // (size-1 per cluster — what survivor selection would delete). Same
+    // CC chain as q_dedup_clusters; everything after the labels is
+    // label-scale then size-class-scale aggregation.
+    Q("q_dedup_report", (s, dir) => {
+      val F = org.apache.spark.sql.functions
+      Dedup.nearDupClusters(Tables.read(s, dir, "documents"),
+          threshold = 0.0, k = 16, rowsPerBand = 2)
+        .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"),
+          ((col("cluster_size") - 1L) * col("n_clusters")).as("n_removable"))
+        .orderBy("cluster_size")
+    },
+      Some(s"WITH RECURSIVE $tokCte, $shCte, ${sigCte(16)}, ${bkCte(16, 2)}, $candCte, " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand " +
+        "UNION ALL SELECT doc_b, doc_a FROM cand), " +
+        "reach AS (SELECT \"doc_id\" AS id, CAST(\"doc_id\" AS BIGINT) AS lbl FROM documents " +
+        "UNION SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id), " +
+        "labels AS (SELECT id AS \"doc_id\", min(lbl) AS cluster_id FROM reach GROUP BY 1), " +
+        "sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1) " +
+        "SELECT cluster_size AS \"cluster_size\", count(*) AS \"n_clusters\", " +
+        "CAST(cluster_size * count(*) AS BIGINT) AS \"n_docs\", " +
+        "CAST((cluster_size - 1) * count(*) AS BIGINT) AS \"n_removable\" " +
+        "FROM sizes GROUP BY 1 ORDER BY 1")),
     // Leakage-safe split: train/val/test hashed on the NEAR-DUP CLUSTER
     // label (same CC chain as q_dedup_clusters), so near-duplicate docs
     // can never straddle the split — the train/test contamination a
