@@ -119,6 +119,31 @@ class ExtOpsSpec extends SparkSpec {
       assert(math.abs(bf(pair) - sim) < 1e-9, pair.toString)
   }
 
+  test("dedup report conservation: docs partition into the histogram and " +
+      "removable = docs - clusters") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again today"),
+      (3L, "the quick brown fox jumps over the lazy dog again tomorrow"),
+      (4L, "completely different content about spark and shuffles here"),
+      (5L, "another unrelated document mentioning joins and windows only"))
+      .toDF("doc_id", "text")
+    val labels = graft.ext.Dedup.nearDupClusters(docs,
+      threshold = 0.0, k = 16, rowsPerBand = 2)
+    val hist = labels.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nDocs = hist.map { case (sz, n) => sz * n }.sum
+    val nClusters = hist.map(_._2).sum
+    val nRemovable = hist.map { case (sz, n) => (sz - 1) * n }.sum
+    assert(nDocs == 5L, s"histogram must partition all docs: $nDocs")
+    assert(nRemovable == nDocs - nClusters,
+      s"removable $nRemovable != docs $nDocs - clusters $nClusters")
+    // the three near-dup texts cluster together on this fixture
+    assert(hist.exists { case (sz, _) => sz >= 2 }, hist.mkString(","))
+  }
+
   test("annRecall query sampling restricts the probe side only: sampled " +
       "output equals the full-corpus output filtered to the sampled qids") {
     val vecs = (0 until 40).map { i =>
