@@ -361,12 +361,15 @@ object ExtQueries {
     // reconstruction error — the 1-byte/dim storage tier of the embedding
     // stack (PQ below covers the sub-byte tier). Codes AND qerr
     // hash-match (floor(x+0.5) rounding, dot-kernel summation); pure
-    // per-row projection.
+    // per-row projection. Codes are rendered as a comma-joined string so
+    // the driver's comparer can sort/hash the column (raw array<int>
+    // cells are unhashable in its pandas sort).
     Q("q_embed_quantize", (s, dir) =>
       graft.ext.Quantize.int8(Tables.read(s, dir, "embeddings"))
         .select(col("vec_id"),
           org.apache.spark.sql.functions.round(col("scale"), 6).as("scale"),
-          col("codes"),
+          concat_ws(",", transform(col("codes"), _.cast("string")))
+            .as("codes"),
           org.apache.spark.sql.functions.round(col("qerr"), 6).as("qerr"))
         .orderBy("vec_id"),
       Some(graft.ext.Quantize.int8OracleSql())),

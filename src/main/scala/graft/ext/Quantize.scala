@@ -68,7 +68,8 @@ object Quantize {
        |   list_transform(v, (x, i) ->
        |     x - CAST(codes[i] AS DOUBLE) * scale / 127.0e0) AS d
        |   FROM c)
-       | SELECT "vec_id", round(scale, 6) AS "scale", codes AS "codes",
+       | SELECT "vec_id", round(scale, 6) AS "scale",
+       |   array_to_string(codes, ',') AS "codes",
        |   round(list_dot_product(d, d), 6) AS "qerr"
        | FROM r ORDER BY "vec_id"""".stripMargin.replace("\n", " ")
 }
