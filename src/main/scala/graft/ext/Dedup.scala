@@ -353,4 +353,60 @@ object Dedup {
       edges.select(col("doc_a"), col("doc_b")),
       maxIters)
   }
+
+  /** Cheap content fingerprint of a document corpus: row count, max
+    * doc_id, and the XOR of per-row xxhash64(doc_id, text). One narrow
+    * scan (only the two columns the dedup chain consumes), no shuffle
+    * beyond the one-row aggregate; XOR makes it order- and
+    * partitioning-independent. Mirrors [[Pq.corpusFingerprint]]: this is
+    * what lets the artifact key notice an in-place corpus rewrite instead
+    * of serving stale labels. */
+  private[graft] def corpusFingerprint(docs: DataFrame): String = {
+    val r = docs.agg(
+      count(lit(1)),
+      coalesce(max(col("doc_id").cast("long")), lit(-1L)),
+      coalesce(bit_xor(xxhash64(col("doc_id"), col("text"))), lit(0L)))
+      .head
+    s"${r.getLong(0)}:${r.getLong(1)}:${java.lang.Long.toHexString(r.getLong(2))}"
+  }
+
+  /** The persisted near-dup label table for (docs-at-`key`, params) —
+    * built ONCE per (corpus fingerprint, params) per JVM by
+    * [[nearDupClusters]] and written as parquet; every later call (and
+    * every downstream consumer — report, survivor selection,
+    * leakage-safe split) pays only a parquet scan of (doc_id,
+    * cluster_id). This is the cross-query artifact a 100 TB pipeline
+    * builds in one job and serves to every step that needs "which
+    * cluster is this doc in": re-running the MinHash→LSH→CC chain per
+    * consumer repeats the corpus-scale shuffles for identical output.
+    * Results are bit-identical to the live chain (ids and labels are
+    * integers; parquet round-trips them exactly), so oracle SQL is
+    * unchanged. Keying/cleanup semantics are [[Artifacts]]'s (corpus
+    * fingerprint folded in; per-JVM token; full-string memo). */
+  def persistedLabels(docs: DataFrame, key: String, threshold: Double,
+                      k: Int = 16, rowsPerBand: Int = 4,
+                      maxIters: Int = 20): DataFrame = {
+    val fp = corpusFingerprint(docs)
+    val full = s"$key|fp=$fp|t=$threshold|k=$k|b=$rowsPerBand|it=$maxIters"
+    val path = Artifacts.pathFor("deduplab", full)(p =>
+      nearDupClusters(docs, threshold, k, rowsPerBand, maxIters)
+        .write.mode("overwrite").parquet(s"$p/labels"))
+    docs.sparkSession.read.parquet(s"$path/labels")
+  }
+
+  /** The persisted Jaccard-verified near-dup PAIR set — the edge-list
+    * sibling of [[persistedLabels]] for consumers that need the graph
+    * (e.g. PageRank over the near-dup graph) rather than its components.
+    * Jaccard doubles round-trip parquet exactly, so downstream
+    * unrounded-threshold filters see the same values as the live
+    * [[ngramJaccardPairs]] chain. */
+  def persistedPairs(docs: DataFrame, key: String, threshold: Double,
+                     k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val fp = corpusFingerprint(docs)
+    val full = s"$key|fp=$fp|t=$threshold|k=$k|b=$rowsPerBand"
+    val path = Artifacts.pathFor("deduppairs", full)(p =>
+      ngramJaccardPairs(docs, threshold, k, rowsPerBand)
+        .write.mode("overwrite").parquet(s"$p/pairs"))
+    docs.sparkSession.read.parquet(s"$path/pairs")
+  }
 }

@@ -584,13 +584,25 @@ object PipelineOps {
   def leakageSafeSplit(docs: DataFrame, trainFrac: Double = 0.9,
                        valFrac: Double = 0.05, salt: String = ":split",
                        k: Int = 16, rowsPerBand: Int = 4,
-                       threshold: Double = 0.0): DataFrame = {
+                       threshold: Double = 0.0): DataFrame =
+    leakageSafeSplitFromLabels(
+      Dedup.nearDupClusters(docs, threshold = threshold, k = k,
+        rowsPerBand = rowsPerBand),
+      trainFrac, valFrac, salt)
+
+  /** The split arithmetic of [[leakageSafeSplit]] over an EXISTING
+    * `labels(doc_id, cluster_id)` table — the form a 100 TB pipeline
+    * actually runs: the cluster labels are built once
+    * ([[Dedup.persistedLabels]]) and every consumer (split, survivor
+    * selection, report) keys off the artifact instead of re-running the
+    * MinHash→LSH→CC chain. One hash projection, no shuffle. */
+  def leakageSafeSplitFromLabels(labels: DataFrame, trainFrac: Double,
+                                 valFrac: Double,
+                                 salt: String): DataFrame = {
     require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1,
       "need 0 < trainFrac, 0 <= valFrac, trainFrac + valFrac < 1")
-    val cl = Dedup.nearDupClusters(docs, threshold = threshold, k = k,
-      rowsPerBand = rowsPerBand)
     val u = hashUniform(col("cluster_id"), salt)
-    cl.select(col("doc_id"), col("cluster_id"), round(u, 6).as("u"),
+    labels.select(col("doc_id"), col("cluster_id"), round(u, 6).as("u"),
       when(u < trainFrac, "train")
         .when(u < trainFrac + valFrac, "val")
         .otherwise("test").as("split"))

@@ -365,37 +365,9 @@ object Pq {
 
   // one build per (corpus, params) per JVM: Verify/Bench re-invoke the
   // registry query many times; only the FIRST pays training, exactly the
-  // build-once/search-many contract the artifact exists for. The path
-  // lives under target/ (or GRAFT_INDEX_DIR) with a per-JVM token, so a
-  // stale artifact from an earlier process is never trusted, and the
-  // token dir is deleted on JVM exit so repeated Bench/Verify runs don't
-  // accumulate orphaned index trees. Memoised on the FULL key string —
-  // a 32-bit String.hashCode memo (the original form) would let two
-  // different (corpus, params) keys collide and silently serve search
-  // results from the wrong index; the digest is only used for the PATH,
-  // where the full-string memo already guarantees one path per key.
-  private val indexMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, String]
-  private val jvmToken =
-    java.lang.Long.toHexString(System.identityHashCode(indexMemo).toLong)
-  private lazy val indexRootForCleanup: Unit = {
-    val root = sys.env.getOrElse("GRAFT_INDEX_DIR", "target/graft-index")
-    val dir = java.nio.file.Paths.get(root, jvmToken)
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try {
-        if (java.nio.file.Files.exists(dir)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(dir).sorted(
-            java.util.Comparator.reverseOrder[java.nio.file.Path])
-            .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-        }
-      } catch { case _: Throwable => () }))
-  }
-
-  private def sha256Hex(s: String): String =
-    java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map(b => f"${b & 0xff}%02x").mkString
+  // build-once/search-many contract the artifact exists for. The memo /
+  // path / fingerprint / cleanup mechanics live in the shared
+  // [[Artifacts]] store (also backing the persisted dedup labels).
 
   /** Cheap content fingerprint of the corpus: row count, max vec_id, and
     * the XOR of per-row xxhash64(vec_id, embedding). One narrow scan, no
@@ -428,18 +400,10 @@ object Pq {
   def persistedIndex(embeddings: DataFrame, key: String, coarseK: Int,
                      coarseIters: Int, m: Int, pqK: Int, pqIters: Int,
                      dim: Int): IvfPqIndex = {
-    indexRootForCleanup
-    val root = sys.env.getOrElse("GRAFT_INDEX_DIR", "target/graft-index")
     val fp = corpusFingerprint(embeddings)
     val full = s"$key|fp=$fp|$coarseK|$coarseIters|$m|$pqK|$pqIters|$dim"
-    val path = indexMemo.computeIfAbsent(full, _ => {
-      val p = s"$root/$jvmToken/ivfpq_${sha256Hex(full)}"
-      writeIndex(embeddings, coarseK, coarseIters, m, pqK, pqIters, dim, p)
-      try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(p, "_fingerprint"), full)
-      catch { case _: Throwable => () }
-      p
-    })
+    val path = Artifacts.pathFor("ivfpq", full)(p =>
+      writeIndex(embeddings, coarseK, coarseIters, m, pqK, pqIters, dim, p))
     readIndex(embeddings.sparkSession, path)
   }
 

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Artifacts, Dedup, PipelineOps}
+
+/** Laws for the persisted dedup-label/pair artifacts — the cross-query
+  * build-once/serve-many contract (mirroring PqSpec's persisted-index
+  * laws):
+  *
+  *  - round trip: the parquet-served labels/pairs are row-identical to
+  *    the live MinHash→LSH(→Jaccard)→CC chain (integer ids/labels and
+  *    IEEE doubles round-trip parquet exactly);
+  *  - memoisation: the second call serves the artifact without
+  *    rebuilding;
+  *  - snapshot: the key folds in a corpus content fingerprint, so an
+  *    in-place corpus rewrite (same key, different rows — or same ids,
+  *    different text) builds fresh labels instead of serving stale ones.
+  */
+class DedupArtifactSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = Tables.read(spark, sf, "documents")
+
+  private def labelRows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("persistedLabels round trip: parquet-served labels are " +
+      "row-identical to the live nearDupClusters chain") {
+    val live = Dedup.nearDupClusters(docs, threshold = 0.0, k = 16,
+      rowsPerBand = 2)
+    val art = Dedup.persistedLabels(docs, key = "art-roundtrip",
+      threshold = 0.0, k = 16, rowsPerBand = 2)
+    assert(labelRows(art) == labelRows(live))
+  }
+
+  test("persistedPairs round trip: parquet-served pairs (including the " +
+      "unrounded jaccard doubles) match the live chain") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val live = Dedup.ngramJaccardPairs(docs, threshold = 0.2, k = 16,
+      rowsPerBand = 2)
+    val art = Dedup.persistedPairs(docs, key = "art-pairs-roundtrip",
+      threshold = 0.2, k = 16, rowsPerBand = 2)
+    assert(rows(art) == rows(live))
+  }
+
+  test("persistedLabels memoises: the second call serves the artifact " +
+      "without rebuilding it") {
+    val d = docs.filter(col("doc_id") < 100)
+    Dedup.persistedLabels(d, key = "art-memo", threshold = 0.0,
+      k = 16, rowsPerBand = 2)
+    val full = s"art-memo|fp=${Dedup.corpusFingerprint(d)}" +
+      "|t=0.0|k=16|b=2|it=20"
+    val sha = Artifacts.sha256Hex(full)
+    val dirs = java.nio.file.Files.list(
+        java.nio.file.Paths.get(Artifacts.root))
+      .toArray.map(_.toString).filter(t => java.nio.file.Files.exists(
+        java.nio.file.Paths.get(t, s"deduplab_$sha")))
+    assert(dirs.nonEmpty, s"no artifact dir for deduplab_$sha")
+    val success = java.nio.file.Paths.get(dirs.head, s"deduplab_$sha",
+      "labels", "_SUCCESS")
+    val t0 = java.nio.file.Files.getLastModifiedTime(success)
+    Dedup.persistedLabels(d, key = "art-memo", threshold = 0.0,
+      k = 16, rowsPerBand = 2)
+    assert(t0 == java.nio.file.Files.getLastModifiedTime(success),
+      "second persistedLabels call rewrote the artifact")
+  }
+
+  test("persistedLabels notices an in-place corpus rewrite: same key, " +
+      "changed rows -> fresh labels, not the stale artifact") {
+    val before = docs.filter(col("doc_id") < 60)
+    val after = docs.filter(col("doc_id") >= 60 && col("doc_id") < 140)
+    Dedup.persistedLabels(before, key = "art-rewrite", threshold = 0.0,
+      k = 16, rowsPerBand = 2)
+    val got = Dedup.persistedLabels(after, key = "art-rewrite",
+      threshold = 0.0, k = 16, rowsPerBand = 2)
+    val fresh = Dedup.nearDupClusters(after, threshold = 0.0, k = 16,
+      rowsPerBand = 2)
+    assert(labelRows(got) == labelRows(fresh),
+      "stale labels served after the corpus changed under the same key")
+    // a content-only rewrite (same ids, different text) also misses
+    val edited = before.withColumn("text", concat(col("text"), lit(" x")))
+    assert(Dedup.corpusFingerprint(before) !=
+      Dedup.corpusFingerprint(edited),
+      "fingerprint blind to a text-only rewrite")
+  }
+
+  test("leakageSafeSplitFromLabels over the artifact equals the live " +
+      "leakageSafeSplit") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getString(3))).toSeq
+    val live = PipelineOps.leakageSafeSplit(docs, trainFrac = 0.9,
+      valFrac = 0.05, salt = ":split", k = 16, rowsPerBand = 2)
+    val art = PipelineOps.leakageSafeSplitFromLabels(
+      Dedup.persistedLabels(docs, key = "art-split", threshold = 0.0,
+        k = 16, rowsPerBand = 2),
+      trainFrac = 0.9, valFrac = 0.05, salt = ":split")
+    assert(rows(art) == rows(live))
+  }
+}
