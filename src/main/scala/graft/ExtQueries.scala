@@ -1214,14 +1214,20 @@ object ExtQueries {
         .groupBy("lang", "source", "len_bucket")
         .agg(count(lit(1)).as("n"))
         .withColumn("at_risk", (col("n") < 5L).cast("long"))
-        .orderBy("lang", "source", "len_bucket")
+        // null ordering pinned explicitly on BOTH engines: Spark's
+        // ascending default is NULLS FIRST, DuckDB's is NULLS LAST — a
+        // producer shipping NULL lang/source (the failure q_expectations
+        // exists to catch) must not break the hash-match here
+        .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first,
+          col("len_bucket").asc_nulls_first)
     },
       Some("""SELECT "lang", "source", ("n_chars" // 100) AS "len_bucket",
              | count(*) AS "n",
              | CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS BIGINT)
              |   AS "at_risk"
              | FROM documents GROUP BY 1, 2, 3
-             | ORDER BY "lang", "source", "len_bucket"""".stripMargin
+             | ORDER BY "lang" NULLS FIRST, "source" NULLS FIRST,
+             |   "len_bucket" NULLS FIRST""".stripMargin
         .replace("\n", " "))),
     // Pairwise source-overlap audit via per-source MinHash signatures:
     // one partial-aggregated groupBy carrying 32 longs per source; the
@@ -2331,7 +2337,10 @@ object ExtQueries {
     // total-count crossJoins, TakeOrdered top-20 — no global sort.
     Q("q_pmi_collocations", (s, dir) => {
       val F = org.apache.spark.sql.functions
-      val ts = split(col("text"), " ")
+      // empty tokens (consecutive/leading/trailing spaces) are dropped
+      // BEFORE pairing — same nonempty filter as Bpe.wordCounts, so ''
+      // can never inflate totals or surface as a collocation member
+      val ts = filter(split(col("text"), " "), x => x =!= "")
       val docs = Tables.read(s, dir, "documents")
       val bg = docs.select(explode(arrays_zip(slice(ts, lit(1), size(ts) - 1),
           slice(ts, lit(2), size(ts) - 1))).as("bg"))
@@ -2358,7 +2367,7 @@ object ExtQueries {
         .orderBy(col("pmi").desc, col("w1"), col("w2"))
         .limit(20)
     },
-      Some("""WITH toks AS (SELECT string_split("text", ' ') AS t FROM documents),
+      Some("""WITH toks AS (SELECT list_filter(string_split("text", ' '), x -> x <> '') AS t FROM documents),
              | bg AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM toks,
              |   UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
              | tk AS (SELECT unnest(t) AS w FROM toks),
@@ -2386,6 +2395,7 @@ object ExtQueries {
       val F = org.apache.spark.sql.functions
       val tk = Tables.read(s, dir, "documents")
         .select(col("source"), explode(split(col("text"), " ")).as("t"))
+        .filter(col("t") =!= "") // Bpe.wordCounts' nonempty-token filter
       // ONE corpus-scale explode+aggregation; every other table derives
       // from the (source, token) counts at vocabulary scale (sum of
       // partial counts == direct count, so values are identical)
@@ -2407,8 +2417,9 @@ object ExtQueries {
           col("score"), col("rk"))
         .orderBy("source", "rk")
     },
-      Some("""WITH tk AS (SELECT "source", unnest(string_split("text", ' ')) AS t
+      Some("""WITH tk0 AS (SELECT "source", unnest(string_split("text", ' ')) AS t
              |   FROM documents),
+             | tk AS (SELECT "source", t FROM tk0 WHERE t <> ''),
              | cst AS (SELECT "source", t, count(*) AS c_st FROM tk GROUP BY 1, 2),
              | ct AS (SELECT t, CAST(sum(c_st) AS BIGINT) AS c_t FROM cst GROUP BY 1),
              | cs AS (SELECT "source", CAST(sum(c_st) AS BIGINT) AS c_s FROM cst GROUP BY 1),

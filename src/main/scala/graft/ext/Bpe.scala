@@ -13,12 +13,16 @@ import graft.expr.{E, SLit, Lit}
   * Both engines run the IDENTICAL computation, so the DuckDB oracle
   * hash-matches bit-for-bit (the same dual-rendering discipline as
   * `hashUniform`): the token stream is represented as a separator string
-  * (`||` between tokens, `||` at both ends) built by one `replace` per
-  * alphabet character, and each merge rank is ONE left-to-right
-  * non-overlapping `replace("|x||y|" -> "|xy|")` — both engines'
-  * `replace` scan exactly that way, and the single un-consumed `|` on
-  * each side keeps back-to-back merge sites independent. No regex, no
-  * UDF: a codegen'd chain of string primitives.
+  * (a doubled non-printable separator SOH = U+0001 between tokens and at
+  * both ends) built by one `replace` per alphabet character, and each
+  * merge rank is ONE left-to-right non-overlapping
+  * `replace(⟨s⟩x⟨s⟩⟨s⟩y⟨s⟩ -> ⟨s⟩xy⟨s⟩)` — both engines' `replace` scan
+  * exactly that way, and the single un-consumed separator on each side
+  * keeps back-to-back merge sites independent. The separator is OUTSIDE
+  * the seeded alphabet and is stripped from the input up front, so the
+  * encoding is injective for every input string (a printable separator
+  * like '|' could collide with text content). No regex, no UDF: a
+  * codegen'd chain of string primitives.
   *
   * Rank-sequential application (one full pass per merge, in table order)
   * is equivalent to the classic priority-queue BPE ("repeatedly merge
@@ -30,21 +34,34 @@ import graft.expr.{E, SLit, Lit}
   * `require`, and BpeSpec pins the equivalence against a driver-side
   * priority-queue reference on randomized corpora.
   *
-  * Domain: lowercase ASCII text over `[a-z ]` (the synthetic corpus
-  * alphabet — input is lowercased first). Space never appears in a merge
-  * side, so tokens never cross word boundaries; space tokens are
-  * subtracted from the count. Characters outside the alphabet are not
-  * seeded with separators and therefore fuse into the preceding token —
+  * Domain: printable-ASCII text (input is lowercased first, so the
+  * seeded alphabet is the 69 printable ASCII characters minus the
+  * uppercase letters) — digits and punctuation tokenize as their own
+  * initial symbols instead of fusing into neighbours. Space never
+  * appears in a merge side, so tokens never cross word boundaries;
+  * space tokens are subtracted from the count. Characters OUTSIDE
+  * printable ASCII (control chars, non-ASCII Unicode) are not seeded
+  * and fuse into the following printable character's token —
   * identically in both engines — so they cannot cause an oracle
-  * mismatch, but a production vocabulary would extend the alphabet.
+  * mismatch; a byte-level vocabulary would be the next extension.
   *
   * Scale shape: a pure per-row projection — no shuffle, no state, no
   * driver round-trip; the merges table is compiled into the expression
-  * tree (66 string passes over ~3x-expanded text per row). */
+  * tree (~108 string passes over ~3x-expanded text per row). */
 object Bpe {
 
-  /** The seeded alphabet: characters that become initial tokens. */
-  val Alphabet: Seq[String] = ('a' to 'z').map(_.toString) :+ " "
+  /** The token separator in the internal string form: SOH (U+0001),
+    * chosen non-printable so it can never be a member of the seeded
+    * alphabet; it is additionally stripped from the input before
+    * seeding, making the separator encoding injective on ANY input. */
+  private[ext] val Sep: String = "\u0001"
+  private val Sep2: String = Sep + Sep
+
+  /** The seeded alphabet: characters that become initial tokens — all
+    * printable ASCII (0x20–0x7E) except the uppercase letters, which
+    * cannot survive the lowercasing that precedes seeding. */
+  val Alphabet: Seq[String] =
+    (' ' to '~').filterNot(_.isUpper).map(_.toString)
 
   /** Creation-ordered merges (rank = position): every multi-char side is
     * the output of an earlier merge — validated below, and the property
@@ -71,35 +88,37 @@ object Bpe {
           produced.contains(s)
       require(ok(x) && ok(y),
         s"merge #$r ($x, $y) is not creation-ordered")
-      require(!x.contains("|") && !y.contains("|"), "separator in merge")
+      require(!x.contains(Sep) && !y.contains(Sep), "separator in merge")
       produced += (x + y)
     }
     require(Merges.map(p => p._1 + p._2).distinct.size == Merges.size,
       "duplicate merge output")
   }
 
-  /** The merged separator-string form of lower(text): `||`-delimited
-    * tokens with leading/trailing `||` — the shared core of the count
-    * and the token list, as a dual-rendered E expression. */
+  /** The merged separator-string form of lower(text): separator-doubled
+    * delimited tokens with a leading/trailing doubled separator — the
+    * shared core of the count and the token list, as a dual-rendered E
+    * expression. The input is first stripped of any literal separator
+    * character (injectivity guard — see [[Sep]]). */
   private[graft] def mergedE(text: E): E = {
-    val lowered = E.lower(text)
-    val seeded = E.concatS(SLit("||"),
+    val lowered = E.replace(E.lower(text), SLit(Sep), SLit(""))
+    val seeded = E.concatS(SLit(Sep2),
       Alphabet.foldLeft(lowered)((s, c) =>
-        E.replace(s, SLit(c), SLit(c + "||"))))
+        E.replace(s, SLit(c), SLit(c + Sep2))))
     Merges.foldLeft(seeded) { case (s, (x, y)) =>
-      E.replace(s, SLit("|" + x + "||" + y + "|"), SLit("|" + x + y + "|"))
+      E.replace(s, SLit(Sep + x + Sep2 + y + Sep), SLit(Sep + x + y + Sep))
     }
   }
 
   /** BPE token count of `text` (space tokens excluded), as a
     * dual-rendered E expression: separator arithmetic over [[mergedE]] —
-    * (#`|` / 2 − 1) tokens minus the space-character count. Exact whole
-    * numbers in double arithmetic in both engines. */
+    * (#separators / 2 − 1) tokens minus the space-character count. Exact
+    * whole numbers in double arithmetic in both engines. */
   def tokenCountE(text: E): E = {
     val m = mergedE(text)
-    val lowered = E.lower(text)
+    val lowered = E.replace(E.lower(text), SLit(Sep), SLit(""))
     val nAll =
-      (E.length(m) - E.length(E.replace(m, SLit("|"), SLit("")))) /
+      (E.length(m) - E.length(E.replace(m, SLit(Sep), SLit("")))) /
         Lit(2.0) - Lit(1.0)
     val nSpaces =
       E.length(lowered) - E.length(E.replace(lowered, SLit(" "), SLit("")))
@@ -113,34 +132,41 @@ object Bpe {
   /** The token sequence itself (engine-only — specs and downstream
     * consumers; includes the single-space word separators). */
   def tokens(text: Column): Column =
-    filter(split(E.toColumn(mergedE(graft.expr.Raw(text, "?"))), "\\|\\|"),
+    filter(split(E.toColumn(mergedE(graft.expr.Raw(text, "?"))),
+        java.util.regex.Pattern.quote(Sep2)),
       t => t =!= "")
 
   /** DuckDB rendering of the count over a column expression. */
   def tokenCountSql(textExpr: String): String =
     E.toSql(tokenCountE(graft.expr.Raw(null, textExpr)))
 
-  /** DuckDB rendering of the token LIST (the `||`-split of the merged
-    * separator string, empties and space tokens removed) — lets the
-    * oracle unnest the identical token stream the engine's [[tokens]]
+  /** DuckDB rendering of the token LIST (the separator split of the
+    * merged string, empties and space tokens removed) — lets the oracle
+    * unnest the identical token stream the engine's [[tokens]]
     * produces. */
   def tokensSql(textExpr: String): String = {
     val merged = E.toSql(mergedE(graft.expr.Raw(null, textExpr)))
-    s"list_filter(string_split($merged, '||'), t -> t <> '' AND t <> ' ')"
+    s"list_filter(string_split($merged, '$Sep2'), t -> t <> '' AND t <> ' ')"
   }
 
   // ---- merge TRAINING (Sennrich 2016 §3.2, the learning half) ----------
 
   /** The seeded separator form of a WORD (no spaces): `||` + one `||`
-    * after every letter — the round-0 symbol sequence of the trainer,
-    * shared between the engine plan and the oracle rendering. */
+    * after every alphabet character — the round-0 symbol sequence of the
+    * trainer, shared between the engine plan and the oracle rendering.
+    * The word is stripped of literal separator characters first, so the
+    * seeding is injective on any input (the r13-advice finding: with a
+    * printable separator, a word containing it produced a symbol the
+    * merge rewrite could never match, so training loops re-counted the
+    * same pair forever). */
   private def seedWordE(w: E): E =
-    E.concatS(SLit("||"), ('a' to 'z').map(_.toString)
-      .foldLeft(w)((s, c) => E.replace(s, SLit(c), SLit(c + "||"))))
+    E.concatS(SLit(Sep2), Alphabet.filterNot(_ == " ")
+      .foldLeft(E.replace(w, SLit(Sep), SLit("")))((s, c) =>
+        E.replace(s, SLit(c), SLit(c + Sep2))))
 
   private def applyMergesE(seeded: E, merges: Seq[(String, String)]): E =
     merges.foldLeft(seeded) { case (s, (x, y)) =>
-      E.replace(s, SLit("|" + x + "||" + y + "|"), SLit("|" + x + y + "|"))
+      E.replace(s, SLit(Sep + x + Sep2 + y + Sep), SLit(Sep + x + y + Sep))
     }
 
   /** Distributed BPE merge training: learn `rounds` merges from the
@@ -185,7 +211,8 @@ object Bpe {
     import org.apache.spark.sql.functions.{filter => afilter}
     val seqCol = E.toColumn(applyMergesE(
       seedWordE(graft.expr.Raw(col("w"), "?")), merges))
-    val toks = afilter(split(seqCol, "\\|\\|"), t => t =!= "")
+    val toks = afilter(split(seqCol,
+      java.util.regex.Pattern.quote(Sep2)), t => t =!= "")
     wc.select(toks.as("t"), col("c"))
       .select(explode(arrays_zip(
         slice(col("t"), lit(1), size(col("t")) - 1),
@@ -229,10 +256,10 @@ object Bpe {
     sb ++= s"""WITH wc AS MATERIALIZED (SELECT w, count(*) AS c FROM (SELECT unnest(string_split(lower($textExpr), ' ')) AS w FROM $table) q WHERE w <> '' GROUP BY 1), """
     sb ++= s"s0 AS MATERIALIZED (SELECT $seed AS seq, c FROM wc)"
     for (r <- 0 until rounds) {
-      sb ++= s""", p$r AS MATERIALIZED (SELECT t[i] AS lhs, t[i + 1] AS rhs, sum(c) AS n FROM (SELECT list_filter(string_split(seq, '||'), x -> x <> '') AS t, c FROM s$r) q, UNNEST(generate_series(1, len(t) - 1)) AS u(i) GROUP BY 1, 2)"""
+      sb ++= s""", p$r AS MATERIALIZED (SELECT t[i] AS lhs, t[i + 1] AS rhs, sum(c) AS n FROM (SELECT list_filter(string_split(seq, '$Sep2'), x -> x <> '') AS t, c FROM s$r) q, UNNEST(generate_series(1, len(t) - 1)) AS u(i) GROUP BY 1, 2)"""
       sb ++= s""", b$r AS MATERIALIZED (SELECT lhs, rhs, n FROM p$r ORDER BY n DESC, lhs, rhs LIMIT 1)"""
       if (r + 1 < rounds)
-        sb ++= s""", s${r + 1} AS MATERIALIZED (SELECT replace(seq, '|' || (SELECT lhs FROM b$r) || '||' || (SELECT rhs FROM b$r) || '|', '|' || (SELECT lhs FROM b$r) || (SELECT rhs FROM b$r) || '|') AS seq, c FROM s$r)"""
+        sb ++= s""", s${r + 1} AS MATERIALIZED (SELECT replace(seq, '$Sep' || (SELECT lhs FROM b$r) || '$Sep2' || (SELECT rhs FROM b$r) || '$Sep', '$Sep' || (SELECT lhs FROM b$r) || (SELECT rhs FROM b$r) || '$Sep') AS seq, c FROM s$r)"""
     }
     val union = (0 until rounds).map(r =>
       s"""SELECT CAST($r AS BIGINT) AS "rank", lhs AS "left", rhs AS "right", CAST(n AS BIGINT) AS "pair_count" FROM b$r""")
@@ -245,15 +272,14 @@ object Bpe {
     * model computed with plain Scala collections — adjacent-position pair
     * counts (overlapping counted, the classic convention), (n DESC, lhs,
     * rhs) argmax, left-to-right non-overlapping merge application. The
-    * round-0 symbolisation mirrors [[seedWordE]] exactly: only [a-z] get
-    * a separator (split AFTER each letter), so an out-of-alphabet char
-    * fuses with the letters around it the same way on both sides —
-    * "x2y" symbolises as [x, 2y], not [x, 2, y]. */
+    * round-0 symbolisation mirrors [[seedWordE]] exactly: separator
+    * characters are stripped, then every printable-ASCII char gets a
+    * separator (split AFTER each), so a NON-printable char fuses into
+    * the FOLLOWING printable char's symbol the same way on both sides. */
   private[graft] def referenceTrain(wordCounts: Map[String, Long],
                                     rounds: Int): Seq[(String, String, Long)] = {
     var seqs: Seq[(Vector[String], Long)] = wordCounts.toSeq.map {
-      case (w, c) => (w.toLowerCase.split("(?<=[a-z])")
-        .toVector.filter(_.nonEmpty), c)
+      case (w, c) => (symbolise(w), c)
     }
     val out = Seq.newBuilder[(String, String, Long)]
     for (_ <- 0 until rounds) {
@@ -279,12 +305,20 @@ object Bpe {
     out.result()
   }
 
+  /** [[seedWordE]]'s symbolisation in plain Scala: strip separators,
+    * lowercase, split AFTER every printable-ASCII character (a
+    * non-printable char carries no separator, so it fuses into the
+    * token of the next printable char). */
+  private def symbolise(text: String): Vector[String] =
+    text.toLowerCase.replace(Sep, "").split("(?<=[ -~])")
+      .toVector.filter(_.nonEmpty)
+
   /** Driver-side reference: classic priority-queue BPE (merge ALL
     * left-to-right non-overlapping occurrences of the lowest-ranked pair
     * present, repeat until none applies). BpeSpec pins engine ≡ this. */
   private[graft] def referenceTokens(text: String): Vector[String] = {
     val rank = Merges.zipWithIndex.map { case ((x, y), r) => (x, y) -> r }.toMap
-    var toks = text.toLowerCase.map(_.toString).toVector
+    var toks = symbolise(text)
     var done = false
     while (!done && toks.length > 1) {
       val present = toks.indices.dropRight(1)

@@ -698,10 +698,22 @@ object PipelineOps {
     * cardinality rows, not data rows), a ONE-row max, and a broadcast
     * bucket→rate join back onto the scan — the corpus shuffles nothing.
     * Buckets where the target has no mass get rate 0 (dropped entirely),
-    * matching the exact-proportion contract. */
+    * matching the exact-proportion contract.
+    *
+    * Input/output contract: the accept draw hashes `keyCol` (default
+    * `doc_id` — pass the input's stable unique id if it is named
+    * differently), and the result carries EVERY input column plus the
+    * appended `bucket` and `accept_p` columns; the input must not
+    * already have columns of those names (checked, rather than silently
+    * overwritten). */
   def distributionMatch(docs: DataFrame, bucketCol: Column,
                         targetPred: Column,
-                        salt: String = ":dmatch"): DataFrame = {
+                        salt: String = ":dmatch",
+                        keyCol: Column = col("doc_id")): DataFrame = {
+    require(!docs.columns.contains("bucket") &&
+        !docs.columns.contains("accept_p"),
+      "distributionMatch appends 'bucket' and 'accept_p' columns; " +
+        "rename the input's columns of those names first")
     val base = docs.withColumn("bucket", bucketCol)
     // ONE corpus-scale aggregation carries both distributions (the
     // target's bucket counts as a conditional sum), and the totals
@@ -731,6 +743,6 @@ object PipelineOps {
         when(col("rmax") > 0, col("ratio") / col("rmax"))
           .otherwise(lit(0.0)).as("accept_p"))
     base.join(broadcast(acc), Seq("bucket"))
-      .filter(hashUniform(col("doc_id"), salt) < col("accept_p"))
+      .filter(hashUniform(keyCol, salt) < col("accept_p"))
   }
 }

@@ -95,9 +95,9 @@ class BpeSpec extends SparkSpec {
   test("distributed merge training equals the driver reference trainer " +
       "on randomized corpora, and learned tables are creation-ordered") {
     val rnd = new scala.util.Random(77)
-    // includes out-of-alphabet chars: digits/punct are NOT seeded, so
-    // they fuse with surrounding letters ("v2" -> [v, 2...]-style
-    // segments) — the reference trainer must symbolise identically
+    // includes digits/punctuation: printable ASCII is fully seeded, so
+    // "v2" symbolises as [v, 2] and "a-b" as [a, -, b] — the reference
+    // trainer must symbolise identically
     val words = Seq("the", "then", "batch", "batching", "scan", "scans",
       "sort", "sorted", "win", "window", "key", "keys", "merge", "hash",
       "v2", "a-b", "2fast", "x99")
@@ -122,6 +122,27 @@ class BpeSpec extends SparkSpec {
         produced += (x + y)
       }
     }
+  }
+
+  test("punctuated and digit-bearing text tokenizes: every printable-" +
+      "ASCII char is seeded (no silent fusing), engine == reference, " +
+      "and a literal separator char in the input cannot break framing") {
+    val texts = Seq(
+      "the batch-sort v2.1 costs $14,900 (99% off!)",
+      "x99 a-b 2fast #tag @user [k]=v {j: 1} \"quoted\" 'single'",
+      "a|b || pipe|batch the|n", // '|' is ordinary alphabet now
+      "mixed CASE With 42 Digits & PUNCT.",
+      "\u0001sep\u0001inside\u0001", // stripped before seeding
+      "tab\tand\nnewline fuse forward") // non-printables fuse
+    val got = engineTokens(texts)
+    for ((t, toks) <- texts.zip(got))
+      assert(toks == Bpe.referenceTokens(t),
+        s"'$t': engine $toks != reference ${Bpe.referenceTokens(t)}")
+    // digits/punct are REAL tokens: the budget counts them
+    import spark.implicits._
+    val n = Seq((0L, "v2 a-b")).toDF("id", "text")
+      .select(Bpe.tokenCount(col("text"))).head.getLong(0)
+    assert(n == 5L, s"'v2 a-b' must count 5 tokens (v,2,a,-,b), got $n")
   }
 
   test("merges table is creation-ordered by construction (object loads) " +
