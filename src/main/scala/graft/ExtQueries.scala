@@ -380,6 +380,36 @@ object ExtQueries {
           org.apache.spark.sql.functions.round(col("qerr"), 6).as("qerr"))
         .orderBy("vec_id"),
       Some(graft.ext.Quantize.int8OracleSql())),
+    // The quantization tier COMPOSED into search — the operator's whole
+    // purpose: the corpus is dequantized from its int8 codes
+    // (code·scale/127) and the unchanged IVF topology (same centroid
+    // sample, cells, probes as q_knn_ivf) searches the recon vectors.
+    // Every similarity hash-matches (the recon doubles are identical
+    // IEEE arithmetic in both engines); recall-vs-f32-brute is gated in
+    // SemDedupPackSpec's ANN family law.
+    Q("q_knn_int8", (s, dir) =>
+      Similarity.ivfTopK(
+        graft.ext.Quantize.reconEmbeddings(Tables.read(s, dir, "embeddings")), 5)
+        .orderBy("qid", "nid"),
+      Some(("WITH " + graft.ext.Quantize.reconOracleCte +
+        """, n AS (SELECT "vec_id", v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+             | cent AS (SELECT "vec_id" AS cid, v AS cv, nrm AS cn FROM n
+             |   ORDER BY CENTHASH, "vec_id" LIMIT 16),
+             | sc AS (SELECT n."vec_id" AS vid, n.v, n.nrm, c.cid,
+             |   round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) AS csim
+             |   FROM n CROSS JOIN cent c),
+             | rk AS (SELECT vid, v, nrm, cid,
+             |   row_number() OVER (PARTITION BY vid ORDER BY csim DESC, cid) AS crk FROM sc),
+             | home AS (SELECT cid AS cell, vid AS nid, v AS vb, nrm AS nb FROM rk WHERE crk = 1),
+             | pr AS (SELECT cid AS cell, vid AS qid, v AS va, nrm AS na FROM rk WHERE crk <= 2),
+             | p AS (SELECT qid, nid, round(list_dot_product(va, vb) / (na * nb), 6) AS sim
+             |   FROM pr JOIN home USING (cell) WHERE qid <> nid),
+             | r AS (SELECT qid, nid, sim,
+             |   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk2 FROM p)
+             | SELECT qid AS "qid", nid AS "nid", sim AS "sim" FROM r WHERE rk2 <= 5
+             | ORDER BY "qid", "nid"""".stripMargin.replace("\n", " "))
+        .replace("CENTHASH",
+          DualHash.base60Sql("concat(CAST(\"vec_id\" AS VARCHAR), ':42')")))),
     // ---- product quantization (IVF-PQ's compression half) ---------------
     // PQ codes: 2 subspaces x 4 centroids trained with the deterministic
     // dyadic k-means on sliced vectors — 64 float64 dims (512 B) become 2
@@ -1033,6 +1063,49 @@ object ExtQueries {
     // pass — which is exactly what the oracle computes, so the
     // hash-match IS the merge-correctness proof. Parquet round-trip of
     // the register column is pinned in ChunkSketchSpec.
+    // The sketch artifact END-TO-END through storage — the actual
+    // daily→monthly rollup a 100 TB deployment runs: per-shard KMV
+    // k-min states and HLL register arrays are WRITTEN as a parquet
+    // artifact (kilobytes per shard), then the rollup job reads the
+    // artifact back — no corpus re-scan — merges the states
+    // (register-wise max / k-min union, exact under any merge tree)
+    // and reads the estimates off the merged states. Parquet
+    // round-trips the double hashes and int registers exactly, so the
+    // rolled-up estimates are bit-identical to a single pass over the
+    // corpus — which is exactly what the oracle computes.
+    Q("q_sketch_rollup", (s, dir) => {
+      val path = corpusTmp("sketchshards", dir)
+      Tables.read(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(Sketches.kmvState(
+            Sketches.hashUnit(col("l_orderkey"), ":rollup"), 256)
+            .as("kmv_state"),
+          Sketches.hllRegisters(col("l_orderkey"), ":rollup", p = 8)
+            .as("hll_regs"))
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .agg(Sketches.kmvMergeState(col("kmv_state"), 256).as("mk"),
+          Sketches.hllMergeRegisters(col("hll_regs"), p = 8).as("mh"))
+        .select(
+          org.apache.spark.sql.functions
+            .round(Sketches.kmvEstimateFromState(col("mk"), 256), 6)
+            .as("est_kmv"),
+          Sketches.hllEstimateFromRegisters(col("mh"), p = 8).as("h"))
+        .select(col("est_kmv"),
+          org.apache.spark.sql.functions.round(col("h._1"), 6)
+            .as("est_hll"),
+          col("h._2").as("n_zero"))
+    },
+      Some {
+        val kmv = Sketches.kmvOracleSql("lineitem", "\"l_orderkey\"",
+          ":rollup", 256)
+        val hll = Sketches.hllOracleSql("lineitem", "\"l_orderkey\"",
+          ":rollup", p = 8)
+        s"""SELECT k."est_distinct" AS "est_kmv",
+           | h."est_distinct" AS "est_hll", h."n_zero" AS "n_zero"
+           | FROM ($kmv) k CROSS JOIN ($hll) h""".stripMargin
+          .replace("\n", " ")
+      }),
     Q("q_hll_merged", (s, dir) =>
       Tables.read(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -2692,14 +2765,24 @@ object ExtQueries {
     // same groupZScore round-6 discipline bounds float reorder noise.
     Q("q_label_centroids", (s, dir) => {
       val F = org.apache.spark.sql.functions
-      Tables.read(s, dir, "embeddings")
+      // Element-wise vector-sum aggregate: ONE partial-agg pass whose
+      // state is dim doubles + a count per label (the Sketches stored-
+      // state discipline) — the corpus is never posexploded into
+      // corpus×dim rows, and the shuffle carries labels×dim doubles.
+      // The only row expansion sits ABOVE the aggregate, fanning the
+      // label-cardinality result out to its (label, pos) output rows.
+      val dim = 64
+      val e = Tables.read(s, dir, "embeddings")
         .select(col("label").cast("long").as("label"),
-          posexplode(col("embedding").cast("array<double>"))
-            .as(Seq("pos", "x")))
-        .groupBy("label", "pos")
-        .agg(count(lit(1)).as("n"), F.round(F.avg(col("x")), 6).as("centroid"))
+          col("embedding").cast("array<double>").as("v"))
+      val sums = (0 until dim).map(i => sum(col("v")(i)).as(s"s_$i"))
+      e.groupBy("label")
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .select(col("label"), col("n"),
+          posexplode(array((0 until dim).map(i => col(s"s_$i")): _*))
+            .as(Seq("pos", "s")))
         .select(col("label"), col("pos").cast("long").as("pos"), col("n"),
-          col("centroid"))
+          F.round(col("s") / col("n").cast("double"), 6).as("centroid"))
         .orderBy("label", "pos")
     },
       Some("""WITH e AS (SELECT CAST("label" AS BIGINT) AS label,

@@ -50,6 +50,47 @@ object Quantize {
       .select(col("vec_id"), col("scale"), col("codes"), col("qerr"))
   }
 
+  /** The dequantized corpus: (vec_id, embedding) with every vector
+    * reconstructed from its int8 codes (code·scale/127) — the form the
+    * 1-byte storage tier serves to the ANN stack: recon vectors feed
+    * [[Similarity.ivfTopK]]/[[Similarity.bruteForceTopK]] UNCHANGED
+    * (q_knn_int8 runs the full IVF topology over them, and
+    * SemDedupPackSpec's recall law gates the dequantized search against
+    * the f32 brute-force truth). Still a pure per-row projection. */
+  def reconEmbeddings(embeddings: DataFrame): DataFrame = {
+    val scale = array_max(transform(vcol, x => abs(x)))
+    val e = embeddings.select(col("vec_id"), vcol.as("v"),
+      scale.as("scale"))
+    val codes = when(col("scale") === 0.0,
+        transform(col("v"), _ => lit(0)))
+      .otherwise(transform(col("v"),
+        x => floor(x * lit(127.0) / col("scale") + lit(0.5)).cast("int")))
+    e.withColumn("codes", codes)
+      .select(col("vec_id"),
+        transform(col("codes"),
+          c => c.cast("double") * col("scale") / lit(127.0))
+          .as("embedding"))
+  }
+
+  /** DuckDB CTE chain ending in `e("vec_id", v)` where v is the
+    * dequantized vector — drop-in replacement for the plain
+    * `e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v ...)` head
+    * of the ANN oracles, computing the identical recon doubles. */
+  def reconOracleCte: String =
+    """e0 AS (SELECT "vec_id", CAST("embedding" AS DOUBLE[]) AS v0
+      |   FROM embeddings),
+      | s0 AS (SELECT "vec_id", v0,
+      |   list_max(list_transform(v0, x -> abs(x))) AS scale FROM e0),
+      | c0 AS (SELECT "vec_id", scale,
+      |   CASE WHEN scale = 0.0e0
+      |     THEN list_transform(v0, x -> 0)
+      |     ELSE list_transform(v0,
+      |       x -> CAST(floor(x * 127.0e0 / scale + 0.5e0) AS INTEGER))
+      |   END AS codes FROM s0),
+      | e AS (SELECT "vec_id", list_transform(codes,
+      |   x -> CAST(x AS DOUBLE) * scale / 127.0e0) AS v FROM c0)"""
+      .stripMargin.replace("\n", " ")
+
   /** DuckDB mirror of [[int8]] over the `embeddings` table: identical
     * max-abs scale, floor(x+0.5) codes, and list_dot_product error (the
     * same index-order summation as the engine's dot kernel). */

@@ -22,6 +22,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_knn_cosine_topk",       // brute-force exactness baseline
     "q_dedup_embedding_cosine", // exact all-pairs decision kernel
     "q_knn_ivf",               // centroid assignment: cells x dim broadcast
+    "q_knn_int8",              // same IVF topology over dequantized vectors
     "q_hard_negatives",        // same IVF centroid broadcast topology
     "q_source_overlap",        // pairwise stage over per-source aggregates:
                                // row count = source cardinality, never data

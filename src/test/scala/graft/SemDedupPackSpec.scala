@@ -94,6 +94,28 @@ class SemDedupPackSpec extends SparkSpec {
     assert(rLsh >= 0.3, f"lshTopK(planes=2) $rLsh%.3f < 0.3")
   }
 
+  test("int8-dequantized search recall: IVF over recon vectors tracks " +
+      "the f32 index against the f32 brute-force truth — the 1-byte " +
+      "tier is usable for search, not just storage") {
+    import graft.ext.Quantize
+    val truth = Similarity.bruteForceTopK(emb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recon = Quantize.reconEmbeddings(emb)
+    // ~0.4% max per-element error (1/254 of max-abs) barely perturbs the
+    // cosine ranking: dequantized IVF must hold the same floors as the
+    // f32 IVF gate above (cells=4/probes=3 floor 0.75), and brute-force
+    // over recon vectors must nearly reproduce the exact truth
+    val rIvf = recallAt5(Similarity.ivfTopK(recon, 5, cells = 4,
+      probes = 3).collect().map(r => (r.getLong(0), r.getLong(1))), truth)
+    val rBrute = recallAt5(Similarity.bruteForceTopK(recon, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))), truth)
+    info(f"int8 ivf(4,3)=$rIvf%.3f int8 brute=$rBrute%.3f")
+    assert(rBrute >= 0.9, f"int8 brute recall $rBrute%.3f < 0.9: " +
+      "quantization error is corrupting the ranking itself")
+    assert(rIvf >= 0.75, f"int8 ivfTopK(4,3) recall $rIvf%.3f < 0.75")
+  }
+
   // ---- product quantization laws ----------------------------------------
 
   test("PQ codes are valid, deterministic, and qerr shrinks with K") {
