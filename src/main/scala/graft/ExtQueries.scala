@@ -54,6 +54,23 @@ object ExtQueries {
   private val candCte =
     "cand AS (SELECT DISTINCT a.\"doc_id\" AS doc_a, c.\"doc_id\" AS doc_b FROM bk a " +
       "JOIN bk c ON a.b = c.b AND a.bucket = c.bucket AND a.\"doc_id\" < c.\"doc_id\")"
+
+  /** Prefixed MinHash CTE chain (tok/sh/sig/bk) over a FILTERED documents
+    * relation — the two-relation form the incremental-assignment oracle
+    * needs (the unprefixed helpers above are bound to the full table). */
+  private def minhashChainSql(p: String, whereSql: String, k: Int,
+                              rowsPerBand: Int): String = {
+    val tok = s"""${p}tok AS (SELECT "doc_id", string_split("text", ' ') AS toks FROM documents WHERE $whereSql)"""
+    val sh = s"""${p}sh AS (SELECT "doc_id", list_transform(range(1, greatest(len(toks) - 2, 1) + 1), """ +
+      s"i -> ${DualHash.base60Sql("array_to_string(list_slice(toks, i, i + 2), ' ')")}) AS hs FROM ${p}tok)"
+    val sig = s"""${p}sig AS (SELECT "doc_id", [""" + (0 until k).map(i =>
+      s"list_min(list_transform(hs, x -> ${DualHash.familySql(i, "x")}))")
+      .mkString(", ") + s"] AS sg FROM ${p}sh)"
+    val bk = s"""${p}bk AS (SELECT "doc_id", b, ${DualHash.combineSql("b",
+      (1 to rowsPerBand).map(r => s"sg[b * $rowsPerBand + $r]"))} AS bucket """ +
+      s"FROM ${p}sig CROSS JOIN range(0, ${k / rowsPerBand}) t(b))"
+    Seq(tok, sh, sig, bk).mkString(", ")
+  }
   /** SimHash signature CTE chain: per-token base hash, 60 conditional-sum
     * bit votes, signature reassembled from the vote signs. */
   private val simhashCtes: String = {
@@ -267,6 +284,63 @@ object ExtQueries {
           "FROM lab JOIN qq USING (doc_id)) " +
           "SELECT cluster_id AS \"cluster_id\", doc_id AS \"survivor_id\", " +
           "round(q, 6) AS \"quality\" FROM rr WHERE rk = 1 ORDER BY 1"
+      }),
+    // Incremental near-dup ASSIGNMENT — the daily-ingest job: docs with
+    // doc_id % 7 == 0 play the new batch, the rest the existing corpus
+    // whose cluster labels come from the persisted artifact. Each new doc
+    // joins the min-labelled existing cluster its LSH+Jaccard(>=0.2)
+    // evidence links it to, else founds its own. Existing labels never
+    // move (daily-assign/weekly-rebuild stability). Oracle: the same
+    // two-relation band chains, the same recursive-CTE labels over the
+    // existing side, and the same verify+argmin — full hash-match.
+    Q("q_dedup_assign", (s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val newDocs = docs.filter(col("doc_id") % 7 === 0)
+      val existing = docs.filter(col("doc_id") % 7 =!= 0)
+      val labels = Dedup.persistedLabels(existing,
+        key = s"$dir/documents#existing", threshold = 0.2, k = 16,
+        rowsPerBand = 2)
+      Dedup.assignToClusters(newDocs, existing, labels, threshold = 0.2,
+        k = 16, rowsPerBand = 2).orderBy("doc_id")
+    },
+      Some {
+        val eChain = minhashChainSql("e", "\"doc_id\" % 7 <> 0", 16, 2)
+        val nChain = minhashChainSql("n", "\"doc_id\" % 7 = 0", 16, 2)
+        def jac(x: String, y: String) =
+          s"(CAST(len(list_intersect($x, $y)) AS DOUBLE) / " +
+            s"CAST(len(list_distinct(list_concat($x, $y))) AS DOUBLE))"
+        s"""WITH RECURSIVE $eChain, $nChain,
+           | est AS (SELECT "doc_id", list_distinct(hs) AS s FROM esh),
+           | nst AS (SELECT "doc_id", list_distinct(hs) AS s FROM nsh),
+           | ecand AS (SELECT DISTINCT a."doc_id" AS doc_a, c."doc_id" AS doc_b
+           |   FROM ebk a JOIN ebk c ON a.b = c.b AND a.bucket = c.bucket
+           |   AND a."doc_id" < c."doc_id"),
+           | ej AS (SELECT doc_a, doc_b FROM ecand
+           |   JOIN est x ON x."doc_id" = ecand.doc_a
+           |   JOIN est y ON y."doc_id" = ecand.doc_b
+           |   WHERE ${jac("x.s", "y.s")} >= 0.2e0),
+           | edges AS (SELECT doc_a AS src, doc_b AS dst FROM ej
+           |   UNION ALL SELECT doc_b, doc_a FROM ej),
+           | reach AS (SELECT "doc_id" AS id, CAST("doc_id" AS BIGINT) AS lbl
+           |   FROM documents WHERE "doc_id" % 7 <> 0
+           |   UNION SELECT e.dst AS id, r.lbl FROM reach r
+           |   JOIN edges e ON e.src = r.id),
+           | lab AS (SELECT id AS doc_id, min(lbl) AS cluster_id
+           |   FROM reach GROUP BY 1),
+           | xc AS (SELECT DISTINCT n."doc_id" AS nid, e."doc_id" AS eid
+           |   FROM nbk n JOIN ebk e ON n.b = e.b AND n.bucket = e.bucket),
+           | ver AS (SELECT nid, eid FROM xc
+           |   JOIN nst ON nst."doc_id" = xc.nid
+           |   JOIN est ON est."doc_id" = xc.eid
+           |   WHERE ${jac("nst.s", "est.s")} >= 0.2e0),
+           | asg AS (SELECT nid, min(l.cluster_id) AS cl, count(*) AS nm
+           |   FROM ver JOIN lab l ON l.doc_id = ver.eid GROUP BY 1)
+           | SELECT d."doc_id",
+           |   coalesce(a.cl, CAST(d."doc_id" AS BIGINT)) AS "cluster_id",
+           |   coalesce(a.nm, CAST(0 AS BIGINT)) AS "n_matches"
+           | FROM documents d LEFT JOIN asg a ON a.nid = d."doc_id"
+           | WHERE d."doc_id" % 7 = 0 ORDER BY d."doc_id"""".stripMargin
+          .replace("\n", " ")
       }),
     // Embedding-cosine near-dup: thresholded unordered pair set over the
     // embeddings table (the LSH-bucketed form is the 100 TB path).

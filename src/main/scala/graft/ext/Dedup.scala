@@ -354,6 +354,68 @@ object Dedup {
       maxIters)
   }
 
+  /** Incremental near-dup cluster ASSIGNMENT — the daily-ingest sibling
+    * of [[incrementalExact]] and the natural consumer of the persisted
+    * label artifact ([[persistedLabels]]): each NEW document joins an
+    * EXISTING near-dup cluster when LSH + Jaccard evidence links it
+    * there (ties broken toward the minimum cluster label, the CC
+    * convention), else it founds its own cluster (label = own id).
+    *
+    * Scale shape: band rows for both sides shuffle (band, bucket, id)
+    * only — text never moves; the probe join is an equi-join on the
+    * bucket key with the existing side's oversized buckets capped (the
+    * same degenerate-band discipline as [[minhashCandidates]], observed
+    * via [[DedupMetrics]]); the Jaccard verify joins shingle-hash sets
+    * back for CANDIDATES only; the label lookup is an id-keyed join
+    * against the artifact. Unlike a full re-cluster, existing labels
+    * never move — the stability contract an incremental pipeline needs
+    * (a new batch can merge two old clusters only on the next full
+    * rebuild, the standard daily-assign/weekly-rebuild trade).
+    *
+    * Output: (doc_id, cluster_id, n_matches) for every new doc —
+    * n_matches counts the verified existing near-dups (0 = founder). */
+  def assignToClusters(newDocs: DataFrame, existing: DataFrame,
+                       labels: DataFrame, threshold: Double,
+                       k: Int = 16, rowsPerBand: Int = 4,
+                       maxBucketSize: Int = ConfiguredBucketSize): DataFrame = {
+    val cap = resolveCap(existing, maxBucketSize)
+    DedupMetrics.ensure(newDocs.sparkSession)
+    def bandRows(docs: DataFrame, idAs: String) =
+      minhashLsh(docs, k, rowsPerBand)
+        .select(col("doc_id").as(idAs),
+          posexplode(col("bands")).as(Seq("band", "bucket")))
+    val eb = bandRows(existing, "eid")
+      .withColumn("bn",
+        count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .observe(DedupMetrics.nextName("assign"),
+        sum(when(col("bn") > cap, 1L).otherwise(0L)).as("dropped"))
+      .filter(col("bn") <= cap)
+      .select("eid", "band", "bucket")
+    val cands = bandRows(newDocs, "nid")
+      .join(eb, Seq("band", "bucket"))
+      .select(col("nid"), col("eid")).distinct()
+    def sets(docs: DataFrame, idAs: String, shAs: String) =
+      docs.select(col("doc_id").as(idAs),
+        graft.expressions.VectorExpressions
+          .shingleHashes(split(col("text"), " "), 3).as(shAs))
+    val verified =
+      if (threshold <= 0.0) cands
+      else cands
+        .join(sets(newDocs, "nid", "sa"), "nid")
+        .join(sets(existing, "eid", "sb"), "eid")
+        .filter(jaccard(col("sa"), col("sb")) >= threshold)
+        .select("nid", "eid")
+    val asg = verified
+      .join(labels.select(col("doc_id").as("eid"), col("cluster_id")), "eid")
+      .groupBy("nid")
+      .agg(min("cluster_id").as("cl"), count(lit(1)).as("nm"))
+    newDocs.select(col("doc_id"))
+      .join(asg.withColumnRenamed("nid", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cl"), col("doc_id").cast("long")).as("cluster_id"),
+        coalesce(col("nm"), lit(0L)).as("n_matches"))
+  }
+
   /** Cheap content fingerprint of a document corpus: row count, max
     * doc_id, and the XOR of per-row xxhash64(doc_id, text). One narrow
     * scan (only the two columns the dedup chain consumes), no shuffle

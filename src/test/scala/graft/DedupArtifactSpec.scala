@@ -87,6 +87,36 @@ class DedupArtifactSpec extends SparkSpec {
       "fingerprint blind to a text-only rewrite")
   }
 
+  test("assignToClusters: an exact copy joins the copied doc's existing " +
+      "cluster, an unlinked doc founds its own, and no existing label " +
+      "ever moves") {
+    import spark.implicits._
+    val existing = docs.filter(col("doc_id") < 200).select("doc_id", "text")
+    val labels = Dedup.nearDupClusters(existing, threshold = 0.2, k = 16,
+      rowsPerBand = 2)
+    val first = existing.orderBy("doc_id").head
+    val copyOfId = first.getLong(0)
+    val newDocs = Seq(
+      (10000L, first.getString(1)), // exact copy of an existing doc
+      (10001L, "zq8 vvx9 kkw7 unseen gibberish tokens only"))
+      .toDF("doc_id", "text")
+    val out = Dedup.assignToClusters(newDocs, existing, labels,
+      threshold = 0.2, k = 16, rowsPerBand = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val wantLabel = labels.filter(col("doc_id") === copyOfId)
+      .head.getLong(1)
+    assert(out(0)._2 == wantLabel && out(0)._3 >= 1L,
+      s"exact copy must join doc $copyOfId's cluster $wantLabel: ${out(0)}")
+    assert(out(1) == ((10001L, 10001L, 0L)),
+      s"unlinked doc must found its own cluster: ${out(1)}")
+    // assignment never invents a label: every assigned cluster_id is an
+    // existing cluster's label or the new doc's own id
+    val legal = labels.select("cluster_id").distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(out.forall { case (id, cl, _) => legal.contains(cl) || cl == id })
+  }
+
   test("leakageSafeSplitFromLabels over the artifact equals the live " +
       "leakageSafeSplit") {
     def rows(df: org.apache.spark.sql.DataFrame) =
