@@ -300,7 +300,12 @@ object ExtQueries {
       val labels = Dedup.persistedLabels(existing,
         key = s"$dir/documents#existing", threshold = 0.2, k = 16,
         rowsPerBand = 2)
-      Dedup.assignToClusters(newDocs, existing, labels, threshold = 0.2,
+      // both daily-ingest artifacts persisted: the labels AND the probe
+      // index (band rows + shingle sets) — the batch pays only the
+      // new-side signatures and the bucket-keyed probe join
+      val (bands, sets) = Dedup.persistedAssignIndex(existing,
+        key = s"$dir/documents#existing", k = 16, rowsPerBand = 2)
+      Dedup.assignWithIndex(newDocs, bands, sets, labels, threshold = 0.2,
         k = 16, rowsPerBand = 2).orderBy("doc_id")
     },
       Some {

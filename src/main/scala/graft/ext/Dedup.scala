@@ -146,16 +146,20 @@ object Dedup {
     * `rowsPerBand` hashes, each folded to one bucket key with the
     * [[DualHash]] modular combine — same arithmetic the DuckDB oracle
     * runs). */
-  def minhashLsh(docs: DataFrame, k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val nBands = k / rowsPerBand
-    val sig = docs.select(col("doc_id"),
-      minhashSignature(split(col("text"), " "), k).as("sig"))
-    val bands = array((0 until nBands).map { b =>
+  def minhashLsh(docs: DataFrame, k: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    docs.select(col("doc_id"),
+        minhashSignature(split(col("text"), " "), k).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        bandsOf(col("sig"), k, rowsPerBand).as("bands"))
+
+  /** The LSH band-key array for a MinHash signature column — shared by
+    * [[minhashLsh]] and the streaming assignment twin (which must carry
+    * event-time columns [[minhashLsh]]'s projection would drop). */
+  private[graft] def bandsOf(sig: Column, k: Int, rowsPerBand: Int): Column =
+    array((0 until k / rowsPerBand).map { b =>
       DualHash.combineCol(lit(b.toLong), (0 until rowsPerBand).map(r =>
-        col("sig").getItem(b * rowsPerBand + r)))
+        sig.getItem(b * rowsPerBand + r)))
     }: _*)
-    sig.select(col("doc_id"), col("sig"), bands.as("bands"))
-  }
 
   /** Candidate near-dup pairs: documents sharing at least one LSH bucket.
     * One shuffle of (band, bucket, doc_id); pairs generated per bucket from
@@ -378,31 +382,71 @@ object Dedup {
                        labels: DataFrame, threshold: Double,
                        k: Int = 16, rowsPerBand: Int = 4,
                        maxBucketSize: Int = ConfiguredBucketSize): DataFrame = {
-    val cap = resolveCap(existing, maxBucketSize)
+    val (bands, sets) = assignIndex(existing, k, rowsPerBand)
+    assignWithIndex(newDocs, bands, sets, labels, threshold, k,
+      rowsPerBand, maxBucketSize)
+  }
+
+  /** The existing-corpus side of the assignment probe, as two relations:
+    * band rows (eid, band, bucket) and shingle-hash sets (eid, sb) —
+    * computed live here, persisted by [[persistedAssignIndex]]. */
+  private[graft] def assignIndex(existing: DataFrame, k: Int,
+                                 rowsPerBand: Int): (DataFrame, DataFrame) = (
+    minhashLsh(existing, k, rowsPerBand)
+      .select(col("doc_id").as("eid"),
+        posexplode(col("bands")).as(Seq("band", "bucket"))),
+    existing.select(col("doc_id").as("eid"),
+      graft.expressions.VectorExpressions
+        .shingleHashes(split(col("text"), " "), 3).as("sb")))
+
+  /** The persisted probe index for the incremental-assignment job — the
+    * other half of the daily-ingest artifact pair (labels come from
+    * [[persistedLabels]]): the existing corpus's band rows and shingle
+    * sets are built ONCE per (corpus fingerprint, params) and served as
+    * parquet, so the daily batch never recomputes corpus-scale
+    * signatures. Longs round-trip parquet exactly — assignment output is
+    * bit-identical to the live index. */
+  def persistedAssignIndex(existing: DataFrame, key: String, k: Int,
+                           rowsPerBand: Int): (DataFrame, DataFrame) = {
+    val fp = corpusFingerprint(existing)
+    val full = s"$key|fp=$fp|k=$k|b=$rowsPerBand"
+    val path = Artifacts.pathFor("assignidx", full) { p =>
+      val (bands, sets) = assignIndex(existing, k, rowsPerBand)
+      bands.write.mode("overwrite").parquet(s"$p/bands")
+      sets.write.mode("overwrite").parquet(s"$p/sets")
+    }
+    val spark = existing.sparkSession
+    (spark.read.parquet(s"$path/bands"), spark.read.parquet(s"$path/sets"))
+  }
+
+  /** [[assignToClusters]] over an EXPLICIT probe index (live or
+    * persisted): bands (eid, band, bucket), sets (eid, sb). */
+  def assignWithIndex(newDocs: DataFrame, bands: DataFrame,
+                      sets: DataFrame, labels: DataFrame,
+                      threshold: Double, k: Int = 16, rowsPerBand: Int = 4,
+                      maxBucketSize: Int = ConfiguredBucketSize): DataFrame = {
+    val cap = resolveCap(newDocs, maxBucketSize)
     DedupMetrics.ensure(newDocs.sparkSession)
-    def bandRows(docs: DataFrame, idAs: String) =
-      minhashLsh(docs, k, rowsPerBand)
-        .select(col("doc_id").as(idAs),
-          posexplode(col("bands")).as(Seq("band", "bucket")))
-    val eb = bandRows(existing, "eid")
+    val eb = bands
       .withColumn("bn",
         count(lit(1)).over(Window.partitionBy("band", "bucket")))
       .observe(DedupMetrics.nextName("assign"),
         sum(when(col("bn") > cap, 1L).otherwise(0L)).as("dropped"))
       .filter(col("bn") <= cap)
       .select("eid", "band", "bucket")
-    val cands = bandRows(newDocs, "nid")
-      .join(eb, Seq("band", "bucket"))
+    val nb = minhashLsh(newDocs, k, rowsPerBand)
+      .select(col("doc_id").as("nid"),
+        posexplode(col("bands")).as(Seq("band", "bucket")))
+    val cands = nb.join(eb, Seq("band", "bucket"))
       .select(col("nid"), col("eid")).distinct()
-    def sets(docs: DataFrame, idAs: String, shAs: String) =
-      docs.select(col("doc_id").as(idAs),
-        graft.expressions.VectorExpressions
-          .shingleHashes(split(col("text"), " "), 3).as(shAs))
+    val nSets = newDocs.select(col("doc_id").as("nid"),
+      graft.expressions.VectorExpressions
+        .shingleHashes(split(col("text"), " "), 3).as("sa"))
     val verified =
       if (threshold <= 0.0) cands
       else cands
-        .join(sets(newDocs, "nid", "sa"), "nid")
-        .join(sets(existing, "eid", "sb"), "eid")
+        .join(nSets, "nid")
+        .join(sets, "eid")
         .filter(jaccard(col("sa"), col("sb")) >= threshold)
         .select("nid", "eid")
     val asg = verified

@@ -858,4 +858,73 @@ object StreamingOps {
       .select(unix_millis(col("window.start")).as("w_start"),
         col("event_type"), col("n"), col("sum_value"))
   }
+
+  /** Streaming incremental cluster assignment — the stream twin of
+    * [[graft.ext.Dedup.assignToClusters]], the shape a daily-ingest
+    * pipeline actually serves: arriving documents are assigned to
+    * EXISTING near-dup clusters from the persisted label artifact, or
+    * found their own; existing labels never move.
+    *
+    * The existing corpus's band index, shingle sets, and labels are all
+    * STATIC relations (the batch artifacts — at 100 TB, parquet reads),
+    * so every join is a stateless stream-static equi-join; the only
+    * state is the final windowed min-label aggregation, bounded by the
+    * watermark. Candidate pairs surfacing in several bands are collapsed
+    * IN-ROW with the banded-LSH ownership rule ([[streamingSimhashNearDup]]):
+    * both sides carry their full band-key arrays, and only the pair's
+    * MINIMAL colliding band keeps the row — no distinct aggregation
+    * (which streaming lacks), no cross-row state. Candidates failing the
+    * Jaccard verify are NULLED rather than filtered, so a document whose
+    * every candidate fails still reaches the aggregate and founds its
+    * own cluster — count/min skip nulls, giving n_matches = 0 and
+    * cluster_id = own id.
+    *
+    * Output (append on window close): (doc_id, cluster_id, n_matches,
+    * window_start). Batch parity with [[graft.ext.Dedup.assignToClusters]]
+    * is law-pinned in StreamingSpec. */
+  def streamingAssignClusters(newDocs: DataFrame, existing: DataFrame,
+                              labels: DataFrame, threshold: Double,
+                              eventTimeCol: String,
+                              watermark: String = "1 hour",
+                              windowLen: String = "1 minute",
+                              k: Int = 16,
+                              rowsPerBand: Int = 4): DataFrame = {
+    import graft.ext.Dedup
+    val nBands = k / rowsPerBand
+    val sh = (text: Column) => graft.expressions.VectorExpressions
+      .shingleHashes(split(text, " "), 3)
+    val eSide = Dedup.minhashLsh(existing, k, rowsPerBand)
+      .select(col("doc_id").as("eid"), col("bands").as("ebands"),
+        posexplode(col("bands")).as(Seq("band", "bucket")))
+      .join(existing.select(col("doc_id").as("eid"),
+        sh(col("text")).as("sb")), "eid")
+      .join(labels.select(col("doc_id").as("eid"), col("cluster_id")), "eid")
+    val stream = newDocs
+      .select(col("doc_id").cast("long").as("nid"), col("text"),
+        col(eventTimeCol).cast("timestamp").as("event_time"))
+      .withWatermark("event_time", watermark)
+      .withColumn("sa", sh(col("text")))
+      .withColumn("nbands", Dedup.bandsOf(
+        Dedup.minhashSignature(split(col("text"), " "), k), k, rowsPerBand))
+      .select(col("nid"), col("event_time"), col("sa"), col("nbands"),
+        posexplode(col("nbands")).as(Seq("band", "bucket")))
+    val joined = stream.join(eSide, Seq("band", "bucket"), "left")
+    // ownership: only the pair's minimal colliding band keeps the row
+    val minBand = element_at(filter(sequence(lit(0), lit(nBands - 1)),
+      i => element_at(col("nbands"), i + 1) ===
+        element_at(col("ebands"), i + 1)), 1)
+    val verifies = col("eid").isNotNull &&
+      Dedup.jaccard(col("sa"), col("sb")) >= threshold
+    joined
+      .filter(col("eid").isNull || col("band") === minBand)
+      .select(col("nid"), col("event_time"),
+        when(verifies, col("eid")).as("meid"),
+        when(verifies, col("cluster_id")).as("mcl"))
+      .groupBy(col("nid"), window(col("event_time"), windowLen))
+      .agg(min(col("mcl")).as("cl"), count(col("meid")).as("nm"))
+      .select(col("nid").as("doc_id"),
+        coalesce(col("cl"), col("nid")).as("cluster_id"),
+        col("nm").as("n_matches"),
+        unix_millis(col("window.start")).as("window_start"))
+  }
 }

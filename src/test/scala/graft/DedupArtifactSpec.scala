@@ -117,6 +117,26 @@ class DedupArtifactSpec extends SparkSpec {
     assert(out.forall { case (id, cl, _) => legal.contains(cl) || cl == id })
   }
 
+  test("persistedAssignIndex round trip: assignment through the parquet " +
+      "probe index is row-identical to the live index") {
+    import spark.implicits._
+    val existing = docs.filter(col("doc_id") < 300).select("doc_id", "text")
+    val newDocs = docs.filter(col("doc_id") >= 300 && col("doc_id") < 360)
+      .select("doc_id", "text")
+    val labels = Dedup.nearDupClusters(existing, threshold = 0.2, k = 16,
+      rowsPerBand = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val live = Dedup.assignToClusters(newDocs, existing, labels,
+      threshold = 0.2, k = 16, rowsPerBand = 2)
+    val (bands, sets) = Dedup.persistedAssignIndex(existing,
+      key = "art-assignidx", k = 16, rowsPerBand = 2)
+    val art = Dedup.assignWithIndex(newDocs, bands, sets, labels,
+      threshold = 0.2, k = 16, rowsPerBand = 2)
+    assert(rows(art) == rows(live))
+  }
+
   test("leakageSafeSplitFromLabels over the artifact equals the live " +
       "leakageSafeSplit") {
     def rows(df: org.apache.spark.sql.DataFrame) =

@@ -134,6 +134,48 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset(StreamingOps.MaxGroupBufferKey)
   }
 
+  test("streamingAssignClusters batch parity: arriving docs get the same " +
+      "cluster assignments as Dedup.assignToClusters, single- and " +
+      "multi-batch") {
+    import graft.ext.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.read(spark, "/root/testdata/sf0.001", "documents")
+    val existing = docs.filter(col("doc_id") < 350).select("doc_id", "text")
+    val newRows = docs.filter(col("doc_id") >= 350 && col("doc_id") < 420)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), 1000L)).toSeq
+    val labels = Dedup.nearDupClusters(existing, threshold = 0.2, k = 16,
+      rowsPerBand = 2)
+    val want = Dedup.assignToClusters(
+        newRows.map(t => (t._1, t._2)).toDF("doc_id", "text"),
+        existing, labels, threshold = 0.2, k = 16, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.exists(_._3 > 0L), "fixture must produce real matches")
+    assert(want.exists(_._3 == 0L), "fixture must produce founders")
+    def run(batches: Seq[Seq[(Long, String, Long)]], name: String) = {
+      val mem = MemoryStream[(Long, String, Long)]
+      val stream = mem.toDF().toDF("doc_id", "text", "ts_ms")
+        .withColumn("event_time", timestamp_millis(col("ts_ms")))
+      val out = StreamingOps.streamingAssignClusters(stream, existing,
+        labels, threshold = 0.2, eventTimeCol = "event_time",
+        watermark = "0 seconds", windowLen = "1 minute", k = 16,
+        rowsPerBand = 2)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      for (b <- batches) { mem.addData(b: _*); q.processAllAvailable() }
+      // advance the watermark past the data window so it closes
+      mem.addData((999999L, "flush sentinel", 10L * 60L * 1000L))
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name).collect()
+        .filter(_.getLong(0) != 999999L)
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    assert(run(Seq(newRows), "assign_stream_1") == want, "single-batch")
+    val (a, b) = newRows.splitAt(30)
+    assert(run(Seq(a, b), "assign_stream_2") == want, "multi-batch")
+  }
+
   test("streaming exact dedup drops in-watermark duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Long)]
