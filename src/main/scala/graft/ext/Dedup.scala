@@ -86,7 +86,7 @@ object Dedup {
     * [[MaxBucketSizeConfKey]], falling back to [[DefaultMaxBucketSize]]. */
   val ConfiguredBucketSize: Int = -1
 
-  private[ext] def resolveCap(docs: DataFrame, cap: Int): Int =
+  private[graft] def resolveCap(docs: DataFrame, cap: Int): Int =
     if (cap != ConfiguredBucketSize) cap
     else docs.sparkSession.conf.getOption(MaxBucketSizeConfKey).map { v =>
       val n = try v.toInt catch {

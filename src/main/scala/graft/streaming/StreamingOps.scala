@@ -869,15 +869,21 @@ object StreamingOps {
     * STATIC relations (the batch artifacts — at 100 TB, parquet reads),
     * so every join is a stateless stream-static equi-join; the only
     * state is the final windowed min-label aggregation, bounded by the
-    * watermark. Candidate pairs surfacing in several bands are collapsed
-    * IN-ROW with the banded-LSH ownership rule ([[streamingSimhashNearDup]]):
-    * both sides carry their full band-key arrays, and only the pair's
-    * MINIMAL colliding band keeps the row — no distinct aggregation
-    * (which streaming lacks), no cross-row state. Candidates failing the
-    * Jaccard verify are NULLED rather than filtered, so a document whose
-    * every candidate fails still reaches the aggregate and founds its
-    * own cluster — count/min skip nulls, giving n_matches = 0 and
-    * cluster_id = own id.
+    * watermark. The existing side's oversized buckets are dropped with
+    * the same cap discipline as the batch path (degenerate band values,
+    * quadratic on the probe join). Candidate pairs surfacing in several
+    * bands are collapsed IN-ROW with the banded-LSH ownership rule
+    * ([[streamingSimhashNearDup]]): only the pair's minimal colliding
+    * band AMONG THE EXISTING DOC'S SURVIVING BANDS keeps the row (each
+    * band row carries the doc's sorted surviving-band list, so ownership
+    * needs no cross-row state) — ranging over surviving bands, not the
+    * full band array, keeps batch parity when the cap fires: the batch
+    * path still surfaces a pair through a later band after its minimal
+    * band's bucket was capped away. No distinct aggregation (which
+    * streaming lacks). Candidates failing the Jaccard verify are NULLED
+    * rather than filtered, so a document whose every candidate fails
+    * still reaches the aggregate and founds its own cluster — count/min
+    * skip nulls, giving n_matches = 0 and cluster_id = own id.
     *
     * Output (append on window close): (doc_id, cluster_id, n_matches,
     * window_start). Batch parity with [[graft.ext.Dedup.assignToClusters]]
@@ -888,14 +894,27 @@ object StreamingOps {
                               watermark: String = "1 hour",
                               windowLen: String = "1 minute",
                               k: Int = 16,
-                              rowsPerBand: Int = 4): DataFrame = {
+                              rowsPerBand: Int = 4,
+                              maxBucketSize: Int =
+                                graft.ext.Dedup.ConfiguredBucketSize): DataFrame = {
     import graft.ext.Dedup
-    val nBands = k / rowsPerBand
+    import org.apache.spark.sql.expressions.Window
+    val cap = Dedup.resolveCap(existing, maxBucketSize)
     val sh = (text: Column) => graft.expressions.VectorExpressions
       .shingleHashes(split(text, " "), 3)
-    val eSide = Dedup.minhashLsh(existing, k, rowsPerBand)
-      .select(col("doc_id").as("eid"), col("bands").as("ebands"),
+    val surviving = Dedup.minhashLsh(existing, k, rowsPerBand)
+      .select(col("doc_id").as("eid"),
         posexplode(col("bands")).as(Seq("band", "bucket")))
+      .withColumn("bn",
+        count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("bn") <= cap)
+      .select("eid", "band", "bucket")
+    val esurv = surviving.groupBy("eid")
+      .agg(sort_array(collect_list(col("band"))).as("esurv"))
+    val eSide = surviving
+      .join(esurv, "eid")
+      .join(Dedup.minhashLsh(existing, k, rowsPerBand)
+        .select(col("doc_id").as("eid"), col("bands").as("ebands")), "eid")
       .join(existing.select(col("doc_id").as("eid"),
         sh(col("text")).as("sb")), "eid")
       .join(labels.select(col("doc_id").as("eid"), col("cluster_id")), "eid")
@@ -909,8 +928,9 @@ object StreamingOps {
       .select(col("nid"), col("event_time"), col("sa"), col("nbands"),
         posexplode(col("nbands")).as(Seq("band", "bucket")))
     val joined = stream.join(eSide, Seq("band", "bucket"), "left")
-    // ownership: only the pair's minimal colliding band keeps the row
-    val minBand = element_at(filter(sequence(lit(0), lit(nBands - 1)),
+    // ownership: only the pair's minimal colliding band among the
+    // existing doc's SURVIVING bands keeps the row
+    val minBand = element_at(filter(col("esurv"),
       i => element_at(col("nbands"), i + 1) ===
         element_at(col("ebands"), i + 1)), 1)
     val verifies = col("eid").isNotNull &&

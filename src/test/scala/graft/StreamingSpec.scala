@@ -152,14 +152,15 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(want.exists(_._3 > 0L), "fixture must produce real matches")
     assert(want.exists(_._3 == 0L), "fixture must produce founders")
-    def run(batches: Seq[Seq[(Long, String, Long)]], name: String) = {
+    def run(batches: Seq[Seq[(Long, String, Long)]], name: String,
+            cap: Int = graft.ext.Dedup.ConfiguredBucketSize) = {
       val mem = MemoryStream[(Long, String, Long)]
       val stream = mem.toDF().toDF("doc_id", "text", "ts_ms")
         .withColumn("event_time", timestamp_millis(col("ts_ms")))
       val out = StreamingOps.streamingAssignClusters(stream, existing,
         labels, threshold = 0.2, eventTimeCol = "event_time",
         watermark = "0 seconds", windowLen = "1 minute", k = 16,
-        rowsPerBand = 2)
+        rowsPerBand = 2, maxBucketSize = cap)
       val q = out.writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
       for (b <- batches) { mem.addData(b: _*); q.processAllAvailable() }
@@ -174,6 +175,19 @@ class StreamingSpec extends SparkSpec {
     assert(run(Seq(newRows), "assign_stream_1") == want, "single-batch")
     val (a, b) = newRows.splitAt(30)
     assert(run(Seq(a, b), "assign_stream_2") == want, "multi-batch")
+    // capped parity: with a tiny bucket cap the batch path can still
+    // surface a pair through a LATER band after its minimal band's bucket
+    // was capped away — the stream's ownership rule must range over the
+    // existing doc's surviving bands, not the full band array, or such
+    // pairs vanish and founders appear that the batch does not report
+    val wantCap = Dedup.assignToClusters(
+        newRows.map(t => (t._1, t._2)).toDF("doc_id", "text"),
+        existing, labels, threshold = 0.2, k = 16, rowsPerBand = 2,
+        maxBucketSize = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(wantCap != want, "cap=1 must actually fire on the fixture")
+    assert(run(Seq(newRows), "assign_stream_cap", cap = 1) == wantCap,
+      "capped parity")
   }
 
   test("streaming exact dedup drops in-watermark duplicates") {
