@@ -489,6 +489,53 @@ object ExtQueries {
              | ORDER BY "qid", "nid"""".stripMargin.replace("\n", " "))
         .replace("CENTHASH",
           DualHash.base60Sql("concat(CAST(\"vec_id\" AS VARCHAR), ':42')")))),
+    // The residual-tier DECISION the reconstruction error exists to
+    // drive: per label, how many vectors exceed the qerr budget (would
+    // keep f32 residuals alongside their int8 codes) and what that
+    // residual storage costs (dim × 4 bytes each). Threshold compares
+    // the RAW qerr double — identical IEEE arithmetic in both engines,
+    // same convention as every raw-threshold filter on the board. One
+    // per-row projection + one label-scale aggregation.
+    Q("q_quant_residuals", (s, dir) => {
+      val F = org.apache.spark.sql.functions
+      val emb = Tables.read(s, dir, "embeddings")
+      graft.ext.Quantize.int8(emb)
+        .join(emb.select(col("vec_id"),
+          col("label").cast("long").as("label")), "vec_id")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum(F.when(col("qerr") > lit(4.0e-5), 1L).otherwise(0L))
+            .as("n_residual"))
+        .select(col("label"), col("n"), col("n_residual"),
+          F.round(col("n_residual").cast("double") / col("n").cast("double"),
+            6).as("residual_share"),
+          (col("n_residual") * lit(256L)).as("residual_bytes"))
+        .orderBy("label")
+    },
+      Some("""WITH e AS (SELECT "vec_id", CAST("label" AS BIGINT) AS label,
+             |   CAST("embedding" AS DOUBLE[]) AS v FROM embeddings),
+             | s AS (SELECT "vec_id", label, v,
+             |   list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+             | c AS (SELECT "vec_id", label, v, scale,
+             |   CASE WHEN scale = 0.0e0
+             |     THEN list_transform(v, x -> 0)
+             |     ELSE list_transform(v,
+             |       x -> CAST(floor(x * 127.0e0 / scale + 0.5e0) AS INTEGER))
+             |   END AS codes FROM s),
+             | r AS (SELECT label,
+             |   list_transform(v, (x, i) ->
+             |     x - CAST(codes[i] AS DOUBLE) * scale / 127.0e0) AS d
+             |   FROM c),
+             | q AS (SELECT label, list_dot_product(d, d) AS qerr FROM r)
+             | SELECT label AS "label", count(*) AS "n",
+             |   CAST(sum(CASE WHEN qerr > 4.0e-5 THEN 1 ELSE 0 END) AS BIGINT)
+             |     AS "n_residual",
+             |   round(CAST(sum(CASE WHEN qerr > 4.0e-5 THEN 1 ELSE 0 END) AS DOUBLE)
+             |     / CAST(count(*) AS DOUBLE), 6) AS "residual_share",
+             |   CAST(sum(CASE WHEN qerr > 4.0e-5 THEN 1 ELSE 0 END) * 256 AS BIGINT)
+             |     AS "residual_bytes"
+             | FROM q GROUP BY 1 ORDER BY "label"""".stripMargin
+        .replace("\n", " "))),
     // ---- product quantization (IVF-PQ's compression half) ---------------
     // PQ codes: 2 subspaces x 4 centroids trained with the deterministic
     // dyadic k-means on sliced vectors — 64 float64 dims (512 B) become 2
