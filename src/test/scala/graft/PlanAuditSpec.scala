@@ -311,12 +311,36 @@ class PlanAuditSpec extends SparkSpec {
                               // EditDistJoinSpec this pins both the
                               // COUNT and the WIDTH of the candidate
                               // shuffles
-    "q_robust_outliers" -> 8) // two one-row sketch aggregates (partial +
+    "q_robust_outliers" -> 8, // two one-row sketch aggregates (partial +
                               // final each) over three corpus passes
                               // (median, MAD, flag) + the final orderBy —
                               // the honest two-pass robust-z; a 9th
                               // exchange means someone added a window or
                               // join
+    // round-14 operators, pinned at their measured counts:
+    "q_dedup_assign" -> 8,    // persisted bands/sets/labels parquet reads
+                              // + the (band, bucket) cap window + probe
+                              // equi-join + id-pair distinct + new-side
+                              // set join + label join/argmax + left
+                              // join-back + orderBy — every key a band
+                              // bucket or an id, never text
+    "q_knn_int8" -> 10,       // the q_knn_ivf topology (centroid rank
+                              // window + home/probe cell join + top-k
+                              // window + orderBy) over the dequantized
+                              // scan; recon itself is one narrow
+                              // projection — an 11th exchange means the
+                              // dequantization stopped being in-map
+    "q_sketch_rollup" -> 1,   // read-back of the per-shard states + ONE
+                              // merge-aggregate pair collapsed to a
+                              // single exchange (3-row input); the
+                              // builder's write job is its own plan
+    "q_quant_residuals" -> 4, // scan floor + vec_id join of codes with
+                              // labels + label-scale agg pair + orderBy;
+                              // qerr is in-map column algebra
+    "q_label_centroids" -> 3) // scan floor + the label agg pair (ONE
+                              // dim-doubles state per label — the
+                              // posexplode sits ABOVE the aggregate at
+                              // label scale) + orderBy
 
   test("shuffle-exchange budgets hold for the heaviest queries") {
     val exch = raw"(^|[^A-Za-z])Exchange\s".r // not ReusedExchange/Broadcast
