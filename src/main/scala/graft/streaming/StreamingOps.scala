@@ -897,26 +897,50 @@ object StreamingOps {
                               rowsPerBand: Int = 4,
                               maxBucketSize: Int =
                                 graft.ext.Dedup.ConfiguredBucketSize): DataFrame = {
+    val (bands, sets) = graft.ext.Dedup.assignIndex(existing, k, rowsPerBand)
+    streamingAssignClustersFromIndex(newDocs, bands, sets, labels,
+      threshold, eventTimeCol, watermark, windowLen, k, rowsPerBand,
+      maxBucketSize)
+  }
+
+  /** [[streamingAssignClusters]] over an EXPLICIT probe index — the
+    * production wiring: `bands`/`sets` are the
+    * [[graft.ext.Dedup.persistedAssignIndex]] parquet relations (and
+    * `labels` the [[graft.ext.Dedup.persistedLabels]] artifact), so the
+    * serving job never recomputes corpus-scale signatures. Each
+    * existing doc's full band array (for the ownership rule) is
+    * reconstructed from its band rows, bucket-ordered by band index —
+    * identical to the live array. */
+  def streamingAssignClustersFromIndex(newDocs: DataFrame,
+                                       bands: DataFrame, sets: DataFrame,
+                                       labels: DataFrame, threshold: Double,
+                                       eventTimeCol: String,
+                                       watermark: String = "1 hour",
+                                       windowLen: String = "1 minute",
+                                       k: Int = 16,
+                                       rowsPerBand: Int = 4,
+                                       maxBucketSize: Int =
+                                         graft.ext.Dedup.ConfiguredBucketSize): DataFrame = {
     import graft.ext.Dedup
     import org.apache.spark.sql.expressions.Window
-    val cap = Dedup.resolveCap(existing, maxBucketSize)
+    val cap = Dedup.resolveCap(newDocs, maxBucketSize)
     val sh = (text: Column) => graft.expressions.VectorExpressions
       .shingleHashes(split(text, " "), 3)
-    val surviving = Dedup.minhashLsh(existing, k, rowsPerBand)
-      .select(col("doc_id").as("eid"),
-        posexplode(col("bands")).as(Seq("band", "bucket")))
+    val surviving = bands
       .withColumn("bn",
         count(lit(1)).over(Window.partitionBy("band", "bucket")))
       .filter(col("bn") <= cap)
       .select("eid", "band", "bucket")
     val esurv = surviving.groupBy("eid")
       .agg(sort_array(collect_list(col("band"))).as("esurv"))
+    val ebandsTbl = bands.groupBy("eid")
+      .agg(transform(
+        array_sort(collect_list(struct(col("band"), col("bucket")))),
+        s => s.getField("bucket")).as("ebands"))
     val eSide = surviving
       .join(esurv, "eid")
-      .join(Dedup.minhashLsh(existing, k, rowsPerBand)
-        .select(col("doc_id").as("eid"), col("bands").as("ebands")), "eid")
-      .join(existing.select(col("doc_id").as("eid"),
-        sh(col("text")).as("sb")), "eid")
+      .join(ebandsTbl, "eid")
+      .join(sets, "eid")
       .join(labels.select(col("doc_id").as("eid"), col("cluster_id")), "eid")
     val stream = newDocs
       .select(col("doc_id").cast("long").as("nid"), col("text"),

@@ -188,6 +188,26 @@ class StreamingSpec extends SparkSpec {
     assert(wantCap != want, "cap=1 must actually fire on the fixture")
     assert(run(Seq(newRows), "assign_stream_cap", cap = 1) == wantCap,
       "capped parity")
+    // production wiring: the twin served from the PERSISTED probe index
+    // (parquet band rows + shingle sets) must emit identical assignments
+    val (pb, ps) = Dedup.persistedAssignIndex(existing,
+      key = "stream-assignidx", k = 16, rowsPerBand = 2)
+    val mem = MemoryStream[(Long, String, Long)]
+    val stream = mem.toDF().toDF("doc_id", "text", "ts_ms")
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+    val out = StreamingOps.streamingAssignClustersFromIndex(stream, pb, ps,
+      labels, threshold = 0.2, eventTimeCol = "event_time",
+      watermark = "0 seconds", windowLen = "1 minute", k = 16,
+      rowsPerBand = 2)
+    val q = out.writeStream.format("memory").queryName("assign_stream_idx")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData(newRows: _*); q.processAllAvailable()
+    mem.addData((999999L, "flush sentinel", 10L * 60L * 1000L))
+    q.processAllAvailable(); q.stop()
+    val gotIdx = spark.table("assign_stream_idx").collect()
+      .filter(_.getLong(0) != 999999L)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotIdx == want, "persisted-index parity")
   }
 
   test("streaming exact dedup drops in-watermark duplicates") {
