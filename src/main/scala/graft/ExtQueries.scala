@@ -2889,6 +2889,59 @@ object ExtQueries {
     // reassembly or ordering ambiguity exists. One posexplode + one
     // (label, pos)-keyed aggregation — (labels x dim) output rows; the
     // same groupZScore round-6 discipline bounds float reorder noise.
+    // Embedding-space drift monitor — the vector sibling of q_psi_drift:
+    // per label, the cosine between the centroids of two corpus slices
+    // (vec_id parity stands in for old/new snapshots). A drop below ~1
+    // means the label's embedding distribution moved — the retraining/
+    // re-indexing trigger an embedding pipeline watches. Same
+    // element-wise vector-sum aggregate as q_label_centroids (ONE
+    // (label, slice) partial-agg pass, dim-doubles states); centroid
+    // elements are rounded to 6 dp BEFORE the cosine in both engines, so
+    // the index-order dot kernel hash-matches.
+    Q("q_centroid_drift", (s, dir) => {
+      val F = org.apache.spark.sql.functions
+      val dim = 64
+      val e = Tables.read(s, dir, "embeddings")
+        .select(col("label").cast("long").as("label"),
+          expr("vec_id % 2").cast("long").as("slice"),
+          col("embedding").cast("array<double>").as("v"))
+      val sums = (0 until dim).map(i => sum(col("v")(i)).as(s"s_$i"))
+      val cent = e.groupBy("label", "slice")
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .select(col("label"), col("slice"), col("n"),
+          array((0 until dim).map(i =>
+            F.round(col(s"s_$i") / col("n").cast("double"), 6)): _*).as("c"))
+      val a = cent.filter(col("slice") === 1L)
+        .select(col("label"), col("n").as("n_a"), col("c").as("ca"))
+      val b = cent.filter(col("slice") === 0L)
+        .select(col("label"), col("n").as("n_b"), col("c").as("cb"))
+      val cos = Similarity.dot(col("ca"), col("cb")) /
+        (F.sqrt(Similarity.dot(col("ca"), col("ca"))) *
+          F.sqrt(Similarity.dot(col("cb"), col("cb"))))
+      a.join(b, "label")
+        .select(col("label"), col("n_a"), col("n_b"),
+          F.round(cos, 6).as("cos_drift"))
+        .orderBy("label")
+    },
+      Some("""WITH e AS (SELECT CAST("label" AS BIGINT) AS label,
+             |   ("vec_id" % 2) AS slice,
+             |   CAST("embedding" AS DOUBLE[]) AS v FROM embeddings),
+             | x AS (SELECT label, slice, i, v[i] AS x FROM e,
+             |   UNNEST(generate_series(1, len(v))) AS u(i)),
+             | s AS (SELECT label, slice, i,
+             |   round(sum(x) / count(*), 6) AS c FROM x GROUP BY 1, 2, 3),
+             | n AS (SELECT label, slice, count(*) AS n FROM e GROUP BY 1, 2),
+             | ag AS (SELECT label, slice, list(c ORDER BY i) AS c
+             |   FROM s GROUP BY 1, 2)
+             | SELECT a.label AS "label", na.n AS "n_a", nb.n AS "n_b",
+             |   round(list_dot_product(a.c, b.c)
+             |     / (sqrt(list_dot_product(a.c, a.c))
+             |       * sqrt(list_dot_product(b.c, b.c))), 6) AS "cos_drift"
+             | FROM ag a JOIN ag b ON a.label = b.label
+             |   AND a.slice = 1 AND b.slice = 0
+             | JOIN n na ON na.label = a.label AND na.slice = 1
+             | JOIN n nb ON nb.label = a.label AND nb.slice = 0
+             | ORDER BY "label"""".stripMargin.replace("\n", " "))),
     Q("q_label_centroids", (s, dir) => {
       val F = org.apache.spark.sql.functions
       // Element-wise vector-sum aggregate: ONE partial-agg pass whose

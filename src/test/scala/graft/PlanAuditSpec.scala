@@ -337,10 +337,14 @@ class PlanAuditSpec extends SparkSpec {
     "q_quant_residuals" -> 4, // scan floor + vec_id join of codes with
                               // labels + label-scale agg pair + orderBy;
                               // qerr is in-map column algebra
-    "q_label_centroids" -> 3) // scan floor + the label agg pair (ONE
+    "q_label_centroids" -> 3, // scan floor + the label agg pair (ONE
                               // dim-doubles state per label — the
                               // posexplode sits ABOVE the aggregate at
                               // label scale) + orderBy
+    "q_centroid_drift" -> 5)  // scan floor + the (label, slice) agg pair
+                              // + the label-scale slice self-join pair +
+                              // orderBy; the cosine is in-map over the
+                              // assembled label-cardinality arrays
 
   test("shuffle-exchange budgets hold for the heaviest queries") {
     val exch = raw"(^|[^A-Za-z])Exchange\s".r // not ReusedExchange/Broadcast
