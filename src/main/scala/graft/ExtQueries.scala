@@ -300,12 +300,15 @@ object ExtQueries {
       val labels = Dedup.persistedLabels(existing,
         key = s"$dir/documents#existing", threshold = 0.2, k = 16,
         rowsPerBand = 2)
-      // both daily-ingest artifacts persisted: the labels AND the probe
-      // index (band rows + shingle sets) — the batch pays only the
-      // new-side signatures and the bucket-keyed probe join
-      val (bands, sets) = Dedup.persistedAssignIndex(existing,
+      // both daily-ingest artifacts persisted: the labels AND the
+      // ENRICHED serve index (capped band rows + per-doc band state +
+      // shingle sets + labels, co-located at build time) — the batch
+      // pays only the new-side signatures, ONE bucket-keyed equi-join,
+      // and a query-scale aggregation; no corpus-scale window/groupBy
+      // per serving run (PlanAuditSpec pins the serving plan)
+      val serve = Dedup.persistedServeIndex(existing, labels,
         key = s"$dir/documents#existing", k = 16, rowsPerBand = 2)
-      Dedup.assignWithIndex(newDocs, bands, sets, labels, threshold = 0.2,
+      Dedup.assignServe(newDocs, serve, threshold = 0.2,
         k = 16, rowsPerBand = 2).orderBy("doc_id")
     },
       Some {

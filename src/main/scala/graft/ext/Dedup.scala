@@ -420,44 +420,148 @@ object Dedup {
   }
 
   /** [[assignToClusters]] over an EXPLICIT probe index (live or
-    * persisted): bands (eid, band, bucket), sets (eid, sb). */
+    * persisted): bands (eid, band, bucket), sets (eid, sb). Enriches the
+    * raw index into the serve relation in-plan (cap window + per-doc
+    * band-state groupBys) and runs the join-only [[assignServe]] —
+    * callers holding a [[persistedServeIndex]] artifact should call
+    * [[assignServe]] directly and skip the corpus-scale enrichment. */
   def assignWithIndex(newDocs: DataFrame, bands: DataFrame,
                       sets: DataFrame, labels: DataFrame,
                       threshold: Double, k: Int = 16, rowsPerBand: Int = 4,
                       maxBucketSize: Int = ConfiguredBucketSize): DataFrame = {
     val cap = resolveCap(newDocs, maxBucketSize)
-    DedupMetrics.ensure(newDocs.sparkSession)
-    val eb = bands
-      .withColumn("bn",
-        count(lit(1)).over(Window.partitionBy("band", "bucket")))
-      .observe(DedupMetrics.nextName("assign"),
-        sum(when(col("bn") > cap, 1L).otherwise(0L)).as("dropped"))
-      .filter(col("bn") <= cap)
+    assignServe(newDocs, serveIndexFrom(bands, sets, labels, cap),
+      threshold, k, rowsPerBand)
+  }
+
+  /** The ENRICHED capped probe relation the assignment job serves from —
+    * one row per surviving (cap-filtered) existing band row, with every
+    * per-doc state the serving plan needs CO-LOCATED on the row:
+    *
+    *   (eid, band, bucket,
+    *    esurv  — the doc's sorted surviving band indexes,
+    *    ebands — the doc's FULL band-value array (bucket per band),
+    *    sb     — the doc's shingle-hash set,
+    *    cluster_id — the doc's near-dup label)
+    *
+    * `esurv`/`ebands` feed the in-row pair-ownership rule (a pair
+    * colliding in several bands is kept exactly once, by its minimal
+    * colliding band among the EXISTING doc's surviving bands — ranging
+    * over surviving bands keeps parity with the capped batch path, which
+    * still surfaces a pair through a later band after its minimal band's
+    * bucket was capped away); `sb` feeds the Jaccard verify; `cluster_id`
+    * the label lookup. Materialising this at BUILD time is what makes
+    * serving join-only: the r14 shape re-derived the cap window and both
+    * per-doc groupBys from raw band rows on EVERY serving run — three
+    * corpus-scale shuffles per daily batch / per micro-batch for state
+    * that never changes between rebuilds. The sb duplication (once per
+    * surviving band row, <= k/rowsPerBand copies) is the price of a
+    * single-join serve; it buys a plan with zero corpus-scale
+    * windows/groupBys, which PlanAuditSpec pins.
+    *
+    * `observed` wires the cap-drop counter through [[DedupMetrics]]
+    * (batch builds); the streaming live path passes false — observation
+    * there would ride a micro-batch execution instead of a batch build. */
+  private[graft] def serveIndexFrom(bands: DataFrame, sets: DataFrame,
+                                    labels: DataFrame, cap: Int,
+                                    observed: Boolean = true): DataFrame = {
+    val sized = bands.withColumn("bn",
+      count(lit(1)).over(Window.partitionBy("band", "bucket")))
+    val withDrops =
+      if (!observed) sized
+      else {
+        DedupMetrics.ensure(bands.sparkSession)
+        sized.observe(DedupMetrics.nextName("assign"),
+          sum(when(col("bn") > cap, 1L).otherwise(0L)).as("dropped"))
+      }
+    val surviving = withDrops.filter(col("bn") <= cap)
       .select("eid", "band", "bucket")
-    val nb = minhashLsh(newDocs, k, rowsPerBand)
-      .select(col("doc_id").as("nid"),
-        posexplode(col("bands")).as(Seq("band", "bucket")))
-    val cands = nb.join(eb, Seq("band", "bucket"))
-      .select(col("nid"), col("eid")).distinct()
-    val nSets = newDocs.select(col("doc_id").as("nid"),
-      graft.expressions.VectorExpressions
-        .shingleHashes(split(col("text"), " "), 3).as("sa"))
-    val verified =
-      if (threshold <= 0.0) cands
-      else cands
-        .join(nSets, "nid")
-        .join(sets, "eid")
-        .filter(jaccard(col("sa"), col("sb")) >= threshold)
-        .select("nid", "eid")
-    val asg = verified
+    val esurv = surviving.groupBy("eid")
+      .agg(sort_array(collect_list(col("band"))).as("esurv"))
+    val ebandsTbl = bands.groupBy("eid")
+      .agg(transform(
+        array_sort(collect_list(struct(col("band"), col("bucket")))),
+        s => s.getField("bucket")).as("ebands"))
+    surviving
+      .join(esurv, "eid")
+      .join(ebandsTbl, "eid")
+      .join(sets, "eid")
       .join(labels.select(col("doc_id").as("eid"), col("cluster_id")), "eid")
+  }
+
+  /** Content fingerprint of a label table — folded into the serve-index
+    * artifact key so a label rebuild (or a different threshold's labels)
+    * never serves a stale index. Same shape as [[corpusFingerprint]]. */
+  private[graft] def labelsFingerprint(labels: DataFrame): String = {
+    val r = labels.agg(
+      count(lit(1)),
+      coalesce(max(col("doc_id").cast("long")), lit(-1L)),
+      coalesce(bit_xor(xxhash64(col("doc_id"), col("cluster_id"))), lit(0L)))
+      .head
+    s"${r.getLong(0)}:${r.getLong(1)}:${java.lang.Long.toHexString(r.getLong(2))}"
+  }
+
+  /** The persisted ENRICHED serve index ([[serveIndexFrom]]) — built ONCE
+    * per (corpus fingerprint, labels fingerprint, params) and served as
+    * parquet, so the assignment job ([[assignServe]], batch or streaming)
+    * is a parquet scan + bucket-keyed equi-join with ZERO corpus-scale
+    * windows or groupBys per serving run. The cap is a BUILD parameter
+    * (folded into the key): bucket-cap discipline is a property of the
+    * index, decided when it is built, not re-derived per query. Longs,
+    * ints, and arrays thereof round-trip parquet exactly, so assignment
+    * output is bit-identical to the live chain. */
+  def persistedServeIndex(existing: DataFrame, labels: DataFrame,
+                          key: String, k: Int, rowsPerBand: Int,
+                          maxBucketSize: Int = ConfiguredBucketSize): DataFrame = {
+    val cap = resolveCap(existing, maxBucketSize)
+    val fp = corpusFingerprint(existing)
+    val lfp = labelsFingerprint(labels)
+    val full = s"$key|fp=$fp|lfp=$lfp|k=$k|b=$rowsPerBand|cap=$cap"
+    val path = Artifacts.pathFor("assignserve", full) { p =>
+      val (bands, sets) = assignIndex(existing, k, rowsPerBand)
+      serveIndexFrom(bands, sets, labels, cap)
+        .write.mode("overwrite").parquet(s"$p/serve")
+    }
+    existing.sparkSession.read.parquet(s"$path/serve")
+  }
+
+  /** Join-only incremental assignment over the enriched serve relation
+    * ([[serveIndexFrom]] / [[persistedServeIndex]]) — the serving plan a
+    * daily batch actually pays: new-side signatures (per-row projection),
+    * one (band, bucket) equi-join against the serve relation, the in-row
+    * ownership filter + Jaccard verify, and one query-scale aggregation.
+    * No window, no corpus-scale groupBy — PlanAuditSpec pins both.
+    * Candidates failing the verify are NULLED rather than filtered so a
+    * doc whose every candidate fails still reaches the aggregate and
+    * founds its own cluster (min/count skip nulls) — the same shape as
+    * the streaming twin, whose parity laws pin the semantics. */
+  def assignServe(newDocs: DataFrame, serve: DataFrame, threshold: Double,
+                  k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nb = newDocs.select(col("doc_id").as("nid"),
+        graft.expressions.VectorExpressions.shingleHashes(toks, 3).as("sa"),
+        bandsOf(minhashSignature(toks, k), k, rowsPerBand).as("nbands"))
+      .select(col("nid"), col("sa"), col("nbands"),
+        posexplode(col("nbands")).as(Seq("band", "bucket")))
+    val joined = nb.join(serve, Seq("band", "bucket"), "left")
+    // ownership: only the pair's minimal colliding band among the
+    // existing doc's surviving bands keeps the row (exactly one row per
+    // verified pair reaches the aggregate)
+    val minBand = element_at(filter(col("esurv"),
+      i => element_at(col("nbands"), i + 1) ===
+        element_at(col("ebands"), i + 1)), 1)
+    val verifies = col("eid").isNotNull &&
+      jaccard(col("sa"), col("sb")) >= threshold
+    joined
+      .filter(col("eid").isNull || col("band") === minBand)
+      .select(col("nid"),
+        when(verifies, col("eid")).as("meid"),
+        when(verifies, col("cluster_id")).as("mcl"))
       .groupBy("nid")
-      .agg(min("cluster_id").as("cl"), count(lit(1)).as("nm"))
-    newDocs.select(col("doc_id"))
-      .join(asg.withColumnRenamed("nid", "doc_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("cl"), col("doc_id").cast("long")).as("cluster_id"),
-        coalesce(col("nm"), lit(0L)).as("n_matches"))
+      .agg(min(col("mcl")).as("cl"), count(col("meid")).as("nm"))
+      .select(col("nid").as("doc_id"),
+        coalesce(col("cl"), col("nid").cast("long")).as("cluster_id"),
+        col("nm").as("n_matches"))
   }
 
   /** Cheap content fingerprint of a document corpus: row count, max

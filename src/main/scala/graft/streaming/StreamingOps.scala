@@ -903,14 +903,16 @@ object StreamingOps {
       maxBucketSize)
   }
 
-  /** [[streamingAssignClusters]] over an EXPLICIT probe index — the
-    * production wiring: `bands`/`sets` are the
-    * [[graft.ext.Dedup.persistedAssignIndex]] parquet relations (and
-    * `labels` the [[graft.ext.Dedup.persistedLabels]] artifact), so the
-    * serving job never recomputes corpus-scale signatures. Each
-    * existing doc's full band array (for the ownership rule) is
-    * reconstructed from its band rows, bucket-ordered by band index —
-    * identical to the live array. */
+  /** [[streamingAssignClusters]] over an EXPLICIT raw probe index
+    * (bands + sets + labels): enriches it into the serve relation
+    * in-plan and persists THAT (the static side of a stream-static join
+    * is otherwise re-executed on every micro-batch — the r14 finding:
+    * the serving job paid the cap window and both per-doc groupBys per
+    * trigger), then delegates to [[streamingAssignClustersFromServe]].
+    * Production jobs should pass a
+    * [[graft.ext.Dedup.persistedServeIndex]] relation to
+    * [[streamingAssignClustersFromServe]] directly — parquet scan +
+    * equi-join, no enrichment even on the first trigger. */
   def streamingAssignClustersFromIndex(newDocs: DataFrame,
                                        bands: DataFrame, sets: DataFrame,
                                        labels: DataFrame, threshold: Double,
@@ -922,26 +924,35 @@ object StreamingOps {
                                        maxBucketSize: Int =
                                          graft.ext.Dedup.ConfiguredBucketSize): DataFrame = {
     import graft.ext.Dedup
-    import org.apache.spark.sql.expressions.Window
     val cap = Dedup.resolveCap(newDocs, maxBucketSize)
+    val serve = Dedup.serveIndexFrom(bands, sets, labels, cap,
+      observed = false)
+    streamingAssignClustersFromServe(newDocs, serve, threshold,
+      eventTimeCol, watermark, windowLen, k, rowsPerBand)
+  }
+
+  /** The streaming assignment twin over the ENRICHED serve relation
+    * ([[graft.ext.Dedup.serveIndexFrom]] /
+    * [[graft.ext.Dedup.persistedServeIndex]]) — the production serving
+    * plan: the stream side computes per-row signatures, the static side
+    * is the serve relation AS IS (persisted here so micro-batches after
+    * the first pay a cache read, not a re-scan), and everything between
+    * is one stateless bucket-keyed equi-join + the in-row ownership and
+    * verify rules. Zero corpus-scale windows or groupBys per trigger. */
+  def streamingAssignClustersFromServe(newDocs: DataFrame,
+                                       serve: DataFrame, threshold: Double,
+                                       eventTimeCol: String,
+                                       watermark: String = "1 hour",
+                                       windowLen: String = "1 minute",
+                                       k: Int = 16,
+                                       rowsPerBand: Int = 4): DataFrame = {
+    import graft.ext.Dedup
     val sh = (text: Column) => graft.expressions.VectorExpressions
       .shingleHashes(split(text, " "), 3)
-    val surviving = bands
-      .withColumn("bn",
-        count(lit(1)).over(Window.partitionBy("band", "bucket")))
-      .filter(col("bn") <= cap)
-      .select("eid", "band", "bucket")
-    val esurv = surviving.groupBy("eid")
-      .agg(sort_array(collect_list(col("band"))).as("esurv"))
-    val ebandsTbl = bands.groupBy("eid")
-      .agg(transform(
-        array_sort(collect_list(struct(col("band"), col("bucket")))),
-        s => s.getField("bucket")).as("ebands"))
-    val eSide = surviving
-      .join(esurv, "eid")
-      .join(ebandsTbl, "eid")
-      .join(sets, "eid")
-      .join(labels.select(col("doc_id").as("eid"), col("cluster_id")), "eid")
+    // cache the static side: a stream-static join re-executes the static
+    // plan every micro-batch; persist makes that a block-manager read
+    // after the first trigger (lazy — materialised by the first batch)
+    val eSide = serve.persist()
     val stream = newDocs
       .select(col("doc_id").cast("long").as("nid"), col("text"),
         col(eventTimeCol).cast("timestamp").as("event_time"))

@@ -137,6 +137,56 @@ class DedupArtifactSpec extends SparkSpec {
     assert(rows(art) == rows(live))
   }
 
+  test("persistedServeIndex round trip: join-only assignServe over the " +
+      "enriched parquet artifact is row-identical to the live chain, " +
+      "including under a firing bucket cap") {
+    val existing = docs.filter(col("doc_id") < 300).select("doc_id", "text")
+    val newDocs = docs.filter(col("doc_id") >= 300 && col("doc_id") < 360)
+      .select("doc_id", "text")
+    val labels = Dedup.nearDupClusters(existing, threshold = 0.2, k = 16,
+      rowsPerBand = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val live = Dedup.assignToClusters(newDocs, existing, labels,
+      threshold = 0.2, k = 16, rowsPerBand = 2)
+    val serve = Dedup.persistedServeIndex(existing, labels,
+      key = "art-serve", k = 16, rowsPerBand = 2)
+    val art = Dedup.assignServe(newDocs, serve, threshold = 0.2,
+      k = 16, rowsPerBand = 2)
+    assert(rows(art) == rows(live))
+    // cap is a BUILD parameter: a cap-1 artifact reproduces the capped
+    // live path (pairs surfacing through a later band after their
+    // minimal band's bucket was capped away — the ownership rule must
+    // range over SURVIVING bands, which only the enriched esurv encodes).
+    // Wider fixture: cap=1 does not fire on the <300 slice.
+    val existC = docs.filter(col("doc_id") < 350).select("doc_id", "text")
+    val newC = docs.filter(col("doc_id") >= 350 && col("doc_id") < 420)
+      .select("doc_id", "text")
+    val labelsC = Dedup.nearDupClusters(existC, threshold = 0.2, k = 16,
+      rowsPerBand = 2)
+    val liveCap = Dedup.assignToClusters(newC, existC, labelsC,
+      threshold = 0.2, k = 16, rowsPerBand = 2, maxBucketSize = 1)
+    assert(rows(liveCap) != rows(Dedup.assignToClusters(newC, existC,
+      labelsC, threshold = 0.2, k = 16, rowsPerBand = 2)),
+      "cap=1 must fire on the fixture")
+    val serveCap = Dedup.persistedServeIndex(existC, labelsC,
+      key = "art-serve", k = 16, rowsPerBand = 2, maxBucketSize = 1)
+    assert(rows(Dedup.assignServe(newC, serveCap, threshold = 0.2,
+      k = 16, rowsPerBand = 2)) == rows(liveCap))
+    // a label rebuild under the same key must not serve the stale index:
+    // the artifact key folds in the labels fingerprint
+    val labels2 = labels.withColumn("cluster_id", col("cluster_id") + 1L)
+    val serve2 = Dedup.persistedServeIndex(existing, labels2,
+      key = "art-serve", k = 16, rowsPerBand = 2)
+    val shifted = rows(Dedup.assignServe(newDocs, serve2, threshold = 0.2,
+      k = 16, rowsPerBand = 2))
+    val base = rows(art)
+    assert(shifted.zip(base).forall { case ((id2, cl2, nm2), (id1, cl1, nm1)) =>
+      id2 == id1 && nm2 == nm1 && (nm1 == 0L || cl2 == cl1 + 1L)
+    }, "serve index blind to a label rewrite under the same key")
+  }
+
   test("leakageSafeSplitFromLabels over the artifact equals the live " +
       "leakageSafeSplit") {
     def rows(df: org.apache.spark.sql.DataFrame) =

@@ -318,12 +318,15 @@ class PlanAuditSpec extends SparkSpec {
                               // exchange means someone added a window or
                               // join
     // round-14 operators, pinned at their measured counts:
-    "q_dedup_assign" -> 8,    // persisted bands/sets/labels parquet reads
-                              // + the (band, bucket) cap window + probe
-                              // equi-join + id-pair distinct + new-side
-                              // set join + label join/argmax + left
-                              // join-back + orderBy — every key a band
-                              // bucket or an id, never text
+    "q_dedup_assign" -> 3,    // join-only serving (r15): persisted
+                              // ENRICHED serve-index parquet scan
+                              // (broadcast onto the probe join) + the
+                              // new-side scan repartition + the nid
+                              // argmax agg + orderBy — the r14 shape's
+                              // cap window, per-doc band-state groupBys,
+                              // pair distinct, and set/label joins all
+                              // moved to BUILD time; see the
+                              // serving-plan law below
     "q_knn_int8" -> 10,       // the q_knn_ivf topology (centroid rank
                               // window + home/probe cell join + top-k
                               // window + orderBy) over the dequantized
@@ -345,6 +348,22 @@ class PlanAuditSpec extends SparkSpec {
                               // + the label-scale slice self-join pair +
                               // orderBy; the cosine is in-map over the
                               // assembled label-cardinality arrays
+
+  test("q_dedup_assign serving plan is join-only: no window, no agg " +
+      "over the persisted serve relation") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val plan = Queries.queries("q_dedup_assign")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    val aggs = plan.collect { case a: Aggregate => a }
+    assert(windows.isEmpty,
+      s"serving plan re-derives capped-bucket state per run: $windows")
+    // exactly the final query-scale nid argmax — a second aggregate
+    // means per-doc band state (esurv/ebands) is being rebuilt at serve
+    // time instead of read from the enriched artifact
+    assert(aggs.size == 1,
+      s"serving plan has ${aggs.size} aggregates, expected only the nid argmax")
+  }
 
   test("shuffle-exchange budgets hold for the heaviest queries") {
     val exch = raw"(^|[^A-Za-z])Exchange\s".r // not ReusedExchange/Broadcast

@@ -188,15 +188,17 @@ class StreamingSpec extends SparkSpec {
     assert(wantCap != want, "cap=1 must actually fire on the fixture")
     assert(run(Seq(newRows), "assign_stream_cap", cap = 1) == wantCap,
       "capped parity")
-    // production wiring: the twin served from the PERSISTED probe index
-    // (parquet band rows + shingle sets) must emit identical assignments
-    val (pb, ps) = Dedup.persistedAssignIndex(existing,
-      key = "stream-assignidx", k = 16, rowsPerBand = 2)
+    // production wiring: the twin served from the PERSISTED ENRICHED
+    // serve index (capped band rows + per-doc band state + shingle sets
+    // + labels, co-located at build time) must emit identical
+    // assignments — the serving plan is parquet scan + equi-join only
+    val serve = Dedup.persistedServeIndex(existing, labels,
+      key = "stream-assignserve", k = 16, rowsPerBand = 2)
     val mem = MemoryStream[(Long, String, Long)]
     val stream = mem.toDF().toDF("doc_id", "text", "ts_ms")
       .withColumn("event_time", timestamp_millis(col("ts_ms")))
-    val out = StreamingOps.streamingAssignClustersFromIndex(stream, pb, ps,
-      labels, threshold = 0.2, eventTimeCol = "event_time",
+    val out = StreamingOps.streamingAssignClustersFromServe(stream, serve,
+      threshold = 0.2, eventTimeCol = "event_time",
       watermark = "0 seconds", windowLen = "1 minute", k = 16,
       rowsPerBand = 2)
     val q = out.writeStream.format("memory").queryName("assign_stream_idx")
