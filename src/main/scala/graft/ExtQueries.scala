@@ -350,6 +350,111 @@ object ExtQueries {
            | WHERE d."doc_id" % 7 = 0 ORDER BY d."doc_id"""".stripMargin
           .replace("\n", " ")
       }),
+    // Rebuild-drift audit — the "rebuild now?" trigger the
+    // daily-assign/weekly-rebuild trade needs: the incremental labeling
+    // (existing labels + q_dedup_assign's assignment, all served from
+    // the persisted artifacts) vs a full re-cluster of the same corpus,
+    // compared as PARTITIONS (both re-canonicalised to min-member-id).
+    // Reports the share of docs whose cluster would change and how many
+    // cluster-merge events the rebuild would perform. Oracle: the same
+    // two recursive-CTE CC chains + assignment chain, aggregated with
+    // scalar subqueries.
+    Q("q_dedup_rebuild_drift", (s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val newDocs = docs.filter(col("doc_id") % 7 === 0)
+      val existing = docs.filter(col("doc_id") % 7 =!= 0)
+      val labels = Dedup.persistedLabels(existing,
+        key = s"$dir/documents#existing", threshold = 0.2, k = 16,
+        rowsPerBand = 2)
+      val serve = Dedup.persistedServeIndex(existing, labels,
+        key = s"$dir/documents#existing", k = 16, rowsPerBand = 2)
+      val inc = labels.select(col("doc_id"), col("cluster_id"))
+        .union(Dedup.assignServe(newDocs, serve, threshold = 0.2,
+          k = 16, rowsPerBand = 2).select(col("doc_id"), col("cluster_id")))
+      val full = Dedup.persistedLabels(docs, key = s"$dir/documents",
+        threshold = 0.2, k = 16, rowsPerBand = 2)
+      Dedup.rebuildDrift(inc, full)
+    },
+      Some {
+        val eChain = minhashChainSql("e", "\"doc_id\" % 7 <> 0", 16, 2)
+        val nChain = minhashChainSql("n", "\"doc_id\" % 7 = 0", 16, 2)
+        val fChain = minhashChainSql("f", "TRUE", 16, 2)
+        def jac(x: String, y: String) =
+          s"(CAST(len(list_intersect($x, $y)) AS DOUBLE) / " +
+            s"CAST(len(list_distinct(list_concat($x, $y))) AS DOUBLE))"
+        s"""WITH RECURSIVE $eChain, $nChain, $fChain,
+           | est AS (SELECT "doc_id", list_distinct(hs) AS s FROM esh),
+           | nst AS (SELECT "doc_id", list_distinct(hs) AS s FROM nsh),
+           | fss AS (SELECT "doc_id", list_distinct(hs) AS s FROM fsh),
+           | ecand AS (SELECT DISTINCT a."doc_id" AS doc_a, c."doc_id" AS doc_b
+           |   FROM ebk a JOIN ebk c ON a.b = c.b AND a.bucket = c.bucket
+           |   AND a."doc_id" < c."doc_id"),
+           | ej AS (SELECT doc_a, doc_b FROM ecand
+           |   JOIN est x ON x."doc_id" = ecand.doc_a
+           |   JOIN est y ON y."doc_id" = ecand.doc_b
+           |   WHERE ${jac("x.s", "y.s")} >= 0.2e0),
+           | eedges AS (SELECT doc_a AS src, doc_b AS dst FROM ej
+           |   UNION ALL SELECT doc_b, doc_a FROM ej),
+           | ereach AS (SELECT "doc_id" AS id, CAST("doc_id" AS BIGINT) AS lbl
+           |   FROM documents WHERE "doc_id" % 7 <> 0
+           |   UNION SELECT e.dst AS id, r.lbl FROM ereach r
+           |   JOIN eedges e ON e.src = r.id),
+           | elab AS (SELECT id AS doc_id, min(lbl) AS cluster_id
+           |   FROM ereach GROUP BY 1),
+           | xc AS (SELECT DISTINCT n."doc_id" AS nid, e."doc_id" AS eid
+           |   FROM nbk n JOIN ebk e ON n.b = e.b AND n.bucket = e.bucket),
+           | ver AS (SELECT nid, eid FROM xc
+           |   JOIN nst ON nst."doc_id" = xc.nid
+           |   JOIN est ON est."doc_id" = xc.eid
+           |   WHERE ${jac("nst.s", "est.s")} >= 0.2e0),
+           | asg AS (SELECT nid, min(l.cluster_id) AS cl
+           |   FROM ver JOIN elab l ON l.doc_id = ver.eid GROUP BY 1),
+           | incr AS (SELECT doc_id, cluster_id FROM elab
+           |   UNION ALL
+           |   SELECT d."doc_id" AS doc_id,
+           |     coalesce(a.cl, CAST(d."doc_id" AS BIGINT)) AS cluster_id
+           |   FROM documents d LEFT JOIN asg a ON a.nid = d."doc_id"
+           |   WHERE d."doc_id" % 7 = 0),
+           | fcand AS (SELECT DISTINCT a."doc_id" AS doc_a, c."doc_id" AS doc_b
+           |   FROM fbk a JOIN fbk c ON a.b = c.b AND a.bucket = c.bucket
+           |   AND a."doc_id" < c."doc_id"),
+           | fj AS (SELECT doc_a, doc_b FROM fcand
+           |   JOIN fss x ON x."doc_id" = fcand.doc_a
+           |   JOIN fss y ON y."doc_id" = fcand.doc_b
+           |   WHERE ${jac("x.s", "y.s")} >= 0.2e0),
+           | fedges AS (SELECT doc_a AS src, doc_b AS dst FROM fj
+           |   UNION ALL SELECT doc_b, doc_a FROM fj),
+           | freach AS (SELECT "doc_id" AS id, CAST("doc_id" AS BIGINT) AS lbl
+           |   FROM documents
+           |   UNION SELECT e.dst AS id, r.lbl FROM freach r
+           |   JOIN fedges e ON e.src = r.id),
+           | flab AS (SELECT id AS doc_id, min(lbl) AS cluster_id
+           |   FROM freach GROUP BY 1),
+           | icanon AS (SELECT cluster_id, min(CAST(doc_id AS BIGINT)) AS c
+           |   FROM incr GROUP BY 1),
+           | i2 AS (SELECT incr.doc_id, icanon.c AS c_inc
+           |   FROM incr JOIN icanon USING (cluster_id)),
+           | fcanon AS (SELECT cluster_id, min(CAST(doc_id AS BIGINT)) AS c
+           |   FROM flab GROUP BY 1),
+           | f2 AS (SELECT flab.doc_id, fcanon.c AS c_full
+           |   FROM flab JOIN fcanon USING (cluster_id)),
+           | jj AS (SELECT i2.doc_id, c_inc, c_full
+           |   FROM i2 JOIN f2 ON f2.doc_id = i2.doc_id),
+           | pp AS (SELECT DISTINCT c_full, c_inc FROM jj)
+           | SELECT
+           |   (SELECT count(*) FROM jj) AS "n_docs",
+           |   (SELECT CAST(sum(CASE WHEN c_inc <> c_full THEN 1 ELSE 0 END)
+           |     AS BIGINT) FROM jj) AS "n_changed",
+           |   round(CAST((SELECT sum(CASE WHEN c_inc <> c_full THEN 1 ELSE 0 END)
+           |     FROM jj) AS DOUBLE)
+           |     / CAST((SELECT count(*) FROM jj) AS DOUBLE), 6)
+           |     AS "changed_share",
+           |   (SELECT count(DISTINCT c_inc) FROM jj) AS "n_clusters_inc",
+           |   (SELECT count(DISTINCT c_full) FROM jj) AS "n_clusters_full",
+           |   (SELECT count(*) FROM pp)
+           |     - (SELECT count(DISTINCT c_full) FROM jj) AS "n_merges"""".stripMargin
+          .replace("\n", " ")
+      }),
     // Embedding-cosine near-dup: thresholded unordered pair set over the
     // embeddings table (the LSH-bucketed form is the 100 TB path).
     Q("q_dedup_embedding_cosine",
@@ -539,6 +644,55 @@ object ExtQueries {
              |     AS "residual_bytes"
              | FROM q GROUP BY 1 ORDER BY "label"""".stripMargin
         .replace("\n", " "))),
+    // The residual tier CONSUMED by search — q_quant_residuals' decision
+    // finally pays off: int8 IVF shortlist (top-10 per query over the
+    // dequantized corpus, the q_knn_int8 topology), then an f32 re-rank
+    // over the TIERED vectors (exact where qerr > budget keeps a stored
+    // residual, recon otherwise), top-5 out. Every similarity
+    // hash-matches; the recall >= plain-int8 law is in SemDedupPackSpec.
+    Q("q_knn_residual", (s, dir) =>
+      graft.ext.Quantize.residualRefinedTopK(
+        Tables.read(s, dir, "embeddings"), k = 5, shortlist = 10,
+        qerrBudget = 4.0e-5)
+        .orderBy("qid", "nid"),
+      Some(("WITH " + graft.ext.Quantize.reconOracleCte +
+        """, n AS (SELECT "vec_id", v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+             | cent AS (SELECT "vec_id" AS cid, v AS cv, nrm AS cn FROM n
+             |   ORDER BY CENTHASH, "vec_id" LIMIT 16),
+             | sc AS (SELECT n."vec_id" AS vid, n.v, n.nrm, c.cid,
+             |   round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) AS csim
+             |   FROM n CROSS JOIN cent c),
+             | rk AS (SELECT vid, v, nrm, cid,
+             |   row_number() OVER (PARTITION BY vid ORDER BY csim DESC, cid) AS crk FROM sc),
+             | home AS (SELECT cid AS cell, vid AS nid, v AS vb, nrm AS nb FROM rk WHERE crk = 1),
+             | pr AS (SELECT cid AS cell, vid AS qid, v AS va, nrm AS na FROM rk WHERE crk <= 2),
+             | p AS (SELECT qid, nid, round(list_dot_product(va, vb) / (na * nb), 6) AS sim
+             |   FROM pr JOIN home USING (cell) WHERE qid <> nid),
+             | r AS (SELECT qid, nid, sim,
+             |   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk2 FROM p),
+             | short AS (SELECT qid, nid FROM r WHERE rk2 <= 10),
+             | rd AS (SELECT c0."vec_id",
+             |   list_transform(e0.v0, (x, i) ->
+             |     x - CAST(c0.codes[i] AS DOUBLE) * c0.scale / 127.0e0) AS d
+             |   FROM c0 JOIN e0 ON e0."vec_id" = c0."vec_id"),
+             | fl AS (SELECT "vec_id",
+             |   (list_dot_product(d, d) > 4.0e-5) AS flagged FROM rd),
+             | tr AS (SELECT e0."vec_id",
+             |   CASE WHEN fl.flagged THEN e0.v0 ELSE e.v END AS tv
+             |   FROM e0 JOIN e ON e."vec_id" = e0."vec_id"
+             |   JOIN fl ON fl."vec_id" = e0."vec_id"),
+             | tn AS (SELECT "vec_id", tv,
+             |   sqrt(list_dot_product(tv, tv)) AS tnrm FROM tr),
+             | ref AS (SELECT s.qid, s.nid,
+             |   round(list_dot_product(a.tv, b.tv) / (a.tnrm * b.tnrm), 6) AS sim
+             |   FROM short s JOIN tn a ON a."vec_id" = s.qid
+             |   JOIN tn b ON b."vec_id" = s.nid),
+             | rr AS (SELECT qid, nid, sim,
+             |   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk3 FROM ref)
+             | SELECT qid AS "qid", nid AS "nid", sim AS "sim" FROM rr WHERE rk3 <= 5
+             | ORDER BY "qid", "nid"""".stripMargin.replace("\n", " "))
+        .replace("CENTHASH",
+          DualHash.base60Sql("concat(CAST(\"vec_id\" AS VARCHAR), ':42')")))),
     // ---- product quantization (IVF-PQ's compression half) ---------------
     // PQ codes: 2 subspaces x 4 centroids trained with the deterministic
     // dyadic k-means on sliced vectors — 64 float64 dims (512 B) become 2

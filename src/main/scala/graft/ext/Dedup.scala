@@ -564,6 +564,56 @@ object Dedup {
         col("nm").as("n_matches"))
   }
 
+  /** Rebuild-drift audit for incremental assignment — the number that
+    * answers "rebuild now?" in the daily-assign/weekly-rebuild trade
+    * ([[assignToClusters]]'s stability contract: existing labels never
+    * move, so a new batch can only ever JOIN old clusters — two old
+    * clusters bridged by new evidence stay split until the next full
+    * re-cluster). Given the incremental labeling (existing labels ∪
+    * assignment output) and a full-rebuild labeling of the SAME corpus,
+    * reports how far the incremental partition has drifted:
+    *
+    *   n_docs / n_changed / changed_share — docs whose cluster would
+    *     change under a rebuild (partition drift, see below);
+    *   n_clusters_inc / n_clusters_full — partition sizes;
+    *   n_merges — cluster-merge events a rebuild would perform
+    *     (distinct (full, inc) cluster pairs minus distinct full
+    *     clusters: each full cluster containing k incremental clusters
+    *     contributes k−1 merges).
+    *
+    * Both labelings are re-canonicalised to min-member-id per cluster
+    * before comparing, so the report measures PARTITION drift, not
+    * label-string drift (an incrementally assigned doc keeps its old
+    * cluster's label even when a new smaller id joined the cluster — a
+    * raw label compare would flag that as change with identical
+    * membership).
+    *
+    * Scale shape: two label-scale canonicalisation aggregates + id-keyed
+    * joins, then ONE aggregate over (doc_id, c_inc, c_full) rows — the
+    * multi-distinct is Spark's Expand-based two-phase rewrite (shuffled
+    * by distinct value, map-side partials), never a single-reducer
+    * funnel; ids only, text never moves. */
+  def rebuildDrift(inc: DataFrame, full: DataFrame): DataFrame = {
+    def canon(df: DataFrame, out: String): DataFrame = {
+      val m = df.groupBy(col("cluster_id"))
+        .agg(min(col("doc_id").cast("long")).as(out))
+      df.join(m, "cluster_id").select(col("doc_id"), col(out))
+    }
+    val j = canon(inc, "c_inc").join(canon(full, "c_full"), "doc_id")
+    j.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("c_inc") =!= col("c_full"), 1L).otherwise(0L))
+          .as("n_changed"),
+        countDistinct(col("c_inc")).as("n_clusters_inc"),
+        countDistinct(col("c_full")).as("n_clusters_full"),
+        (countDistinct(col("c_full"), col("c_inc")) -
+          countDistinct(col("c_full"))).as("n_merges"))
+      .select(col("n_docs"), col("n_changed"),
+        round(col("n_changed").cast("double") / col("n_docs").cast("double"),
+          6).as("changed_share"),
+        col("n_clusters_inc"), col("n_clusters_full"), col("n_merges"))
+  }
+
   /** Cheap content fingerprint of a document corpus: row count, max
     * doc_id, and the XOR of per-row xxhash64(doc_id, text). One narrow
     * scan (only the two columns the dedup chain consumes), no shuffle

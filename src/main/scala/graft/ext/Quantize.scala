@@ -72,6 +72,73 @@ object Quantize {
           .as("embedding"))
   }
 
+  /** The residual TIER decision consumed by search — the payoff of the
+    * per-vector reconstruction error: the store keeps int8 codes for
+    * every vector plus f32 residuals for exactly the vectors whose qerr
+    * exceeds `qerrBudget` (the q_quant_residuals decision), and search
+    * runs in two stages:
+    *
+    *   1. shortlist — the unchanged IVF topology over the dequantized
+    *      corpus ([[Similarity.ivfTopK]] on [[reconEmbeddings]]), top
+    *      `shortlist` per query;
+    *   2. re-rank — cosine over the TIERED vectors (exact f32 where the
+    *      residual is stored, recon otherwise — both query and neighbour
+    *      side, since a corpus self-search serves both from the same
+    *      tier), top `k` of the shortlist.
+    *
+    * Scale shape: stage 1 is the IVF plan; stage 2 is shortlist-scale
+    * id-keyed equi-joins against the tier relation (at 100 TB the
+    * residual patch join touches only flagged ids) and a
+    * shortlist-bounded rank window. Every similarity is the identical
+    * IEEE arithmetic in both engines (round-6 before ranking, id
+    * tiebreak), so the whole two-stage search hash-matches; the
+    * recall-vs-f32-brute law (>= plain int8 recall) is gated in
+    * SemDedupPackSpec. */
+  /** The tier relation the residual store serves, as ONE per-row
+    * projection (codes → recon → qerr → choose exact-or-recon are all
+    * column algebra over the same row — joining [[int8]] /
+    * [[reconEmbeddings]] / the raw scan back together on vec_id would
+    * pay three scans and two corpus-keyed joins for identical values).
+    * The arithmetic is the same IEEE chain as [[int8]], so the oracle's
+    * join-based tr/tn CTEs compute the identical doubles. */
+  private def tieredVectors(embeddings: DataFrame,
+                            qerrBudget: Double): DataFrame = {
+    val e = embeddings.select(col("vec_id"), vcol.as("v"),
+      array_max(transform(vcol, x => abs(x))).as("scale"))
+    val codes = when(col("scale") === 0.0,
+        transform(col("v"), _ => lit(0)))
+      .otherwise(transform(col("v"),
+        x => floor(x * lit(127.0) / col("scale") + lit(0.5)).cast("int")))
+    val withR = e.withColumn("codes", codes)
+      .withColumn("rv", transform(col("codes"),
+        c => c.cast("double") * col("scale") / lit(127.0)))
+    val diff = zip_with(col("v"), col("rv"), (a, b) => a - b)
+    withR.withColumn("qerr", Similarity.dot(diff, diff))
+      .select(col("vec_id"),
+        when(col("qerr") > lit(qerrBudget), col("v")).otherwise(col("rv"))
+          .as("tv"))
+      .withColumn("tn", sqrt(Similarity.dot(col("tv"), col("tv"))))
+  }
+
+  def residualRefinedTopK(embeddings: DataFrame, k: Int, shortlist: Int,
+                          qerrBudget: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val short = Similarity.ivfTopK(reconEmbeddings(embeddings), shortlist)
+      .select(col("qid"), col("nid"))
+    val tiered = tieredVectors(embeddings, qerrBudget)
+    val ref = short
+      .join(tiered.select(col("vec_id").as("qid"), col("tv").as("qtv"),
+        col("tn").as("qtn")), "qid")
+      .join(tiered.select(col("vec_id").as("nid"), col("tv").as("ntv"),
+        col("tn").as("ntn")), "nid")
+      .select(col("qid"), col("nid"),
+        round(Similarity.dot(col("qtv"), col("ntv")) /
+          (col("qtn") * col("ntn")), 6).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    ref.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("sim"))
+  }
+
   /** DuckDB CTE chain ending in `e("vec_id", v)` where v is the
     * dequantized vector — drop-in replacement for the plain
     * `e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v ...)` head

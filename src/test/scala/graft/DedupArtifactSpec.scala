@@ -187,6 +187,25 @@ class DedupArtifactSpec extends SparkSpec {
     }, "serve index blind to a label rewrite under the same key")
   }
 
+  test("rebuildDrift measures partition drift: a bridged merge counts, " +
+      "a label-string-only difference does not") {
+    import spark.implicits._
+    // incremental: {1,2} {3,4} {5,6} {7,8@label 8}; a rebuild merges
+    // {1,2}+{3,4} and re-labels {7,8} to its min member — only the merge
+    // is drift, the relabel is the same partition
+    val inc = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 5L),
+      (6L, 5L), (7L, 8L), (8L, 8L)).toDF("doc_id", "cluster_id")
+    val full = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 5L),
+      (6L, 5L), (7L, 7L), (8L, 7L)).toDF("doc_id", "cluster_id")
+    val r = Dedup.rebuildDrift(inc, full).head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((8L, 2L, 0.25, 4L, 3L, 1L)))
+    // identical partitions under different label strings: zero drift
+    val z = Dedup.rebuildDrift(inc, inc.withColumn("cluster_id",
+      col("cluster_id") + 100L)).head
+    assert(z.getLong(1) == 0L && z.getLong(5) == 0L)
+  }
+
   test("leakageSafeSplitFromLabels over the artifact equals the live " +
       "leakageSafeSplit") {
     def rows(df: org.apache.spark.sql.DataFrame) =

@@ -23,6 +23,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_dedup_embedding_cosine", // exact all-pairs decision kernel
     "q_knn_ivf",               // centroid assignment: cells x dim broadcast
     "q_knn_int8",              // same IVF topology over dequantized vectors
+    "q_knn_residual",          // same IVF centroid broadcast topology in
+                               // its int8 shortlist stage
     "q_hard_negatives",        // same IVF centroid broadcast topology
     "q_source_overlap",        // pairwise stage over per-source aggregates:
                                // row count = source cardinality, never data
@@ -344,6 +346,20 @@ class PlanAuditSpec extends SparkSpec {
                               // dim-doubles state per label — the
                               // posexplode sits ABOVE the aggregate at
                               // label scale) + orderBy
+    // round-15 operators, pinned at their measured counts:
+    "q_dedup_rebuild_drift" -> 9, // two label-scale canonicalisation agg
+                              // pairs + their id joins onto the
+                              // (doc, c_inc, c_full) relation + the ONE
+                              // multi-distinct Expand aggregate — ids
+                              // and labels only, text never shuffles
+                              // (the CC/assignment inputs are persisted
+                              // artifacts: parquet scans here)
+    "q_knn_residual" -> 12,   // the q_knn_int8 IVF topology (10) + the
+                              // two shortlist-scale tier joins for the
+                              // re-rank; the tier itself is ONE per-row
+                              // projection (a 13th exchange means the
+                              // codes/recon/qerr/choose chain stopped
+                              // being in-map)
     "q_centroid_drift" -> 5)  // scan floor + the (label, slice) agg pair
                               // + the label-scale slice self-join pair +
                               // orderBy; the cosine is in-map over the

@@ -116,6 +116,29 @@ class SemDedupPackSpec extends SparkSpec {
     assert(rIvf >= 0.75, f"int8 ivfTopK(4,3) recall $rIvf%.3f < 0.75")
   }
 
+  test("residual-refined search recall: the f32 re-rank over the tiered " +
+      "vectors is at least as good as the plain int8 IVF it refines") {
+    import graft.ext.Quantize
+    val truth = Similarity.bruteForceTopK(emb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rPlain = recallAt5(Similarity.ivfTopK(
+        Quantize.reconEmbeddings(emb), 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))), truth)
+    val rRef = recallAt5(Quantize.residualRefinedTopK(emb, k = 5,
+        shortlist = 10, qerrBudget = 4.0e-5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))), truth)
+    info(f"int8 ivf=$rPlain%.3f residual-refined=$rRef%.3f")
+    assert(rRef >= rPlain,
+      f"residual re-rank LOWERED recall: $rRef%.3f < $rPlain%.3f")
+    // a zero budget flags every vector -> the re-rank runs on exact f32
+    // everywhere; recall must also hold the plain floor
+    val rAll = recallAt5(Quantize.residualRefinedTopK(emb, k = 5,
+        shortlist = 10, qerrBudget = 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))), truth)
+    assert(rAll >= rPlain, f"all-residual re-rank $rAll%.3f < $rPlain%.3f")
+  }
+
   // ---- product quantization laws ----------------------------------------
 
   test("PQ codes are valid, deterministic, and qerr shrinks with K") {
