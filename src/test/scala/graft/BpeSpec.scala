@@ -133,7 +133,7 @@ class BpeSpec extends SparkSpec {
       "a|b || pipe|batch the|n", // '|' is ordinary alphabet now
       "mixed CASE With 42 Digits & PUNCT.",
       "\u0001sep\u0001inside\u0001", // stripped before seeding
-      "tab\tand\nnewline fuse forward") // non-printables fuse
+      "tab\tand\nnewline are tokens") // control chars seed too (r15)
     val got = engineTokens(texts)
     for ((t, toks) <- texts.zip(got))
       assert(toks == Bpe.referenceTokens(t),
@@ -143,6 +143,35 @@ class BpeSpec extends SparkSpec {
     val n = Seq((0L, "v2 a-b")).toDF("id", "text")
       .select(Bpe.tokenCount(col("text"))).head.getLong(0)
     assert(n == 5L, s"'v2 a-b' must count 5 tokens (v,2,a,-,b), got $n")
+  }
+
+  test("non-ASCII and mixed-script text tokenizes per code point: " +
+      "engine == reference, counts exact even for trailing control " +
+      "chars, and ASCII tokenization is unchanged by the seeding") {
+    val texts = Seq(
+      "déjà vu naïve café", // combining-free accented Latin
+      "русский текст и цифры 42", // Cyrillic
+      "日本語のテキスト with ascii batch", // CJK + ASCII mix
+      "emoji 😀🚀 inside the batch", // supplementary plane
+      "Ñandú ÉCLAIR Σx mixed CASE", // lowercasing crosses scripts
+      "x\t", "x", "lead", // trailing/leading control chars
+      "tab\there the batch sorts\n") // controls inside + trailing
+    val got = engineTokens(texts)
+    for ((t, toks) <- texts.zip(got))
+      assert(toks == Bpe.referenceTokens(t),
+        s"'$t': engine $toks != reference ${Bpe.referenceTokens(t)}")
+    import spark.implicits._
+    // r14-advice exactness: "x\t" is 2 tokens, counted as 2 (the old
+    // printable-only seeding counted 1 — count and token list disagreed)
+    def count(t: String): Long = Seq((0L, t)).toDF("id", "text")
+      .select(Bpe.tokenCount(col("text"))).head.getLong(0)
+    assert(count("x\t") == 2L, "trailing control char must be counted")
+    // every non-space token is counted, per code point: 😀🚀 is 2
+    assert(count("😀🚀") == 2L, "supplementary chars count per code point")
+    // ASCII text: merges still fire across the new seeding (the merged
+    // token 'batch' survives), so ASCII budgets are unchanged
+    assert(engineTokens(Seq("the batch"))
+      .head == Vector("the", " ", "batch"))
   }
 
   test("merges table is creation-ordered by construction (object loads) " +
