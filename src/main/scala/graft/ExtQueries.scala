@@ -3057,7 +3057,7 @@ object ExtQueries {
     // the index-order dot kernel hash-matches.
     Q("q_centroid_drift", (s, dir) => {
       val F = org.apache.spark.sql.functions
-      val dim = 64
+      val dim = Tables.EmbeddingDim
       val e = Tables.read(s, dir, "embeddings")
         .select(col("label").cast("long").as("label"),
           expr("vec_id % 2").cast("long").as("slice"),
@@ -3107,7 +3107,7 @@ object ExtQueries {
       // corpus×dim rows, and the shuffle carries labels×dim doubles.
       // The only row expansion sits ABOVE the aggregate, fanning the
       // label-cardinality result out to its (label, pos) output rows.
-      val dim = 64
+      val dim = Tables.EmbeddingDim
       val e = Tables.read(s, dir, "embeddings")
         .select(col("label").cast("long").as("label"),
           col("embedding").cast("array<double>").as("v"))

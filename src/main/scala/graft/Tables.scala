@@ -14,6 +14,15 @@ import graft.expr.E._
   */
 object Tables {
 
+  /** Dimension of the `embeddings.embedding` column (TESTDATA.md). The
+    * per-dimension aggregates (label centroids, centroid drift) unroll
+    * one sum per dimension at PLAN time, so they need the width as a
+    * constant — this is the single shared definition (the r14-advice
+    * finding: two inline 64s would silently null-pad or truncate if the
+    * table ever changed width while their oracles derive it from
+    * len(v)). Pq call sites pass it explicitly as their `dim` param. */
+  val EmbeddingDim = 64
+
   /** Read a driver table, spreading the scan across the cluster when the
     * file yields fewer partitions than cores. Parquet cannot split below
     * row-group granularity, so the small test files cap out at 1-3 tasks no

@@ -22,8 +22,19 @@ package graft.ext
   */
 private[graft] object Artifacts {
 
+  /** Lazily-completed build slot: the map holds these so
+    * `computeIfAbsent` only ALLOCATES (short, never blocks a bin on a
+    * multi-second Spark write) and the build itself runs under the
+    * holder's own lazy-init monitor — concurrent same-key callers wait
+    * on the one build, different-key builds never serialize on a shared
+    * bin, and a reentrant build of ANOTHER key (an artifact depending on
+    * an artifact) just nests. */
+  private final class Holder(thunk: () => String) {
+    lazy val path: String = thunk()
+  }
+
   private val memo =
-    new java.util.concurrent.ConcurrentHashMap[String, String]
+    new java.util.concurrent.ConcurrentHashMap[String, Holder]
   private val jvmToken =
     java.lang.Long.toHexString(System.identityHashCode(memo).toLong)
 
@@ -54,13 +65,13 @@ private[graft] object Artifacts {
     * returns the existing path without touching the data. */
   def pathFor(prefix: String, fullKey: String)(build: String => Unit): String = {
     cleanupHook
-    memo.computeIfAbsent(s"$prefix|$fullKey", _ => {
+    memo.computeIfAbsent(s"$prefix|$fullKey", _ => new Holder(() => {
       val p = s"$root/$jvmToken/${prefix}_${sha256Hex(fullKey)}"
       build(p)
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(p, "_fingerprint"), fullKey)
       catch { case _: Throwable => () }
       p
-    })
+    })).path
   }
 }

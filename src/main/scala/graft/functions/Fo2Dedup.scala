@@ -140,20 +140,41 @@ object Fo2Dedup {
     plan.transformUp { case r: RepartitionOperation => r.child }
   }
 
+  /** The three formulations [[formulation]] picks between. [[Memo]] is
+    * the write-through memoised UDF (grid-like or UNKNOWN regimes:
+    * forced `false`, streaming, non-scan-shaped plans, tiny inputs —
+    * everywhere the probe could not measure, insertion is the safe
+    * default because repeated conditions may well arrive). [[NoInsert]]
+    * is the read-only memo for the regime the probe MEASURED as
+    * near-unique: insertion there buys almost no hits and the
+    * write+evict churn is pure overhead (r14 bench: iw.fO2Cache 2.98M
+    * evictions against 0.52M hits). [[DedupPlan]] is distinct +
+    * solve-once + broadcast-back. */
+  sealed trait Formulation
+  case object DedupPlan extends Formulation
+  case object MemoUdf extends Formulation
+  case object NoInsertUdf extends Formulation
+
+  /** Boolean compatibility wrapper: true = dedup-in-plan. */
+  def choose(df: DataFrame, tCol: String, pCol: String,
+             family: String): Boolean =
+    formulation(df, tCol, pCol, family) == DedupPlan
+
   /** Formulation choice for this input: conf override, or the bounded
     * auto probe (memoised per input plan). Auto runs an EAGER Spark job
     * at query-build time, so it is skipped — memo path, the pre-auto
     * default — for streaming inputs (a limit+complete-agg+head on a
     * stream throws AnalysisException) and for non-scan-shaped plans
-    * (where the limit would not bound the probe's cost). */
-  def choose(df: DataFrame, tCol: String, pCol: String,
-             family: String): Boolean =
+    * (where the limit would not bound the probe's cost). A probe that
+    * RAN and measured near-unique conditions picks the read-only memo. */
+  def formulation(df: DataFrame, tCol: String, pCol: String,
+                  family: String): Formulation =
     df.sparkSession.conf.get(DedupKey, "auto") match {
-      case "true"  => true
-      case "false" => false
-      case _ if df.isStreaming => false
+      case "true"  => DedupPlan
+      case "false" => MemoUdf
+      case _ if df.isStreaming => MemoUdf
       case _ if !probeSafe(stripRepartitions(df.queryExecution.analyzed)) =>
-        false
+        MemoUdf
       case _ =>
         val stripped = stripRepartitions(df.queryExecution.analyzed)
         val key = (stripped.semanticHash(),
@@ -180,7 +201,11 @@ object Fo2Dedup {
         }
         decisions.add(d.copy(family = family))
         while (decisions.size > 64) decisions.poll()
-        d.dedup
+        if (d.dedup) DedupPlan
+        // a probe that ran on a real sample (>= MinAutoRows) and kept the
+        // memo path measured near-unique conditions: skip insertion
+        else if (d.rows >= MinAutoRows) NoInsertUdf
+        else MemoUdf
     }
 
   /** `df` + column `as` = `f(tCol, pCol)` computed once per distinct

@@ -189,6 +189,9 @@ object IwFull {
   // eviction + accumulators (see the gridCache note above).
   private val cache = new Memo[(Double, Double), java.lang.Double](100000)
 
+  /** Spec hook: entries currently memoised (no-insertion law). */
+  private[graft] def fO2CacheSize: Int = cache.size
+
   /** Export hit/miss/fill/eviction accumulators for both memo caches
     * (Deng2020-style; called by Verify/Bench after session build). */
   def attachMetrics(spark: org.apache.spark.sql.SparkSession): Seq[MemoStats] = {
@@ -201,8 +204,21 @@ object IwFull {
 
   /** Absolute fO2 (bar) at IW + logshift (`fO2/IW.py:383-471`),
     * suppress_Fe_liquid = false (the reference default). */
-  def fO2(tK: Double, pBar: Double, logshift: Double = 0.0): Double = {
-    val base = cache.getOrFill((tK, pBar)) {
+  def fO2(tK: Double, pBar: Double, logshift: Double = 0.0): Double =
+    cache.getOrFill((tK, pBar))(fO2Base(tK, pBar)).doubleValue *
+      math.pow(10.0, logshift)
+
+  /** [[fO2]] with read-only memo probing (no insertion) — the
+    * near-unique-(T, P) formulation [[withIw]] picks when the auto probe
+    * says dedup=false: a write-through memo there is pure insert+evict
+    * churn (r14 bench: 2.98M evictions against 0.52M hits). The grid
+    * cache (keyed per phase × target pressure) still memoises the
+    * expensive Vinet integration inside. */
+  def fO2NoMemo(tK: Double, pBar: Double, logshift: Double = 0.0): Double =
+    cache.getNoInsert((tK, pBar))(fO2Base(tK, pBar)).doubleValue *
+      math.pow(10.0, logshift)
+
+  private def fO2Base(tK: Double, pBar: Double): java.lang.Double = {
     val gFeO = gibbsPhase("FeO", tK, pBar)
     val gFeO1p5 = gibbsPhase("FeO1.5", tK, pBar)
     val gO2 = gibbsPhase("O2", tK, pBar)
@@ -236,8 +252,6 @@ object IwFull {
     val muO2 = 4.0 * (dGFeOFeO1p5 + R * tK * math.log(x / (1.0 - x)) +
       gammaFeO1p5(x) - gammaFeO(x))
     math.exp(muO2 / (R * tK))
-    }.doubleValue
-    base * math.pow(10.0, logshift)
   }
 
   import org.apache.spark.sql.{functions => F, DataFrame}
@@ -245,14 +259,24 @@ object IwFull {
   val fO2Udf = F.udf((tK: Double, pBar: Double, shift: Double) =>
     fO2(tK, pBar, shift))
 
+  private val fO2UdfNoMemo = F.udf((tK: Double, pBar: Double, shift: Double) =>
+    fO2NoMemo(tK, pBar, shift))
+
   /** Attach an IW-buffer `fO2` column: the formulation (per-row memoised
     * UDF vs distinct+join-back) is AUTO-probed per input — or forced by
-    * conf — exactly as in [[QfmFull.withQfm]]; see [[Fo2Dedup.choose]]. */
+    * conf — exactly as in [[QfmFull.withQfm]]; see
+    * [[Fo2Dedup.formulation]]. A probe-measured near-unique regime runs
+    * the read-only memo — same values, zero insert/evict churn. */
   def withIw(df: DataFrame, tCol: String, pCol: String,
              logshift: Double = 0.0, as: String = "fO2"): DataFrame =
-    if (Fo2Dedup.choose(df, tCol, pCol, "iw"))
-      Fo2Dedup.withDeduped(df, tCol, pCol, as)(
-        (t, p) => fO2Udf(t, p, F.lit(logshift)))
-    else
-      df.withColumn(as, fO2Udf(F.col(tCol), F.col(pCol), F.lit(logshift)))
+    Fo2Dedup.formulation(df, tCol, pCol, "iw") match {
+      case Fo2Dedup.DedupPlan =>
+        Fo2Dedup.withDeduped(df, tCol, pCol, as)(
+          (t, p) => fO2Udf(t, p, F.lit(logshift)))
+      case Fo2Dedup.MemoUdf =>
+        df.withColumn(as, fO2Udf(F.col(tCol), F.col(pCol), F.lit(logshift)))
+      case Fo2Dedup.NoInsertUdf =>
+        df.withColumn(as,
+          fO2UdfNoMemo(F.col(tCol), F.col(pCol), F.lit(logshift)))
+    }
 }

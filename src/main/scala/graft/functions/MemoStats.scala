@@ -92,6 +92,27 @@ final class Memo[K, V](cap: Int) {
     }
   }
 
+  /** Read-only lookup: a hit is served from the map, a miss computes
+    * WITHOUT inserting — the formulation for near-unique key streams
+    * (the fO2 auto-probe's dedup=false regime), where insertion buys no
+    * future hits and the write+evict churn is pure overhead (r14 bench:
+    * iw.fO2Cache 2.98M evictions against a ~0.15 steady-state hit rate).
+    * Hits/misses/fill time still feed the attached [[MemoStats]];
+    * evictions cannot occur. */
+  def getNoInsert(k: K)(fill: => V): V = {
+    val v = m.get(k)
+    val st = stats
+    if (v != null) { if (st != null) st.hits.add(1); v }
+    else if (st == null) fill
+    else {
+      st.misses.add(1)
+      val t0 = System.nanoTime()
+      val r = fill
+      st.fillNanos.add(System.nanoTime() - t0)
+      r
+    }
+  }
+
   private def evictSome(): Unit = {
     // Evict down to cap - cap/8 from the CURRENT size, not a fixed cap/8:
     // with the single-evictor guard the other threads keep inserting while

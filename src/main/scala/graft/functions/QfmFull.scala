@@ -116,22 +116,38 @@ object QfmFull {
     * conditions skip even the closed-form Tait arithmetic. */
   private val fO2Cache = new Memo[(Double, Double), java.lang.Double](100000)
 
+  /** Spec hook: entries currently memoised (no-insertion law). */
+  private[graft] def fO2CacheSize: Int = fO2Cache.size
+
+  private def fO2Base(tK: Double, pBar: Double): java.lang.Double = {
+    val (q, m, f) = vdpWithTransitions(tK, pBar)
+    val muP = 1e3 * (3.0 * q + 2.0 * m - 3.0 * f)
+    val (q1, m1, f1) = vdpNoTransitions(tK, 1.0)
+    val mu1barEos = 1e3 * (3.0 * q1 + 2.0 * m1 - 3.0 * f1)
+    val mu = muO2OneBar(tK) + (muP - mu1barEos)
+    math.exp(mu / (R * tK))
+  }
+
   /** Absolute fO2 (bar) at QFM + logshift, T (K), P (bar)
     * (`fO2/QFM.py:187-239`). */
-  def fO2(tK: Double, pBar: Double, logshift: Double = 0.0): Double = {
-    val base = fO2Cache.getOrFill((tK, pBar)) {
-      val (q, m, f) = vdpWithTransitions(tK, pBar)
-      val muP = 1e3 * (3.0 * q + 2.0 * m - 3.0 * f)
-      val (q1, m1, f1) = vdpNoTransitions(tK, 1.0)
-      val mu1barEos = 1e3 * (3.0 * q1 + 2.0 * m1 - 3.0 * f1)
-      val mu = muO2OneBar(tK) + (muP - mu1barEos)
-      math.exp(mu / (R * tK))
-    }.doubleValue
-    base * math.pow(10.0, logshift)
-  }
+  def fO2(tK: Double, pBar: Double, logshift: Double = 0.0): Double =
+    fO2Cache.getOrFill((tK, pBar))(fO2Base(tK, pBar)).doubleValue *
+      math.pow(10.0, logshift)
+
+  /** [[fO2]] with read-only memo probing (no insertion) — used when the
+    * auto probe says (T, P) is near-unique, where a write-through memo
+    * degenerates to pure insert+evict churn (r14: 2.9M evictions for
+    * nothing). Same value either way; the transition cache (keyed by T
+    * alone) still memoises the solver work inside. */
+  def fO2NoMemo(tK: Double, pBar: Double, logshift: Double = 0.0): Double =
+    fO2Cache.getNoInsert((tK, pBar))(fO2Base(tK, pBar)).doubleValue *
+      math.pow(10.0, logshift)
 
   val fO2Udf = udf((tK: Double, pBar: Double, shift: Double) =>
     fO2(tK, pBar, shift))
+
+  private val fO2UdfNoMemo = udf((tK: Double, pBar: Double, shift: Double) =>
+    fO2NoMemo(tK, pBar, shift))
 
   /** Attach an `fO2` column: one narrow per-row UDF stage (memoised per
     * executor — see the scale note in the object doc), or the
@@ -140,9 +156,15 @@ object QfmFull {
     * `spark.graft.fo2.dedupConditions`. */
   def withQfm(df: DataFrame, tCol: String, pCol: String,
               logshift: Double = 0.0, as: String = "fO2"): DataFrame =
-    if (Fo2Dedup.choose(df, tCol, pCol, "qfm"))
-      Fo2Dedup.withDeduped(df, tCol, pCol, as)(
-        (t, p) => fO2Udf(t, p, lit(logshift)))
-    else
-      df.withColumn(as, fO2Udf(col(tCol), col(pCol), lit(logshift)))
+    Fo2Dedup.formulation(df, tCol, pCol, "qfm") match {
+      case Fo2Dedup.DedupPlan =>
+        Fo2Dedup.withDeduped(df, tCol, pCol, as)(
+          (t, p) => fO2Udf(t, p, lit(logshift)))
+      case Fo2Dedup.MemoUdf =>
+        df.withColumn(as, fO2Udf(col(tCol), col(pCol), lit(logshift)))
+      case Fo2Dedup.NoInsertUdf =>
+        // the probe MEASURED near-unique (T, P): read-only memo (free
+        // hits from earlier grid queries, zero insert/evict churn)
+        df.withColumn(as, fO2UdfNoMemo(col(tCol), col(pCol), lit(logshift)))
+    }
 }

@@ -46,6 +46,43 @@ class Fo2DedupSpec extends SparkSpec {
     assert(on.size == 5)
   }
 
+  test("probe-measured near-unique (T, P) runs the read-only fO2 memo: " +
+      "values match the dedup path, zero insertions (no evict churn); " +
+      "forced false keeps the write-through memo") {
+    import org.apache.spark.sql.functions.{col, sum}
+    // >= MinAutoRows, all-distinct conditions, keys no other test uses:
+    // the auto probe must measure near-unique and pick NoInsertUdf
+    val df = spark.range(2048).select(
+      (col("id").cast("double") * 0.137 + 1403.77).as("T_K"),
+      (col("id").cast("double") * 31.91 + 1.23).as("P_bar"))
+    assert(Fo2Dedup.formulation(df, "T_K", "P_bar", "spec-noinsert")
+      == Fo2Dedup.NoInsertUdf)
+    def rows(d: org.apache.spark.sql.DataFrame): Seq[Double] =
+      d.orderBy("T_K").collect().map(_.getDouble(2)).toSeq
+    val (iwBefore, qfmBefore) = (IwFull.fO2CacheSize, QfmFull.fO2CacheSize)
+    val iwNo = rows(IwFull.withIw(df, "T_K", "P_bar"))
+    val qfmNo = rows(QfmFull.withQfm(df, "T_K", "P_bar"))
+    assert(IwFull.fO2CacheSize == iwBefore &&
+      QfmFull.fO2CacheSize == qfmBefore,
+      "read-only memo path inserted into the fO2 cache")
+    // the same rows through the dedup plan (solve once per condition,
+    // broadcast back): identical values — the formulation never changes
+    // results
+    spark.conf.set(Fo2Dedup.DedupKey, "true")
+    val (iwDedup, qfmDedup) =
+      try (rows(IwFull.withIw(df, "T_K", "P_bar")),
+        rows(QfmFull.withQfm(df, "T_K", "P_bar")))
+      finally spark.conf.unset(Fo2Dedup.DedupKey)
+    assert(iwNo == iwDedup && qfmNo == qfmDedup)
+    // forced false (and streaming/tiny/opaque inputs) stays write-through:
+    // repeated conditions there may well arrive, insertion is the safe
+    // default
+    spark.conf.set(Fo2Dedup.DedupKey, "false")
+    try assert(Fo2Dedup.formulation(df, "T_K", "P_bar", "spec-forced")
+      == Fo2Dedup.MemoUdf)
+    finally spark.conf.unset(Fo2Dedup.DedupKey)
+  }
+
   test("Memo partial eviction drops ~cap/8, keeps the rest, counts drops") {
     val m = new graft.functions.Memo[Int, Int](cap = 64)
     val st = graft.functions.MemoStats.attach(spark, "spec.memo")
