@@ -26,10 +26,24 @@ object Queries {
                       orderBy: Seq[String] = Seq("sample_id")): Q = {
     val st0 = f(base)
     val st = if (out.nonEmpty) st0.select(out: _*) else st0
-    Q(name,
-      (s, dir) => Pipeline.applySpark(Tables.read(s, dir, table), st.stages)
-        .orderBy(orderBy.map(org.apache.spark.sql.functions.col): _*),
-      Some(st.sql(table, orderBy)))
+    // Range-partition the RAW scan by the final sort key's source
+    // expression (guide §2.4): the compute stages run downstream of ONE
+    // exchange that the trailing orderBy reuses (alias-aware partitioning
+    // propagation), instead of a round-robin floor exchange PLUS an
+    // ensure-requirements range exchange whose bound-sampling pass
+    // re-executed all the compute. Identical rows in identical order:
+    // sample_id is a unique total key, so the range partitioning is a
+    // pure physical rearrangement under the unchanged orderBy.
+    val keyExprs = orderBy.map(c => Pipeline.sourceExpr(st.stages, c))
+    val build: (SparkSession, String) => DataFrame =
+      if (keyExprs.forall(_.isDefined))
+        (s, dir) => Pipeline.applySpark(
+          Tables.readRangedBy(s, dir, table, keyExprs.map(_.get)), st.stages)
+          .orderBy(orderBy.map(org.apache.spark.sql.functions.col): _*)
+      else
+        (s, dir) => Pipeline.applySpark(Tables.read(s, dir, table), st.stages)
+          .orderBy(orderBy.map(org.apache.spark.sql.functions.col): _*)
+    Q(name, build, Some(st.sql(table, orderBy)))
   }
 
   private def meltQ(name: String)(f: Staged => Staged): Q =
@@ -169,7 +183,14 @@ object Queries {
     val fe3fe2E: E = Fe3Fe2.sun2024(mctx, C("T_K"),
       Fo2Buffers.qfm1bar(C("T_K")), C("P_bar"))
     val mcBuild = (s: SparkSession, dir: String) => {
-      val base = Tables.meltsDF(s, dir)
+      // Ranged melts (guide §2.4): the one range exchange on sample_id
+      // satisfies the groupBy's clustered distribution AND the final
+      // orderBy, so the 8-draw explode + sun2024 expression (the query's
+      // real cost) runs once behind a single exchange — the old shape
+      // paid a round-robin floor exchange, a hash exchange for the
+      // aggregate, and a range exchange whose sampling re-executed the
+      // aggregate stage.
+      val base = Tables.meltsRangedDF(s, dir)
         .withColumn("draw", explode(array((0 until nDraws).map(i =>
           lit(i.toLong)): _*)))
       // run the perturbation + model stages through the CSE pass (as meltQ
@@ -443,7 +464,7 @@ object Queries {
         import org.apache.spark.sql.functions.{col, round => sround}
         val fO2 = Fo2Buffers.qfm1bar(C("T_K"))
         val fe3fe2 = Fe3Fe2.borisov2018(mctx, C("T_K"), fO2)
-        Tables.meltsDF(s, dir).select(col("sample_id"),
+        Tables.meltsRangedDF(s, dir).select(col("sample_id"),
           sround(Kd.blundy2020(E.toColumn(mctx.molNorm("FeO")),
             E.toColumn(mctx.molNorm("MgO")), E.toColumn(fe3fe2), col("T_K")), 6)
             .as("Kd"))
@@ -452,7 +473,7 @@ object Queries {
       // saper2022: cation-fraction interaction terms + Fo iteration.
       Q("q_kd_saper2022", (s, dir) => {
         import org.apache.spark.sql.functions.{col, round => sround}
-        Tables.meltsDF(s, dir).select(col("sample_id"),
+        Tables.meltsRangedDF(s, dir).select(col("sample_id"),
           sround(Kd.saper2022(E.toColumn(mctx.molNorm("FeO")),
             E.toColumn(mctx.molNorm("MgO")), E.toColumn(mctx.cat("Si")),
             E.toColumn(mctx.cat("Ti")),
@@ -466,7 +487,7 @@ object Queries {
       // as a recursive CTE by KdIterSql.
       Q("q_kd_toplis2005_iterative", (s, dir) => {
         import org.apache.spark.sql.functions.{col, round => sround}
-        val base = Tables.meltsDF(s, dir)
+        val base = Tables.meltsRangedDF(s, dir)
         def mp(ox: String) =
           E.toColumn(mctx.molNorm(ox)) * 100.0
         base.select(col("sample_id"),

@@ -40,7 +40,7 @@ object SolverQueries {
           .mixedSaturation(IaconoMarziano.Comp(meltEls, wt.toArray), tK)
         (p, x)
       })
-      spread(Tables.meltsDF(s, dir))
+      Tables.meltsRangedDF(s, dir)
         .withColumn("sat", sat(wtArray, col("T_K")))
         .select(col("sample_id"), round(col("sat._1"), 4).as("P_sat_bar"),
           round(col("sat._2"), 6).as("X_fluid"))
@@ -48,14 +48,14 @@ object SolverQueries {
     }, Some(SaturationSql.mixed)),
     Q("q_saturation_h2o", (s, dir) => {
       val sat = compUdf((c, t) => IaconoMarziano.h2oSaturation(c, t))
-      spread(Tables.meltsDF(s, dir))
+      Tables.meltsRangedDF(s, dir)
         .select(col("sample_id"),
           round(sat(wtArray, col("T_K")), 4).as("P_sat_bar"))
         .orderBy("sample_id")
     }, Some(SaturationSql.h2o)),
     Q("q_saturation_co2", (s, dir) => {
       val sat = compUdf((c, t) => IaconoMarziano.co2Saturation(c, t))
-      spread(Tables.meltsDF(s, dir))
+      Tables.meltsRangedDF(s, dir)
         .select(col("sample_id"),
           round(sat(wtArray, col("T_K")), 4).as("P_sat_bar"))
         .orderBy("sample_id")
@@ -70,7 +70,7 @@ object SolverQueries {
         val co = IaconoMarziano.co2Solubility(c, 0.5, p, tK)
         (h, co)
       })
-      spread(Tables.meltsDF(s, dir))
+      Tables.meltsRangedDF(s, dir)
         .withColumn("sol", sol(wtArray, col("P_bar"), col("T_K")))
         .select(col("sample_id"), round(col("sol._1"), 6).as("H2O_dissolved"),
           round(col("sol._2"), 6).as("CO2_dissolved"))
@@ -81,7 +81,7 @@ object SolverQueries {
     // (see the scale note on QfmFull). Full oracle: bisection transition
     // solve + Tait/Landau VdP replicated op-for-op by QfmSql.
     Q("q_fo2_qfm_full", (s, dir) => {
-      QfmFull.withQfm(spread(Tables.meltsDF(s, dir)), "T_K", "P_bar",
+      QfmFull.withQfm(Tables.meltsRangedDF(s, dir), "T_K", "P_bar",
           logshift = 0.0)
         .select(col("sample_id"), round(log10(col("fO2")), 6).as("log10_fO2"))
         .orderBy("sample_id")
@@ -91,7 +91,7 @@ object SolverQueries {
     // Full oracle: bisection volume/wustite solves + trapezoid VdP
     // replicated by IwSql (grids on DISTINCT P, mirroring the cache).
     Q("q_fo2_iw_full", (s, dir) => {
-      graft.functions.IwFull.withIw(spread(Tables.meltsDF(s, dir)),
+      graft.functions.IwFull.withIw(Tables.meltsRangedDF(s, dir),
           "T_K", "P_bar", logshift = 0.0, as = "fO2_iw")
         .select(col("sample_id"), round(log10(col("fO2_iw")), 6).as("log10_fO2"))
         .orderBy("sample_id")
@@ -106,7 +106,7 @@ object SolverQueries {
           .mixedSaturation(IaconoMarziano.Comp(meltEls, wt.toArray))
         (p, x)
       })
-      spread(Tables.meltsDF(s, dir))
+      Tables.meltsRangedDF(s, dir)
         .withColumn("sat", sat(wtArray))
         .select(col("sample_id"), round(col("sat._1"), 4).as("P_sat_bar"),
           round(col("sat._2"), 6).as("X_fluid"))
@@ -122,7 +122,7 @@ object SolverQueries {
           .mixedSaturation(IaconoMarziano.Comp(meltEls, wt.toArray), tK)
         (p, x)
       })
-      spread(Tables.meltsDF(s, dir))
+      Tables.meltsRangedDF(s, dir)
         .withColumn("sat", sat(wtArray, col("T_K")))
         .select(col("sample_id"), round(col("sat._1"), 4).as("P_sat_bar"),
           round(col("sat._2"), 6).as("X_fluid"))
@@ -138,7 +138,7 @@ object SolverQueries {
           IaconoMarziano.Comp(meltEls, wt.toArray).molNorm, tK, pBar, fO2))
       val fO2 = graft.expr.E.toColumn(
         graft.models.Fo2Buffers.qfm1bar(graft.expr.C("T_K")))
-      spread(Tables.meltsDF(s, dir))
+      Tables.meltsRangedDF(s, dir)
         .select(col("sample_id"),
           round(f(wtArray, col("T_K"), col("P_bar"), fO2), 6).as("Fe3Fe2"))
         .orderBy("sample_id")
@@ -149,7 +149,7 @@ object SolverQueries {
           IaconoMarziano.Comp(meltEls, wt.toArray).molNorm, tK, pBar, fO2))
       val fO2 = graft.expr.E.toColumn(
         graft.models.Fo2Buffers.qfm1bar(graft.expr.C("T_K")))
-      spread(Tables.meltsDF(s, dir))
+      Tables.meltsRangedDF(s, dir)
         .select(col("sample_id"),
           round(f(wtArray, col("T_K"), col("P_bar"), fO2), 6).as("Fe3Fe2"))
         .orderBy("sample_id")
@@ -162,7 +162,7 @@ object SolverQueries {
           IaconoMarziano.Comp(meltEls, wt.toArray).molNorm, tK, pBar, fO2))
       val fO2 = graft.expr.E.toColumn(
         graft.models.Fo2Buffers.qfm1bar(graft.expr.C("T_K")))
-      spread(Tables.meltsDF(s, dir))
+      Tables.meltsRangedDF(s, dir)
         .select(col("sample_id"),
           round(f(wtArray, col("T_K"), col("P_bar"), fO2), 6).as("Fe3Fe2"))
         .orderBy("sample_id")
@@ -173,7 +173,7 @@ object SolverQueries {
           IaconoMarziano.Comp(meltEls, wt.toArray).molNorm, tK, pBar, fO2))
       val fO2 = graft.expr.E.toColumn(
         graft.models.Fo2Buffers.qfm1bar(graft.expr.C("T_K")))
-      spread(Tables.meltsDF(s, dir))
+      Tables.meltsRangedDF(s, dir)
         .select(col("sample_id"),
           round(f(wtArray, col("T_K"), col("P_bar"), fO2), 6).as("Fe3Fe2"))
         .orderBy("sample_id")

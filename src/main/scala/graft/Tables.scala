@@ -45,6 +45,28 @@ object Tables {
     else df
   }
 
+  /** Read a driver table range-partitioned by `keys` — the sort key of the
+    * query's final `orderBy`. One exchange does double duty (guide §2.4):
+    * it is the parallelism floor (compute downstream of it runs cluster-
+    * wide) AND it already satisfies the final sort's required
+    * distribution, so the `orderBy` plans as a LOCAL sort with no second
+    * exchange. The shuffle carries only the scan's raw columns (project-
+    * before-exchange, guide §2.3), and the range-bound sampling job runs
+    * over the cheap key projection instead of re-executing the whole
+    * downstream compute — the old shape paid every solver UDF twice
+    * (once in the ensure-requirements exchange's sampling pass, once in
+    * the real pass). Partition count is max(cores, shuffle.partitions):
+    * locally both resolve to SPARK_GRAFT_CPUS; on a cluster the
+    * configured shuffle.partitions dominates — explicit N so AQE cannot
+    * coalesce the compute stage below the core count. */
+  def readRangedBy(spark: SparkSession, dir: String, table: String,
+                   keys: Seq[graft.expr.E]): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$table.parquet")
+    val n = math.max(spark.sparkContext.defaultParallelism,
+      spark.sessionState.conf.numShufflePartitions)
+    df.repartitionByRange(n, keys.map(graft.expr.E.toColumn): _*)
+  }
+
   /** events with an epoch-millisecond column. The driver's events table has
     * nanosecond timestamps, which Spark 4 only reads with
     * `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/Bench) —
@@ -73,7 +95,7 @@ object Tables {
   // different part/supp keys (different derived compositions). Encode all
   // four source keys with non-overlapping place values (partkey < 1e6,
   // suppkey < 1e5, linenumber < 10 up to sf1; max id ~1.5e18 < 2^63).
-  private val sampleId: E =
+  private[graft] val sampleId: E =
     ((C("l_orderkey") * ILit(1000000) + C("l_partkey")) * ILit(100000) +
       C("l_suppkey")) * ILit(10) + C("l_linenumber")
 
@@ -107,6 +129,18 @@ object Tables {
 
   def meltsDF(spark: SparkSession, dir: String): DataFrame =
     Pipeline.applySpark(read(spark, dir, "lineitem"), Vector(meltSource))
+
+  /** Melts range-partitioned by sample_id at the SCAN (guide §2.4): for
+    * queries whose final `orderBy("sample_id")` is the only shuffle
+    * requirement, the one explicit range exchange both spreads the
+    * downstream per-row compute (solver UDFs included) across the cluster
+    * and already satisfies the sort, so the orderBy plans as a local sort
+    * — and its range-bound sampling job reads the cheap key projection
+    * instead of re-executing the solver UDFs (the old ensure-requirements
+    * exchange paid every per-row solve twice). */
+  def meltsRangedDF(spark: SparkSession, dir: String): DataFrame =
+    Pipeline.applySpark(readRangedBy(spark, dir, "lineitem", Seq(sampleId)),
+      Vector(meltSource))
 
   // ---- olivines: one composition per orders row (join partner J1) -------
   val olivineElements: Vector[String] =

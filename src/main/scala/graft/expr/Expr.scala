@@ -320,6 +320,54 @@ object Pipeline {
       d.select(st.cols.map { case (n, e) => toColumn(e).as(n) }: _*)
     }
 
+  /** The expression that produces output column `name` of the LAST stage,
+    * composed back over the SOURCE table's columns by inlining each
+    * stage's definitions front to back. Lets a caller key a pre-compute
+    * range repartition on the final sort key (guide §2.4: two operations
+    * keyed the same way share one exchange): the repartition expression
+    * and the stage's alias then canonicalize identically, so the final
+    * `orderBy` needs no second exchange and — crucially — its range-bound
+    * sampling pass runs over the cheap key projection instead of
+    * re-executing the whole post-shuffle compute. Returns None when the
+    * column is opaque (contains [[Raw]]) — Column equality is unreliable
+    * there, so callers fall back to the plain two-exchange shape. */
+  def sourceExpr(stages: Seq[Stage], name: String): Option[E] = {
+    val env = stages.foldLeft(Map.empty[String, E]) { (m, st) =>
+      st.cols.map { case (n, e) => n -> substitute(e, m) }.toMap
+    }
+    env.get(name).filter(noRaw)
+  }
+
+  private def noRaw(e: E): Boolean = e match {
+    case _: Raw        => false
+    case Bin(_, l, r)  => noRaw(l) && noRaw(r)
+    case Fn(_, args)   => args.forall(noRaw)
+    case If(c, t, f)   => noRawCond(c) && noRaw(t) && noRaw(f)
+    case CastD(a)      => noRaw(a)
+    case _             => true
+  }
+  private def noRawCond(c: Cond): Boolean = c match {
+    case Cmp(_, l, r)   => noRaw(l) && noRaw(r)
+    case AndOr(_, l, r) => noRawCond(l) && noRawCond(r)
+    case NotC(x)        => noRawCond(x)
+  }
+
+  private def substitute(e: E, env: Map[String, E]): E = e match {
+    case C(n)          => env.getOrElse(n, C(n))
+    case Bin(op, l, r) => Bin(op, substitute(l, env), substitute(r, env))
+    case Fn(f, args)   => Fn(f, args.map(substitute(_, env)))
+    case If(c, t, f)   => If(substituteCond(c, env), substitute(t, env),
+      substitute(f, env))
+    case CastD(a)      => CastD(substitute(a, env))
+    case other         => other
+  }
+  private def substituteCond(c: Cond, env: Map[String, E]): Cond = c match {
+    case Cmp(op, l, r)   => Cmp(op, substitute(l, env), substitute(r, env))
+    case AndOr(op, l, r) => AndOr(op, substituteCond(l, env),
+      substituteCond(r, env))
+    case NotC(x)         => NotC(substituteCond(x, env))
+  }
+
   /** Render stages as `WITH s0 AS (SELECT ... FROM <source>), s1 AS ...`
     * and a final SELECT with optional ORDER BY. `source` may itself be a
     * subquery: `(SELECT ... FROM lineitem)`. */
