@@ -85,11 +85,26 @@ object ExtQueries {
       s"s2 AS (SELECT \"doc_id\", CAST($sigBits AS BIGINT) AS sig FROM v)"
   }
 
+  /** Documents range-partitioned by doc_id at the scan (guide §2.4): for
+    * the narrow per-row queries ending in `orderBy("doc_id")`, the one
+    * explicit range exchange replaces the round-robin parallelism floor
+    * AND satisfies the final sort, so the per-row compute (BPE string
+    * passes, hash chains, byte parsers) runs once behind a single
+    * exchange instead of twice (the old ensure-requirements sort
+    * exchange re-executed it in its range-bound sampling pass). */
+  private def docsRanged(s: SparkSession, dir: String): DataFrame =
+    Tables.readRangedBy(s, dir, "documents", Seq(C("doc_id")))
+
+  /** Embeddings range-partitioned by vec_id — same shape as
+    * [[docsRanged]] for the per-vector projection queries. */
+  private def embRanged(s: SparkSession, dir: String): DataFrame =
+    Tables.readRangedBy(s, dir, "embeddings", Seq(C("vec_id")))
+
   /** Per-document scalar pipeline: one projection stage over `documents`. */
   private def docQ(name: String, cols: (String, E)*): Q = {
     val stages = Vector(Stage(Seq[(String, E)]("doc_id" -> C("doc_id")) ++ cols))
     Q(name,
-      (s, dir) => Pipeline.applySpark(Tables.read(s, dir, "documents"), stages)
+      (s, dir) => Pipeline.applySpark(docsRanged(s, dir), stages)
         .orderBy("doc_id"),
       Some(Pipeline.toSql("documents", stages, Seq("doc_id"))))
   }
@@ -137,7 +152,7 @@ object ExtQueries {
     // Full signature + band-key dump: 16 family minima and 4 LSH bucket
     // keys per doc, every value hash-checked against the DuckDB rendering.
     Q("q_dedup_minhash_sig", (s, dir) => {
-      val lsh = Dedup.minhashLsh(Tables.read(s, dir, "documents"))
+      val lsh = Dedup.minhashLsh(docsRanged(s, dir))
       val cols = col("doc_id") +:
         ((0 until 16).map(i => col("sig").getItem(i).as(s"sig$i")) ++
           (0 until 4).map(b => col("bands").getItem(b).as(s"band$b")))
@@ -157,7 +172,7 @@ object ExtQueries {
       Some(s"WITH $tokCte, $shCte, ${sigCte(16)}, ${bkCte(16, 2)}, $candCte " +
         "SELECT doc_a AS \"doc_a\", doc_b AS \"doc_b\" FROM cand ORDER BY 1, 2")),
     Q("q_dedup_simhash", (s, dir) =>
-      Tables.read(s, dir, "documents")
+      docsRanged(s, dir)
         .select(col("doc_id"), Dedup.simhash(split(col("text"), " ")).as("simhash"))
         .orderBy("doc_id"),
       Some(s"WITH $simhashCtes " +
@@ -483,7 +498,7 @@ object ExtQueries {
              | SELECT qid AS "qid", nid AS "nid", sim AS "sim" FROM r WHERE rk <= 5
              | ORDER BY qid, nid""".stripMargin.replace("\n", " "))),
     Q("q_knn_lsh", (s, dir) =>
-      Similarity.lshTopK(Tables.read(s, dir, "embeddings"), 5).orderBy("qid", "nid"),
+      Similarity.lshTopK(Tables.read(s, dir, "embeddings", parallelismFloor = false), 5).orderBy("qid", "nid"),
       Some("""WITH e AS (SELECT "vec_id", CAST("embedding" AS DOUBLE[]) AS v FROM embeddings),
              | n AS (SELECT "vec_id", v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
              | b AS (SELECT "vec_id", v, nrm, BUCKET AS bucket FROM n),
@@ -500,7 +515,7 @@ object ExtQueries {
     // sampling, cell assignment and ranking are all dual-compilable, so
     // the whole pipeline is hash-checked.
     Q("q_knn_ivf", (s, dir) =>
-      Similarity.ivfTopK(Tables.read(s, dir, "embeddings"), 5)
+      Similarity.ivfTopK(Tables.read(s, dir, "embeddings", parallelismFloor = false), 5)
         .orderBy("qid", "nid"),
       Some("""WITH e AS (SELECT "vec_id", CAST("embedding" AS DOUBLE[]) AS v FROM embeddings),
              | n AS (SELECT "vec_id", v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
@@ -527,7 +542,7 @@ object ExtQueries {
     // FALSE negatives. Same IVF probed-cell candidate topology (and the
     // same oracle CTEs) as q_knn_ivf with a band filter before the rank.
     Q("q_hard_negatives", (s, dir) =>
-      Similarity.hardNegatives(Tables.read(s, dir, "embeddings"), k = 3,
+      Similarity.hardNegatives(Tables.read(s, dir, "embeddings", parallelismFloor = false), k = 3,
           lo = 0.3, hi = 0.9)
         .orderBy("qid", "nid"),
       Some("""WITH e AS (SELECT "vec_id", CAST("embedding" AS DOUBLE[]) AS v FROM embeddings),
@@ -559,7 +574,7 @@ object ExtQueries {
     // the driver's comparer can sort/hash the column (raw array<int>
     // cells are unhashable in its pandas sort).
     Q("q_embed_quantize", (s, dir) =>
-      graft.ext.Quantize.int8(Tables.read(s, dir, "embeddings"))
+      graft.ext.Quantize.int8(embRanged(s, dir))
         .select(col("vec_id"),
           org.apache.spark.sql.functions.round(col("scale"), 6).as("scale"),
           concat_ws(",", transform(col("codes"), _.cast("string")))
@@ -576,7 +591,7 @@ object ExtQueries {
     // SemDedupPackSpec's ANN family law.
     Q("q_knn_int8", (s, dir) =>
       Similarity.ivfTopK(
-        graft.ext.Quantize.reconEmbeddings(Tables.read(s, dir, "embeddings")), 5)
+        graft.ext.Quantize.reconEmbeddings(Tables.read(s, dir, "embeddings", parallelismFloor = false)), 5)
         .orderBy("qid", "nid"),
       Some(("WITH " + graft.ext.Quantize.reconOracleCte +
         """, n AS (SELECT "vec_id", v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
@@ -606,7 +621,7 @@ object ExtQueries {
     // per-row projection + one label-scale aggregation.
     Q("q_quant_residuals", (s, dir) => {
       val F = org.apache.spark.sql.functions
-      val emb = Tables.read(s, dir, "embeddings")
+      val emb = Tables.read(s, dir, "embeddings", parallelismFloor = false)
       graft.ext.Quantize.int8(emb)
         .join(emb.select(col("vec_id"),
           col("label").cast("long").as("label")), "vec_id")
@@ -652,7 +667,7 @@ object ExtQueries {
     // hash-matches; the recall >= plain-int8 law is in SemDedupPackSpec.
     Q("q_knn_residual", (s, dir) =>
       graft.ext.Quantize.residualRefinedTopK(
-        Tables.read(s, dir, "embeddings"), k = 5, shortlist = 10,
+        Tables.read(s, dir, "embeddings", parallelismFloor = false), k = 5, shortlist = 10,
         qerrBudget = 4.0e-5)
         .orderBy("qid", "nid"),
       Some(("WITH " + graft.ext.Quantize.reconOracleCte +
@@ -700,9 +715,9 @@ object ExtQueries {
     // Codes AND the total reconstruction error hash-match the oracle's two
     // unrolled per-subspace fits.
     Q("q_pq_codes", (s, dir) => {
-      val emb = Tables.read(s, dir, "embeddings")
+      val emb = Tables.read(s, dir, "embeddings", parallelismFloor = false)
       val cb = graft.ext.Pq.train(emb, m = 2, k = 4, iters = 2, dim = 64)
-      graft.ext.Pq.encode(emb, cb)
+      graft.ext.Pq.encode(embRanged(s, dir), cb)
         .select(col("vec_id"), col("code_0"), col("code_1"),
           org.apache.spark.sql.functions.round(col("qerr"), 6).as("qerr"))
         .orderBy("vec_id")
@@ -713,7 +728,7 @@ object ExtQueries {
     // codes. Every distance hash-matches (not just a recall bound);
     // recall-vs-exact is gated in SemDedupPackSpec's ANN family law.
     Q("q_knn_pq", (s, dir) => {
-      val emb = Tables.read(s, dir, "embeddings")
+      val emb = Tables.read(s, dir, "embeddings", parallelismFloor = false)
       val cb = graft.ext.Pq.train(emb, m = 2, k = 4, iters = 2, dim = 64)
       graft.ext.Pq.adcTopK(emb, cb, k = 5).orderBy("qid", "nid")
     }, Some(graft.ext.Pq.adcOracleSql(m = 2, k = 4, iters = 2, dim = 64,
@@ -738,7 +753,7 @@ object ExtQueries {
     // way (parquet doubles round-trip exactly; PqSpec pins the
     // write→read→search round trip), so the oracle is unchanged.
     Q("q_knn_ivfpq", (s, dir) => {
-      val emb = Tables.read(s, dir, "embeddings")
+      val emb = Tables.read(s, dir, "embeddings", parallelismFloor = false)
       val idx = graft.ext.Pq.persistedIndex(emb, key = s"$dir/embeddings",
         coarseK = 64, coarseIters = 2, m = 2, pqK = 4, pqIters = 2, dim = 64)
       graft.ext.Pq.searchIndex(emb, idx, nprobe = 2, topK = 5)
@@ -792,7 +807,7 @@ object ExtQueries {
         .replace("\n", " ").replace("BUCKET", lshBucketSql(8, 42L, 64)))),
     // ---- event-stream batch equivalents ---------------------------------
     Q("q_events_hourly",
-      (s, dir) => Tables.eventsWithMs(s, dir)
+      (s, dir) => Tables.eventsWithMs(s, dir, parallelismFloor = false)
         .groupBy(expr("ms div 3600000").as("hour_bucket"), col("event_type"))
         .agg(count("*").as("n"), min("value").as("min_value"),
           max("value").as("max_value"))
@@ -804,7 +819,7 @@ object ExtQueries {
         .replace("\n", " "))),
     Q("q_events_sessionize",
       (s, dir) => {
-        val ems = Tables.eventsWithMs(s, dir)
+        val ems = Tables.eventsWithMs(s, dir, parallelismFloor = false)
           .select(col("user_id"), col("event_id"), col("ms"))
         val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
         ems.withColumn("new_session",
@@ -824,7 +839,7 @@ object ExtQueries {
              | FROM s GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "))),
     // ---- scan/agg efficiency showcase -----------------------------------
     Q("q_agg_lineitem",
-      (s, dir) => Tables.read(s, dir, "lineitem")
+      (s, dir) => Tables.read(s, dir, "lineitem", parallelismFloor = false)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(sum("l_quantity").as("sum_qty"), count("*").as("n"),
           countDistinct("l_partkey").as("n_parts"))
@@ -839,7 +854,7 @@ object ExtQueries {
     Q("q_region_rollup",
       (s, dir) => {
         import org.apache.spark.sql.functions.broadcast
-        val li = Tables.read(s, dir, "lineitem")
+        val li = Tables.read(s, dir, "lineitem", parallelismFloor = false)
           .select(col("l_suppkey"), col("l_quantity"))
         val sup = broadcast(Tables.read(s, dir, "supplier")
           .select(col("s_suppkey"), col("s_nationkey")))
@@ -895,7 +910,7 @@ object ExtQueries {
     // Domain mixing: per-source keep rates with a deterministic hash draw —
     // reproducible sampling (same rows on any cluster/partitioning/rerun).
     Q("q_domain_mix", (s, dir) =>
-      PipelineOps.weightedSample(Tables.read(s, dir, "documents"),
+      PipelineOps.weightedSample(docsRanged(s, dir),
           Map("src0" -> 0.9, "src1" -> 0.7, "src2" -> 0.5, "src3" -> 0.3),
           default = 0.15)
         .select(col("doc_id"), col("source"),
@@ -929,7 +944,7 @@ object ExtQueries {
     // keep the whole stage shuffle-free and codegen'd.
     Q("q_repetition_filter", (s, dir) => {
       val toks = split(col("text"), " ")
-      Tables.read(s, dir, "documents").select(col("doc_id"),
+      docsRanged(s, dir).select(col("doc_id"),
           PipelineOps.topWordFrac(toks).as("top_word_frac"),
           PipelineOps.dupBigramFrac(toks).as("dup_bigram_frac"))
         .withColumn("flagged",
@@ -1158,7 +1173,7 @@ object ExtQueries {
     // and centroid mean exact, so the oracle reproduces the fit
     // bit-for-bit (see KMeansDet scaladoc for why this matters at scale).
     Q("q_kmeans_embed", (s, dir) =>
-      KMeansDet.fit(Tables.read(s, dir, "embeddings"), k = 4, iters = 2)
+      KMeansDet.fit(embRanged(s, dir), k = 4, iters = 2)
         .orderBy("vec_id"),
       Some(KMeansDet.oracleSql(k = 4, iters = 2, dim = 64))),
     // SemDeDup (arXiv:2303.09540): k-means blocks the all-pairs cosine;
@@ -1167,7 +1182,7 @@ object ExtQueries {
     // blocks instead of n² — the semantic sibling of the LSH path. The
     // full fit + pairing is hash-matched (quantized exact arithmetic).
     Q("q_semdedup", (s, dir) =>
-      SemDedup.pairs(Tables.read(s, dir, "embeddings"),
+      SemDedup.pairs(Tables.read(s, dir, "embeddings", parallelismFloor = false),
           k = 4, iters = 2, threshold = 0.35)
         .orderBy("keep_id", "drop_id"),
       Some(SemDedup.pairsOracleSql(k = 4, iters = 2, dim = 64,
@@ -1231,7 +1246,7 @@ object ExtQueries {
     // 48 (16-token overlap), last window shortened to the doc end. Pure
     // per-row explode — no shuffle; chunk text compared byte-for-byte.
     Q("q_chunk_overlap", (s, dir) =>
-      PipelineOps.chunkOverlap(Tables.read(s, dir, "documents"),
+      PipelineOps.chunkOverlap(docsRanged(s, dir),
           chunkSize = 64, stride = 48)
         .orderBy("doc_id", "chunk_id"),
       Some(PipelineOps.chunkOverlapOracleSql(chunkSize = 64, stride = 48))),
@@ -1258,7 +1273,7 @@ object ExtQueries {
     // query-scale. Dyadic lambda=0.5 keeps MMR scores exact multiples
     // of 5e-7, so the greedy argmax ties identically on both engines.
     Q("q_mmr_rerank", (s, dir) =>
-      graft.ext.Mmr.rerank(Tables.read(s, dir, "embeddings"),
+      graft.ext.Mmr.rerank(Tables.read(s, dir, "embeddings", parallelismFloor = false),
           col("vec_id") % 100 === 7, poolK = 10, selectK = 3)
         .orderBy("qid", "rk"),
       Some(graft.ext.Mmr.rerankOracleSql("(\"vec_id\" % 100) = 7",
@@ -1482,7 +1497,7 @@ object ExtQueries {
     // decode stub). Java regex and DuckDB RE2 agree on these patterns;
     // redacted text is compared by md5.
     Q("q_scrub_pii", (s, dir) => {
-      val injected = Tables.read(s, dir, "documents").select(col("doc_id"),
+      val injected = docsRanged(s, dir).select(col("doc_id"),
         concat(col("text"), lit(" contact "), col("doc_id").cast("string"),
           lit("@ex.com at 10.0."), (col("doc_id") % 250 + 1).cast("string"),
           lit(".7 or +1 555 010 "),
@@ -1526,14 +1541,14 @@ object ExtQueries {
     // text never shuffles. The full rewrite (counts + cleaned text) is
     // hash-matched against the join-based DuckDB rebuild.
     Q("q_segment_dedup", (s, dir) =>
-      PipelineOps.segmentDedup(Tables.read(s, dir, "documents"),
+      PipelineOps.segmentDedup(docsRanged(s, dir),
           segLen = 3, minDocs = 2)
         .orderBy("doc_id"),
       Some(PipelineOps.segmentDedupOracleSql(segLen = 3, minDocs = 2))),
     // Deterministic train/val/test split by doc-id hash: stable under
     // re-runs, re-partitioning and corpus growth. Shuffle-free.
     Q("q_split_assign", (s, dir) =>
-      PipelineOps.splitAssign(Tables.read(s, dir, "documents"))
+      PipelineOps.splitAssign(docsRanged(s, dir))
         .orderBy("doc_id"),
       Some(PipelineOps.splitAssignOracleSql(0.9, 0.05, ":split"))),
     // k-fold cross-validation assignment: fold = floor(u * k) over the
@@ -1544,7 +1559,7 @@ object ExtQueries {
     Q("q_kfold_assign", (s, dir) => {
       val F = org.apache.spark.sql.functions
       val u = PipelineOps.hashUniform(col("doc_id"), ":kfold")
-      Tables.read(s, dir, "documents")
+      docsRanged(s, dir)
         .select(col("doc_id"),
           F.floor(u * lit(5.0)).cast("long").as("fold"),
           F.round(u, 6).as("u"))
@@ -1881,7 +1896,7 @@ object ExtQueries {
     // positions from the same base60 arithmetic, so even the false
     // positives are identical — the flag column hash-matches exactly.
     Q("q_bloom_decontaminate", (s, dir) =>
-      Bloom.decontaminate(Tables.read(s, dir, "documents"),
+      Bloom.decontaminate(docsRanged(s, dir),
           col("doc_id") % 50 === 0)
         .orderBy("doc_id"),
       Some(s"WITH $tokCte, $shCte" +
@@ -2331,7 +2346,7 @@ object ExtQueries {
           k = 10)
         .select(col("query_id"), col("doc_id"), col("rk"))
       val den = graft.ext.Hybrid.denseRanking(
-        Tables.read(s, dir, "embeddings"), Bm25Queries.map(_._1), k = 10)
+        Tables.read(s, dir, "embeddings", parallelismFloor = false), Bm25Queries.map(_._1), k = 10)
       graft.ext.Hybrid.rrfFuse(Seq(lex, den), topK = 5)
         .orderBy("query_id", "rk")
     }, Some(graft.ext.Hybrid.rrfOracleSql(
@@ -2342,7 +2357,7 @@ object ExtQueries {
     // length-difference counts: a per-row closed form (no explode, no
     // (doc, char) shuffle), staged so each letter count is computed once.
     Q("q_char_entropy", (s, dir) =>
-      Pipeline.applySpark(Tables.read(s, dir, "documents"), charEntropyStages)
+      Pipeline.applySpark(docsRanged(s, dir), charEntropyStages)
         .orderBy("doc_id"),
       Some(Pipeline.toSql("documents", charEntropyStages, Seq("doc_id")))),
     // ---- tokenizer-vocabulary coverage -----------------------------------
@@ -2370,7 +2385,7 @@ object ExtQueries {
     // user_id once; every chained step joins user-keyed aggregates that
     // REUSE that partitioning.
     Q("q_event_funnel", (s, dir) =>
-      graft.ext.EventAnalytics.funnel(Tables.eventsWithMs(s, dir),
+      graft.ext.EventAnalytics.funnel(Tables.eventsWithMs(s, dir, parallelismFloor = false),
         FunnelSteps, windowMs = 3600000L),
       Some(graft.ext.EventAnalytics.funnelOracleSql("events", FunnelSteps,
         windowMs = 3600000L))),
@@ -2378,14 +2393,14 @@ object ExtQueries {
     // Users cohorted by first-event UTC day; (cohort, offset) distinct
     // active-user counts. Exact integer day bucketing (div / //).
     Q("q_retention_cohorts", (s, dir) =>
-      graft.ext.EventAnalytics.retentionCohorts(Tables.eventsWithMs(s, dir)),
+      graft.ext.EventAnalytics.retentionCohorts(Tables.eventsWithMs(s, dir, parallelismFloor = false)),
       Some(graft.ext.EventAnalytics.retentionCohortsOracleSql("events"))),
     // ---- marketing attribution -------------------------------------------
     // First/last-touch credit per conversion via two RANGE-framed packed
     // long min/max windows on ONE user_id exchange — no conversion-touch
     // self-join (the textbook form shuffles events twice).
     Q("q_attribution", (s, dir) =>
-      graft.ext.EventAnalytics.attribution(Tables.eventsWithMs(s, dir),
+      graft.ext.EventAnalytics.attribution(Tables.eventsWithMs(s, dir, parallelismFloor = false),
           touchTypes = Seq("view", "click", "signup"))
         .orderBy("event_id"),
       Some(graft.ext.EventAnalytics.attributionOracleSql("events",
@@ -2396,13 +2411,13 @@ object ExtQueries {
     // (the ONLY corpus-scale agg), then a x7 explode over day-deduped
     // rows, never raw events.
     Q("q_active_users", (s, dir) =>
-      graft.ext.EventAnalytics.activeUsers(Tables.eventsWithMs(s, dir)),
+      graft.ext.EventAnalytics.activeUsers(Tables.eventsWithMs(s, dir, parallelismFloor = false)),
       Some(graft.ext.EventAnalytics.activeUsersOracleSql("events"))),
     // ---- per-session rollup ----------------------------------------------
     // Session granularity (q_events_sessionize is per-user counts): one
     // user-keyed shuffle carries the island window AND the rollup.
     Q("q_session_stats", (s, dir) =>
-      graft.ext.EventAnalytics.sessionStats(Tables.eventsWithMs(s, dir)),
+      graft.ext.EventAnalytics.sessionStats(Tables.eventsWithMs(s, dir, parallelismFloor = false)),
       Some(graft.ext.EventAnalytics.sessionStatsOracleSql("events"))),
     // ---- multi-dimensional aggregate (ROLLUP) ----------------------------
     // The OLAP subtotal lattice in ONE pass: Spark expands rollup into
@@ -2411,7 +2426,7 @@ object ExtQueries {
     // Null ordering pinned explicitly (Spark NULLS FIRST vs DuckDB's
     // NULLS LAST default).
     Q("q_events_rollup", (s, dir) =>
-      Tables.eventsWithMs(s, dir)
+      Tables.eventsWithMs(s, dir, parallelismFloor = false)
         .select(col("event_type"), expr("ms div 86400000").as("day"),
           col("value"))
         .rollup("event_type", "day")
@@ -2436,9 +2451,9 @@ object ExtQueries {
     // id%7, revise id%11, add negative-id id%13 rows) so both engines
     // diff identical inputs.
     Q("q_table_diff", (s, dir) => {
-      val a = Tables.read(s, dir, "documents")
+      val a = Tables.read(s, dir, "documents", parallelismFloor = false)
         .select(col("doc_id"), md5(col("text")).as("fp"))
-      val base = Tables.read(s, dir, "documents")
+      val base = Tables.read(s, dir, "documents", parallelismFloor = false)
       val b = base.filter(col("doc_id") % 7 =!= 0)
         .select(col("doc_id"),
           md5(org.apache.spark.sql.functions.when(col("doc_id") % 11 === 0,
@@ -2486,7 +2501,7 @@ object ExtQueries {
     // re-scan; the oracle's UNION ALL arms are SQL's spelling of the
     // same emission).
     Q("q_scd2_merge", (s, dir) => {
-      val orders = Tables.read(s, dir, "orders")
+      val orders = Tables.read(s, dir, "orders", parallelismFloor = false)
       val base = orders.filter(col("o_orderkey") % 7 =!= 0)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       val next = orders.filter(col("o_orderkey") % 11 =!= 0)
@@ -2535,7 +2550,7 @@ object ExtQueries {
     // engine-portable by construction. Daily event-type count matrix.
     Q("q_events_pivot", (s, dir) => {
       val types = Seq("click", "error", "purchase", "signup", "view")
-      Tables.eventsWithMs(s, dir)
+      Tables.eventsWithMs(s, dir, parallelismFloor = false)
         .select(expr("ms div 86400000").as("day"), col("event_type"))
         .groupBy("day")
         .pivot("event_type", types)
@@ -2558,7 +2573,7 @@ object ExtQueries {
     // The gap is attributed to the LATER event's type.
     Q("q_interarrival", (s, dir) => {
       val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
-      Tables.eventsWithMs(s, dir)
+      Tables.eventsWithMs(s, dir, parallelismFloor = false)
         .select(col("user_id"), col("event_id"), col("ms"), col("event_type"))
         .withColumn("gap", col("ms") - lag(col("ms"), 1).over(w))
         .filter(col("gap").isNotNull)
@@ -2587,7 +2602,7 @@ object ExtQueries {
       val measures = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val stackExpr = s"stack(${measures.size}, " + measures.map(m =>
         s"'$m', CAST($m AS DOUBLE)").mkString(", ") + ") AS (measure, value)"
-      Tables.read(s, dir, "lineitem")
+      Tables.read(s, dir, "lineitem", parallelismFloor = false)
         .select(measures.map(col): _*)
         .selectExpr(stackExpr)
         .groupBy("measure")
@@ -2617,7 +2632,7 @@ object ExtQueries {
     // explode UDF). Oracle mirrors the assignment arithmetically: window
     // starts are the two slide-aligned offsets covering the event.
     Q("q_sliding_hourly", (s, dir) =>
-      Tables.eventsWithMs(s, dir)
+      Tables.eventsWithMs(s, dir, parallelismFloor = false)
         .select(timestamp_millis(col("ms")).as("t"), col("event_type"),
           col("value"))
         .groupBy(window(col("t"), "1 hour", "30 minutes"), col("event_type"))
@@ -3058,7 +3073,7 @@ object ExtQueries {
     Q("q_centroid_drift", (s, dir) => {
       val F = org.apache.spark.sql.functions
       val dim = Tables.EmbeddingDim
-      val e = Tables.read(s, dir, "embeddings")
+      val e = Tables.read(s, dir, "embeddings", parallelismFloor = false)
         .select(col("label").cast("long").as("label"),
           expr("vec_id % 2").cast("long").as("slice"),
           col("embedding").cast("array<double>").as("v"))
@@ -3108,7 +3123,7 @@ object ExtQueries {
       // The only row expansion sits ABOVE the aggregate, fanning the
       // label-cardinality result out to its (label, pos) output rows.
       val dim = Tables.EmbeddingDim
-      val e = Tables.read(s, dir, "embeddings")
+      val e = Tables.read(s, dir, "embeddings", parallelismFloor = false)
         .select(col("label").cast("long").as("label"),
           col("embedding").cast("array<double>").as("v"))
       val sums = (0 until dim).map(i => sum(col("v")(i)).as(s"s_$i"))

@@ -400,7 +400,7 @@ object Queries {
          | ORDER BY "sample_id"""".stripMargin.replace("\n", " ")
     Q("q_calibration_filter", (s, dir) => {
       import org.apache.spark.sql.functions.col
-      Tables.read(s, dir, "customer")
+      Tables.readRangedBy(s, dir, "customer", Seq(C("c_custkey")))
         .select(col("c_custkey").as("sample_id"),
           E.toColumn(refExpr).as("ref"))
         .filter(col("ref").isin(datasets: _*))
@@ -552,8 +552,17 @@ object Queries {
          | ORDER BY "sample_id"""".stripMargin.replace("\n", " ")
     Q("q_thermo_olmelt_putirka2007_4", (s, dir) => {
       import org.apache.spark.sql.functions.col
-      val m = Pipeline.applySpark(Tables.read(s, dir, "lineitem"), meltSide.stages)
-      val o = Pipeline.applySpark(Tables.read(s, dir, "orders"), olSide.stages)
+      // Melt (stream) side range-partitioned by the final sort key: the
+      // broadcast join preserves it, so the trailing orderBy is a local
+      // sort and its sampling pass stops re-executing the join + T
+      // expression (guide §2.4). The olivine side feeds a broadcast
+      // build — no parallelism floor needed before a driver collect.
+      val m = Pipeline.applySpark(
+        Tables.readRangedBy(s, dir, "lineitem", Seq(Tables.sampleId)),
+        meltSide.stages)
+      val o = Pipeline.applySpark(
+        Tables.read(s, dir, "orders", parallelismFloor = false),
+        olSide.stages)
         .withColumnRenamed("sample_id", "ol_sample_id")
       m.join(o, m("order_id") === o("ol_sample_id"))
         .select(col("sample_id"), E.toColumn(tExpr).as("T_K_calc"))
@@ -623,8 +632,14 @@ object Queries {
          | ORDER BY "sample_id"""".stripMargin.replace("\n", " ")
     Q("q_kd_observed_join", (s, dir) => {
       import org.apache.spark.sql.functions.col
-      val m = Pipeline.applySpark(Tables.read(s, dir, "lineitem"), meltSide.stages)
-      val o = Pipeline.applySpark(Tables.read(s, dir, "orders"), olSide.stages)
+      // Same shape as q_thermo_olmelt: ranged stream side, floor-free
+      // broadcast side (guide §2.4).
+      val m = Pipeline.applySpark(
+        Tables.readRangedBy(s, dir, "lineitem", Seq(Tables.sampleId)),
+        meltSide.stages)
+      val o = Pipeline.applySpark(
+        Tables.read(s, dir, "orders", parallelismFloor = false),
+        olSide.stages)
         .withColumnRenamed("sample_id", "ol_sample_id")
       m.join(o, m("order_id") === o("ol_sample_id"))
         .select(col("sample_id"), E.toColumn(kdExpr).as("Kd_observed"))

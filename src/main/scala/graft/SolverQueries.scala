@@ -187,7 +187,8 @@ object SolverQueries {
     // whole encode -> parse round trip; independent hand-built byte
     // fixtures live in ExtOpsSpec ("container header parser").
     Q("q_multimodal_decode", (s, dir) => {
-      val docs = Tables.read(s, dir, "documents")
+      val docs = Tables.readRangedBy(s, dir, "documents",
+          Seq(graft.expr.C("doc_id")))
         .select(col("doc_id"), col("text"))
       graft.ext.Multimodal.decodeFeatures(
           graft.ext.Multimodal.synthesizedPayloads(docs))
@@ -211,7 +212,8 @@ object SolverQueries {
     // ascii(substr(text, j, 1)) equals byte j and list_reduce keeps the
     // sum in the Scala loop's order). Format-agnostic half of the decode.
     Q("q_multimodal_feature", (s, dir) => {
-      val docs = Tables.read(s, dir, "documents")
+      val docs = Tables.readRangedBy(s, dir, "documents",
+          Seq(graft.expr.C("doc_id")))
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
       graft.ext.Multimodal.decodeFeatures(docs)
         .select(col("doc_id"), col("payload_bytes"),
@@ -227,7 +229,8 @@ object SolverQueries {
              |   round((acc / greatest(1, ((n + 7) // 8))), 6) AS "f0"
              | FROM f ORDER BY "doc_id"""".stripMargin.replace("\n", " "))),
     Q("q_multimodal_resize_plan", (s, dir) => {
-      val docs = Tables.read(s, dir, "documents")
+      val docs = Tables.readRangedBy(s, dir, "documents",
+          Seq(graft.expr.C("doc_id")))
         .select(col("doc_id"), col("text"))
       graft.ext.Multimodal.resizePlan(
           graft.ext.Multimodal.decodeFeatures(
@@ -253,7 +256,8 @@ object SolverQueries {
     // encode -> parse round trip. Hand-built byte fixtures (truncation,
     // bad magic, extra chunks, version-1 mvhd) live in MultimodalSpec.
     Q("q_multimodal_av", (s, dir) => {
-      val docs = Tables.read(s, dir, "documents")
+      val docs = Tables.readRangedBy(s, dir, "documents",
+          Seq(graft.expr.C("doc_id")))
         .select(col("doc_id"), col("text"))
       graft.ext.Multimodal.decodeMedia(
           graft.ext.Multimodal.synthesizedAvPayloads(docs))
@@ -293,7 +297,8 @@ object SolverQueries {
     // every 2nd frame): the video half of the multimodal plumbing made
     // real — frame counts come from mvhd, not a constant.
     Q("q_multimodal_av_frames", (s, dir) => {
-      val docs = Tables.read(s, dir, "documents")
+      val docs = Tables.readRangedBy(s, dir, "documents",
+          Seq(graft.expr.C("doc_id")))
         .select(col("doc_id"), col("text"))
       val media = graft.ext.Multimodal.decodeMedia(
         graft.ext.Multimodal.synthesizedAvPayloads(docs))
@@ -316,7 +321,8 @@ object SolverQueries {
     // Frame-sampling plan for video-like payloads: every 3rd frame of 10
     // as (doc_id, frame_idx) work units — lateral explode, no shuffle.
     Q("q_multimodal_frames", (s, dir) => {
-      val docs = Tables.read(s, dir, "documents")
+      val docs = Tables.readRangedBy(s, dir, "documents",
+          Seq(graft.expr.C("doc_id")))
         .select(col("doc_id"), col("text"))
       graft.ext.Multimodal.frameSamplePlan(
           graft.ext.Multimodal.decodeFeatures(
@@ -346,7 +352,7 @@ object SolverQueries {
     // Full oracle: the same solubility fixed point keyed per grid cell
     // (IsobarSql).
     Q("q_isobars", (s, dir) => {
-      val comps = Tables.meltsDF(s, dir).filter(col("sample_id") % 997 === 3)
+      val comps = Tables.meltsRangedDF(s, dir).filter(col("sample_id") % 997 === 3)
       val pGrid = explode(array((1 to 5).map(i => lit(i * 1000.0)): _*)).as("P_grid")
       val xGrid = explode(array((0 to 4).map(i => lit(i * 0.25)): _*)).as("x_fluid")
       val sol = udf((wt: Seq[Double], p: Double, tK: Double, xfl: Double) => {
