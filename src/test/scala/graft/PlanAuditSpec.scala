@@ -147,21 +147,23 @@ class PlanAuditSpec extends SparkSpec {
     * shuffle that sf0.1 absorbs but 100 TB would not. Counts are of the
     * INITIAL plan (AQE may later elide some at runtime — the budget is the
     * worst case actually shipped to the scheduler). */
-  // Every registry query pays +1 for its final deterministic orderBy
-  // (rangepartitioning); solver queries pay +1 more for the deliberate
-  // round-robin scan repartition that spreads per-row solves past the
-  // parquet row-group parallelism floor (README "hot-loop discipline").
+  // r15: most narrow per-row queries now pay exactly ONE exchange — the
+  // explicit range repartition on the final sort key at the scan, which
+  // doubles as the parallelism floor AND satisfies the trailing orderBy
+  // (alias-aware partitioning propagation), so the old "+1 orderBy, +1
+  // round-robin floor" accounting no longer applies; budgets below are
+  // re-pinned at the measured r15 counts.
   private val exchangeBudgets = Map(
-    "q_monte_carlo_fe3fe2" -> 3, // repartition + 16-draw agg + orderBy
-    "q_saturation_allison" -> 2, // repartition + orderBy; the solve is narrow
-    "q_fe3fe2_deng2020"    -> 2, // repartition + orderBy (memo cache, no distinct+broadcast)
-    "q_fo2_iw_full"        -> 2,
-    "q_fo2_qfm_full"       -> 2,
-    "q_ep3_chain"          -> 2, // thermo->fO2->Fe3Fe2->density fused into ONE narrow stage
-    "q_saturation_mixed"   -> 2,
+    "q_monte_carlo_fe3fe2" -> 1, // repartition + 16-draw agg + orderBy
+    "q_saturation_allison" -> 1, // repartition + orderBy; the solve is narrow
+    "q_fe3fe2_deng2020"    -> 1, // repartition + orderBy (memo cache, no distinct+broadcast)
+    "q_fo2_iw_full"        -> 1,
+    "q_fo2_qfm_full"       -> 1,
+    "q_ep3_chain"          -> 1, // thermo->fO2->Fe3Fe2->density fused into ONE narrow stage
+    "q_saturation_mixed"   -> 1,
     "q_pipeline_clean"     -> 3, // quality chain narrow + the one dedup agg + orderBy
     "q_dedup_clusters"     -> 1, // per-round localCheckpoint cuts lineage: only the orderBy remains
-    "q_semdedup"           -> 5, // kmeans assign + capped pairing + orderBy
+    "q_semdedup"           -> 3, // kmeans assign + capped pairing + orderBy
     "q_tfidf_topterms"     -> 7, // tf agg + df agg + join + top-k window + orderBy
     "q_dedup_minhash_pairs" -> 4, // band explode agg + bucket self-join + verify + orderBy
     // q_asof_join is pinned EXACTLY (2, zero joins) in its own test below
@@ -186,9 +188,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_dedup_survivors" -> 3, // cluster labels (checkpointed) + per-cluster
                               // window + orderBy — never a global rank
     // round-9 operators, pinned at their measured counts:
-    "q_pq_codes" -> 2,        // scan floor + orderBy; the encode itself is
+    "q_pq_codes" -> 1,        // scan floor + orderBy; the encode itself is
                               // one narrow codegen'd projection
-    "q_knn_pq" -> 4,          // scan floor + bucket equi-join pair + orderBy;
+    "q_knn_pq" -> 2,          // scan floor + bucket equi-join pair + orderBy;
                               // ADC is in-map CASE arithmetic over codes
     "q_skew_diagnose" -> 3,   // key agg + the topK rank + orderBy; the
                               // one-row totals side broadcasts
@@ -206,7 +208,7 @@ class PlanAuditSpec extends SparkSpec {
                               // AQE exchange reuse collapses them at
                               // runtime. Query terms / df / stats all
                               // BROADCAST — no corpus-scale join shuffle
-    "q_char_entropy" -> 2,    // scan floor + orderBy; the entropy itself is
+    "q_char_entropy" -> 1,    // scan floor + orderBy; the entropy itself is
                               // one narrow closed-form projection chain
     "q_vocab_oov" -> 6,       // scan floor + term-count agg + two-phase
                               // vocab rank pair + per-doc rollup + orderBy;
@@ -215,36 +217,36 @@ class PlanAuditSpec extends SparkSpec {
     "q_length_zscore" -> 4,   // scan floor + per-group moments agg +
                               // orderBy; the (group, mu, sd) dim BROADCASTS
                               // back (no data-scale shuffle)
-    "q_event_funnel" -> 3,    // scan floor + ONE user_id exchange shared
+    "q_event_funnel" -> 2,    // scan floor + ONE user_id exchange shared
                               // by all K conditional-min Window nodes AND
                               // the rollup + orderBy (the chained-join
                               // form this replaced planned 14 — see
                               // EventAnalytics.funnel vs funnelChained)
-    "q_retention_cohorts" -> 6, // scan floor + first-day agg + the
+    "q_retention_cohorts" -> 4, // scan floor + first-day agg + the
                               // (cohort, offset) distinct-count pair +
                               // orderBy; the user join reuses the user_id
                               // partitioning
-    "q_active_users" -> 8,   // (user, day) dedup + dau/wau distinct pairs
+    "q_active_users" -> 6,   // (user, day) dedup + dau/wau distinct pairs
                               // + day join + orderBy; the x7 explode rides
                               // the ALREADY day-deduped rows, never events
-    "q_session_stats" -> 3,   // scan floor + ONE user_id shuffle carrying
+    "q_session_stats" -> 2,   // scan floor + ONE user_id shuffle carrying
                               // the island window AND the rollup + orderBy,
-    "q_events_rollup" -> 3,   // scan floor + ONE Expand+partial-agg
+    "q_events_rollup" -> 2,   // scan floor + ONE Expand+partial-agg
                               // exchange for the whole subtotal lattice +
                               // orderBy — never a per-level re-scan
-    "q_table_diff" -> 7,      // two snapshot subplans (scan floor each +
+    "q_table_diff" -> 4,      // two snapshot subplans (scan floor each +
                               // the added-rows union leg) + the doc_id
                               // full-outer SMJ pair + status agg + orderBy,
-    "q_sliding_hourly" -> 3,  // scan floor + the window-Expand agg pair +
+    "q_sliding_hourly" -> 2,  // scan floor + the window-Expand agg pair +
                               // orderBy; slide<size assignment is in-map
-    "q_describe" -> 3,        // scan floor + the Expand-fed summary agg
+    "q_describe" -> 2,        // scan floor + the Expand-fed summary agg
                               // pair + orderBy; stack() itself is narrow
-    "q_interarrival" -> 4,    // scan floor + user window exchange + the
+    "q_interarrival" -> 3,    // scan floor + user window exchange + the
                               // per-type percentile agg + orderBy
-    "q_events_pivot" -> 4,    // scan floor + the pivot-agg partial/final
+    "q_events_pivot" -> 3,    // scan floor + the pivot-agg partial/final
                               // exchange pair (explicit value list: no
                               // discovery job) + orderBy
-    "q_pagerank" -> 14,       // checkpointed edge list (120 exchanges
+    "q_pagerank" -> 11,       // checkpointed edge list (120 exchanges
                               // without it) + ~4 node-id-keyed exchanges
                               // per unrolled iteration + deg/orderBy —
                               // every key is the node id
@@ -264,7 +266,7 @@ class PlanAuditSpec extends SparkSpec {
                               // corpus scan (no data-scale shuffle; max(n)
                               // is the allowed one-row crossJoin)
     // round-10 operators, pinned at their measured counts:
-    "q_knn_ivfpq" -> 4,       // scan floor + cell equi-join pair (probe
+    "q_knn_ivfpq" -> 2,       // scan floor + cell equi-join pair (probe
                               // explode side + codes side) + the per-query
                               // top-k window + orderBy; training collects
                               // only centroid tables, candidates carry
@@ -273,11 +275,11 @@ class PlanAuditSpec extends SparkSpec {
                               // + summary agg/orderBy; offsets and the
                               // rawbin->rank relabel BROADCAST (the
                               // two-phase claim: no single-task window)
-    "q_multimodal_decode" -> 2, // scan floor + orderBy; encode+parse is ONE
+    "q_multimodal_decode" -> 1, // scan floor + orderBy; encode+parse is ONE
                               // narrow per-row stage
-    "q_multimodal_feature" -> 2, // scan floor + orderBy; byte feature is a
+    "q_multimodal_feature" -> 1, // scan floor + orderBy; byte feature is a
                               // narrow per-row stage
-    "q_attribution" -> 3,     // scan floor + ONE user_id exchange carrying
+    "q_attribution" -> 2,     // scan floor + ONE user_id exchange carrying
                               // BOTH range-framed min/max windows +
                               // orderBy — no conversion-touch self-join
     "q_weighted_reservoir" -> 1, // scan floor only: the A-Res top-k is a
@@ -329,7 +331,7 @@ class PlanAuditSpec extends SparkSpec {
                               // pair distinct, and set/label joins all
                               // moved to BUILD time; see the
                               // serving-plan law below
-    "q_knn_int8" -> 10,       // the q_knn_ivf topology (centroid rank
+    "q_knn_int8" -> 6,       // the q_knn_ivf topology (centroid rank
                               // window + home/probe cell join + top-k
                               // window + orderBy) over the dequantized
                               // scan; recon itself is one narrow
@@ -339,10 +341,10 @@ class PlanAuditSpec extends SparkSpec {
                               // merge-aggregate pair collapsed to a
                               // single exchange (3-row input); the
                               // builder's write job is its own plan
-    "q_quant_residuals" -> 4, // scan floor + vec_id join of codes with
+    "q_quant_residuals" -> 2, // scan floor + vec_id join of codes with
                               // labels + label-scale agg pair + orderBy;
                               // qerr is in-map column algebra
-    "q_label_centroids" -> 3, // scan floor + the label agg pair (ONE
+    "q_label_centroids" -> 2, // scan floor + the label agg pair (ONE
                               // dim-doubles state per label — the
                               // posexplode sits ABOVE the aggregate at
                               // label scale) + orderBy
@@ -354,13 +356,13 @@ class PlanAuditSpec extends SparkSpec {
                               // and labels only, text never shuffles
                               // (the CC/assignment inputs are persisted
                               // artifacts: parquet scans here)
-    "q_knn_residual" -> 12,   // the q_knn_int8 IVF topology (10) + the
+    "q_knn_residual" -> 6,   // the q_knn_int8 IVF topology (10) + the
                               // two shortlist-scale tier joins for the
                               // re-rank; the tier itself is ONE per-row
                               // projection (a 13th exchange means the
                               // codes/recon/qerr/choose chain stopped
                               // being in-map)
-    "q_centroid_drift" -> 5)  // scan floor + the (label, slice) agg pair
+    "q_centroid_drift" -> 3)  // scan floor + the (label, slice) agg pair
                               // + the label-scale slice self-join pair +
                               // orderBy; the cosine is in-map over the
                               // assembled label-cardinality arrays
