@@ -594,10 +594,16 @@ object Dedup {
     * by distinct value, map-side partials), never a single-reducer
     * funnel; ids only, text never moves. */
   def rebuildDrift(inc: DataFrame, full: DataFrame): DataFrame = {
+    // Canonical label = min member id per cluster, computed as a WINDOW
+    // min over the cluster_id partitioning instead of the r15-draft
+    // aggregate + join-back: identical values (deterministic min), one
+    // cluster_id exchange per side instead of two (guide §2.4 — the
+    // window reuses the one partitioning a groupBy+join pair paid twice).
     def canon(df: DataFrame, out: String): DataFrame = {
-      val m = df.groupBy(col("cluster_id"))
-        .agg(min(col("doc_id").cast("long")).as(out))
-      df.join(m, "cluster_id").select(col("doc_id"), col(out))
+      import org.apache.spark.sql.expressions.Window
+      df.select(col("doc_id"),
+        min(col("doc_id").cast("long"))
+          .over(Window.partitionBy(col("cluster_id"))).as(out))
     }
     val j = canon(inc, "c_inc").join(canon(full, "c_full"), "doc_id")
     j.agg(

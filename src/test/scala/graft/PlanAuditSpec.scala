@@ -349,8 +349,10 @@ class PlanAuditSpec extends SparkSpec {
                               // posexplode sits ABOVE the aggregate at
                               // label scale) + orderBy
     // round-15 operators, pinned at their measured counts:
-    "q_dedup_rebuild_drift" -> 9, // two label-scale canonicalisation agg
-                              // pairs + their id joins onto the
+    "q_dedup_rebuild_drift" -> 6, // two label-scale window-min
+                              // canonicalisations (r15: one cluster_id
+                              // exchange each, was agg+join-back pairs) +
+                              // the doc_id join onto the
                               // (doc, c_inc, c_full) relation + the ONE
                               // multi-distinct Expand aggregate — ids
                               // and labels only, text never shuffles
