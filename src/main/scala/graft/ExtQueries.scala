@@ -2104,15 +2104,34 @@ object ExtQueries {
           org.apache.spark.sql.functions.broadcast
         else identity
       val ts = split(col("text"), " ")
+      // the isNotNull filter is a value no-op (both slices have length
+      // size-1, so arrays_zip never null-pads) applied to the SHARED bg
+      // relation: each model join would otherwise infer its own
+      // null-filter set on its build side (c2: w1&w2, c1: w1), making
+      // the branches' subtrees canonically unequal and defeating the
+      // runtime exchange reuse that lets c1/v ride c2's corpus explode
       val bg = Tables.read(s, dir, "documents")
         .select(col("doc_id"),
           explode(arrays_zip(slice(ts, lit(1), size(ts) - 1),
             slice(ts, lit(2), size(ts) - 1))).as("bg"))
         .select(col("doc_id"), col("bg").getField("0").as("w1"),
           col("bg").getField("1").as("w2"))
+        .where(col("w1").isNotNull && col("w2").isNotNull)
       val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-      val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
-      val v = bg.agg(countDistinct(col("w1")).as("v"))
+      // c1 and v derive from c2 at VOCABULARY scale (guide §2.4): the
+      // per-w1 occurrence count is the sum of its (w1, w2) counts, and
+      // every distinct w1 owns at least one c2 row — identical values,
+      // but the corpus-scale bigram explode now backs ONE aggregate
+      // whose exchange the c1/v branches reuse, instead of three
+      // independent corpus passes (groupBy(w1) and countDistinct(w1)
+      // each re-ran the explode; their post-partial-agg shuffles were
+      // already vocabulary-sized, the map-side work was not).
+      val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+      // c1 >= 1 is a value no-op (a sum of positive counts) pruning pin:
+      // v needs no column of c1, and without the reference column
+      // pruning drops the sum from v's branch, breaking the canonical
+      // equality that lets v reuse c1's (and transitively c2's) exchange
+      val v = c1.where(col("c1") >= 1).agg(count(lit(1)).as("v"))
       bg.join(mb(c2), Seq("w1", "w2")).join(mb(c1), Seq("w1")).crossJoin(v)
         .select(col("doc_id"),
           log((col("c2") + lit(1L)).cast("double") /
@@ -2769,12 +2788,39 @@ object ExtQueries {
         .filter(col("t") =!= "") // Bpe.wordCounts' nonempty-token filter
       // ONE corpus-scale explode+aggregation; every other table derives
       // from the (source, token) counts at vocabulary scale (sum of
-      // partial counts == direct count, so values are identical)
+      // partial counts == direct count, so values are identical).
       val cst = tk.groupBy("source", "t").agg(count(lit(1)).as("c_st"))
-      val ct = cst.groupBy("t").agg(sum(col("c_st")).as("c_t"))
-      val cs = cst.groupBy("source").agg(sum(col("c_st")).as("c_s"))
-      val nv = ct.agg(sum(col("c_t")).as("n"), count(lit(1)).as("v"))
-      val sc = cst.join(ct, Seq("t"))
+      // c_t as a window sum over t instead of groupBy(t) + join-back
+      // (guide §2.4: two operations keyed the same way share one
+      // exchange): cst has at most one row per (source, t), so a t
+      // partition holds at most |sources| rows — scale-safe — and the
+      // join's second corpus-derived subtree plus its own t exchange
+      // disappear from the plan. __rn_t tags one row per distinct t so
+      // the (n, v) scalar derives from the same chain.
+      val wT = org.apache.spark.sql.expressions.Window.partitionBy("t")
+      val withCt = cst
+        .withColumn("c_t", sum(col("c_st")).over(wT))
+        .withColumn("__rn_t",
+          row_number().over(wT.orderBy("source")))
+      // cs derives from withCt (not cst): summing c_st per source over
+      // the window output is value-identical, and it keeps the cs
+      // branch's subtree canonically equal to the main chain below the
+      // t-window exchange, so runtime exchange reuse computes the
+      // corpus explode + (source, t) aggregate ONCE for all consumers
+      // (deriving from cst let the broadcast join's inferred
+      // isnotnull(source) push to the cs branch's scan — a subtree
+      // difference that re-ran the whole corpus chain). The c_t >= c_st
+      // predicate is a value no-op (a sum of positive counts is >= any
+      // single member, which the optimizer cannot prove): it references
+      // the window column so column pruning cannot eliminate the Window
+      // from this branch, which would silently restore the private-scan
+      // shape; it also blocks the join's isnotnull(source) inference
+      // from pushing below the window (source is not its partition key).
+      val cs = withCt.where(col("c_t") >= col("c_st"))
+        .groupBy("source").agg(sum(col("c_st")).as("c_s"))
+      val nv = withCt.where(col("__rn_t") === 1)
+        .agg(sum(col("c_t")).as("n"), count(lit(1)).as("v"))
+      val sc = withCt
         .join(org.apache.spark.sql.functions.broadcast(cs), Seq("source"))
         .crossJoin(nv)
         .select(col("source"), col("t"), col("c_st"),

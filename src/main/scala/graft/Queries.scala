@@ -190,7 +190,23 @@ object Queries {
       // paid a round-robin floor exchange, a hash exchange for the
       // aggregate, and a range exchange whose sampling re-executed the
       // aggregate stage.
-      val base = Tables.meltsRangedDF(s, dir)
+      //
+      // Draw-invariant hoist (guide §2.3 project-before-the-fan-out): the
+      // perturbation only touches the COMPOSITION, so sun2024's T/P-only
+      // numerator terms (log10(fO2)-omega and h*gamma — the entire Gamma
+      // parameterisation, ~2/3 of the model's transcendental calls) are
+      // computed ONCE per sample above the 8-draw explode and carried as
+      // two doubles. Fe3Fe2.sun2024 is DEFINED through the same split, so
+      // the op tree (and every double) is bit-identical to the unhoisted
+      // form the oracle SQL renders.
+      val (mcA, mcB) = Fe3Fe2.sun2024TpParts(C("T_K"),
+        Fo2Buffers.qfm1bar(C("T_K")), C("P_bar"))
+      val hoistStage = Stage(
+        Seq("sample_id" -> (C("sample_id"): E)) ++
+          Tables.meltElements.map(e => e -> (C(e): E)) ++
+          Seq("__mcA" -> mcA, "__mcB" -> mcB))
+      val base = Pipeline.applySpark(Tables.meltsRangedDF(s, dir),
+          Cse.expand(hoistStage))
         .withColumn("draw", explode(array((0 until nDraws).map(i =>
           lit(i.toLong)): _*)))
       // run the perturbation + model stages through the CSE pass (as meltQ
@@ -198,11 +214,12 @@ object Queries {
       // cation denominators, so the un-factored tree multiplies each
       // perturbation subtree ~8x and codegen compile time dominates the
       // one-shot query cost. Pure factoring — identical arithmetic.
-      val pass = Seq("sample_id", "T_K", "P_bar", "draw").map(c => c -> (C(c): E))
+      val pass = Seq("sample_id", "__mcA", "__mcB", "draw")
+        .map(c => c -> (C(c): E))
       val perturbStage = Stage(pass ++ Tables.meltElements.zipWithIndex.map {
         case (e, i) => e -> perturbE(e, i) })
       val feStage = Stage(Seq("sample_id" -> (C("sample_id"): E),
-        "Fe3Fe2" -> fe3fe2E))
+        "Fe3Fe2" -> Fe3Fe2.sun2024FromParts(mctx, C("__mcA"), C("__mcB"))))
       Pipeline.applySpark(base, Cse.expand(perturbStage) ++ Cse.expand(feStage))
         .groupBy("sample_id")
         .agg(sround(avg("Fe3Fe2"), 6).as("fe3fe2_mean"),

@@ -16,11 +16,10 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * of term lists) while the corpus is the 100 TB side.
   *
   * Scale shape:
-  *  - the corpus-scale explode feeds ONE partial-aggregated groupBy
-  *    (doc_id, term) carrying (long, token, count, doclen) rows;
-  *  - the query-term join prunes the corpus tf table FIRST — a broadcast
-  *    of the distinct query terms — so document-frequency counting and
-  *    scoring only ever touch rows whose term occurs in some query;
+  *  - the corpus-scale explode is pruned to query terms IN PLACE (an
+  *    InSet predicate over the human-scale term list), so the one
+  *    partial-aggregated (doc_id, term) groupBy — and everything after
+  *    it — only ever touches rows whose term occurs in some query;
   *  - per-term document frequencies and the (N, avgdl) corpus stats are
   *    tiny aggregates broadcast back (df has one row per distinct query
   *    term; stats is one row);
@@ -53,22 +52,35 @@ object Bm25 {
       spark.sparkContext.parallelize(qRows, 1),
       StructType(Seq(StructField("query_id", LongType, nullable = false),
         StructField("term", StringType, nullable = false))))
-    val qterms = qt.select("term").distinct()
+    // distinct query terms as a LITERAL predicate (the query set is
+    // human-scale by contract — tens to thousands of terms, an InSet
+    // hash lookup per token), so non-query tokens die at the explode
+    // (guide §2.3 project/filter before the exchange): the (doc, term)
+    // aggregation's map-side hash and its shuffle carry query-term rows
+    // only, instead of building the full corpus (doc, term) table and
+    // pruning it AFTER the aggregate with a broadcast join.
+    val qtermList = queries.flatMap(_._2).distinct
 
     val toks = split(col(textCol), " ")
     // (doc, term) counts with the doc length carried through the explode —
     // avoids a second corpus-scale join just to fetch doclen
-    val tf = docs
+    val tfq = docs
       .select(col(idCol).as("doc_id"), size(toks).cast("double").as("dl"),
         explode(toks).as("term"))
+      .where(col("term").isin(qtermList: _*))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).cast("double").as("tf"), min(col("dl")).as("dl"))
-    // prune to query terms BEFORE df-counting / scoring: broadcast the
-    // tiny distinct-term list
-    val tfq = tf.join(broadcast(qterms), Seq("term"))
     // document frequency per query term ((doc, term) is unique in tf, so
-    // count(*) = #docs containing the term); one row per query term
-    val dfreq = tfq.groupBy("term")
+    // count(*) = #docs containing the term); one row per query term.
+    // The filter is a value no-op (tf counts existing rows so tf >= 1;
+    // dl is a size() so dl >= 0 — neither provable by the optimizer):
+    // it references tf/dl so this branch prunes the tf aggregate exactly
+    // like the scoring branch does, the subtrees stay canonically equal
+    // below the (doc, term) exchange, and runtime exchange reuse runs
+    // the corpus explode ONCE — without it, column pruning rewrote this
+    // branch's aggregate to a distinct and re-ran the explode.
+    val dfreq = tfq.where(col("tf") >= 1 && col("dl") >= 0)
+      .groupBy("term")
       .agg(count(lit(1)).cast("double").as("df"))
     val stats = docs
       .select(size(toks).cast("double").as("dl0"))

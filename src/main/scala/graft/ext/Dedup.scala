@@ -599,11 +599,20 @@ object Dedup {
     // aggregate + join-back: identical values (deterministic min), one
     // cluster_id exchange per side instead of two (guide §2.4 — the
     // window reuses the one partitioning a groupBy+join pair paid twice).
+    //
+    // Equivalence caveat (r15 advice): the old groupBy+INNER-join shape
+    // dropped rows with a null cluster_id, while Window.partitionBy
+    // groups nulls together and keeps them under a shared canonical
+    // label. Every labeling source today is non-null by construction
+    // (assignToClusters coalesces), so the forms agree; the isNotNull
+    // filter pins that contract so a future nullable source cannot
+    // silently change the drift counts.
     def canon(df: DataFrame, out: String): DataFrame = {
       import org.apache.spark.sql.expressions.Window
-      df.select(col("doc_id"),
-        min(col("doc_id").cast("long"))
-          .over(Window.partitionBy(col("cluster_id"))).as(out))
+      df.where(col("cluster_id").isNotNull)
+        .select(col("doc_id"),
+          min(col("doc_id").cast("long"))
+            .over(Window.partitionBy(col("cluster_id"))).as(out))
     }
     val j = canon(inc, "c_inc").join(canon(full, "c_full"), "doc_id")
     j.agg(

@@ -144,10 +144,18 @@ object EventAnalytics {
     */
   def retentionCohorts(events: DataFrame,
                        dayMs: Long = 86400000L): DataFrame = {
+    // cohort day as a window min over ONE user_id exchange (guide §2.4)
+    // instead of a per-user aggregate joined back — the join form paid a
+    // second scan of the fact table plus its own user_id exchange for the
+    // fact side. The isNotNull filter reproduces the old INNER join's
+    // null-key semantics exactly (a window would otherwise group all
+    // null users together); user_id is non-null in the events contract,
+    // so the filter is a no-op guard, not a behavior change.
     val ue = events.select(col("user_id"),
-      expr(s"ms div $dayMs").as("day"))
-    val first = ue.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
-    ue.join(first, "user_id")
+        expr(s"ms div $dayMs").as("day"))
+      .where(col("user_id").isNotNull)
+    val cohort = min(col("day")).over(Window.partitionBy("user_id"))
+    ue.withColumn("cohort_day", cohort)
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
       .agg(countDistinct(col("user_id")).as("n_active"))
       .orderBy("cohort_day", "day_offset")

@@ -38,10 +38,43 @@ object GraphOps {
     // derivation (an LSH candidate chain for the near-dup graph — the
     // initial plan carried 120 exchanges). Same per-round discipline as
     // [[Dedup.nearDupClusters]]'s label propagation.
-    val e = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .localCheckpoint(true)
+    //
+    // The checkpoint is taken HASH-PARTITIONED ON src (guide §2.4: every
+    // operation downstream is keyed by node id): the degree aggregate,
+    // the initial rank projection and each iteration's edge-rank join
+    // all consume that one partitioning, so an iteration pays exactly
+    // one exchange (the contribution aggregate keyed by dst) instead of
+    // re-exchanging the edge list per round. Skew note: a hot node's
+    // edges co-locating is inherent to ANY src-keyed join iteration —
+    // the old shape had the same property inside each round's
+    // ensure-requirements exchange; this just pays it once. The distinct
+    // itself also rides the src partitioning (hash(src) satisfies the
+    // (src, dst) clustering requirement) after map-side partial dedup.
+    val spark = pairs.sparkSession
+    // explicit partition count (REPARTITION_BY_NUM): AQE may coalesce a
+    // count-less repartition(col), after which the checkpoint captures
+    // UnknownPartitioning and every downstream consumer re-exchanges —
+    // the very waste this partitioning exists to remove. Same count rule
+    // as Tables.readRangedBy (locally = cores; on a cluster
+    // shuffle.partitions dominates).
+    val nPart = math.max(spark.sparkContext.defaultParallelism,
+      spark.sessionState.conf.numShufflePartitions)
+    // The eager checkpoint runs under AQE disabled: an adaptive plan's
+    // captured LogicalRDD reports UnknownPartitioning (observed on the
+    // final plan even with REPARTITION_BY_NUM), which would force every
+    // iteration to re-exchange. The checkpoint job itself is edge-scale
+    // (near-dup pairs), so losing AQE for it costs nothing; the session
+    // conf is restored immediately.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = spark.conf.get(aqeKey, "true")
+    spark.conf.set(aqeKey, "false")
+    val e = try {
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .repartition(nPart, col("src"))
+        .distinct()
+        .localCheckpoint(true)
+    } finally spark.conf.set(aqeKey, aqePrev)
     val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
     val nodes = deg.select(col("src").as("id"))
     val n = nodes.count().toDouble

@@ -43,13 +43,22 @@ object SetSimJoin {
                   threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
-    val toks = docs.select(col(idCol).as("_id"),
-      explode(array_distinct(toksCol)).as("_tok"))
+    // The doc's distinct-token count rides the explode as a per-row
+    // column (size() of the distinct array — the same value the old
+    // unordered count-window computed, long-cast to keep the output
+    // types identical), so the ranked chain needs ONE window pass
+    // (row_number) instead of two, and the token-set table derives from
+    // that same chain (guide §2.4: the groupBy rides the window's _id
+    // partitioning) instead of re-running scan+explode+its own _id
+    // exchange as an independent corpus subtree.
+    val toks = docs
+      .select(col(idCol).as("_id"), array_distinct(toksCol).as("_ts"))
+      .select(col("_id"), size(col("_ts")).cast("long").as("_n"),
+        explode(col("_ts")).as("_tok"))
     val df = toks.groupBy("_tok").agg(count(lit(1)).as("_df"))
     val perDoc = Window.partitionBy("_id")
     val ranked = toks.join(df, "_tok")
       .withColumn("_rk", row_number().over(perDoc.orderBy(col("_df"), col("_tok"))))
-      .withColumn("_n", count(lit(1)).over(perDoc))
     val prefix = ranked
       .where(col("_rk") <= col("_n") - ceil(lit(threshold) * col("_n")) + 1)
     val a = prefix.select(col("_tok"), col("_id").as("a_id"), col("_n").as("_na"))
@@ -59,9 +68,20 @@ object SetSimJoin {
         least(col("_na"), col("_nb")) >=
           lit(threshold) * greatest(col("_na"), col("_nb")))
       .select("a_id", "b_id").distinct()
-    val sets = toks.groupBy(col("_id"))
-      .agg(sort_array(collect_set(col("_tok"))).as("_set"),
-        count(lit(1)).as("_n"))
+    // tokens are distinct per doc by construction, so collect_list +
+    // sort_array equals the old sort_array(collect_set(...)) exactly.
+    // The _rk >= 1 filter is a no-op on values (row_number starts at 1,
+    // and the optimizer cannot fold it) whose only job is to reference
+    // the window column: it pins the set table's column set to exactly
+    // the prefix subtree's (_id, _tok, _n, _df, _rk), so the two
+    // branches prune identically, stay canonically equal below the _id
+    // exchange, and runtime exchange reuse computes the shingle hashing
+    // + df join + rank window ONCE for prefix and set table alike —
+    // without it, column pruning specialised the set subtree and
+    // re-ran the whole chain per consumer.
+    val sets = ranked.where(col("_rk") >= 1).groupBy(col("_id"))
+      .agg(sort_array(collect_list(col("_tok"))).as("_set"),
+        max(col("_n")).as("_n"))
     cands
       .join(sets.select(col("_id").as("a_id"), col("_set").as("_sa"),
         col("_n").as("_na")), "a_id")
@@ -99,29 +119,44 @@ object SetSimJoin {
                       threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
-    val toks = docs.select(col(idCol).as("_id"),
-      explode(array_distinct(toksCol)).as("_tok"))
+    // Same single-window restructure as [[jaccardJoin]]: _n rides the
+    // explode, the set table derives from the ranked chain.
+    val toks = docs
+      .select(col(idCol).as("_id"), array_distinct(toksCol).as("_ts"))
+      .select(col("_id"), size(col("_ts")).cast("long").as("_n"),
+        explode(col("_ts")).as("_tok"))
     val df = toks.groupBy("_tok").agg(count(lit(1)).as("_df"))
     val perDoc = Window.partitionBy("_id")
     val ranked = toks.join(df, "_tok")
       .withColumn("_rk", row_number().over(perDoc.orderBy(col("_df"), col("_tok"))))
-      .withColumn("_n", count(lit(1)).over(perDoc))
     val aPrefix = ranked
       .where(col("_rk") <= col("_n") - ceil(lit(threshold) * col("_n")) + 1)
       .select(col("_tok"), col("_id").as("a_id"), col("_n").as("_na"))
-    val bAll = ranked.select(col("_tok"), col("_id").as("b_id"),
-      col("_n").as("_nb"))
+    // _rk >= 1 is the same pruning pin as the set table below: B's side
+    // doesn't need ranks, but referencing _rk keeps this subtree
+    // canonically equal to the A-prefix chain so the corpus explode +
+    // df join + window run once (reused) instead of per side
+    val bAll = ranked.where(col("_rk") >= 1)
+      .select(col("_tok"), col("_id").as("b_id"), col("_n").as("_nb"))
     val cands = aPrefix.join(bAll, Seq("_tok"))
       .where(col("a_id") =!= col("b_id") &&
         col("_nb") >= ceil(lit(threshold) * col("_na")))
       .select("a_id", "b_id").distinct()
-    val sets = toks.groupBy(col("_id"))
-      .agg(sort_array(collect_set(col("_tok"))).as("_set"),
-        count(lit(1)).as("_n"))
+    // same no-op _rk filter as jaccardJoin: keeps the subtree
+    // reuse-identical to the ranked prefix chain
+    val sets = ranked.where(col("_rk") >= 1).groupBy(col("_id"))
+      .agg(sort_array(collect_list(col("_tok"))).as("_set"),
+        max(col("_n")).as("_n"))
     cands
       .join(sets.select(col("_id").as("a_id"), col("_set").as("_sa"),
         col("_n").as("_na")), "a_id")
-      .join(sets.select(col("_id").as("b_id"), col("_set").as("_sb")), "b_id")
+      // _n >= 1 is another value no-op pruning pin: the b side only
+      // consumes _set, and without a reference to _n column pruning
+      // specialises the b-side aggregate (dropping max(_n)), so it stops
+      // being canonically equal to the a side and rebuilds the whole set
+      // chain instead of reusing the a side's broadcast
+      .join(sets.where(col("_n") >= 1)
+        .select(col("_id").as("b_id"), col("_set").as("_sb")), "b_id")
       .withColumn("_inter",
         size(array_intersect(col("_sa"), col("_sb"))).cast("double"))
       .withColumn("containment", col("_inter") / col("_na"))

@@ -150,12 +150,27 @@ object Fe3Fe2 {
   /** Sun (2024) eq. 9, the reference's DEFAULT Fe3Fe2 model, with the
     * closed-form parameterised Gamma(T,P) instead of the deng2020 EOS
     * integral (`Fe3Fe2_models.py:1360-1544`, `_Gamma_parameterised`
-    * `:1467-1490`). */
+    * `:1467-1490`).
+    *
+    * Defined through [[sun2024TpParts]] + [[sun2024FromParts]] so a
+    * caller that fans a sample out into composition-perturbed draws
+    * (q_monte_carlo_fe3fe2) can hoist the draw-invariant T/P-only
+    * numerator terms above the explode — the split preserves the exact
+    * operation tree (`((log10(fO2) - omega) - phi) - h*gamma` with
+    * A = log10(fO2) - omega and B = h*gamma evaluates the numerator as
+    * `(A - phi) - B`, the same IEEE ops in the same order), so every
+    * existing sun2024 consumer and the hand-rendered oracle SQL compute
+    * bit-identical doubles. */
   def sun2024(m: CompCtx, tK: E, fO2: E, pBar: E): E = {
-    val a0 = 2.1479; val a1 = -230.2593; val a2 = -1.8557e-4; val a3 = 34.3293
-    val a4 = 1.4138; val a5 = -17.3040; val a6 = -10.1820; val a7 = -6.7463
-    val a8 = -7.3886; val a9 = -14.5430; val a10 = -9.9776; val a11 = -16.1506
-    val a12 = -37.5572; val h = 2.1410
+    val (a, b) = sun2024TpParts(tK, fO2, pBar)
+    sun2024FromParts(m, a, b)
+  }
+
+  /** The T/P-only (composition-invariant) numerator terms of [[sun2024]]:
+    * `A = log10(fO2) - omega(T)`, `B = h * gamma(T,P)`. */
+  def sun2024TpParts(tK: E, fO2: E, pBar: E): (E, E) = {
+    val a1 = -230.2593; val a2 = -1.8557e-4; val a3 = 34.3293
+    val h = 2.1410
     // Gamma parameter table rows b0..b4, c1..c4 per t0/t1/t2
     val gammaParams: Map[String, Seq[Double]] = Map(
       "t0" -> Seq(-1.75528e-01, 3.48174e00, 3.06370e00, 1.36134e-02,
@@ -177,6 +192,17 @@ object Fe3Fe2 {
     }
     val gamma = t(0) + t(1) * tK + t(2) * tK * ln(tK)
     val omega = Lit(a1) + Lit(a2) * pow(tK, Lit(1.5)) + Lit(a3) * ln(tK)
+    (log10(fO2) - omega, Lit(h) * gamma)
+  }
+
+  /** [[sun2024]] over pre-computed T/P parts `(a, b)` from
+    * [[sun2024TpParts]] (possibly routed through columns):
+    * `10^(((a - phi) - b) / (4 + a0*sqrt(Fe_cat)))`. */
+  def sun2024FromParts(m: CompCtx, a: E, b: E): E = {
+    val a0 = 2.1479
+    val a4 = 1.4138; val a5 = -17.3040; val a6 = -10.1820; val a7 = -6.7463
+    val a8 = -7.3886; val a9 = -14.5430; val a10 = -9.9776; val a11 = -16.1506
+    val a12 = -37.5572
     def cat(c: String): E = m.cat(c)
     val phi = Lit(a4) * ln(cat("Fe")) + Lit(a5) * pow(cat("Fe"), Lit(0.5)) +
       Lit(a6) * pow(cat("Si"), Lit(3.0)) +
@@ -184,7 +210,7 @@ object Fe3Fe2 {
       Lit(a10) * cat("Mg") +
       (Lit(a11) + Lit(a12) * cat("Fe")) * (cat("Na") + cat("K"))
     pow(Lit(10.0),
-      (log10(fO2) - omega - phi - Lit(h) * gamma) /
+      (a - phi - b) /
         (Lit(4.0) + Lit(a0) * pow(cat("Fe"), Lit(0.5))))
   }
 

@@ -167,10 +167,14 @@ class PlanAuditSpec extends SparkSpec {
     "q_tfidf_topterms"     -> 7, // tf agg + df agg + join + top-k window + orderBy
     "q_dedup_minhash_pairs" -> 4, // band explode agg + bucket self-join + verify + orderBy
     // q_asof_join is pinned EXACTLY (2, zero joins) in its own test below
-    "q_setsim_join" -> 13, // the prefix subplan (scan floor + df agg + rank
-                           // window) appears once per join operand in the
-                           // INITIAL plan; AQE exchange reuse collapses the
-                           // canonically-equal stages at runtime
+    "q_setsim_join" -> 17, // the ranked subplan (scan floor + df agg +
+                           // rank window) appears once per consumer in the
+                           // INITIAL plan — r16 also derives the set table
+                           // from it (so the count ROSE 13 -> 17) — but
+                           // every copy is now pruning-pinned canonically
+                           // equal and collapses at runtime: the
+                           // runtime budget above pins 5 materialised /
+                           // 3 reused, ONE corpus hashing pass total
     "q_range_join" -> 4,  // scan floor x2 + band agg + orderBy (interval
                           // side broadcasts; final agg rides the map side)
     "q_cms_counts" -> 4,  // scan floor + token agg + topk + orderBy; the
@@ -202,11 +206,11 @@ class PlanAuditSpec extends SparkSpec {
                               // orderBy; island/span/cov stages all REUSE
                               // the doc_id partitioning (zero extra
                               // exchanges — the operator's headline claim)
-    "q_bm25_topk" -> 13,      // the pruned-tf subplan (scan floor + tf agg)
-                              // appears once per consumer in the INITIAL
-                              // plan (df-count, scoring) like q_setsim_join;
-                              // AQE exchange reuse collapses them at
-                              // runtime. Query terms / df / stats all
+    "q_bm25_topk" -> 11,      // the query-term-pruned tf subplan (scan
+                              // floor + tf agg) appears once per consumer
+                              // in the INITIAL plan (df-count, scoring);
+                              // runtime budget above: 9 materialised /
+                              // 1 reused. Query terms / df / stats all
                               // BROADCAST — no corpus-scale join shuffle
     "q_char_entropy" -> 1,    // scan floor + orderBy; the entropy itself is
                               // one narrow closed-form projection chain
@@ -222,10 +226,10 @@ class PlanAuditSpec extends SparkSpec {
                               // the rollup + orderBy (the chained-join
                               // form this replaced planned 14 — see
                               // EventAnalytics.funnel vs funnelChained)
-    "q_retention_cohorts" -> 4, // scan floor + first-day agg + the
-                              // (cohort, offset) distinct-count pair +
-                              // orderBy; the user join reuses the user_id
-                              // partitioning
+    "q_retention_cohorts" -> 3, // ONE user_id window exchange (r16: the
+                              // cohort day is a window min — the agg +
+                              // join-back and its second fact scan are
+                              // gone) + the distinct-count pair + orderBy
     "q_active_users" -> 6,   // (user, day) dedup + dau/wau distinct pairs
                               // + day join + orderBy; the x7 explode rides
                               // the ALREADY day-deduped rows, never events
@@ -246,20 +250,26 @@ class PlanAuditSpec extends SparkSpec {
     "q_events_pivot" -> 3,    // scan floor + the pivot-agg partial/final
                               // exchange pair (explicit value list: no
                               // discovery job) + orderBy
-    "q_pagerank" -> 11,       // checkpointed edge list (120 exchanges
-                              // without it) + ~4 node-id-keyed exchanges
-                              // per unrolled iteration + deg/orderBy —
-                              // every key is the node id
-    "q_bigram_logprob" -> 10, // bigram explode floor + c1/c2/V aggs (each
-                              // with partial/final pair) + final per-doc agg
-                              // + orderBy; both model joins BROADCAST (no
-                              // w1-keyed fact shuffle — see the skew probe)
-    "q_containment_join" -> 13, // the ranked-prefix subplan (tok explode +
-                              // df agg + per-doc rank window) appears once
-                              // per consumer (prefix side, probe side, set
-                              // agg) in the INITIAL plan, like
-                              // q_setsim_join; AQE exchange reuse collapses
-                              // the canonically-equal stages at runtime
+    "q_pagerank" -> 4,        // r16: the edge checkpoint is taken hash-
+                              // partitioned on src (11 -> 4), so deg, the
+                              // initial ranks and every iteration's joins
+                              // ride that one partitioning: 3 contribution
+                              // aggs (one per unrolled iteration) +
+                              // orderBy remain
+    "q_bigram_logprob" -> 12, // bigram explode floor x2 + c2 agg pair +
+                              // c1-from-c2 + v-from-c1 chains (r16: 10 ->
+                              // 12 in the INITIAL plan because c1/v now
+                              // carry c2's subtree, but at runtime they
+                              // ride its exchange — runtime budget above:
+                              // 7 materialised / 2 reused, TWO corpus
+                              // explodes instead of four) + per-doc agg +
+                              // orderBy; model joins BROADCAST
+    "q_containment_join" -> 17, // the ranked subplan appears once per
+                              // consumer (prefix side, probe side, set
+                              // agg x2) in the INITIAL plan, like
+                              // q_setsim_join (r16: 13 -> 17 for the same
+                              // reason); the runtime budget above pins 5
+                              // materialised / 3 reused at execution
     "q_temperature_sample" -> 7, // scan floor + group-count agg pair + the
                               // per-group rate derivation + orderBy; the
                               // (group, rate) dim BROADCASTS onto the
@@ -301,9 +311,8 @@ class PlanAuditSpec extends SparkSpec {
                               // distinct (BROADCAST back — no corpus
                               // reshuffle) + doc_id island window +
                               // orderBy; hits carry longs only
-    "q_hybrid_rrf" -> 19,     // the full BM25 leg subplan (13, see
-                              // q_bm25_topk — AQE reuse collapses the
-                              // repeats) + dense-leg rank window + the
+    "q_hybrid_rrf" -> 15,     // the full BM25 leg subplan (11, see
+                              // q_bm25_topk) + dense-leg rank window + the
                               // fusion groupBy/rank/orderBy; fusion
                               // itself only ever shuffles query-scale
                               // (query, doc, rank) triples
@@ -358,12 +367,13 @@ class PlanAuditSpec extends SparkSpec {
                               // and labels only, text never shuffles
                               // (the CC/assignment inputs are persisted
                               // artifacts: parquet scans here)
-    "q_knn_residual" -> 6,   // the q_knn_int8 IVF topology (10) + the
-                              // two shortlist-scale tier joins for the
-                              // re-rank; the tier itself is ONE per-row
-                              // projection (a 13th exchange means the
+    "q_knn_residual" -> 6,   // the r15-measured topology: the int8 IVF
+                              // chain after the floor elisions (same 6 as
+                              // q_knn_int8's re-pinned budget) with the
+                              // shortlist-scale tier re-rank joins riding
+                              // those exchanges; a 7th exchange means the
                               // codes/recon/qerr/choose chain stopped
-                              // being in-map)
+                              // being in-map
     "q_centroid_drift" -> 3)  // scan floor + the (label, slice) agg pair
                               // + the label-scale slice self-join pair +
                               // orderBy; the cosine is in-map over the
@@ -383,6 +393,71 @@ class PlanAuditSpec extends SparkSpec {
     // time instead of read from the enriched artifact
     assert(aggs.size == 1,
       s"serving plan has ${aggs.size} aggregates, expected only the nid argmax")
+  }
+
+  /** r16: the repeated-subplan families' INITIAL plans still carry each
+    * corpus subtree once per consumer (Spark plans trees — any DataFrame
+    * fork duplicates), but every duplicate is now CANONICALLY EQUAL to
+    * its sibling (pruning pins added in r16), so runtime exchange reuse
+    * collapses them. This law pins the runtime truth the initial-plan
+    * budgets above cannot see: after executing the query, the AQE-final
+    * plan must carry at most `realMax` materialised shuffle exchanges
+    * and at least `reusedMin` ReusedExchange nodes (the proof the
+    * duplicated corpus subtrees were NOT re-executed — a reuse miss at
+    * 100 TB re-runs a corpus-scale aggregate). */
+  private val runtimeExchangeBudgets: Map[String, (Int, Int)] = Map(
+    // name -> (realMax, reusedMin), measured at sf0.001 local[4]
+    "q_setsim_join" -> ((5, 3)),        // RR floor x2 + df(_tok) + rank
+                                        // window (_id) + orderBy; prefix-b
+                                        // + set-table chains all reused
+    "q_containment_join" -> ((5, 3)),   // same shape, B side unranked but
+                                        // pin-aligned to the ranked chain
+    "q_bm25_topk" -> ((9, 1)),          // pruned-tf agg + df + stats pair
+                                        // + score agg + 2-phase rank pair
+                                        // + orderBy; df-count rides tf's
+                                        // exchange (the reuse)
+    "q_hybrid_rrf" -> ((14, 1)),        // bm25 leg (9) + fusion agg +
+                                        // 2-phase fused rank + orderBy;
+                                        // dense leg is exchange-free
+                                        // (broadcast n^2 kernel)
+    "q_source_distinctive" -> ((8, 2)), // cst agg pair + t-window + cs
+                                        // agg pair + nv single-partition
+                                        // + 2-phase rank + orderBy; cs/nv
+                                        // both ride the t-window exchange
+    "q_bigram_logprob" -> ((7, 2)),     // bg floor x2 + c2 agg pair +
+                                        // c1(w1) + per-doc agg + orderBy;
+                                        // c1 rides c2's exchange, v rides
+                                        // c1's
+    "q_pagerank" -> ((4, 0)),           // checkpointed src-partitioned
+                                        // edges: 3 contribution aggs +
+                                        // orderBy, zero join exchanges
+    "q_retention_cohorts" -> ((3, 0)))  // ONE user window exchange + the
+                                        // distinct-count pair + orderBy
+
+  test("runtime (AQE-final) exchange budgets: duplicated corpus subplans " +
+      "collapse via exchange reuse") {
+    val over = runtimeExchangeBudgets.toSeq.sortBy(_._1).flatMap {
+      case (name, (realMax, reusedMin)) =>
+        val df = Queries.queries(name)(spark, sfDir)
+        df.queryExecution.toRdd.count()
+        // post-execution, the adaptive plan string leads with the final
+        // plan; cut at the Initial Plan section
+        val fin = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        val real = fin.linesIterator.count(l =>
+          l.contains("+- Exchange ") && !l.contains("ReusedExchange"))
+        val reused = fin.linesIterator.count(_.contains("ReusedExchange"))
+        info(s"$name: real=$real (max $realMax), reused=$reused " +
+          s"(min $reusedMin)")
+        (if (real > realMax)
+          Some(s"$name: $real materialised exchanges > budget $realMax")
+        else None) ++
+          (if (reused < reusedMin)
+            Some(s"$name: only $reused ReusedExchange nodes, expected >= " +
+              s"$reusedMin — a corpus subtree is being re-executed")
+          else None)
+    }
+    assert(over.isEmpty, over.mkString("\n"))
   }
 
   test("shuffle-exchange budgets hold for the heaviest queries") {
