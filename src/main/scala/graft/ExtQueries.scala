@@ -2732,10 +2732,16 @@ object ExtQueries {
       // can never inflate totals or surface as a collocation member
       val ts = filter(split(col("text"), " "), x => x =!= "")
       val docs = Tables.read(s, dir, "documents")
+      // value no-op null guard (equal-length slices never null-pad), on
+      // the SHARED bg relation: the unigram joins otherwise infer their
+      // own isnotnull(w1)/isnotnull(w2) on the main branch only, which
+      // makes the totals branch (mm) canonically unequal and re-runs the
+      // corpus bigram explode instead of reusing bgc's exchange
       val bg = docs.select(explode(arrays_zip(slice(ts, lit(1), size(ts) - 1),
           slice(ts, lit(2), size(ts) - 1))).as("bg"))
         .select(col("bg").getField("0").as("w1"),
           col("bg").getField("1").as("w2"))
+        .where(col("w1").isNotNull && col("w2").isNotNull)
       val tk = docs.select(explode(ts).as("w"))
       val uni = tk.groupBy("w").agg(count(lit(1)).as("c"))
       val bgc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("pair_count"))

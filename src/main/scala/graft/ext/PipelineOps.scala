@@ -101,8 +101,15 @@ object PipelineOps {
     require(baseRate > 0 && baseRate <= 1,
       s"baseRate must be in (0, 1], got $baseRate")
     val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
-    val nmax = counts.agg(max("__n").as("__nmax"))
-    val rates = counts.crossJoin(broadcast(nmax))
+    // n_max as a GLOBAL window over the counts table instead of a
+    // separate one-row aggregate + crossJoin: the single-partition
+    // window is bounded by group cardinality (language/domain-scale by
+    // contract), and it keeps the whole rate derivation ONE linear chain
+    // — the aggregate-branch form re-ran the corpus group-count scan for
+    // the max (the join's inferred isnotnull pushed only into the rates
+    // branch, so the two branches never shared their exchange).
+    val rates = counts
+      .withColumn("__nmax", max(col("__n")).over(Window.partitionBy()))
       .select(col(groupCol), least(lit(1.0), lit(baseRate) *
         sqrt(col("__nmax").cast("double") / col("__n").cast("double")))
         .as("__rate"))
@@ -722,23 +729,33 @@ object PipelineOps {
     val counts = base.groupBy("bucket").agg(
       count(lit(1)).as("c_b"),
       sum(when(targetPred, 1L).otherwise(0L)).as("t_b"))
-    val nm = counts.agg(sum(col("c_b")).as("n"), sum(col("t_b")).as("m"))
+    // totals and max as GLOBAL windows over the bucket-count table — ONE
+    // linear chain instead of agg branches crossJoined back (each branch
+    // re-ran the corpus bucket-count scan; r16 runtime audit). The
+    // single-partition windows are bounded by bucket cardinality (length
+    // buckets — bounded small by construction), and both share one
+    // SinglePartition exchange. Sums of longs and max of doubles are
+    // order-independent, so every value is identical to the agg form.
+    val whole = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     // m > 0 guard on the ratio itself: ANSI mode (Spark 4 default)
     // raises DIVIDE_BY_ZERO on the 0-denominator division outright, so
     // the empty-target case must short-circuit BEFORE dividing
-    val rate = counts.crossJoin(nm)
+    val rate = counts
+      .withColumn("n", sum(col("c_b")).over(whole))
+      .withColumn("m", sum(col("t_b")).over(whole))
       .select(col("bucket"),
         when(col("m") > 0,
           (col("t_b").cast("double") * col("n").cast("double"))
             / (col("m").cast("double") * col("c_b").cast("double")))
           .otherwise(lit(0.0)).as("ratio"))
-    val rmax = rate.agg(max(col("ratio")).as("rmax"))
     // rmax > 0 guard: with an EMPTY target (m = 0, every t_b = 0) the
     // ratios are 0/0 = NaN, and an unguarded accept_p = NaN would keep
     // every row (hash < NaN is true under Spark's NaN-sorts-greatest
     // semantics) — the exact opposite of "match an empty target". Pin
     // accept_p to 0 instead: nothing to match -> empty resample.
-    val acc = rate.crossJoin(rmax)
+    val acc = rate
+      .withColumn("rmax", max(col("ratio")).over(whole))
       .select(col("bucket"),
         when(col("rmax") > 0, col("ratio") / col("rmax"))
           .otherwise(lit(0.0)).as("accept_p"))

@@ -201,11 +201,14 @@ class PlanAuditSpec extends SparkSpec {
     "q_compaction_plan" -> 2, // ONE listing-scale window shuffle (cum +
                               // dense_rank share it) + summary agg/orderBy
     "q_rhodes_isopleths" -> 1, // join-free double explode + orderBy
-    "q_dup_span_coverage" -> 6, // scan floor + gram-count agg + hash
-                              // join-back + doc_id window + lens join +
-                              // orderBy; island/span/cov stages all REUSE
-                              // the doc_id partitioning (zero extra
-                              // exchanges — the operator's headline claim)
+    "q_dup_span_coverage" -> 7, // scan floor + the explicit doc-keyed
+                              // gram materialisation (r16: +1 in the
+                              // initial plan, but the md5 gram hashing
+                              // now runs ONCE — runtime budget below: 5
+                              // materialised / 1 reused) + gram-count agg
+                              // + hash join-back + lens join + orderBy;
+                              // the island/span/cov stages and the window
+                              // all REUSE the doc_id partitioning
     "q_bm25_topk" -> 11,      // the query-term-pruned tf subplan (scan
                               // floor + tf agg) appears once per consumer
                               // in the INITIAL plan (df-count, scoring);
@@ -431,8 +434,21 @@ class PlanAuditSpec extends SparkSpec {
     "q_pagerank" -> ((4, 0)),           // checkpointed src-partitioned
                                         // edges: 3 contribution aggs +
                                         // orderBy, zero join exchanges
-    "q_retention_cohorts" -> ((3, 0)))  // ONE user window exchange + the
+    "q_retention_cohorts" -> ((3, 0)),  // ONE user window exchange + the
                                         // distinct-count pair + orderBy
+    "q_dup_span_coverage" -> ((5, 1)),  // floor + doc-keyed gram
+                                        // materialisation (the md5-hash
+                                        // reuse anchor) + dup-gram agg +
+                                        // lens floor + orderBy
+    "q_pmi_collocations" -> ((5, 3)),   // token + bigram explodes once
+                                        // each; totals/unigram branches
+                                        // ride the agg exchanges
+    "q_dist_match" -> ((5, 0)),         // bucket-count agg pair + the
+                                        // single-partition totals/max
+                                        // window chain + floor + orderBy
+    "q_temperature_sample" -> ((5, 0))) // group-count agg pair + the
+                                        // single-partition n_max window +
+                                        // floor + orderBy
 
   test("runtime (AQE-final) exchange budgets: duplicated corpus subplans " +
       "collapse via exchange reuse") {
