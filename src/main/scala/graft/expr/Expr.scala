@@ -279,11 +279,17 @@ object Cse {
   def split(stage: Stage): Option[(Stage, Stage)] = {
     val counts = scala.collection.mutable.Map.empty[E, Int]
     stage.cols.foreach { case (_, e) => count(e, counts) }
+    // Rank by SAVED NODES (occurrences-1) x size, not raw size: a model's
+    // cation-sum denominator repeats ~12x but is CONTAINED in pow/ln trees
+    // that repeat only twice — size ordering picked the big twice-trees and
+    // the non-overlap rule then excluded the denominator, leaving a dozen
+    // inline copies whose generated code blew past the JIT method budget
+    // (q_monte_carlo: 4s of JIT per WARM pass, warm == cold).
     val candidates = counts.toSeq.collect {
-      case (e, n) if n >= 2 => (e, sizeOf(e))
+      case (e, n) if n >= 2 => (e, (n - 1).toLong * sizeOf(e))
     }.sortBy(-_._2)
     if (candidates.isEmpty) return None
-    // greedy non-overlapping pick, largest first
+    // greedy non-overlapping pick, largest savings first
     val picked = scala.collection.mutable.ArrayBuffer.empty[E]
     candidates.iterator.takeWhile(_ => picked.size < maxPicks).foreach {
       case (e, _) =>
@@ -291,10 +297,18 @@ object Cse {
           picked += e
     }
     if (picked.isEmpty) return None
-    val names = picked.zipWithIndex.map { case (e, i) => e -> s"_cse$i" }.toMap
-    // prelude passes through every column the original stage reads
+    // prelude passes through every column the original stage reads; pick
+    // names must dodge the free vars — a re-split of a REWRITTEN stage
+    // sees the previous level's _cseN as inputs, and a colliding fresh
+    // name would shadow the column it still references
     val fv = scala.collection.mutable.LinkedHashSet.empty[String]
     stage.cols.foreach { case (_, e) => freeVars(e, fv) }
+    var idx = 0
+    def fresh(): String = {
+      while (fv.contains(s"_cse$idx")) idx += 1
+      val n = s"_cse$idx"; idx += 1; n
+    }
+    val names = picked.map(e => e -> fresh()).toMap
     val prelude = Stage(fv.toSeq.map(c => c -> (C(c): E)) ++
       picked.map(e => names(e) -> e))
     val rewritten = Stage(stage.cols.map { case (n, e) => n -> rewrite(e, names) })
@@ -303,10 +317,15 @@ object Cse {
 
   /** Recursive: the prelude's hoisted definitions can themselves share
     * subtrees (a hoisted cation fraction still contains the hoisted
-    * denominator), so re-split until stable. Depth-bounded; every level
-    * keeps arithmetic and op order identical. */
+    * denominator), and the REWRITTEN stage can too (trees that overlapped
+    * a bigger pick this round become independent once the pick is a column
+    * ref), so re-split both sides until stable. Depth-bounded; every level
+    * keeps arithmetic and op order identical. Consecutive projections fuse
+    * inside one WholeStageCodegen span, so extra levels cost no per-row
+    * materialisation — they only partition the generated code into
+    * JIT-compilable methods. */
   def expand(stage: Stage, depth: Int = 4): Seq[Stage] = split(stage) match {
-    case Some((p, r)) if depth > 0 => expand(p, depth - 1) :+ r
+    case Some((p, r)) if depth > 0 => expand(p, depth - 1) ++ expand(r, depth - 1)
     case Some((p, r))              => Seq(p, r)
     case None                      => Seq(stage)
   }
