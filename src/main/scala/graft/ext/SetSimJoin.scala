@@ -51,10 +51,29 @@ object SetSimJoin {
     // that same chain (guide §2.4: the groupBy rides the window's _id
     // partitioning) instead of re-running scan+explode+its own _id
     // exchange as an independent corpus subtree.
+    //
+    // ONE materialised token table (guide §8 / the SpanDedup precedent):
+    // the token-df aggregate branches off BELOW any exchange, so without
+    // an anchor the scan + tokenize + shingle hashing (the operator's
+    // dominant per-row cost) ran once per consumer — the r16 runtime
+    // audit showed 2 Generates / 2 scans in the final plan. The explicit
+    // doc-keyed exchange carries (_id, _n, _tok) longs only, is the
+    // runtime reuse anchor for the df branch, AND already satisfies the
+    // rank window's required partitioning, so net exchange count is
+    // unchanged while the heavy hashing runs once.
+    val spark = docs.sparkSession
+    val nPart = math.max(spark.sparkContext.defaultParallelism,
+      spark.sessionState.conf.numShufflePartitions)
+    // the isNotNull guard is a value no-op under the doc-id PK contract;
+    // it mirrors the isnotnull(doc_id) the downstream a_id/b_id equi-joins
+    // infer onto the ranked chain's scan, so the df branch's subtree stays
+    // canonically equal below the anchor instead of re-scanning
     val toks = docs
+      .where(col(idCol).isNotNull)
       .select(col(idCol).as("_id"), array_distinct(toksCol).as("_ts"))
       .select(col("_id"), size(col("_ts")).cast("long").as("_n"),
         explode(col("_ts")).as("_tok"))
+      .repartition(nPart, col("_id"))
     val df = toks.groupBy("_tok").agg(count(lit(1)).as("_df"))
     val perDoc = Window.partitionBy("_id")
     val ranked = toks.join(df, "_tok")
@@ -120,11 +139,20 @@ object SetSimJoin {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
     // Same single-window restructure as [[jaccardJoin]]: _n rides the
-    // explode, the set table derives from the ranked chain.
+    // explode, the set table derives from the ranked chain — and the same
+    // doc-keyed anchor exchange so the token-df branch reuses ONE
+    // scan + shingle-hashing pass instead of re-running it.
+    val spark = docs.sparkSession
+    val nPart = math.max(spark.sparkContext.defaultParallelism,
+      spark.sessionState.conf.numShufflePartitions)
+    // same no-op id null-guard as jaccardJoin: aligns the df branch's
+    // scan filters with the join-inferred ones on the ranked chain
     val toks = docs
+      .where(col(idCol).isNotNull)
       .select(col(idCol).as("_id"), array_distinct(toksCol).as("_ts"))
       .select(col("_id"), size(col("_ts")).cast("long").as("_n"),
         explode(col("_ts")).as("_tok"))
+      .repartition(nPart, col("_id"))
     val df = toks.groupBy("_tok").agg(count(lit(1)).as("_df"))
     val perDoc = Window.partitionBy("_id")
     val ranked = toks.join(df, "_tok")

@@ -167,14 +167,16 @@ class PlanAuditSpec extends SparkSpec {
     "q_tfidf_topterms"     -> 7, // tf agg + df agg + join + top-k window + orderBy
     "q_dedup_minhash_pairs" -> 4, // band explode agg + bucket self-join + verify + orderBy
     // q_asof_join is pinned EXACTLY (2, zero joins) in its own test below
-    "q_setsim_join" -> 17, // the ranked subplan (scan floor + df agg +
-                           // rank window) appears once per consumer in the
-                           // INITIAL plan — r16 also derives the set table
-                           // from it (so the count ROSE 13 -> 17) — but
-                           // every copy is now pruning-pinned canonically
-                           // equal and collapses at runtime: the
-                           // runtime budget above pins 5 materialised /
-                           // 3 reused, ONE corpus hashing pass total
+    "q_setsim_join" -> 21, // the ranked subplan (scan floor + doc-keyed
+                           // anchor + df agg + rank window) appears once
+                           // per consumer in the INITIAL plan — r16 also
+                           // derives the set table from it and adds the
+                           // explicit anchor exchange (13 -> 17 -> 21) —
+                           // but every copy is pruning-pinned canonically
+                           // equal and collapses at runtime: the runtime
+                           // budget above pins 5 materialised / 6 reused,
+                           // ONE corpus shingle-hashing pass total (the
+                           // anchor made the df branch stop re-scanning)
     "q_range_join" -> 4,  // scan floor x2 + band agg + orderBy (interval
                           // side broadcasts; final agg rides the map side)
     "q_cms_counts" -> 4,  // scan floor + token agg + topk + orderBy; the
@@ -267,12 +269,12 @@ class PlanAuditSpec extends SparkSpec {
                               // 7 materialised / 2 reused, TWO corpus
                               // explodes instead of four) + per-doc agg +
                               // orderBy; model joins BROADCAST
-    "q_containment_join" -> 17, // the ranked subplan appears once per
+    "q_containment_join" -> 21, // the ranked subplan appears once per
                               // consumer (prefix side, probe side, set
                               // agg x2) in the INITIAL plan, like
-                              // q_setsim_join (r16: 13 -> 17 for the same
-                              // reason); the runtime budget above pins 5
-                              // materialised / 3 reused at execution
+                              // q_setsim_join (r16: 13 -> 17 -> 21 for
+                              // the same reasons); the runtime budget
+                              // above pins 5 materialised / 7 reused
     "q_temperature_sample" -> 7, // scan floor + group-count agg pair + the
                               // per-group rate derivation + orderBy; the
                               // (group, rate) dim BROADCASTS onto the
@@ -410,11 +412,19 @@ class PlanAuditSpec extends SparkSpec {
     * 100 TB re-runs a corpus-scale aggregate). */
   private val runtimeExchangeBudgets: Map[String, (Int, Int)] = Map(
     // name -> (realMax, reusedMin), measured at sf0.001 local[4]
-    "q_setsim_join" -> ((5, 3)),        // RR floor x2 + df(_tok) + rank
-                                        // window (_id) + orderBy; prefix-b
-                                        // + set-table chains all reused
-    "q_containment_join" -> ((5, 3)),   // same shape, B side unranked but
+    "q_setsim_join" -> ((5, 6)),        // RR floor + doc-keyed anchor +
+                                        // df(_tok) + rank window spared
+                                        // (anchor partitioning) + orderBy;
+                                        // df branch, prefix-b and the set
+                                        // table all ride the ONE anchor —
+                                        // one shingle-hashing pass total
+    "q_containment_join" -> ((5, 7)),   // same shape, B side unranked but
                                         // pin-aligned to the ranked chain
+    "q_tfidf_topterms" -> ((5, 1)),     // (doc, term) tf agg pair + df
+                                        // agg + top-k window + orderBy;
+                                        // the df branch rides tf's
+                                        // exchange (tf >= 1 pruning pin —
+                                        // one tokenize explode total)
     "q_bm25_topk" -> ((9, 1)),          // pruned-tf agg + df + stats pair
                                         // + score agg + 2-phase rank pair
                                         // + orderBy; df-count rides tf's
